@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One multimodal record: an opaque binary payload + typed metadata.
+  * (The synthetic corpus has no real media, so the payload is the UTF-8
+  * encoding of the document text; the *plumbing* — schema, batching,
+  * partition-level decode — is the real thing.)
+  */
+final case class MediaBlob(doc_id: Long, media_type: String, payload: Array[Byte])
+
+/** Extracted per-blob features (what an image/audio decoder would emit). */
+final case class MediaFeatures(
+    doc_id: Long,
+    media_type: String,
+    n_bytes: Long,
+    width: Int,
+    height: Int,
+    channel_mean: Double)
+
+/** Multimodal-column handling: media as opaque `binary` columns with typed
+  * metadata, decoded per partition in batches.
+  *
+  * STUB decode: the container has no image/audio codecs, so [[decodeStub]]
+  * computes deterministic fake features (dimensions from payload length,
+  * channel mean = mean byte value). Swap `decodeStub` for a real codec
+  * call — the Spark-side contract (binary in, fixed-schema features out,
+  * partition-batched, no driver involvement) is unchanged.
+  */
+object Multimodal {
+
+  /** Documents → binary media column + metadata (the ingest step a real
+    * pipeline would do at the edge).
+    */
+  def toBlobs(spark: SparkSession, docs: DataFrame): Dataset[MediaBlob] = {
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        // Deterministic fake modality from the id; real data carries its own.
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaBlob]
+  }
+
+  /** The decode stub — REPLACE with a real codec (e.g. javax.imageio /
+    * ffmpeg bindings) in production. Deterministic on the payload bytes.
+    */
+  def decodeStub(b: MediaBlob): MediaFeatures = {
+    val n = b.payload.length.toLong
+    var sum = 0L
+    var i = 0
+    while (i < b.payload.length) { sum += b.payload(i) & 0xff; i += 1 }
+    MediaFeatures(
+      doc_id = b.doc_id,
+      media_type = b.media_type,
+      n_bytes = n,
+      width = (n % 640).toInt,
+      height = (n % 480).toInt,
+      channel_mean = if (n == 0) 0.0 else sum.toDouble / n)
+  }
+
+  /** Partition-batched feature extraction: the iterator keeps the decode
+    * streaming (no per-partition materialization), exactly how a Pandas-UDF
+    * / mapInArrow batch decoder behaves in the Python API.
+    */
+  def extractFeatures(spark: SparkSession, blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    blobs.mapPartitions(_.map(decodeStub))
+  }
+
+  /** Metadata-only pass (no decode): byte length + content hash per blob —
+    * pure columnar, oracle-checkable.
+    */
+  def blobMeta(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("bigint").as("n_bytes"),
+        md5(col("payload")).as("content_md5"))
+      .orderBy("doc_id")
+
+  /** Full decode pipeline rolled up per media type (rows-only checked —
+    * the stub features are engine-internal).
+    */
+  def featureSummary(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val feats = extractFeatures(spark, toBlobs(spark, docs)).toDF()
+    feats.groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(avg(col("channel_mean")), 6).as("avg_channel_mean"))
+      .orderBy("media_type")
+  }
+}

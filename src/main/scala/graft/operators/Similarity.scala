@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over an `array<float>` embedding column.
+  *
+  * Cosine is computed with native array expressions
+  * (`zip_with` product + `aggregate` fold) in double precision — no UDFs.
+  *
+  * Scale design: the brute-force path broadcasts the (small) probe set, so
+  * the candidate side streams through executors with no shuffle at all; the
+  * IVF path prunes candidates to the nearest partitions (centroid = the
+  * `label` partition's mean vector), turning the scan into a partition-
+  * pruned semi-join — the pattern that survives 100 TB while brute force
+  * does not. The random-hyperplane LSH in [[Dedup.simhash]] style applies to
+  * embeddings too via [[hyperplaneBucket]].
+  */
+object Similarity {
+
+  /** Dot product of two double-array columns (left-to-right fold, so the
+    * result is deterministic).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k cosine neighbors for each probe (vec_id < nProbes), over
+    * the full candidate set. Probe side is broadcast; top-k via per-probe
+    * window. Deterministic tie-break on cand_id.
+    */
+  def bruteForceTopK(emb: DataFrame, nProbes: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pv"))
+    val cands = emb.select(col("vec_id").as("cand_id"), asDouble(col("embedding")).as("cv"))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
+    cands.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("pv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("cand_id"), round(col("sim"), 4).as("sim"), col("rank"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Exact near-duplicate pairs (cosine >= threshold) within a
+    * deterministic vec_id-modulo subset — the oracle-checkable baseline for
+    * the LSH/IVF scale paths.
+    */
+  def nearDupPairs(emb: DataFrame, mod: Int, threshold: Double): DataFrame = {
+    val d = emb.filter(col("vec_id") % mod === 0)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val a = d.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = d.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Random-hyperplane bucket id (nBits-bit SimHash of the vector): sign of
+    * the dot product against nBits deterministic pseudo-random hyperplanes.
+    * Vectors in the same bucket are near-duplicate candidates.
+    */
+  def hyperplaneBucket(v: Column, dim: Int, nBits: Int): Column = {
+    // Hyperplane component h_{b,i} in {-1, +1} from a splitmix-style hash.
+    def sign(b: Int, i: Int): Double = {
+      var x = 0x9E3779B97F4A7C15L * (b * 1024L + i + 1)
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      if (((x ^ (x >>> 27)) & 1L) == 0L) -1.0 else 1.0
+    }
+    (0 until nBits).map { b =>
+      val proj = (0 until dim).map(i => element_at(v, i + 1) * lit(sign(b, i)))
+        .reduce(_ + _)
+      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** IVF-style ANN: cluster centroids are the per-`label` mean vectors;
+    * each probe searches only the `nprobe` nearest clusters. Approximate
+    * (recall < 1) — compare against [[bruteForceTopK]] for recall.
+    */
+  def ivfTopK(emb: DataFrame, nProbes: Int, k: Int, nprobe: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = 64
+    val withV = emb.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    // Centroid = mean vector per label partition: aggregate per-dimension sums
+    // columnar-ly, then divide by the count.
+    val sumCols = (0 until dim).map(i => sum(element_at(col("v"), i + 1)).as(s"s_$i"))
+    val centroids = withV.groupBy(col("label"))
+      .agg(sumCols.head, sumCols.tail :+ count(lit(1)).as("n"): _*)
+      .select(col("label").as("c_label"),
+        array((0 until dim).map(i => col(s"s_$i") / col("n")): _*).as("centroid"))
+    val probes = withV.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    // nprobe nearest centroids per probe (tiny: nLabels × nProbes rows).
+    val wc = Window.partitionBy("probe_id").orderBy(col("csim").desc, col("c_label"))
+    val probeClusters = probes.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("pv"), col("centroid")))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nprobe)
+      .select(col("probe_id"), col("pv"), col("c_label"))
+    // Search only the selected clusters.
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
+    withV.select(col("vec_id").as("cand_id"), col("label"), col("v").as("cv"))
+      .join(broadcast(probeClusters), col("label") === col("c_label") && col("probe_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("pv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("cand_id"), round(col("sim"), 4).as("sim"), col("rank"))
+      .orderBy("probe_id", "rank")
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (stopword-hit heuristic), quality scoring (length/punctuation/stopword
+  * ratios), token counting (whitespace + a BPE-ish regex), and document
+  * fingerprinting (shingle-set hash). All pure columnar expressions.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(c: Column): Column = split(c, "\\s+")
+
+  // Tiny stopword lexicons for the n-gram/stopword language heuristic.
+  val Lexicons: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "los", "de", "y", "que", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que"))
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Per-document language prediction: argmax of stopword hits with a
+    * deterministic precedence (en > es > de > fr > unknown on ties); a
+    * document with zero hits in every lexicon is "unknown".
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs.select(col("doc_id"), col("lang").as("labeled_lang"),
+        hits(t, Lexicons("en")).as("h_en"), hits(t, Lexicons("es")).as("h_es"),
+        hits(t, Lexicons("de")).as("h_de"), hits(t, Lexicons("fr")).as("h_fr"))
+      .withColumn("pred_lang",
+        when(col("h_en") + col("h_es") + col("h_de") + col("h_fr") === 0, "unknown")
+          .when(col("h_en") >= col("h_es") && col("h_en") >= col("h_de") && col("h_en") >= col("h_fr"), "en")
+          .when(col("h_es") >= col("h_de") && col("h_es") >= col("h_fr"), "es")
+          .when(col("h_de") >= col("h_fr"), "de")
+          .otherwise("fr"))
+      .select(col("doc_id"), col("labeled_lang"), col("pred_lang"),
+        col("h_en"), col("h_es"), col("h_de"), col("h_fr"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document quality metrics + a composite score. Ratios are exact
+    * integer-over-integer divisions (deterministic doubles).
+    */
+  def qualityStats(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs.select(col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        size(t).as("n_tokens"),
+        size(expr("regexp_extract_all(text, '[.,!?;:]', 0)")).as("n_punct"),
+        size(expr("regexp_extract_all(text, '[0-9]', 0)")).as("n_digits"),
+        hits(t, Lexicons("en")).as("n_stopwords"))
+      .withColumn("avg_token_len",
+        round((col("n_chars_m") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"), 6))
+      .withColumn("punct_ratio", round(col("n_punct").cast("double") / col("n_chars_m"), 6))
+      .withColumn("digit_ratio", round(col("n_digits").cast("double") / col("n_chars_m"), 6))
+      .withColumn("stopword_ratio", round(col("n_stopwords").cast("double") / col("n_tokens"), 6))
+      .withColumn("quality_score",
+        round(lit(1.0) / (lit(1.0) + col("n_punct") + col("n_digits")) *
+          (lit(1.0) + col("n_stopwords").cast("double") / col("n_tokens")), 6))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * (letter runs / single digits / single non-alphanumerics), plus a
+    * corpus-level rollup per source.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        size(tokens(col("text"))).as("ws"),
+        size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]', 0)")).as("bpe"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"))
+      .orderBy("source")
+
+  /** Content fingerprint: md5 over the sorted distinct 4-gram shingle set —
+    * stable under shingle reordering, the key for fingerprint-based dedup.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        md5(concat_ws("",
+          Dedup.shingles("text", 4))).as("fingerprint"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The general-relational query surface (SURVEY.md §2.5 Q3-Q9 + JSON):
+  * filter/project, multi-way joins (broadcast + shuffle), grouped
+  * aggregation with having/top-k, window functions, set operations, gap
+  * sessionization, tumbling time windows, JSON extraction.
+  *
+  * Numeric discipline for oracle parity: money-like doubles are cast to
+  * decimal(18,2) BEFORE arithmetic/aggregation (the cast exactly recovers
+  * the 2-decimal source values, decimal math is exact and
+  * order-independent), and only the final result is cast back to double.
+  * Timestamps cross the engine boundary as unix microseconds (bigint).
+  */
+object Relational {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** Q3: TPC-H Q6 shape — selective scan with arithmetic aggregate.
+    * Filters and the 4-column projection push down to the parquet scan.
+    */
+  def q3FilterAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.07) && col("l_quantity") < 25)
+      .agg(
+        sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).cast("double").as("revenue"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_items"))
+
+  /** Q4: TPC-H Q5 shape — dimension joins broadcast, fact-fact join
+    * shuffles on the key; revenue per nation.
+    */
+  def q4JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA" &&
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Q5: grouped agg + HAVING + ORDER BY + LIMIT (top customers by spend). */
+  def q5TopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("total_spent"),
+        count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 3)
+      .orderBy(col("total_spent").desc, col("c_custkey"))
+      .limit(10)
+
+  /** Q6: window functions — row_number / rank / lag over per-customer
+    * order history.
+    */
+  def q6Window(spark: SparkSession, dir: String): DataFrame = {
+    val wTime = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wPrice = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(wTime).as("order_seq"),
+        rank().over(wPrice).as("price_rank"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) -
+          lag(unix_micros(col("o_orderdate").cast("timestamp")), 1).over(wTime))
+          .as("gap_us"))
+      .orderBy("o_custkey", "order_seq")
+  }
+
+  /** Q7: set operations — distinct union / intersect / except of customer
+    * vs supplier nation keys, tagged and stacked into one result.
+    */
+  def q7SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_nationkey").as("k"))
+    val s = t(spark, dir, "supplier").select(col("s_nationkey").as("k"))
+    val u = c.union(s).distinct().select(lit("union").as("op"), col("k"))
+    val i = c.intersect(s).select(lit("intersect").as("op"), col("k"))
+    val e = c.except(s).select(lit("except").as("op"), col("k"))
+    u.union(i).union(e).orderBy("op", "k")
+  }
+
+  /** Q8: gap sessionization of the event stream — 30-minute inactivity
+    * splits sessions (the taxi FSM generalized to its pure-SQL windowed
+    * form: lag → boundary flag → running sum = session id).
+    */
+  def q8Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("boundary",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("boundary")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        (max(col("us")) - min(col("us"))).as("duration_us"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Q9: tumbling 1-hour time windows per event type. */
+  def q9TimeWindows(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(unix_micros(col("w.start")).as("hour_us"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy("hour_us", "event_type")
+
+  /** Q10: JSON extraction from the event props payload + rollup. */
+  def q10Json(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"),
+        col("value"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy("k_mod")
+}

