@@ -1,0 +1,24 @@
+package graft
+
+import graft.functions.ArrayExpressions.{CosineSimilarity, SortedLongIntersectCount}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session-extension entry point: makes the engine's custom expressions
+  * visible to plain SQL in any session built with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or
+  * `.withExtensions(new GraftExtensions)`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("sorted_long_intersect_count"),
+      new ExpressionInfo(classOf[SortedLongIntersectCount].getName, "sorted_long_intersect_count"),
+      es => SortedLongIntersectCount(es.head, es(1))))
+    e.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      es => CosineSimilarity(es.head, es(1))))
+  }
+}

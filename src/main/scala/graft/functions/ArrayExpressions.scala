@@ -1,0 +1,223 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the hot inner loops the built-in
+  * higher-order functions (`aggregate`/`zip_with`/`array_intersect`)
+  * evaluate with per-element lambda dispatch and boxing. Both participate
+  * in whole-stage codegen via `doGenCode` — the generated code is a tight
+  * primitive loop over the unsafe array data.
+  *
+  * Column construction goes through the session function registry +
+  * `call_function` (the public Spark 4 route), so [[ArrayExpressions.register]]
+  * must run once per session before the wrappers are used; every query
+  * entry point in this library does that.
+  */
+object ArrayExpressions {
+
+  private def checkArrayOf(elem: DataType, children: Seq[Expression], name: String): TypeCheckResult = {
+    val ok = children.forall(_.dataType match {
+      case ArrayType(`elem`, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name expects two array<$elem> arguments, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  }
+
+  /** |a ∩ b| for two SORTED long arrays (merge walk, no hashing, no
+    * boxing). Used by the Jaccard dedup operators on hashed shingle sets.
+    */
+  case class SortedLongIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "sorted_long_intersect_count"
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayOf(LongType, children, prettyName)
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      var i = 0; var j = 0; var n = 0
+      val nx = x.numElements(); val ny = y.numElements()
+      while (i < nx && j < ny) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { n += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      n
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        s"""
+           |int $i = 0; int $j = 0;
+           |${ev.value} = 0;
+           |while ($i < $a.numElements() && $j < $b.numElements()) {
+           |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+           |  if ($xv == $yv) { ${ev.value}++; $i++; $j++; }
+           |  else if ($xv < $yv) { $i++; } else { $j++; }
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Cosine similarity of two double arrays in one fused primitive loop
+    * (dot, |a|², |b|² in a single pass). NaN on zero-norm input, like the
+    * mathematical definition's 0/0.
+    */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cosine_similarity"
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayOf(DoubleType, children, prettyName)
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = x.getDouble(i); val yv = y.getDouble(i)
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        s"""
+           |int $n = Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xv = $a.getDouble($i); double $yv = $b.getDouble($i);
+           |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+           |}
+           |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Full MinHash signature in ONE pass: for an array of 64-bit shingle
+    * hashes, computes `numPerms` permuted minima `min_x (a_i·x + b_i) mod p`
+    * with p = 2^31−1 and deterministic splitmix-derived coefficients.
+    * Replaces `numPerms` separate `array_min(transform(...))` columns
+    * (interpreted lambda per element per perm) with a fused primitive loop.
+    */
+  case class MinHashSignature(child: Expression, numPerms: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_signature"
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayOf(LongType, children, prettyName)
+
+    private val p = MinHash.P
+    private lazy val coefA: Array[Long] = Array.tabulate(numPerms)(MinHash.coefA)
+    private lazy val coefB: Array[Long] = Array.tabulate(numPerms)(MinHash.coefB)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val out = Array.fill(numPerms)(Long.MaxValue)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val h = { val m = arr.getLong(i) % p; if (m < 0) m + p else m }
+        var j = 0
+        while (j < numPerms) {
+          val v = (coefA(j) * h + coefB(j)) % p
+          if (v < out(j)) out(j) = v
+          j += 1
+        }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val aRef = ctx.addReferenceObj("coefA", coefA, "long[]")
+      val bRef = ctx.addReferenceObj("coefB", coefB, "long[]")
+      nullSafeCodeGen(ctx, ev, c => {
+        val out = ctx.freshName("out"); val i = ctx.freshName("i")
+        val j = ctx.freshName("j"); val h = ctx.freshName("h"); val v = ctx.freshName("v")
+        s"""
+           |long[] $out = new long[$numPerms];
+           |java.util.Arrays.fill($out, Long.MAX_VALUE);
+           |for (int $i = 0; $i < $c.numElements(); $i++) {
+           |  long $h = $c.getLong($i) % ${p}L; if ($h < 0) $h += ${p}L;
+           |  for (int $j = 0; $j < $numPerms; $j++) {
+           |    long $v = ($aRef[$j] * $h + $bRef[$j]) % ${p}L;
+           |    if ($v < $out[$j]) $out[$j] = $v;
+           |  }
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Shared deterministic coefficient scheme for MinHash permutations. */
+  object MinHash {
+    /** 2^31−1 (Mersenne prime): a·h+b stays within Long under ANSI. */
+    val P = 2147483647L
+    private def mix(seed: Long, i: Int): Long = {
+      var x = seed + 0x9E3779B97F4A7C15L * (i + 1)
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      math.abs(x ^ (x >>> 31)) % (P - 1) + 1
+    }
+    def coefA(i: Int): Long = mix(42L, i)
+    def coefB(i: Int): Long = mix(4242L, i)
+  }
+
+  @volatile private var registered = false
+
+  /** Idempotently register both functions in the session registry (temp
+    * functions — session-scoped, no catalog pollution).
+    */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "sorted_long_intersect_count", es => SortedLongIntersectCount(es.head, es(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "cosine_similarity", es => CosineSimilarity(es.head, es(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "minhash_signature",
+      es => MinHashSignature(es.head, es(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    registered = true
+  }
+
+  /** Column wrappers (require [[register]] on the active session). */
+  def sortedLongIntersectCount(a: Column, b: Column): Column =
+    call_function("sorted_long_intersect_count", a, b)
+
+  def cosineSim(a: Column, b: Column): Column =
+    call_function("cosine_similarity", a, b)
+
+  def minhashSignature(hashes: Column, numPerms: Int): Column =
+    call_function("minhash_signature", hashes, org.apache.spark.sql.functions.lit(numPerms))
+}

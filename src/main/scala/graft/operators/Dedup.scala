@@ -21,10 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** SQL fragment: raw character n-gram list of `colName` (with dups). */
+  def shingleSql(colName: String, n: Int): String =
+    s"""CASE WHEN length($colName) < $n THEN array()
+        ELSE transform(sequence(1, length($colName) - ${n - 1}), i -> substring($colName, i, $n)) END"""
+
   /** Character n-gram shingle set of `col` as a sorted distinct array. */
-  def shingles(colName: String, n: Int): Column = expr(
-    s"""array_sort(array_distinct(CASE WHEN length($colName) < $n THEN array()
-        ELSE transform(sequence(1, length($colName) - ${n - 1}), i -> substring($colName, i, $n)) END))""")
+  def shingles(colName: String, n: Int): Column =
+    expr(s"array_sort(array_distinct(${shingleSql(colName, n)}))")
 
   /** Exact-duplicate summary over the full text: one row of corpus stats. */
   def exactDupStats(docs: DataFrame): DataFrame =
@@ -51,13 +55,19 @@ object Dedup {
     * trigram sets.
     */
   def ngramJaccardPairs(docs: DataFrame, mod: Int, threshold: Double): DataFrame = {
+    graft.functions.ArrayExpressions.register(docs.sparkSession)
+    // Intersect SORTED 64-bit shingle hashes, not strings: same counts
+    // (collision odds ~n²/2^64), and the custom merge-walk expression
+    // (graft.functions.ArrayExpressions) costs no hashing or boxing per pair.
     val d = docs
       .filter(col("doc_id") % mod === 0)
-      .select(col("doc_id"), shingles("text", 3).as("sh"))
+      .select(col("doc_id"),
+        expr("array_sort(array_distinct(transform(" + shingleSql("text", 3) + ", s -> xxhash64(s))))").as("sh"))
     val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, col("doc_a") < col("doc_b"))
-      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_common",
+        graft.functions.ArrayExpressions.sortedLongIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
@@ -73,48 +83,50 @@ object Dedup {
     * candidates; candidates verified with exact Jaccard >= threshold.
     */
   def minhashLshPairs(docs: DataFrame, numPerms: Int = 32, rowsPerBand: Int = 4,
-                      threshold: Double = 0.6): DataFrame = {
+                      threshold: Double = 0.6, maxBucket: Int = 64): DataFrame = {
     require(numPerms % rowsPerBand == 0)
+    graft.functions.ArrayExpressions.register(docs.sparkSession)
     val numBands = numPerms / rowsPerBand
-    // 2^31-1 (Mersenne prime): keeps a*h+b within Long range under ANSI
-    // overflow checking (a,h < 2^31 so the product is < 2^62).
-    val p = 2147483647L
-    // Deterministic "random" coefficients derived from the perm index.
-    def coef(seed: Long, i: Int): Long = {
-      var x = seed + 0x9E3779B97F4A7C15L * (i + 1)
-      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-      math.abs(x ^ (x >>> 31)) % (p - 1) + 1
-    }
+    // Sorted distinct shingle hashes, computed ONCE: minhash is
+    // order-independent, and the sorted form feeds the merge-walk
+    // verification directly.
     val withShingles = docs.select(col("doc_id"),
-      expr("transform(array_sort(array_distinct(CASE WHEN length(text) < 3 THEN array() " +
-        "ELSE transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) END)), s -> xxhash64(s))")
-        .as("hashes"))
+      expr(s"array_sort(array_distinct(transform(${shingleSql("text", 3)}, s -> xxhash64(s))))").as("hashes"))
       .filter(size(col("hashes")) > 0)
-    val minhashCols = (0 until numPerms).map { i =>
-      val a = coef(42L, i); val b = coef(4242L, i)
-      // pmod keeps the permuted hash non-negative; array_min = the minhash.
-      expr(s"array_min(transform(hashes, h -> pmod($a * pmod(h, ${p}L) + $b, ${p}L)))").as(s"mh_$i")
-    }
-    val sigs = withShingles.select(col("doc_id") +: minhashCols: _*)
+    // All numPerms permuted minima in ONE fused pass (custom expression).
+    val sigs = withShingles.select(col("doc_id"),
+      graft.functions.ArrayExpressions.minhashSignature(col("hashes"), numPerms).as("mhs"))
     val bandCols = (0 until numBands).map { bnd =>
-      val cols = (0 until rowsPerBand).map(r => s"mh_${bnd * rowsPerBand + r}").mkString(", ")
-      expr(s"named_struct('band', $bnd, 'sig', xxhash64($cols))")
+      expr(s"named_struct('band', $bnd, 'sig', xxhash64(slice(mhs, ${bnd * rowsPerBand + 1}, $rowsPerBand)))")
     }
-    val buckets = sigs
+    // Group each (band, signature) bucket and emit its member pairs.
+    // Oversized buckets (> maxBucket) are skipped: a signature shared by
+    // hundreds of docs carries no discriminating information, and capping
+    // bounds the per-bucket pair blow-up to O(maxBucket²) — the property
+    // that keeps the shuffle near-linear at 100 TB.
+    val candidates = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
-    val candidates = buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .groupBy(col("b.band"), col("b.sig"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> " +
+          "named_struct('doc_a', least(x, y), 'doc_b', greatest(x, y)))))")).as("pr"))
+      .select(col("pr.doc_a"), col("pr.doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
       .distinct()
-    // Exact verification of the (small) candidate set only.
-    val sh = docs.select(col("doc_id"), shingles("text", 3).as("sh"))
+    // Exact verification of the (small) candidate set only, on the SAME
+    // sorted hashed sets via the custom merge-walk intersect expression.
+    // The fingerprint table is broadcast: candidate pairs then verify with
+    // zero shuffle of the (wide) array column. At corpus sizes where the
+    // fingerprints outgrow a broadcast, swap these for bucketed joins on
+    // doc_id — the pair volume is already bounded by maxBucket².
+    val sh = broadcast(withShingles.select(col("doc_id"), col("hashes").as("sh")))
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_common",
+        graft.functions.ArrayExpressions.sortedLongIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))

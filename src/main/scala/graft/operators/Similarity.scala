@@ -19,14 +19,20 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Dot product of two double-array columns (left-to-right fold, so the
-    * result is deterministic).
+    * result is deterministic). Built-in-only fallback form.
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via the custom codegen'd expression (single fused loop; the
+    * builtin `aggregate`/`zip_with` composition pays per-element lambda
+    * dispatch). Callers must have run `ArrayExpressions.register`; all
+    * operators here do.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.ArrayExpressions.cosineSim(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -35,6 +41,7 @@ object Similarity {
     * window. Deterministic tie-break on cand_id.
     */
   def bruteForceTopK(emb: DataFrame, nProbes: Int, k: Int): DataFrame = {
+    graft.functions.ArrayExpressions.register(emb.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val probes = emb.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pv"))
@@ -53,6 +60,7 @@ object Similarity {
     * the LSH/IVF scale paths.
     */
   def nearDupPairs(emb: DataFrame, mod: Int, threshold: Double): DataFrame = {
+    graft.functions.ArrayExpressions.register(emb.sparkSession)
     val d = emb.filter(col("vec_id") % mod === 0)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val a = d.select(col("vec_id").as("vec_a"), col("v").as("va"))
@@ -87,6 +95,7 @@ object Similarity {
     * (recall < 1) — compare against [[bruteForceTopK]] for recall.
     */
   def ivfTopK(emb: DataFrame, nProbes: Int, k: Int, nprobe: Int = 5): DataFrame = {
+    graft.functions.ArrayExpressions.register(emb.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val dim = 64
     val withV = emb.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
