@@ -34,6 +34,10 @@ object SparkEntry {
     "q8_sessionize" -> ((s, d) => Relational.q8Sessionize(s, d)),
     "q9_time_windows" -> ((s, d) => Relational.q9TimeWindows(s, d)),
     "q10_json_extract" -> ((s, d) => Relational.q10Json(s, d)),
+    "q11_rollup" -> ((s, d) => Relational.q11Rollup(s, d)),
+    "q12_outer_join" -> ((s, d) => Relational.q12OuterJoin(s, d)),
+    "q13_anti_join" -> ((s, d) => Relational.q13AntiJoin(s, d)),
+    "q14_distinct_agg" -> ((s, d) => Relational.q14DistinctAgg(s, d)),
     // -- LLM-pipeline extensions ------------------------------------------
     "x1_dedup_exact" -> ((s, d) => Dedup.exactDupStats(Tables.load(s, d, "documents"))),
     "x2_dedup_normalized" -> ((s, d) => Dedup.normalizedDupGroups(Tables.load(s, d, "documents"))),
@@ -134,6 +138,25 @@ object SparkEntry {
         |       count(*) AS n,
         |       CAST(sum(CAST(value AS decimal(18,2))) AS double) AS total_value
         |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
+    "q11_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+        |       count(*) AS n_items
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q12_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS decimal(18,2))) AS double) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q13_anti_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+    "q14_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_items
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "x1_dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
         |       count(*) - count(DISTINCT md5(text)) AS n_dup_docs

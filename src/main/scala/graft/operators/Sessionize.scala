@@ -41,8 +41,9 @@ final case class TaxiTrip(
 )
 
 /** The trip-reconstruction finite-state machine — the one genuinely custom
-  * operator in the engine. Pure Scala (no Spark), exhaustively unit-tested;
-  * the Spark adapter lives in [[graft.queries.TaxiQueries]].
+  * operator in the engine. Pure Scala (no Spark); the batch adapter lives in
+  * [[graft.queries.TaxiQueries]], the Structured Streaming adapter in
+  * [[StreamingSessionize]] — both drive the same [[TaxiFsm.step]].
   *
   * Semantics follow the reference reducer
   * (/root/reference/src/AirportTripsRevenue.java:275-407) exactly:
@@ -70,97 +71,90 @@ final case class TaxiTrip(
   */
 object TaxiFsm {
 
+  /** Resumable FSM state: the open-trip accumulator (the reference's
+    * TaxiTrip instance fields, :279-285) + the previous ACCEPTED point.
+    * Immutable so it can live in Structured Streaming `GroupState`.
+    */
+  final case class State(
+      prev: TaxiPosition, // last accepted point (null until first point)
+      open: Boolean,
+      startTime: Double, startLat: String, startLong: String,
+      stopTime: Double, stopLat: String, stopLong: String,
+      isAirport: Boolean, cumDist: Double, date: String)
+
+  val initialState: State =
+    State(null, open = false, 0.0, null, null, 0.0, null, null, isAirport = false, 0.0, null)
+
+  private def opened(s: State, p: TaxiPosition): State =
+    s.copy(prev = p, open = true,
+      startTime = p.ts, startLat = p.latS, startLong = p.longS,
+      stopTime = p.ts, stopLat = p.latS, stopLong = p.longS,
+      isAirport = GeoMath.isNearSfo(p.lat, p.long), cumDist = 0.0,
+      date = p.tsS.substring(0, 10))
+
+  /** Close at the previous point; Some(trip) iff emitted (distance >= 0.1 km
+    * and airport-flagged).
+    */
+  private def closed(s: State): Option[TaxiTrip] =
+    if (s.cumDist >= GeoMath.MinTripKm && s.isAirport)
+      Some(TaxiTrip(s.prev.taxi, s.startTime, s.startLat, s.startLong,
+        s.stopTime, s.stopLat, s.stopLong, isAirport = true,
+        s.cumDist, GeoMath.fare(s.cumDist), s.date))
+    else None
+
+  /** One FSM transition. Positions must arrive in the reference's key order
+    * (tsS, latS, longS, status) within the taxi.
+    */
+  def step(s: State, cur: TaxiPosition): (State, Option[TaxiTrip]) =
+    if (!s.open) {
+      if (cur.status == "M") (opened(s, cur), None)
+      else (s.copy(prev = cur), None)
+    } else if (cur.status == "M") {
+      if (cur.ts - s.prev.ts <= GeoMath.MaxGapSeconds) {
+        // M->M normal: speed-check, accumulate.
+        val d = GeoMath.sphericalEarthDistance(s.prev.lat, s.prev.long, cur.lat, cur.long)
+        val speed = d / ((cur.ts - s.prev.ts) / 3600.0)
+        if (speed > GeoMath.MaxSpeedKmh) {
+          // Skip the point entirely — prev intentionally NOT updated
+          // (reference early-return at :333).
+          (s, None)
+        } else {
+          (s.copy(prev = cur,
+            cumDist = s.cumDist + d,
+            stopTime = cur.ts, stopLat = cur.latS, stopLong = cur.longS,
+            isAirport = s.isAirport || GeoMath.isNearSfo(cur.lat, cur.long)), None)
+        }
+      } else {
+        // M->M exception (gap split): close at prev, reopen at cur.
+        (opened(s, cur), closed(s))
+      }
+    } else {
+      // M->E: close at prev.
+      (s.copy(prev = cur, open = false), closed(s))
+    }
+
+  /** End-of-group flush (see scaladoc delta note). */
+  def flush(s: State): Option[TaxiTrip] = if (s.open) closed(s) else None
+
   /** Run the FSM over ONE taxi's positions, pre-sorted by
     * (tsS, latS, longS, status) — the reference's full-string key order.
+    * Streams: O(1) state, emits as it goes, flushes at end.
     */
-  def sessionize(points: Iterator[TaxiPosition]): Iterator[TaxiTrip] =
-    new Iterator[TaxiTrip] {
-      private var prev: TaxiPosition = _ // last ACCEPTED point
-      private var open = false
-      private var startTime = 0.0
-      private var startLat: String = _
-      private var startLong: String = _
-      private var stopTime = 0.0
-      private var stopLat: String = _
-      private var stopLong: String = _
-      private var isAirport = false
-      private var cumDist = 0.0
-      private var date: String = _
-      private var pending: TaxiTrip = _
-      private var done = false
-
-      private def openTrip(p: TaxiPosition): Unit = {
-        open = true
-        startTime = p.ts; startLat = p.latS; startLong = p.longS
-        stopTime = p.ts; stopLat = p.latS; stopLong = p.longS
-        isAirport = GeoMath.isNearSfo(p.lat, p.long)
-        cumDist = 0.0
-        date = p.tsS.substring(0, 10)
-      }
-
-      /** Close at the previous point; return the trip iff it must be emitted
-        * (distance >= 0.1 km and airport-flagged).
-        */
-      private def closeTrip(): TaxiTrip = {
-        open = false
-        if (cumDist >= GeoMath.MinTripKm && isAirport)
-          TaxiTrip(prev.taxi, startTime, startLat, startLong,
-            stopTime, stopLat, stopLong, isAirport = true,
-            cumDist, GeoMath.fare(cumDist), date)
-        else null
-      }
-
-      /** Advance through input until a trip is emitted or input ends. */
-      private def step(): Unit = {
-        while (pending == null && points.hasNext) {
-          val cur = points.next()
-          if (!open) {
-            // No trip in progress: only an M point does anything (E->M open).
-            if (cur.status == "M") openTrip(cur)
-            prev = cur
-          } else if (cur.status == "M") {
-            if (cur.ts - prev.ts <= GeoMath.MaxGapSeconds) {
-              // M->M normal: speed-check, accumulate.
-              val d = GeoMath.sphericalEarthDistance(prev.lat, prev.long, cur.lat, cur.long)
-              val speed = d / ((cur.ts - prev.ts) / 3600.0)
-              if (speed > GeoMath.MaxSpeedKmh) {
-                // Skip the point entirely — prev intentionally NOT updated
-                // (reference early-return at :333).
-              } else {
-                cumDist += d
-                stopTime = cur.ts; stopLat = cur.latS; stopLong = cur.longS
-                isAirport = isAirport || GeoMath.isNearSfo(cur.lat, cur.long)
-                prev = cur
-              }
-            } else {
-              // M->M exception (gap split): close at prev, reopen at cur.
-              pending = closeTrip()
-              openTrip(cur)
-              prev = cur
-            }
-          } else {
-            // M->E: close at prev.
-            pending = closeTrip()
-            prev = cur
-          }
-        }
-        if (pending == null && !points.hasNext && open && !done) {
-          // End-of-group flush (see scaladoc delta note).
-          pending = closeTrip()
-          done = true
-        }
-      }
-
-      override def hasNext: Boolean = {
-        if (pending == null) step()
-        pending != null
-      }
-
+  def sessionize(points: Iterator[TaxiPosition]): Iterator[TaxiTrip] = {
+    var state = initialState
+    val closedTrips = points.flatMap { p =>
+      val (s2, out) = step(state, p)
+      state = s2
+      out
+    }
+    closedTrips ++ new Iterator[TaxiTrip] {
+      private var flushed = false
+      override def hasNext: Boolean = !flushed && flush(state).isDefined
       override def next(): TaxiTrip = {
-        if (!hasNext) throw new NoSuchElementException("empty FSM iterator")
-        val t = pending; pending = null; t
+        val t = flush(state).get; flushed = true; t
       }
     }
+  }
 
   /** Multi-taxi wrapper for the scalable `mapPartitions` path: the input
     * iterator spans many taxis, sorted by (taxi, tsS, latS, longS, status);

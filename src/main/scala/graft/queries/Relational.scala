@@ -138,4 +138,41 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(dec(col("value"))).cast("double").as("total_value"))
       .orderBy("k_mod")
+
+  /** Q11: ROLLUP grouping sets — per (returnflag, linestatus), per
+    * returnflag, and grand total in one pass.
+    */
+  def q11Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Q12: left outer join + null-skipping count — orders per customer
+    * including zero-order customers.
+    */
+  def q12OuterJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_spent")) // null for orderless
+      .orderBy("c_custkey")
+
+  /** Q13: anti join — parts never shipped (NOT EXISTS against lineitem). */
+  def q13AntiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .join(t(spark, dir, "lineitem"), col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy("p_partkey")
+
+  /** Q14: distinct aggregates — distinct parts/suppliers per return flag. */
+  def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.ArrayExpressions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** The custom Catalyst expressions: codegen path (through DataFrames) vs
+  * built-in compositions vs direct interpreted eval.
+  */
+class ExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("sorted_long_intersect_count == size(array_intersect) on random sorted sets") {
+    import spark.implicits._
+    ArrayExpressions.register(spark)
+    val rnd = new Random(1)
+    val rows = Seq.fill(50) {
+      val a = Seq.fill(rnd.nextInt(50) + 1)(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(50) + 1)(rnd.nextInt(40).toLong).distinct.sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      ArrayExpressions.sortedLongIntersectCount(col("a"), col("b")).as("n"),
+      size(array_intersect(col("a"), col("b"))).as("want")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("cosine_similarity == aggregate/zip_with composition within 1e-12") {
+    import spark.implicits._
+    ArrayExpressions.register(spark)
+    val rnd = new Random(2)
+    val rows = Seq.fill(30)((Seq.fill(64)(rnd.nextDouble() - 0.5), Seq.fill(64)(rnd.nextDouble() - 0.5)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      ArrayExpressions.cosineSim(col("a"), col("b")).as("fast"),
+      (graft.operators.Similarity.dot(col("a"), col("b")) /
+        (graft.operators.Similarity.norm(col("a")) * graft.operators.Similarity.norm(col("b")))).as("ref"))
+      .collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("minhash_signature matches the per-permutation definition") {
+    import spark.implicits._
+    ArrayExpressions.register(spark)
+    val rnd = new Random(3)
+    val hashes = Seq.fill(100)(rnd.nextLong())
+    val df = Seq(Tuple1(hashes)).toDF("h")
+    val sig = df.select(ArrayExpressions.minhashSignature(col("h"), 16).as("s"))
+      .collect()(0).getSeq[Long](0)
+    val p = ArrayExpressions.MinHash.P
+    val want = (0 until 16).map { i =>
+      val a = ArrayExpressions.MinHash.coefA(i); val b = ArrayExpressions.MinHash.coefB(i)
+      hashes.map { h0 => val h = { val m = h0 % p; if (m < 0) m + p else m }; (a * h + b) % p }.min
+    }
+    assert(sig == want)
+  }
+
+  test("expressions are SQL-visible after registration") {
+    ArrayExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(1d, 0d), array(1d, 0d)) AS c, " +
+        "sorted_long_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS n").collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getInt(1) == 2)
+  }
+
+  test("interpreted eval matches codegen result") {
+    val e = ArrayExpressions.SortedLongIntersectCount(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1L, 5L, 9L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(5L, 9L, 11L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
+    assert(e.eval(null) == 2)
+  }
+}
