@@ -160,9 +160,16 @@ object TaxiFsm {
     * iterator spans many taxis, sorted by (taxi, tsS, latS, longS, status);
     * a taxi change flushes the previous taxi's FSM. Streams — never
     * materializes a whole group.
+    *
+    * Exact-duplicate records are collapsed inline (they are adjacent in the
+    * sort order), reproducing the reference's combiner/reduce dedup
+    * (AirportTripsRevenue.java:199-225) WITHOUT the extra `distinct`
+    * exchange — the whole reconstruction costs exactly one shuffle, like
+    * the reference's one MR round.
     */
   def sessionizePartition(points: Iterator[TaxiPosition]): Iterator[TaxiTrip] = {
-    val buf = points.buffered
+    val deduped = dedupSorted(points)
+    val buf = deduped.buffered
     new Iterator[Iterator[TaxiTrip]] {
       override def hasNext: Boolean = buf.hasNext
       override def next(): Iterator[TaxiTrip] = {
@@ -175,4 +182,19 @@ object TaxiFsm {
       }
     }.flatten
   }
+
+  /** Collapse adjacent equal records of a sorted stream (streaming, O(1)). */
+  def dedupSorted(points: Iterator[TaxiPosition]): Iterator[TaxiPosition] =
+    new Iterator[TaxiPosition] {
+      private val buf = points.buffered
+      private var last: TaxiPosition = _
+      private def skip(): Unit =
+        while (buf.hasNext && buf.head == last) buf.next()
+      override def hasNext: Boolean = { skip(); buf.hasNext }
+      override def next(): TaxiPosition = {
+        skip()
+        last = buf.next()
+        last
+      }
+    }
 }

@@ -44,9 +44,10 @@ object TaxiQueries {
   // ---------------------------------------------------------------- Q2
 
   /** Segments → accepted positions, columnar all the way: parse, status
-    * normalization, E-E drop, unpivot to position rows, NULL/GPS filters,
-    * exact dedup (AirportTripsRevenue.java:150-225). Catalyst pushes every
-    * filter below the dedup shuffle.
+    * normalization, E-E drop, unpivot to position rows, NULL/GPS filters
+    * (AirportTripsRevenue.java:150-195). Exact dedup (:199-225) is NOT done
+    * here — it happens inline in the FSM pass after the sort makes
+    * duplicates adjacent, saving a whole exchange.
     */
   def segmentsToPositions(segments: DataFrame): DataFrame = {
     def norm(c: org.apache.spark.sql.Column) = when(c === "M", "M").otherwise("E")
@@ -62,17 +63,15 @@ object TaxiQueries {
       .select(col("taxi"), col("p.tsS"), col("p.latS"), col("p.longS"), col("p.status"))
       .filter(col("tsS") =!= "NULL" && col("taxi").isNotNull)
       .filter(Geo.isValidPosition(col("latS").cast("double"), col("longS").cast("double")))
-      .dropDuplicates("taxi", "tsS", "latS", "longS", "status")
   }
 
   /** Positions → reconstructed airport trips via the FSM.
     *
     * Scale path: hash-repartition by taxi, sort *within* partitions by the
-    * reference's full key order, then stream the FSM over each partition with
-    * group-change detection — no per-group materialization, no driver
-    * involvement; one shuffle total (the dedup's exchange is reused: both
-    * hash on a superset of `taxi`? No — dedup hashes on all cols, so this is
-    * a second exchange, same as the reference's own two shuffles).
+    * reference's full key order, then stream the FSM over each partition
+    * with inline adjacent-dedup and group-change detection — no per-group
+    * materialization, no driver involvement, ONE shuffle total (the
+    * reference's combiner-side dedup becomes a sorted-stream skip).
     */
   def reconstructTrips(spark: SparkSession, segments: DataFrame): Dataset[TaxiTrip] = {
     import spark.implicits._
