@@ -146,5 +146,28 @@ class QueriesSpec extends AnyFunSuite {
       Tables.load(spark, sf, "documents").count())
   }
 
+  test("SQL surface: registered views + spark.sql reproduce the q4 DataFrame result") {
+    Tables.registerAll(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice AS decimal(18,2)) * (1 - CAST(l_discount AS decimal(18,2)))) AS double) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin).collect()
+    val viaDf = queries("q4_join_agg")
+    assert(viaSql.map(_.toString).toSeq == viaDf.map(_.toString).toSeq)
+  }
+
+  test("GraftExtensions applies cleanly to a SparkSessionExtensions instance") {
+    // (Full end-to-end SQL visibility is covered in ExpressionsSpec via the
+    // session registry; builder-time wiring can't be probed on the shared
+    // test session, so this only pins the injection hook's contract.)
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
