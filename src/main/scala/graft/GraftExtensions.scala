@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => graft.plans.SessionizePlan.SessionizeStrategy)
     e.injectFunction((
       FunctionIdentifier("sorted_long_intersect_count"),
       new ExpressionInfo(classOf[SortedLongIntersectCount].getName, "sorted_long_intersect_count"),

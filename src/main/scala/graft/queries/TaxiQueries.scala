@@ -65,19 +65,31 @@ object TaxiQueries {
       .filter(Geo.isValidPosition(col("latS").cast("double"), col("longS").cast("double")))
   }
 
-  /** Positions → reconstructed airport trips via the FSM.
-    *
-    * Scale path: hash-repartition by taxi, sort *within* partitions by the
-    * reference's full key order, then stream the FSM over each partition
-    * with inline adjacent-dedup and group-change detection — no per-group
-    * materialization, no driver involvement, ONE shuffle total (the
-    * reference's combiner-side dedup becomes a sorted-stream skip).
-    */
-  def reconstructTrips(spark: SparkSession, segments: DataFrame): Dataset[TaxiTrip] = {
-    import spark.implicits._
+  private def positionsDf(segments: DataFrame): DataFrame =
     segmentsToPositions(segments)
       .withColumn("ts", Geo.tsToEpoch(col("tsS")))
       .select("taxi", "ts", "tsS", "latS", "longS", "status")
+
+  /** Positions → reconstructed airport trips via the FSM, planned as a
+    * first-class Catalyst operator ([[graft.plans.SessionizePlan]]): the
+    * physical node declares clustered-by-taxi distribution + full-key
+    * ordering, so EnsureRequirements/AQE plan the single exchange and the
+    * in-partition sort; the FSM streams over raw InternalRows with inline
+    * adjacent-dedup (the reference's combiner dedup) and group-change
+    * detection — no per-group materialization, ONE shuffle total.
+    */
+  def reconstructTrips(spark: SparkSession, segments: DataFrame): Dataset[TaxiTrip] = {
+    import spark.implicits._
+    graft.plans.SessionizePlan.trips(spark, positionsDf(segments)).as[TaxiTrip]
+  }
+
+  /** Typed-API variant of the same pipeline (`Dataset.mapPartitions` over
+    * the same FSM) — kept as a cross-check of the custom operator and as
+    * the no-internal-APIs fallback.
+    */
+  def reconstructTripsTyped(spark: SparkSession, segments: DataFrame): Dataset[TaxiTrip] = {
+    import spark.implicits._
+    positionsDf(segments)
       .as[TaxiPosition]
       .repartition(col("taxi"))
       .sortWithinPartitions("taxi", "tsS", "latS", "longS", "status")

@@ -50,6 +50,19 @@ class TaxiGoldenSpec extends AnyFunSuite {
     assert(math.abs(got - want) < 1e-6)
   }
 
+  test("custom-plan sessionizer == typed mapPartitions sessionizer, one exchange in plan") {
+    val segs = TaxiText.readSegments(spark, s"$dir/segments.txt")
+    val viaPlan = TaxiQueries.reconstructTrips(spark, segs)
+    val viaTyped = TaxiQueries.reconstructTripsTyped(spark, segs)
+    assert(viaPlan.collect().map(_.toString).sorted.toList ==
+      viaTyped.collect().map(_.toString).sorted.toList)
+    val physical = viaPlan.queryExecution.executedPlan.toString
+    assert(physical.contains("SessionizeTrips"), physical.take(500)) // nodeName strips "Exec"
+    // exactly one shuffle stage in the final (AQE) plan; the printed string
+    // repeats the pre-AQE "Initial Plan", so count shuffle query stages
+    assert("ShuffleQueryStage".r.findAllIn(physical).size == 1, s"expected 1 shuffle:\n$physical")
+  }
+
   test("Q2 is permutation-invariant in input row order") {
     import org.apache.spark.sql.functions._
     val shuffled = TaxiText.readSegments(spark, s"$dir/segments.txt")
