@@ -61,6 +61,11 @@ object Dedup {
     // (graft.functions.ArrayExpressions) costs no hashing or boxing per pair.
     val d = docs
       .filter(col("doc_id") % mod === 0)
+      // single-file inputs scan as one partition; spread the (CPU-heavy)
+      // shingling across every core. Explicit count: a count-less
+      // repartition of small-bytes/heavy-CPU data gets coalesced back to
+      // one partition by AQE.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         expr("array_sort(array_distinct(transform(" + shingleSql("text", 3) + ", s -> xxhash64(s))))").as("sh"))
     val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
@@ -90,8 +95,13 @@ object Dedup {
     // Sorted distinct shingle hashes, computed ONCE: minhash is
     // order-independent, and the sorted form feeds the merge-walk
     // verification directly.
-    val withShingles = docs.select(col("doc_id"),
-      expr(s"array_sort(array_distinct(transform(${shingleSql("text", 3)}, s -> xxhash64(s))))").as("hashes"))
+    val withShingles = docs
+      // spread the per-doc shingle+minhash compute across every core
+      // (single-file scans are one partition, and AQE would coalesce a
+      // count-less repartition of small-bytes/heavy-CPU data right back)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        expr(s"array_sort(array_distinct(transform(${shingleSql("text", 3)}, s -> xxhash64(s))))").as("hashes"))
       .filter(size(col("hashes")) > 0)
     // All numPerms permuted minima in ONE fused pass (custom expression).
     val sigs = withShingles.select(col("doc_id"),
