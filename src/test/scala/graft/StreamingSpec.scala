@@ -25,10 +25,13 @@ class StreamingSpec extends AnyFunSuite {
       .as[TaxiPosition]
       .collect()
       .sortBy(p => (p.taxi, p.tsS, p.latS, p.longS, p.status))
-    val sentinels = positions.groupBy(_.taxi).map { case (taxi, ps) =>
-      val last = ps.maxBy(_.tsS)
-      TaxiPosition(taxi, last.ts + 60, "2008-05-29 00:00:00", "37.70000", "-122.40000", "E")
-    }.toSeq
+    // Sentinel event time must be ahead of the GLOBAL watermark (a per-taxi
+    // last.ts+60 would be "late" for day-1 taxis once day-3 data advances
+    // the watermark, and the stateful operator drops late input).
+    val globalMax = positions.map(_.ts).max
+    val sentinels = positions.map(_.taxi).distinct.map { taxi =>
+      TaxiPosition(taxi, globalMax + 3600, "2008-05-29 00:00:00", "37.70000", "-122.40000", "E")
+    }
 
     val expected = (positions ++ sentinels)
       .groupBy(_.taxi).toSeq.flatMap { case (_, ps) =>

@@ -107,7 +107,7 @@ def gen_segments(rng):
     """Simulate per-taxi GPS streams with all the dirty cases, then emit
     consecutive-position segment rows."""
     segments = []  # raw text lines
-    taxis = [450, 512, 1203, 87, 2048, 3301]
+    taxis = [450, 512, 1203, 87, 2048, 3301, 9, 5555, 7070, 10001]
     for ti, taxi in enumerate(taxis):
         # spread taxis over 3 days so the daily aggregation is non-trivial
         t = 1211702400 + (ti % 3) * 86400 + rng.randint(0, 600)
@@ -147,10 +147,30 @@ def gen_segments(rng):
         if taxi == 3301:
             while stream and stream[-1][3] == "E":
                 stream.pop()
+        # taxi 9: all positions forced E (never opens a trip)
+        if taxi == 9:
+            stream = [(ts_, la, lo, "E") for (ts_, la, lo, _st) in stream]
+        # taxi 5555: reduced to a single M point (opens, flushes, dist 0)
+        if taxi == 5555:
+            first_m = next((p for p in stream if p[3] == "M"), None)
+            stream = [first_m] if first_m else []
+        # taxi 7070: inject same-timestamp/different-coordinate ties mid-M
+        # (exercises the lexicographic lat/long tie-break + Inf-speed skip)
+        if taxi == 7070:
+            idx = next((i for i in range(1, len(stream))
+                        if stream[i][3] == "M" and stream[i - 1][3] == "M"), None)
+            if idx:
+                ts_, la, lo, st = stream[idx]
+                stream.insert(idx + 1, (ts_, la + 0.002, lo + 0.001, st))
+                stream.insert(idx + 2, (ts_, la - 0.001, lo + 0.002, st))
         # build segment rows from consecutive positions
         for i in range(len(stream) - 1):
             a, b = stream[i], stream[i + 1]
             segments.append(seg_line(taxi, a, b))
+        if len(stream) == 1:  # single-point taxi: one segment with a NULL half
+            a = stream[0]
+            segments.append(f"{taxi},'{ts_str(a[0])}',{fmt_coord(a[1])},{fmt_coord(a[2])},'{a[3]}',"
+                            f"'NULL',NULL,NULL,'NULL'")
     rng.shuffle(segments)
 
     # dirty rows: wrong arity, NULL halves, out-of-bbox, ocean, bad status, dups
