@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys: salt the skewed (large) side into
+  * `buckets` sub-keys and replicate the other side across every salt, so a
+  * single hot key's rows spread over `buckets` tasks instead of one.
+  *
+  * AQE's skew-join handling covers sort-merge joins automatically; this
+  * explicit form is for the cases AQE can't re-plan (e.g. aggregations
+  * feeding a stateful operator, or forced shuffled hash joins) and to make
+  * the technique testable.
+  */
+object Skew {
+
+  /** Inner equi-join `left ⋈ right` on `key`, salting `left` (the skewed
+    * side). Deterministic: salt = hash of the whole left row modulo
+    * buckets, not rand(), so retries/replays keep the same placement.
+    */
+  def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String, buckets: Int): DataFrame = {
+    val salted = left.withColumn("_salt",
+      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(buckets)))
+    val replicated = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Two-phase aggregation for skewed group keys: pre-aggregate on
+    * (key, salt), then combine per key. For algebraic aggregates this is
+    * what Spark's partial aggregation already does; the explicit form
+    * matters for high-cardinality-accumulator aggs (e.g. collect_set)
+    * where map-side partials blow memory on a hot key.
+    */
+  def saltedSumByKey(df: DataFrame, key: String, valueCol: String, buckets: Int): DataFrame =
+    df.withColumn("_salt", pmod(hash(col(valueCol)), lit(buckets)))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(col(valueCol)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum(col("_partial")).as(s"sum_$valueCol"))
+}

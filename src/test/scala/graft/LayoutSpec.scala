@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Physical-layout techniques for shuffle elimination/skew: bucketed
+  * co-located joins and salted joins.
+  */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketed tables co-locate the orders-lineitem join: no shuffle in the plan") {
+    Tables.load(spark, sf, "orders").write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    Tables.load(spark, sf, "lineitem").write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("lineitem_b")
+    val joined = spark.table("lineitem_b")
+      .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    val n = joined.collect().map(_.getAs[Long]("n")).sum
+    assert(n == Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey")).count())
+    // the join itself must be exchange-free (bucket layout satisfies the
+    // required distribution); only the small groupBy aggregate may shuffle
+    val plan = joined.queryExecution.executedPlan.toString
+    val joinSection = plan.substring(plan.indexOf("Join"))
+    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey") &&
+      !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+      s"join should read bucketed layout without exchange:\n$plan")
+  }
+
+  test("salted join equals plain join on a skewed key distribution") {
+    import spark.implicits._
+    // 90% of rows share one hot key — the canonical skew shape.
+    val big = (1 to 10000).map(i => (if (i % 10 == 0) i.toLong % 100 else 7L, i.toDouble))
+      .toDF("k", "v")
+    val small = (0L to 99L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = big.join(small, "k").agg(count(lit(1)), sum(col("v"))).collect()(0)
+    val salted = Skew.saltedEquiJoin(big, small, "k", buckets = 8)
+      .agg(count(lit(1)), sum(col("v"))).collect()(0)
+    assert(plain.getLong(0) == salted.getLong(0))
+    assert(math.abs(plain.getDouble(1) - salted.getDouble(1)) < 1e-6)
+  }
+
+  test("salted two-phase sum equals direct sum") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i % 3, i.toDouble)).toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("s")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val salted = Skew.saltedSumByKey(df, "k", "v", 16).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(direct.keySet == salted.keySet)
+    direct.foreach { case (k, v) => assert(math.abs(v - salted(k)) < 1e-6) }
+  }
+}
