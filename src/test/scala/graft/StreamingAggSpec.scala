@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming forms of the batch operators: tumbling-window
+  * aggregation (q9's streaming twin) and watermarked streaming dedup
+  * (x1's streaming twin). Both driven by MemoryStream and compared to the
+  * batch results on the same data.
+  */
+class StreamingAggSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming tumbling-window counts equal the batch q9 result") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Tables.load(spark, sf, "events")
+      .select(unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+
+    val ms = MemoryStream[(Long, String, Double)]
+    val stream = ms.toDS().toDF("us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("window.start")).as("hour_us"), col("event_type"), col("n_events"))
+    val q = stream.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      // two chronological micro-batches + a far-future flush sentinel that
+      // pushes the watermark past every window
+      val sorted = events.sortBy(_._1)
+      val (b1, b2) = sorted.splitAt(sorted.length / 2)
+      ms.addData(b1.toIndexedSeq); q.processAllAvailable()
+      ms.addData(b2.toIndexedSeq); q.processAllAvailable()
+      ms.addData(Seq((sorted.last._1 + 100L * 3600 * 1000000, "flush", 0.0))); q.processAllAvailable()
+      val got = spark.table("win_out")
+        .filter(col("event_type") =!= "flush")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      val want = SparkEntry.queries("q9_time_windows")(spark, sf)
+        .select("hour_us", "event_type", "n_events")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("watermarked streaming dropDuplicates removes cross-batch repeats") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val deduped = ms.toDS().toDF("us", "doc")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("doc")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000000L
+      ms.addData(Seq((t0, "a"), (t0 + 1, "b"), (t0 + 2, "a"))); q.processAllAvailable()
+      ms.addData(Seq((t0 + 3, "a"), (t0 + 4, "c"), (t0 + 5, "b"))); q.processAllAvailable()
+      val got = spark.table("dedup_out").select("doc")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(got == Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+}
