@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.ArrayExpressions.{CosineSimilarity, SortedLongIntersectCount}
+import graft.functions.ArrayExpressions.{CosineSimilarity, MinHashSignature, SortedLongIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -21,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       es => CosineSimilarity(es.head, es(1))))
+    e.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      es => MinHashSignature(es.head, es(1).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -190,7 +190,8 @@ object SparkEntry {
         |c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
         |s AS (
         |  SELECT probe_id, cand_id, list_cosine_similarity(pv, cv) AS rawsim
-        |  FROM p JOIN c ON probe_id != cand_id)
+        |  FROM p JOIN c ON probe_id != cand_id
+        |  WHERE NOT isnan(list_cosine_similarity(pv, cv)))
         |SELECT probe_id, cand_id, round(rawsim, 4) AS sim,
         |       CAST(row_number() OVER (PARTITION BY probe_id ORDER BY rawsim DESC, cand_id) AS int) AS rank
         |FROM s

@@ -193,13 +193,14 @@ object ArrayExpressions {
     def coefB(i: Int): Long = mix(4242L, i)
   }
 
-  @volatile private var registered = false
-
-  /** Idempotently register both functions in the session registry (temp
-    * functions — session-scoped, no catalog pollution).
+  /** Idempotently register the functions in THIS session's registry (temp
+    * functions — session-scoped, no catalog pollution). Query builders
+    * invoke this on every construction; short-circuits per session.
     */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
+    if (registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_signature"))) return
     registry.createOrReplaceTempFunction(
       "sorted_long_intersect_count", es => SortedLongIntersectCount(es.head, es(1)), "built-in")
     registry.createOrReplaceTempFunction(
@@ -208,7 +209,6 @@ object ArrayExpressions {
       "minhash_signature",
       es => MinHashSignature(es.head, es(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
-    registered = true
   }
 
   /** Column wrappers (require [[register]] on the active session). */

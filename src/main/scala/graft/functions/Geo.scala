@@ -95,10 +95,12 @@ object Geo {
       .otherwise(format_string("%02d", (floor(distKm / 2.0) * 2).cast("int")))
 
   /** 'yyyy-MM-dd HH:mm:ss' string -> UTC epoch seconds as double;
-    * "NULL" -> null (callers drop NULL-timestamp halves; the reference's
-    * 0.0 sentinel at AirportTripsRevenue.java:116-126 is never observed
-    * because those rows are filtered before use).
+    * "NULL" or malformed -> null (callers drop NULL-timestamp halves; the
+    * reference's 0.0 sentinel at AirportTripsRevenue.java:116-126 is never
+    * observed because those rows are filtered before use). `try_` form:
+    * under Spark 4's default ANSI mode a plain unix_timestamp would ABORT
+    * the job on one malformed row, violating the drop-don't-fail contract.
     */
   def tsToEpoch(ts: Column): Column =
-    unix_timestamp(ts, "yyyy-MM-dd HH:mm:ss").cast("double")
+    unix_timestamp(try_to_timestamp(ts, lit("yyyy-MM-dd HH:mm:ss"))).cast("double")
 }

@@ -103,6 +103,11 @@ object Dedup {
       .select(col("doc_id"),
         expr(s"array_sort(array_distinct(transform(${shingleSql("text", 3)}, s -> xxhash64(s))))").as("hashes"))
       .filter(size(col("hashes")) > 0)
+      // materialize once: both the signature lineage and the broadcast
+      // verification side consume this, and it is the dominant CPU cost.
+      // localCheckpoint (not persist) so the blocks auto-clean when the
+      // query's RDD is GC'd.
+      .localCheckpoint()
     // All numPerms permuted minima in ONE fused pass (custom expression).
     val sigs = withShingles.select(col("doc_id"),
       graft.functions.ArrayExpressions.minhashSignature(col("hashes"), numPerms).as("mhs"))

@@ -49,6 +49,7 @@ object Similarity {
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
     cands.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
       .withColumn("sim", cosine(col("pv"), col("cv")))
+      .filter(!isnan(col("sim"))) // zero-norm vectors: undefined cosine, drop
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("cand_id"), round(col("sim"), 4).as("sim"), col("rank"))
@@ -67,7 +68,7 @@ object Similarity {
     val b = d.select(col("vec_id").as("vec_b"), col("v").as("vb"))
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("sim", cosine(col("va"), col("vb")))
-      .filter(col("sim") >= threshold)
+      .filter(!isnan(col("sim")) && col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
       .orderBy("vec_a", "vec_b")
   }
@@ -97,7 +98,9 @@ object Similarity {
   def ivfTopK(emb: DataFrame, nProbes: Int, k: Int, nprobe: Int = 5): DataFrame = {
     graft.functions.ArrayExpressions.register(emb.sparkSession)
     import org.apache.spark.sql.expressions.Window
-    val dim = 64
+    // derive dimensionality from the data (a hard-coded dim would crash or
+    // silently truncate centroids on other corpora)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val withV = emb.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
     // Centroid = mean vector per label partition: aggregate per-dimension sums
     // columnar-ly, then divide by the count.
@@ -120,6 +123,7 @@ object Similarity {
     withV.select(col("vec_id").as("cand_id"), col("label"), col("v").as("cv"))
       .join(broadcast(probeClusters), col("label") === col("c_label") && col("probe_id") =!= col("cand_id"))
       .withColumn("sim", cosine(col("pv"), col("cv")))
+      .filter(!isnan(col("sim")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("cand_id"), round(col("sim"), 4).as("sim"), col("rank"))

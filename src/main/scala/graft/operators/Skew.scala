@@ -33,7 +33,9 @@ object Skew {
     * where map-side partials blow memory on a hot key.
     */
   def saltedSumByKey(df: DataFrame, key: String, valueCol: String, buckets: Int): DataFrame =
-    df.withColumn("_salt", pmod(hash(col(valueCol)), lit(buckets)))
+    // salt must vary per ROW, not per value: a hot key whose rows all share
+    // one value (counting with value=1) would otherwise land in one bucket
+    df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(buckets.toLong)))
       .groupBy(col(key), col("_salt"))
       .agg(sum(col(valueCol)).as("_partial"))
       .groupBy(col(key))

@@ -117,13 +117,19 @@ object SessionizePlan {
       val iLongS = child.output.indexWhere(_.name == "longS")
       val iStatus = child.output.indexWhere(_.name == "status")
       val schema = outputSchema
+      val idxs = Seq(iTaxi, iTs, iTsS, iLatS, iLongS, iStatus)
       child.execute().mapPartitions({ rows =>
         val proj = UnsafeProjection.create(schema)
-        val positions = rows.map { r =>
-          TaxiPosition(r.getInt(iTaxi), r.getDouble(iTs),
-            r.getUTF8String(iTsS).toString, r.getUTF8String(iLatS).toString,
-            r.getUTF8String(iLongS).toString, r.getUTF8String(iStatus).toString)
-        }
+        // Null-guard: the contract is non-null positions, but a caller
+        // feeding e.g. try_to_timestamp output must get rows dropped, not a
+        // silent ts=0.0 (getDouble on null slot) or an executor NPE.
+        val positions = rows
+          .filter(r => idxs.forall(i => !r.isNullAt(i)))
+          .map { r =>
+            TaxiPosition(r.getInt(iTaxi), r.getDouble(iTs),
+              r.getUTF8String(iTsS).toString, r.getUTF8String(iLatS).toString,
+              r.getUTF8String(iLongS).toString, r.getUTF8String(iStatus).toString)
+          }
         TaxiFsm.sessionizePartition(positions).map { t =>
           proj(new GenericInternalRow(Array[Any](
             t.taxi, t.startTime, UTF8String.fromString(t.startLat),

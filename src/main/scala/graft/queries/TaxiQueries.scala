@@ -34,6 +34,7 @@ object TaxiQueries {
       .select(Geo.sphericalEarthDistance(
         col("start_lat"), col("start_long"),
         col("stop_lat"), col("stop_long")).as("dist"))
+      .filter(col("dist").isNotNull) // unparseable coordinate rows drop
       .select(Geo.tripBin(col("dist")).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
       .orderBy("bin")
@@ -53,21 +54,24 @@ object TaxiQueries {
     def norm(c: org.apache.spark.sql.Column) = when(c === "M", "M").otherwise("E")
     val s1 = norm(col("f")(4))
     val s2 = norm(col("f")(8))
+    // try_cast throughout: ANSI mode (Spark 4 default) makes plain casts
+    // throw on malformed numerics — one dirty row must drop, not abort.
     segments
       .filter(!(s1 === "E" && s2 === "E")) // E-E segments: 55% of input dropped pre-shuffle
-      .select(col("f")(0).cast("int").as("taxi"),
+      .select(expr("try_cast(f[0] AS int)").as("taxi"),
         explode(array(
           struct(col("f")(1).as("tsS"), col("f")(2).as("latS"), col("f")(3).as("longS"), s1.as("status")),
           struct(col("f")(5).as("tsS"), col("f")(6).as("latS"), col("f")(7).as("longS"), s2.as("status"))
         )).as("p"))
       .select(col("taxi"), col("p.tsS"), col("p.latS"), col("p.longS"), col("p.status"))
       .filter(col("tsS") =!= "NULL" && col("taxi").isNotNull)
-      .filter(Geo.isValidPosition(col("latS").cast("double"), col("longS").cast("double")))
+      .filter(Geo.isValidPosition(expr("try_cast(latS AS double)"), expr("try_cast(longS AS double)")))
   }
 
   private def positionsDf(segments: DataFrame): DataFrame =
     segmentsToPositions(segments)
       .withColumn("ts", Geo.tsToEpoch(col("tsS")))
+      .filter(col("ts").isNotNull) // malformed timestamp -> dropped, not crashed
       .select("taxi", "ts", "tsS", "latS", "longS", "status")
 
   /** Positions → reconstructed airport trips via the FSM, planned as a

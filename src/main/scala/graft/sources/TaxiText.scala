@@ -33,18 +33,24 @@ object TaxiText {
     */
   def readTrips(spark: SparkSession, path: String): DataFrame = {
     val f = split(col("value"), "\\s+", -1)
+    // Arity filter + try_cast: under default ANSI mode, element_at past the
+    // end or a cast of a malformed field would abort the job instead of
+    // dropping the row.
+    def d(i: Int) = expr(s"try_cast(f[${i - 1}] AS double)")
     spark.read.text(path)
+      .select(f.as("f"))
+      .filter(size(col("f")) === 11)
       .select(
-        element_at(f, 1).cast("int").as("taxi"),
-        element_at(f, 2).cast("double").as("start_time"),
-        element_at(f, 3).cast("double").as("start_lat"),
-        element_at(f, 4).cast("double").as("start_long"),
-        element_at(f, 5).cast("double").as("stop_time"),
-        element_at(f, 6).cast("double").as("stop_lat"),
-        element_at(f, 7).cast("double").as("stop_long"),
-        element_at(f, 8).cast("boolean").as("is_airport"),
-        element_at(f, 9).cast("double").as("dist_km"),
-        element_at(f, 10).cast("double").as("revenue"),
-        element_at(f, 11).as("date"))
+        expr("try_cast(f[0] AS int)").as("taxi"),
+        d(2).as("start_time"),
+        d(3).as("start_lat"),
+        d(4).as("start_long"),
+        d(5).as("stop_time"),
+        d(6).as("stop_lat"),
+        d(7).as("stop_long"),
+        expr("try_cast(f[7] AS boolean)").as("is_airport"),
+        d(9).as("dist_km"),
+        d(10).as("revenue"),
+        col("f")(10).as("date"))
   }
 }
