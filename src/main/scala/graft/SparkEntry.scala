@@ -52,7 +52,8 @@ object SparkEntry {
     "x11_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.load(s, d, "documents"))),
     "x12_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.load(s, d, "documents"))),
     "x13_multimodal_meta" -> ((s, d) => Multimodal.blobMeta(Tables.load(s, d, "documents"))),
-    "x14_multimodal_decode" -> ((s, d) => Multimodal.featureSummary(s, Tables.load(s, d, "documents")))
+    "x14_multimodal_decode" -> ((s, d) => Multimodal.featureSummary(s, Tables.load(s, d, "documents"))),
+    "x15_length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(Tables.load(s, d, "documents")))
   )
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as
@@ -242,6 +243,13 @@ object SparkEntry {
     "x13_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS bigint) AS n_bytes,
         |       md5(text) AS content_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x15_length_quantiles" ->
+      """SELECT lang,
+        |       round(quantile_cont(n_chars, 0.5), 6) AS q50,
+        |       round(quantile_cont(n_chars, 0.9), 6) AS q90,
+        |       round(quantile_cont(n_chars, 0.99), 6) AS q99,
+        |       min(n_chars) AS mn, max(n_chars) AS mx
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -79,6 +79,21 @@ object TextAnalysis {
         sum(col("bpe")).as("bpe_tokens"))
       .orderBy("source")
 
+  /** Per-language corpus length distribution: exact interpolated
+    * percentiles (Spark `percentile` == SQL-standard continuous quantile)
+    * plus min/max — the length-filter calibration stats a data-quality
+    * pipeline computes before thresholding.
+    */
+  def lengthQuantiles(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(
+        round(expr("percentile(n_chars, 0.5)"), 6).as("q50"),
+        round(expr("percentile(n_chars, 0.9)"), 6).as("q90"),
+        round(expr("percentile(n_chars, 0.99)"), 6).as("q99"),
+        min(col("n_chars")).as("mn"),
+        max(col("n_chars")).as("mx"))
+      .orderBy("lang")
+
   /** Content fingerprint: md5 over the sorted distinct 4-gram shingle set —
     * stable under shingle reordering, the key for fingerprint-based dedup.
     */
