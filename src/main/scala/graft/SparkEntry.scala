@@ -38,6 +38,8 @@ object SparkEntry {
     "q12_outer_join" -> ((s, d) => Relational.q12OuterJoin(s, d)),
     "q13_anti_join" -> ((s, d) => Relational.q13AntiJoin(s, d)),
     "q14_distinct_agg" -> ((s, d) => Relational.q14DistinctAgg(s, d)),
+    "q15_string_funcs" -> ((s, d) => Relational.q15StringFuncs(s, d)),
+    "q16_date_funcs" -> ((s, d) => Relational.q16DateFuncs(s, d)),
     // -- LLM-pipeline extensions ------------------------------------------
     "x1_dedup_exact" -> ((s, d) => Dedup.exactDupStats(Tables.load(s, d, "documents"))),
     "x2_dedup_normalized" -> ((s, d) => Dedup.normalizedDupGroups(Tables.load(s, d, "documents"))),
@@ -158,6 +160,20 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_items
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q15_string_funcs" ->
+      """SELECT doc_id,
+        |       upper(substring(text, 1, 12)) AS head_upper,
+        |       CAST(levenshtein(substring(text, 1, 15), 'the quick brown') AS int) AS lev,
+        |       CAST(length(trim(text)) AS int) AS trimmed_len,
+        |       CAST(instr(text, 'spark') AS bigint) AS spark_pos,
+        |       CAST(len(string_split(text, 'spark')) - 1 AS bigint) AS spark_hits
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q16_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS int) AS y, CAST(quarter(o_orderdate) AS int) AS q,
+        |       count(*) AS n_orders,
+        |       count(DISTINCT month(o_orderdate)) AS n_months,
+        |       CAST(sum(CAST(o_totalprice AS decimal(18,2))) AS double) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY y, q""".stripMargin,
     "x1_dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
         |       count(*) - count(DISTINCT md5(text)) AS n_dup_docs

@@ -167,6 +167,28 @@ object Relational {
       .select(col("p_partkey"), col("p_name"))
       .orderBy("p_partkey")
 
+  /** Q15: string-function surface — case mapping, trim, edit distance,
+    * substring search (the §2.4 functions the reference never had).
+    */
+  def q15StringFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        upper(substring(col("text"), 1, 12)).as("head_upper"),
+        levenshtein(substring(col("text"), 1, 15), lit("the quick brown")).as("lev"),
+        length(trim(col("text"))).as("trimmed_len"),
+        instr(col("text"), "spark").cast("bigint").as("spark_pos"),
+        size(split(col("text"), "spark", -1)).cast("bigint").minus(1).as("spark_hits"))
+      .orderBy("doc_id")
+
+  /** Q16: date/time extraction surface — calendar rollup of orders. */
+  def q16DateFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"), quarter(col("o_orderdate")).as("q"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(month(col("o_orderdate"))).as("n_months"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy("y", "q")
+
   /** Q14: distinct aggregates — distinct parts/suppliers per return flag. */
   def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
