@@ -28,6 +28,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracleSql without query impl: $extra")
   }
 
+  test("every oracle SQL aliases every Spark output column by name") {
+    // The driver's compare sorts columns BY NAME before hashing — a renamed
+    // Spark column with a stale oracle alias hash-mismatches even when the
+    // values are identical. Guard against alias drift.
+    for ((name, sql) <- SparkEntry.oracleSql) {
+      val cols = SparkEntry.queries(name)(spark, sf).schema.fieldNames
+      val sqlLower = sql.toLowerCase
+      val missing = cols.filterNot(c => sqlLower.contains(c.toLowerCase))
+      assert(missing.isEmpty, s"$name: oracle SQL never mentions column(s) ${missing.mkString(", ")}")
+    }
+  }
+
   test("q3 aggregates are consistent with a raw recount") {
     val r = queries("q3_filter_agg").head
     val n = Tables.load(spark, sf, "lineitem")
