@@ -55,7 +55,8 @@ object SparkEntry {
     "x12_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.load(s, d, "documents"))),
     "x13_multimodal_meta" -> ((s, d) => Multimodal.blobMeta(Tables.load(s, d, "documents"))),
     "x14_multimodal_decode" -> ((s, d) => Multimodal.featureSummary(s, Tables.load(s, d, "documents"))),
-    "x15_length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(Tables.load(s, d, "documents")))
+    "x15_length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(Tables.load(s, d, "documents"))),
+    "x16_embedding_quantize" -> ((s, d) => Similarity.quantizationStats(Tables.load(s, d, "embeddings")))
   )
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as

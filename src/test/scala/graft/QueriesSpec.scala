@@ -152,6 +152,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(hamming(fps(1L), fps(2L)) < hamming(fps(1L), fps(3L)))
   }
 
+  test("x16 int8 quantization: tiny reconstruction error, covers all labels") {
+    val rows = queries("x16_embedding_quantize")
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
+      Tables.load(spark, sf, "embeddings").count())
+    rows.foreach { r =>
+      // int8 on unit-norm 64-dim vectors: mse ~ (scale^2)/12 ~ 1e-6
+      assert(r.getAs[Double]("avg_mse") < 1e-5)
+      assert(r.getAs[Double]("avg_cos_drift") < 1e-3)
+    }
+  }
+
   test("x14 multimodal decode covers all blobs") {
     val rows = queries("x14_multimodal_decode")
     assert(rows.map(_.getAs[Long]("n_blobs")).sum ==
