@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.{TaxiFsm, TaxiPosition}
+import graft.queries.TaxiQueries
+import graft.sources.TaxiText
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Drop-don't-fail contract under Spark 4's default ANSI mode: malformed
+  * numerics/timestamps/arity must DROP rows, never abort the job
+  * (the reference's posture, AirportTripsRevenue.java:155-195, made strict
+  * here because plain ANSI casts throw).
+  */
+class DirtyInputSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private def writeTemp(name: String, lines: Seq[String]): String = {
+    val d = Files.createTempDirectory(s"graft-$name")
+    d.toFile.deleteOnExit()
+    val f = d.resolve("data.txt")
+    Files.write(f, String.join("\n", lines: _*).getBytes)
+    f.toString
+  }
+
+  test("segments with non-numeric taxi, malformed timestamp, junk coords drop cleanly") {
+    val good = "450,'2008-05-25 09:16:58',37.62131,-122.37896,'M','2008-05-25 09:18:00',37.63000,-122.37800,'M'"
+    val goodEnd = "450,'2008-05-25 09:19:00',37.64000,-122.37800,'E','2008-05-25 09:20:00',37.64100,-122.37900,'E'"
+    val path = writeTemp("dirty-segments", Seq(
+      good,
+      goodEnd,
+      "abc,'2008-05-25 10:00:00',37.7,-122.4,'M','2008-05-25 10:01:00',37.7,-122.41,'M'", // taxi NaN
+      "451,'2008-99-99 10:00:00',37.7,-122.4,'M','2008-05-25 10:01:00',37.7,-122.41,'M'", // bad ts
+      "452,'2008-05-25 10:00:00',xx.x,-122.4,'M','2008-05-25 10:01:00',37.7,-122.41,'M'", // bad lat
+      "453,'2008-05-25 10:00:00'",                                                        // arity
+      ""))                                                                                // empty line
+    val trips = TaxiQueries.reconstructTrips(spark, TaxiText.readSegments(spark, path)).collect()
+    // only taxi 450's rows survive: one valid airport trip
+    assert(trips.length == 1 && trips.head.taxi == 450)
+    // half-valid rows contribute their valid halves (451/452's second halves
+    // are clean M positions -> single-point trips, below min distance)
+  }
+
+  test("trips file with short rows and junk numerics drops them from q1") {
+    val good = "450 1211706872.0 37.61799 -122.38607 1211707018.0 37.61611 -122.38888 true 0.327 4.06 2008-05-25"
+    val path = writeTemp("dirty-trips", Seq(
+      good,
+      "451 1211706872.0 37.61799",                     // short row
+      good.replace("37.61799", "not-a-number"),        // junk coordinate
+      ""))
+    val rows = TaxiQueries.q1(spark, path).collect()
+    assert(rows.map(_.getLong(1)).sum == 1) // exactly the one good row binned
+  }
+
+  test("cross-midnight trip is dated by its START timestamp") {
+    val sfo = (37.62131, -122.37896)
+    def pos(tsS: String, ts: Double, dLat: Double, st: String) =
+      TaxiPosition(1, ts, tsS, f"${sfo._1 + dLat}%.5f", f"${sfo._2}%.5f", st)
+    val t0 = 1211759880.0 // 2008-05-25 23:58:00 UTC
+    val trips = TaxiFsm.sessionize(Iterator(
+      pos("2008-05-25 23:58:00", t0, 0.0, "M"),
+      pos("2008-05-25 23:59:30", t0 + 90, 0.01, "M"),
+      pos("2008-05-26 00:01:00", t0 + 180, 0.02, "M"),
+      pos("2008-05-26 00:02:30", t0 + 270, 0.03, "E"))).toList
+    assert(trips.size == 1)
+    assert(trips.head.date == "2008-05-25") // start date, not stop date
+    assert(trips.head.stopTime == t0 + 180)
+  }
+}
