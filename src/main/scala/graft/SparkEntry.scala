@@ -56,7 +56,9 @@ object SparkEntry {
     "x13_multimodal_meta" -> ((s, d) => Multimodal.blobMeta(Tables.load(s, d, "documents"))),
     "x14_multimodal_decode" -> ((s, d) => Multimodal.featureSummary(s, Tables.load(s, d, "documents"))),
     "x15_length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(Tables.load(s, d, "documents"))),
-    "x16_embedding_quantize" -> ((s, d) => Similarity.quantizationStats(Tables.load(s, d, "embeddings")))
+    "x16_embedding_quantize" -> ((s, d) => Similarity.quantizationStats(Tables.load(s, d, "embeddings"))),
+    "x17_curation_pipeline" -> ((s, d) => graft.queries.Curation.pipeline(s,
+      Tables.load(s, d, "documents"), Tables.load(s, d, "embeddings")))
   )
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as

@@ -163,6 +163,19 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x17 curation pipeline: retention bounded, kept docs never exceed embeddable docs") {
+    val rows = queries("x17_curation_pipeline")
+    assert(rows.nonEmpty)
+    val nKept = rows.map(_.getAs[Long]("n_kept")).sum
+    val nTotal = rows.map(_.getAs[Long]("n_total")).sum
+    assert(nTotal == Tables.load(spark, sf, "documents").count())
+    assert(nKept <= Tables.load(spark, sf, "embeddings").count())
+    rows.foreach { r =>
+      val ret = r.getAs[Double]("retention")
+      assert(ret >= 0.0 && ret <= 1.0)
+    }
+  }
+
   test("x14 multimodal decode covers all blobs") {
     val rows = queries("x14_multimodal_decode")
     assert(rows.map(_.getAs[Long]("n_blobs")).sum ==
