@@ -40,6 +40,7 @@ object SparkEntry {
     "q14_distinct_agg" -> ((s, d) => Relational.q14DistinctAgg(s, d)),
     "q15_string_funcs" -> ((s, d) => Relational.q15StringFuncs(s, d)),
     "q16_date_funcs" -> ((s, d) => Relational.q16DateFuncs(s, d)),
+    "q17_asof_join" -> ((s, d) => Relational.q17AsOfJoin(s, d)),
     // -- LLM-pipeline extensions ------------------------------------------
     "x1_dedup_exact" -> ((s, d) => Dedup.exactDupStats(Tables.load(s, d, "documents"))),
     "x2_dedup_normalized" -> ((s, d) => Dedup.normalizedDupGroups(Tables.load(s, d, "documents"))),
@@ -177,6 +178,15 @@ object SparkEntry {
         |       count(DISTINCT month(o_orderdate)) AS n_months,
         |       CAST(sum(CAST(o_totalprice AS decimal(18,2))) AS double) AS total
         |FROM orders GROUP BY 1, 2 ORDER BY y, q""".stripMargin,
+    "q17_asof_join" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, o_orderkey,
+        |       epoch_us(o_orderdate) AS order_us, o_totalprice
+        |FROM (
+        |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "x1_dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
         |       count(*) - count(DISTINCT md5(text)) AS n_dup_docs

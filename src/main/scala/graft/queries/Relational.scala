@@ -189,6 +189,27 @@ object Relational {
         sum(dec(col("o_totalprice"))).cast("double").as("total"))
       .orderBy("y", "q")
 
+  /** Q17: as-of join — each event matched to the user's most recent order
+    * at or before the event time ([[graft.operators.AsOf]], the operator
+    * Spark lacks natively).
+    */
+  def q17AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events")
+    val orders = t(spark, dir, "orders")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+    graft.operators.AsOf.join(events, orders,
+        leftId = "event_id",
+        leftKey = col("user_id"), rightKey = col("o_custkey"),
+        leftTime = col("ts"), rightTime = col("o_orderdate"),
+        tieBreak = col("o_orderkey"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("o_orderkey"),
+        unix_micros(col("o_orderdate")).as("order_us"),
+        col("o_totalprice"))
+      .orderBy("event_id")
+  }
+
   /** Q14: distinct aggregates — distinct parts/suppliers per return flag. */
   def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
