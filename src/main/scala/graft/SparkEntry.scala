@@ -59,7 +59,10 @@ object SparkEntry {
     "x15_length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(Tables.load(s, d, "documents"))),
     "x16_embedding_quantize" -> ((s, d) => Similarity.quantizationStats(Tables.load(s, d, "embeddings"))),
     "x17_curation_pipeline" -> ((s, d) => graft.queries.Curation.pipeline(s,
-      Tables.load(s, d, "documents"), Tables.load(s, d, "embeddings")))
+      Tables.load(s, d, "documents"), Tables.load(s, d, "embeddings"))),
+    "x18_dup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(Dedup.minhashLshPairs(Tables.load(s, d, "documents"), threshold = 0.62))),
+    "x19_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(Tables.load(s, d, "documents"), 50))
   )
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as
@@ -273,6 +276,10 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS bigint) AS n_bytes,
         |       md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x19_vocabulary" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents)
+        |WHERE token != '' GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
     "x15_length_quantiles" ->
       """SELECT lang,
         |       round(quantile_cont(n_chars, 0.5), 6) AS q50,

@@ -150,6 +150,41 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Resolve duplicate PAIRS into duplicate CLUSTERS: connected components
+    * by iterative min-label propagation (each doc adopts the smallest
+    * doc_id reachable through pair edges; converges in O(log diameter)
+    * rounds — near-dup clusters are shallow, so few iterations at any
+    * scale). Returns (doc_id, cluster_id = min doc_id of its component);
+    * singleton docs are omitted.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    // undirected edge list
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // each node adopts min(own label, neighbors' labels)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("cluster_id")).as("n_min"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint() // truncate the growing lineage each round
+      val changed = updated.as("u").join(labels.as("l"), "doc_id")
+        .filter(col("u.cluster_id") =!= col("l.cluster_id")).limit(1).count() > 0
+      labels = updated
+      converged = !changed
+      i += 1
+    }
+    labels.orderBy("doc_id")
+  }
+
   /** 64-bit SimHash per document over whitespace tokens, plus its 4 16-bit
     * bands (for banded Hamming-neighbor lookup à la Manku et al.). Fully
     * columnar: per-token bit vectors via shiftright/bitwise-and, summed with

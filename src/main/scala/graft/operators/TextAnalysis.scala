@@ -79,6 +79,18 @@ object TextAnalysis {
         sum(col("bpe")).as("bpe_tokens"))
       .orderBy("source")
 
+  /** Corpus vocabulary: global token frequencies, top `k` by count with
+    * deterministic alphabetical tie-break — the vocab-building pass of a
+    * tokenizer-training pipeline (explode → hash-agg → top-k).
+    */
+  def vocabulary(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   /** Per-language corpus length distribution: exact interpolated
     * percentiles (Spark `percentile` == SQL-standard continuous quantile)
     * plus min/max — the length-filter calibration stats a data-quality

@@ -176,6 +176,24 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x18 dup clusters: every clustered doc appears in a pair; cluster_id is component min") {
+    val pairs = queries("x3_dedup_ngram_jaccard") // any pair source works for the invariant
+    val clusters = graft.operators.Dedup.dupClusters(
+        graft.operators.Dedup.ngramJaccardPairs(Tables.load(spark, sf, "documents"), 10, 0.6))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val pairSet = pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    // membership: every paired doc got a cluster
+    pairSet.foreach { case (a, b) =>
+      assert(clusters.contains(a) && clusters.contains(b))
+      // connectivity: pair members share a cluster
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster id is the minimum member
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid == members.keys.min)
+    }
+  }
+
   test("x14 multimodal decode covers all blobs") {
     val rows = queries("x14_multimodal_decode")
     assert(rows.map(_.getAs[Long]("n_blobs")).sum ==
