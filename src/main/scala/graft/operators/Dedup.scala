@@ -157,30 +157,39 @@ object Dedup {
     * scale). Returns (doc_id, cluster_id = min doc_id of its component);
     * singleton docs are omitted.
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
-    // undirected edge list
+  def dupClusters(pairs: DataFrame, maxIters: Int = 12): DataFrame = {
+    // undirected edge list, materialized once (reused every round)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      // each node adopts min(own label, neighbors' labels)
+
+    def propagate(ls: DataFrame): DataFrame = {
       val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .join(ls.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("cluster_id")).as("n_min"))
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+      ls.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint() // truncate the growing lineage each round
-      val changed = updated.as("u").join(labels.as("l"), "doc_id")
-        .filter(col("u.cluster_id") =!= col("l.cluster_id")).limit(1).count() > 0
-      labels = updated
-      converged = !changed
-      i += 1
+    }
+
+    // Labels only ever DECREASE, so sum(cluster_id) is a monotone potential:
+    // unchanged sum == converged. Check every 3 rounds (one tiny aggregate)
+    // instead of a full anti-join per round.
+    var prevSum = Long.MinValue
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIters) {
+      labels = propagate(labels); i += 1
+      if (i % 3 == 0 || i >= maxIters) {
+        val s = labels.agg(sum(col("cluster_id"))).head().getLong(0)
+        converged = s == prevSum
+        prevSum = s
+      }
     }
     labels.orderBy("doc_id")
   }
