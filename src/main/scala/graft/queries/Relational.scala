@@ -102,15 +102,9 @@ object Relational {
     * form: lag → boundary flag → running sum = session id).
     */
   def q8Sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(spark, dir, "events")
-      .withColumn("us", unix_micros(col("ts")))
-      .withColumn("prev_us", lag(col("us"), 1).over(w))
-      .withColumn("boundary",
-        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800L * 1000000L, 1L)
-          .otherwise(0L))
-      .withColumn("session_id", sum(col("boundary")).over(wRun))
+    val events = t(spark, dir, "events").withColumn("us", unix_micros(col("ts")))
+    graft.operators.GapSessionize
+      .assign(events, col("user_id"), col("us"), 1800L * 1000000L, col("event_id"))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         min(col("us")).as("start_us"),
