@@ -152,6 +152,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(hamming(fps(1L), fps(2L)) < hamming(fps(1L), fps(3L)))
   }
 
+  test("hyperplane LSH buckets: deterministic, identical vectors collide, negations differ") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vecs = Seq.fill(20)(Seq.fill(16)(rnd.nextDouble() - 0.5))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v, v.map(-_)) }
+      .toDF("id", "v", "neg")
+    val rows = df.select(col("id"),
+        graft.operators.Similarity.hyperplaneBucket(col("v"), 16, 12).as("b1"),
+        graft.operators.Similarity.hyperplaneBucket(col("v"), 16, 12).as("b2"),
+        graft.operators.Similarity.hyperplaneBucket(col("neg"), 16, 12).as("bneg"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2)) // deterministic
+      assert(r.getLong(1) >= 0 && r.getLong(1) < (1L << 12)) // 12-bit bucket
+      // a vector and its negation flip every non-zero projection
+      assert(r.getLong(1) != r.getLong(3))
+    }
+  }
+
   test("x16 int8 quantization: tiny reconstruction error, covers all labels") {
     val rows = queries("x16_embedding_quantize")
     assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
