@@ -144,7 +144,7 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS decimal(18,2))) AS double) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin,
     "q10_json_extract" ->
-      """SELECT CAST(json_extract_string(props, '$.k') AS bigint) % 10 AS k_mod,
+      """SELECT TRY_CAST(json_extract_string(props, '$.k') AS bigint) % 10 AS k_mod,
         |       count(*) AS n,
         |       CAST(sum(CAST(value AS decimal(18,2))) AS double) AS total_value
         |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
@@ -188,7 +188,7 @@ object SparkEntry {
         |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate, o.o_totalprice,
         |         row_number() OVER (PARTITION BY e.event_id
         |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-        |  FROM events e JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |  FROM events e LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "x1_dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,

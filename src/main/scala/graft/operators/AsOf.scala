@@ -18,13 +18,15 @@ object AsOf {
 
   /** `leftId` must uniquely identify left rows (window partition key).
     * Right columns keep their names; ties on right.time break by
-    * `tieBreak` descending.
+    * `tieBreak` descending. LEFT semantics: a left row with no qualifying
+    * right row is preserved with null right columns (it forms a singleton
+    * window partition, so its row_number is 1).
     */
   def join(left: DataFrame, right: DataFrame,
            leftId: String, leftKey: Column, rightKey: Column,
            leftTime: Column, rightTime: Column, tieBreak: Column): DataFrame = {
     val w = Window.partitionBy(col(leftId)).orderBy(rightTime.desc, tieBreak.desc)
-    left.join(right, leftKey === rightKey && rightTime <= leftTime)
+    left.join(right, leftKey === rightKey && rightTime <= leftTime, "left")
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn")

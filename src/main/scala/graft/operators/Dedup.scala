@@ -151,13 +151,21 @@ object Dedup {
   }
 
   /** Resolve duplicate PAIRS into duplicate CLUSTERS: connected components
-    * by iterative min-label propagation (each doc adopts the smallest
-    * doc_id reachable through pair edges; converges in O(log diameter)
-    * rounds — near-dup clusters are shallow, so few iterations at any
-    * scale). Returns (doc_id, cluster_id = min doc_id of its component);
-    * singleton docs are omitted.
+    * by min-label propagation WITH label-path compression (pointer
+    * doubling): each round every doc adopts min(own label, neighbors'
+    * labels), then jumps to its label's label. The jump doubles the
+    * propagation distance per round, so convergence is O(log diameter) —
+    * a chain of length 2^k resolves in ~k rounds, not 2^k. Returns
+    * (doc_id, cluster_id = min doc_id of its component); singleton docs
+    * are omitted.
+    *
+    * Convergence is verified, not assumed: labels only ever decrease, so
+    * sum(cluster_id) is a monotone potential and an unchanged sum after a
+    * full round proves a fixed point. If the potential is still moving at
+    * `maxIters` (2^maxIters ≫ any real component diameter) the operator
+    * throws rather than return non-minimal cluster ids.
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 12): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     // undirected edge list, materialized once (reused every round)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -166,31 +174,39 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
 
-    def propagate(ls: DataFrame): DataFrame = {
+    // One round = neighbor-min propagation + label-path compression.
+    def round(ls: DataFrame): DataFrame = {
       val neighborMin = edges
         .join(ls.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("cluster_id")).as("n_min"))
-      ls.join(neighborMin, Seq("doc_id"), "left")
+      val propagated = ls.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
+      // compression: cluster_id := min(cluster_id, label(cluster_id)).
+      // Every label value is itself a node's doc_id, so the self-join hits;
+      // the coalesce only guards the (impossible) unmatched case.
+      val byId = propagated
+        .select(col("doc_id").as("_lid"), col("cluster_id").as("_lbl"))
+      propagated.join(byId, col("cluster_id") === col("_lid"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("_lbl"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint() // truncate the growing lineage each round
     }
 
-    // Labels only ever DECREASE, so sum(cluster_id) is a monotone potential:
-    // unchanged sum == converged. Check every 3 rounds (one tiny aggregate)
-    // instead of a full anti-join per round.
     var prevSum = Long.MinValue
     var i = 0
     var converged = false
     while (!converged && i < maxIters) {
-      labels = propagate(labels); i += 1
-      if (i % 3 == 0 || i >= maxIters) {
-        val s = labels.agg(sum(col("cluster_id"))).head().getLong(0)
-        converged = s == prevSum
-        prevSum = s
-      }
+      labels = round(labels); i += 1
+      val s = labels.agg(sum(col("cluster_id"))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge after $maxIters pointer-doubling rounds " +
+          "(component diameter would exceed 2^" + maxIters + " — inspect the pair input)")
     labels.orderBy("doc_id")
   }
 

@@ -101,7 +101,10 @@ object Similarity {
 
   /** Random-hyperplane bucket id (nBits-bit SimHash of the vector): sign of
     * the dot product against nBits deterministic pseudo-random hyperplanes.
-    * Vectors in the same bucket are near-duplicate candidates.
+    * Vectors in the same bucket are near-duplicate candidates. A vector
+    * whose size differs from `dim` gets a NULL bucket (drop-don't-fail:
+    * under ANSI mode an unguarded element_at past the end would abort the
+    * job; the guard branch keeps ragged rows out of downstream joins).
     */
   def hyperplaneBucket(v: Column, dim: Int, nBits: Int): Column = {
     // Hyperplane component h_{b,i} in {-1, +1} from a splitmix-style hash.
@@ -110,11 +113,14 @@ object Similarity {
       x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
       if (((x ^ (x >>> 27)) & 1L) == 0L) -1.0 else 1.0
     }
-    (0 until nBits).map { b =>
+    val bucket = (0 until nBits).map { b =>
       val proj = (0 until dim).map(i => element_at(v, i + 1) * lit(sign(b, i)))
         .reduce(_ + _)
       when(proj > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // CaseWhen evaluates only the taken branch, so the element_at chain
+    // never runs for ragged rows.
+    when(size(v) === dim, bucket)
   }
 
   /** IVF-style ANN: cluster centroids are the per-`label` mean vectors;
@@ -128,6 +134,9 @@ object Similarity {
     // silently truncate centroids on other corpora)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val withV = emb.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      // drop-don't-fail: a ragged vector would abort the ANSI element_at
+      // centroid sums below; filter instead of failing the job.
+      .filter(size(col("v")) === dim)
     // Centroid = mean vector per label partition: aggregate per-dimension sums
     // columnar-ly, then divide by the count.
     val sumCols = (0 until dim).map(i => sum(element_at(col("v"), i + 1)).as(s"s_$i"))

@@ -123,10 +123,13 @@ object Relational {
         col("n_events"), col("total_value"))
       .orderBy("hour_us", "event_type")
 
-  /** Q10: JSON extraction from the event props payload + rollup. */
+  /** Q10: JSON extraction from the event props payload + rollup.
+    * try_cast, not cast: a props payload whose `$.k` is non-numeric must
+    * fall into the null group (drop-don't-fail), not abort under ANSI.
+    */
   def q10Json(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
-      .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"),
+      .select(expr("try_cast(get_json_object(props, '$.k') AS bigint)").as("k"),
         col("value"))
       .groupBy((col("k") % 10).as("k_mod"))
       .agg(count(lit(1)).as("n"),

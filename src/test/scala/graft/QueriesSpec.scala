@@ -242,5 +242,31 @@ class QueriesSpec extends AnyFunSuite {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("dupClusters: a 200-link chain converges to one component (pointer doubling)") {
+    // A path graph has diameter ~n; plain neighbor-min propagation needs n
+    // rounds while pointer doubling needs ~log2(n). With maxIters=25 this
+    // only passes if the doubling actually works.
+    import spark.implicits._
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = graft.operators.Dedup.dupClusters(chain).collect()
+    assert(labels.length == 201)
+    assert(labels.forall(_.getAs[Long]("cluster_id") == 0L))
+  }
+
+  test("asof join keeps left rows with no qualifying right row (null right cols)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 5L), (3L, 20L, 100L))
+      .toDF("id", "k", "t") // id=2: t=5 precedes every right row; id=3: key unmatched
+    val right = Seq((10L, 50L, "a"), (10L, 90L, "b"), (10L, 120L, "late"))
+      .toDF("rk", "rt", "tag")
+    val out = graft.operators.AsOf.join(left, right, "id",
+        col("k"), col("rk"), col("t"), col("rt"), col("rt"))
+      .orderBy("id").collect()
+    assert(out.length == 3) // all left rows survive
+    assert(out(0).getAs[String]("tag") == "b") // most recent rt <= 100
+    assert(out(1).isNullAt(out(1).fieldIndex("tag"))) // no rt <= 5
+    assert(out(2).isNullAt(out(2).fieldIndex("tag"))) // key 20 unmatched
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
