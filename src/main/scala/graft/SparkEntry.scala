@@ -62,13 +62,22 @@ object SparkEntry {
       Tables.load(s, d, "documents"), Tables.load(s, d, "embeddings"))),
     "x18_dup_clusters" -> ((s, d) =>
       Dedup.dupClusters(Dedup.minhashLshPairs(Tables.load(s, d, "documents"), threshold = 0.62))),
-    "x19_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(Tables.load(s, d, "documents"), 50))
+    "x19_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(Tables.load(s, d, "documents"), 50)),
+    // same clustering operator as x18 but fed EXACT Jaccard pairs on a
+    // deterministic subset — SQL-expressible end to end, so the connected
+    // components get a real DuckDB oracle (recursive-CTE reachability)
+    // instead of a rows-only check.
+    "x20_dup_clusters_exact" -> ((s, d) =>
+      Dedup.dupClusters(Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"), 10, 0.5)))
   )
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as
     * the Spark result — the driver sorts columns by name and hashes values).
-    * Omitted: q2_* (stateful FSM), x4 (LSH), x8 (IVF), x14 (decode stub) —
-    * rows-only checks, covered by ScalaTest goldens instead.
+    * Omitted: q2_* (stateful FSM), x4 (minhash perms), x5 (simhash bit
+    * tricks), x8 (approximate IVF), x14 (decode stub), x17/x18 (depend on
+    * the LSH candidate set) — rows-only checks, covered by ScalaTest
+    * goldens/properties instead; the clustering operator itself is
+    * oracle-checked via x20 (exact pairs + recursive-CTE reachability).
     */
   def oracleSql: Map[String, String] = Map(
     "q1_trip_histogram" ->
@@ -280,6 +289,40 @@ object SparkEntry {
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents)
         |WHERE token != '' GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "x16_embedding_quantize" ->
+      """WITH q AS (
+        |  SELECT label, CAST(embedding AS DOUBLE[]) AS v,
+        |         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127 AS scale
+        |  FROM embeddings),
+        |w AS (
+        |  SELECT label, v, scale,
+        |         list_transform(v, x -> round(x / scale) * scale) AS deq
+        |  FROM q WHERE scale > 0),
+        |m AS (
+        |  SELECT label,
+        |         list_sum(list_transform(v, x -> (x - round(x / scale) * scale) * (x - round(x / scale) * scale))) / len(v) AS mse,
+        |         1.0 - list_cosine_similarity(v, deq) AS cos_drift
+        |  FROM w)
+        |SELECT label, count(*) AS n_vecs, round(avg(mse), 12) AS avg_mse,
+        |       round(avg(cos_drift), 12) AS avg_cos_drift
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    "x20_dup_clusters_exact" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, length(text) - 1),
+        |                       i -> substring(text, CAST(i AS int), 3))) AS sh
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS double)
+        |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e2.src, reach.r FROM e e2 JOIN reach ON e2.dst = reach.id)
+        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "x15_length_quantiles" ->
       """SELECT lang,
         |       round(quantile_cont(n_chars, 0.5), 6) AS q50,
