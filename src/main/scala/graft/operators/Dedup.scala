@@ -56,8 +56,9 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, mod: Int, threshold: Double): DataFrame = {
     graft.functions.ArrayExpressions.register(docs.sparkSession)
-    // Intersect SORTED 64-bit shingle hashes, not strings: same counts
-    // (collision odds ~n²/2^64), and the custom merge-walk expression
+    // Intersect SORTED 64-bit shingle hashes, not strings: for n <= 4 the
+    // packed-char hash is injective, so counts EQUAL the string-set values,
+    // and the custom merge-walk expression
     // (graft.functions.ArrayExpressions) costs no hashing or boxing per pair.
     val d = docs
       .filter(col("doc_id") % mod === 0)
@@ -67,7 +68,7 @@ object Dedup {
       // one partition by AQE.
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
-        expr("array_sort(array_distinct(transform(" + shingleSql("text", 3) + ", s -> xxhash64(s))))").as("sh"))
+        graft.functions.ArrayExpressions.shingleHashesSorted(col("text"), 3).as("sh"))
     val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, col("doc_a") < col("doc_b"))
@@ -101,7 +102,7 @@ object Dedup {
       // count-less repartition of small-bytes/heavy-CPU data right back)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
-        expr(s"array_sort(array_distinct(transform(${shingleSql("text", 3)}, s -> xxhash64(s))))").as("hashes"))
+        graft.functions.ArrayExpressions.shingleHashesSorted(col("text"), 3).as("hashes"))
       .filter(size(col("hashes")) > 0)
       // materialize once: both the signature lineage and the broadcast
       // verification side consume this, and it is the dominant CPU cost.
@@ -166,15 +167,36 @@ object Dedup {
     * throws rather than return non-minimal cluster ids.
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // Materialize the pair computation ONCE before mirroring: the union
+    // would otherwise evaluate the (expensive) pair-generation subtree
+    // twice — once per direction.
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
     // undirected edge list, materialized once (reused every round)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
+    // Seed labels with the neighbor minimum directly (labels(x) = x
+    // initially, so the first propagation needs no join — one groupBy).
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("n_min"))
+      .select(col("src").as("doc_id"),
+        least(col("src"), col("n_min")).as("cluster_id"))
+      .localCheckpoint()
 
-    // One round = neighbor-min propagation + label-path compression.
+    // compression: cluster_id := min(cluster_id, label(cluster_id)).
+    // Every label value is itself a node's doc_id, so the self-join hits;
+    // the coalesce only guards the (impossible) unmatched case.
+    def compress(ls: DataFrame): DataFrame = {
+      val byId = ls.select(col("doc_id").as("_lid"), col("cluster_id").as("_lbl"))
+      ls.join(byId, col("cluster_id") === col("_lid"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("_lbl"), col("cluster_id"))).as("cluster_id"))
+    }
+
+    // One round = neighbor-min propagation + label-path compression (the
+    // compression doubles the pointer jump per round → O(log diameter)
+    // rounds total).
     def round(ls: DataFrame): DataFrame = {
       val neighborMin = edges
         .join(ls.withColumnRenamed("doc_id", "dst"), "dst")
@@ -183,14 +205,7 @@ object Dedup {
       val propagated = ls.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
-      // compression: cluster_id := min(cluster_id, label(cluster_id)).
-      // Every label value is itself a node's doc_id, so the self-join hits;
-      // the coalesce only guards the (impossible) unmatched case.
-      val byId = propagated
-        .select(col("doc_id").as("_lid"), col("cluster_id").as("_lbl"))
-      propagated.join(byId, col("cluster_id") === col("_lid"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("_lbl"), col("cluster_id"))).as("cluster_id"))
+      compress(propagated)
         .localCheckpoint() // truncate the growing lineage each round
     }
 

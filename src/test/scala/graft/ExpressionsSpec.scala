@@ -67,6 +67,33 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getInt(1) == 2)
   }
 
+  test("shingle_hashes_sorted: injective for n<=4 — set sizes and intersections equal string-shingle sets") {
+    import spark.implicits._
+    ArrayExpressions.register(spark)
+    val rnd = new Random(7)
+    def randText(len: Int) =
+      Seq.fill(len)("abcdef 0189"(rnd.nextInt(11))).mkString
+    val texts = Seq.fill(40)(randText(rnd.nextInt(200) + 5)) ++
+      Seq("", "ab", "abc", "aaaa", "ééé niño") // edge: short, repeated, non-ASCII
+    def stringShingles(t: String, n: Int): Set[String] =
+      if (t.length < n) Set.empty else (0 to t.length - n).map(i => t.substring(i, i + n)).toSet
+    val rows = texts.toDF("text")
+      .select(col("text"), ArrayExpressions.shingleHashesSorted(col("text"), 3).as("h"))
+      .collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val h = r.getSeq[Long](1)
+      assert(h == h.sorted && h.distinct == h, s"not sorted-distinct for '$t'")
+      assert(h.size == stringShingles(t, 3).size, s"set size mismatch for '$t'")
+    }
+    // pairwise intersection counts equal the string-set intersections
+    for (a <- rows.take(10); b <- rows.take(10)) {
+      val ha = a.getSeq[Long](1).toSet; val hb = b.getSeq[Long](1).toSet
+      val sa = stringShingles(a.getString(0), 3); val sb = stringShingles(b.getString(0), 3)
+      assert((ha & hb).size == (sa & sb).size)
+    }
+  }
+
   test("interpreted eval matches codegen result") {
     val e = ArrayExpressions.SortedLongIntersectCount(
       org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1L, 5L, 9L),
