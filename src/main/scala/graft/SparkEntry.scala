@@ -41,6 +41,8 @@ object SparkEntry {
     "q15_string_funcs" -> ((s, d) => Relational.q15StringFuncs(s, d)),
     "q16_date_funcs" -> ((s, d) => Relational.q16DateFuncs(s, d)),
     "q17_asof_join" -> ((s, d) => Relational.q17AsOfJoin(s, d)),
+    "q18_range_join" -> ((s, d) => Relational.q18RangeJoin(s, d)),
+    "q19_semi_join" -> ((s, d) => Relational.q19SemiJoin(s, d)),
     // -- LLM-pipeline extensions ------------------------------------------
     "x1_dedup_exact" -> ((s, d) => Dedup.exactDupStats(Tables.load(s, d, "documents"))),
     "x2_dedup_normalized" -> ((s, d) => Dedup.normalizedDupGroups(Tables.load(s, d, "documents"))),
@@ -199,6 +201,22 @@ object SparkEntry {
         |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         |  FROM events e LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q18_range_join" ->
+      """WITH w AS (
+        |  SELECT epoch_us(d) AS lo_us, epoch_us(d) + 259200000000 AS hi_us
+        |  FROM (SELECT DISTINCT date_trunc('day', ts) AS d FROM events)
+        |  WHERE day(d) % 7 = 1)
+        |SELECT lo_us, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS decimal(18,2))) AS double) AS total_value
+        |FROM events e JOIN w ON epoch_us(e.ts) >= w.lo_us AND epoch_us(e.ts) < w.hi_us
+        |GROUP BY lo_us ORDER BY lo_us""".stripMargin,
+    "q19_semi_join" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c.c_custkey
+        |                AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |                AND o_orderdate < TIMESTAMP '1997-07-01')
+        |ORDER BY c_custkey""".stripMargin,
     "x1_dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
         |       count(*) - count(DISTINCT md5(text)) AS n_dup_docs

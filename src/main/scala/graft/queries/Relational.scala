@@ -207,6 +207,40 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Q18: range join — events rolled up into 3-day campaign windows
+    * (every 7th calendar day starts one). Pure inequality join, executed
+    * as a binned equi-join ([[graft.operators.RangeJoin]]) instead of the
+    * nested-loop plan Spark would otherwise pick.
+    */
+  def q18RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+    val windows = t(spark, dir, "events")
+      .select(date_trunc("day", col("ts")).as("d")).distinct()
+      .filter(dayofmonth(col("d")) % 7 === 1)
+      .select(unix_micros(col("d")).as("lo_us"))
+      .withColumn("hi_us", col("lo_us") + lit(3L * dayUs))
+    graft.operators.RangeJoin
+      .pointInInterval(ev, col("ts_us"), windows, col("lo_us"), col("hi_us"), dayUs)
+      .groupBy(col("lo_us"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy("lo_us")
+  }
+
+  /** Q19: semi join — customers with at least one order in a half-year
+    * window; the probe side never duplicates build-side matches.
+    */
+  def q19SemiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-07-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .orderBy("c_custkey")
+
   /** Q14: distinct aggregates — distinct parts/suppliers per return flag. */
   def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

@@ -268,5 +268,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(out(2).isNullAt(out(2).fieldIndex("tag"))) // key 20 unmatched
   }
 
+  test("range join: half-open boundaries, bin-spanning intervals, overlaps — matches naive join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val points = (0 until 300).map(_ => rnd.nextLong() % 1000L + 500L).zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }
+    val intervals = (0 until 40).map { i =>
+      val lo = rnd.nextLong() % 1000L + 500L
+      (i.toLong, lo, lo + rnd.nextInt(50) + 1L) // widths 1..50, overlapping freely
+    }
+    val pts = points.toDF("pid", "p")
+    val ivs = intervals.toDF("iid", "lo", "hi")
+    val got = graft.operators.RangeJoin
+      .pointInInterval(pts, col("p"), ivs, col("lo"), col("hi"), binUs = 17L) // bin ≪ width: multi-bin explode
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (pid, p) <- points
+      (iid, lo, hi) <- intervals
+      if p >= lo && p < hi
+    } yield (pid, iid)).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
