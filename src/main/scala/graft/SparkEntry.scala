@@ -43,6 +43,10 @@ object SparkEntry {
     "q17_asof_join" -> ((s, d) => Relational.q17AsOfJoin(s, d)),
     "q18_range_join" -> ((s, d) => Relational.q18RangeJoin(s, d)),
     "q19_semi_join" -> ((s, d) => Relational.q19SemiJoin(s, d)),
+    "q20_cube" -> ((s, d) => Relational.q20Cube(s, d)),
+    "q21_pivot" -> ((s, d) => Relational.q21Pivot(s, d)),
+    "q22_skew_join" -> ((s, d) => Relational.q22SkewJoin(s, d)),
+    "q23_set_ops_all" -> ((s, d) => Relational.q23SetOpsAll(s, d)),
     // -- LLM-pipeline extensions ------------------------------------------
     "x1_dedup_exact" -> ((s, d) => Dedup.exactDupStats(Tables.load(s, d, "documents"))),
     "x2_dedup_normalized" -> ((s, d) => Dedup.normalizedDupGroups(Tables.load(s, d, "documents"))),
@@ -59,6 +63,7 @@ object SparkEntry {
     "x13_multimodal_meta" -> ((s, d) => Multimodal.blobMeta(Tables.load(s, d, "documents"))),
     "x14_multimodal_decode" -> ((s, d) => Multimodal.featureSummary(s, Tables.load(s, d, "documents"))),
     "x15_length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(Tables.load(s, d, "documents"))),
+    "x21_multimodal_frames" -> ((s, d) => Multimodal.frameSampleSummary(s, Tables.load(s, d, "documents"))),
     "x16_embedding_quantize" -> ((s, d) => Similarity.quantizationStats(Tables.load(s, d, "embeddings"))),
     "x17_curation_pipeline" -> ((s, d) => graft.queries.Curation.pipeline(s,
       Tables.load(s, d, "documents"), Tables.load(s, d, "embeddings"))),
@@ -217,6 +222,35 @@ object SparkEntry {
         |                AND o_orderdate >= TIMESTAMP '1997-01-01'
         |                AND o_orderdate < TIMESTAMP '1997-07-01')
         |ORDER BY c_custkey""".stripMargin,
+    "q20_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+        |       count(*) AS n_items
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q21_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |       count(*) FILTER (event_type = 'click') AS click,
+        |       count(*) FILTER (event_type = 'error') AS error,
+        |       count(*) FILTER (event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (event_type = 'signup') AS signup,
+        |       count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+    "q22_skew_join" ->
+      """SELECT o_orderpriority,
+        |       CAST(sum(CAST(l_extendedprice AS decimal(18,2)) * (1 - CAST(l_discount AS decimal(18,2)))) AS double) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q23_set_ops_all" ->
+      """SELECT 'intersect_all' AS op, k, count(*) AS n FROM (
+        |  SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY k
+        |UNION ALL
+        |SELECT 'except_all', k, count(*) FROM (
+        |  SELECT c_nationkey AS k FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY k
+        |ORDER BY op, k""".stripMargin,
     "x1_dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
         |       count(*) - count(DISTINCT md5(text)) AS n_dup_docs
@@ -341,6 +375,20 @@ object SparkEntry {
         |  UNION
         |  SELECT e2.src, reach.r FROM e e2 JOIN reach ON e2.dst = reach.id)
         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "x21_multimodal_frames" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |f AS (
+        |  SELECT doc_id, n, CAST(ceil(n / 256.0) AS bigint) AS n_frames FROM b WHERE n > 0),
+        |s AS (
+        |  SELECT doc_id, n, n_frames,
+        |         (n_frames - 1) // 4 + 1 AS n_sampled,
+        |         ((n_frames - 1) // 4) * 4 AS last_idx
+        |  FROM f)
+        |SELECT doc_id, n_frames, n_sampled,
+        |       (n_sampled - 1) * 256 +
+        |       CASE WHEN last_idx = n_frames - 1 THEN n - (n_frames - 1) * 256 ELSE 256 END AS sampled_bytes
+        |FROM s ORDER BY doc_id""".stripMargin,
     "x15_length_quantiles" ->
       """SELECT lang,
         |       round(quantile_cont(n_chars, 0.5), 6) AS q50,

@@ -10,6 +10,11 @@ import org.apache.spark.sql.functions._
   */
 final case class MediaBlob(doc_id: Long, media_type: String, payload: Array[Byte])
 
+/** One sampled frame: fixed-size chunk `frame_idx` of a blob's payload
+  * (`n_frames` = total chunks in the source blob).
+  */
+final case class MediaFrame(doc_id: Long, frame_idx: Int, n_frames: Int, frame: Array[Byte])
+
 /** Extracted per-blob features (what an image/audio decoder would emit). */
 final case class MediaFeatures(
     doc_id: Long,
@@ -68,6 +73,56 @@ object Multimodal {
     import spark.implicits._
     blobs.mapPartitions(_.map(decodeStub))
   }
+
+  /** Resize stub — REPLACE with a real scaler. Deterministic strided byte
+    * downsample to at most `targetBytes` (keeps the contract a real
+    * thumbnailer has: binary in, smaller binary out, pure per-record).
+    */
+  def resizeStub(b: MediaBlob, targetBytes: Int): MediaBlob = {
+    require(targetBytes > 0)
+    val n = b.payload.length
+    if (n <= targetBytes) b
+    else {
+      val out = new Array[Byte](targetBytes)
+      var i = 0
+      while (i < targetBytes) {
+        out(i) = b.payload((i.toLong * n / targetBytes).toInt)
+        i += 1
+      }
+      MediaBlob(b.doc_id, b.media_type, out)
+    }
+  }
+
+  /** Frame sampling: the payload split into fixed `frameBytes` chunks
+    * ("frames"), keeping every `stride`-th one — a video keyframe skim.
+    * Typed flatMap: streams per partition, no driver involvement, output
+    * rows carry the real frame bytes.
+    */
+  def sampleFrames(spark: SparkSession, blobs: Dataset[MediaBlob],
+                   frameBytes: Int = 256, stride: Int = 4): Dataset[MediaFrame] = {
+    import spark.implicits._
+    blobs.flatMap { b =>
+      val n = b.payload.length
+      val nFrames = (n + frameBytes - 1) / frameBytes
+      Iterator.range(0, nFrames, stride).map { i =>
+        MediaFrame(b.doc_id, i, nFrames,
+          java.util.Arrays.copyOfRange(b.payload, i * frameBytes, math.min(n, (i + 1) * frameBytes)))
+      }
+    }
+  }
+
+  /** Per-document frame-sampling summary (frame counts + sampled byte
+    * volume) — the chunking runs for real; the arithmetic is
+    * oracle-checkable from the text length alone.
+    */
+  def frameSampleSummary(spark: SparkSession, docs: DataFrame,
+                         frameBytes: Int = 256, stride: Int = 4): DataFrame =
+    sampleFrames(spark, toBlobs(spark, docs), frameBytes, stride).toDF()
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_frames")).cast("bigint").as("n_frames"),
+        count(lit(1)).as("n_sampled"),
+        sum(length(col("frame"))).cast("bigint").as("sampled_bytes"))
+      .orderBy("doc_id")
 
   /** Metadata-only pass (no decode): byte length + content hash per blob —
     * pure columnar, oracle-checkable.

@@ -241,6 +241,59 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
       .orderBy("c_custkey")
 
+  /** Q20: CUBE grouping sets — all four aggregation granularities of
+    * (returnflag, linestatus) in one pass.
+    */
+  def q20Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Q21: pivot — event counts per day with one column per event type
+    * (explicit value list keeps the output schema static, which also
+    * skips Spark's extra distinct-values job).
+    */
+  def q21Pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0)
+      .orderBy("day")
+
+  /** Q22: the salted skew join ([[graft.operators.Skew]]) over the
+    * lineitem->orders fact join; result must equal the plain equi-join
+    * (which is exactly what the oracle runs).
+    */
+  def q22SkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_extendedprice"), col("l_discount"))
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    graft.operators.Skew.saltedEquiJoin(li, o, "okey", buckets = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q23: multiset set operations — INTERSECT ALL / EXCEPT ALL keep
+    * multiplicities (min / difference), collapsed to per-key counts.
+    */
+  def q23SetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_nationkey").as("k"))
+    val s = t(spark, dir, "supplier").select(col("s_nationkey").as("k"))
+    val ia = c.intersectAll(s).select(lit("intersect_all").as("op"), col("k"))
+    val ea = c.exceptAll(s).select(lit("except_all").as("op"), col("k"))
+    ia.union(ea).groupBy(col("op"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("op", "k")
+  }
+
   /** Q14: distinct aggregates — distinct parts/suppliers per return flag. */
   def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

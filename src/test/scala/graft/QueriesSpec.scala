@@ -291,5 +291,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("multimodal resize + frame sampling: sizes bounded, frames reassemble the payload prefix pattern") {
+    import graft.operators.{MediaBlob, Multimodal}
+    val payload = Array.tabulate(1000)(i => (i % 251).toByte)
+    val blob = MediaBlob(7L, "video", payload)
+    val resized = Multimodal.resizeStub(blob, 100)
+    assert(resized.payload.length == 100)
+    assert(resized.payload(0) == payload(0)) // strided pick keeps first byte
+    assert(Multimodal.resizeStub(blob, 2000).payload.length == 1000) // no upscale
+    import spark.implicits._
+    val frames = Multimodal.sampleFrames(spark, Seq(blob).toDS(), frameBytes = 256, stride = 2).collect()
+    // 1000 bytes -> 4 frames (256,256,256,232); stride 2 keeps idx 0, 2
+    assert(frames.map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    assert(frames.forall(_.n_frames == 4))
+    assert(frames.find(_.frame_idx == 0).get.frame.toSeq == payload.slice(0, 256).toSeq)
+    assert(frames.find(_.frame_idx == 2).get.frame.toSeq == payload.slice(512, 768).toSeq)
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
