@@ -47,6 +47,7 @@ object SparkEntry {
     "q21_pivot" -> ((s, d) => Relational.q21Pivot(s, d)),
     "q22_skew_join" -> ((s, d) => Relational.q22SkewJoin(s, d)),
     "q23_set_ops_all" -> ((s, d) => Relational.q23SetOpsAll(s, d)),
+    "q24_session_window" -> ((s, d) => Relational.q24SessionWindow(s, d)),
     // -- LLM-pipeline extensions ------------------------------------------
     "x1_dedup_exact" -> ((s, d) => Dedup.exactDupStats(Tables.load(s, d, "documents"))),
     "x2_dedup_normalized" -> ((s, d) => Dedup.normalizedDupGroups(Tables.load(s, d, "documents"))),
@@ -251,6 +252,21 @@ object SparkEntry {
         |  SELECT c_nationkey AS k FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier)
         |GROUP BY k
         |ORDER BY op, k""".stripMargin,
+    "q24_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, CAST(value AS decimal(18,2)) AS v,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        |  FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS boundary
+        |  FROM e),
+        |s AS (
+        |  SELECT *, sum(boundary) OVER (PARTITION BY user_id ORDER BY us
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM b)
+        |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+        |       count(*) AS n_events, CAST(sum(v) AS double) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
     "x1_dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
         |       count(*) - count(DISTINCT md5(text)) AS n_dup_docs

@@ -294,6 +294,23 @@ object Relational {
       .orderBy("op", "k")
   }
 
+  /** Q24: Spark's native session_window aggregation — same 30-minute-gap
+    * semantics as the composed q8 sessionizer, through the built-in
+    * operator (merging session windows inside the aggregate instead of a
+    * lag/cumsum prepass). Boundary semantics: a gap of exactly the window
+    * size starts a NEW session (session end is exclusive).
+    */
+  def q24SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "start_us")
+
   /** Q14: distinct aggregates — distinct parts/suppliers per return flag. */
   def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

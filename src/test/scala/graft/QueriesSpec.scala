@@ -308,5 +308,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(frames.find(_.frame_idx == 2).get.frame.toSeq == payload.slice(512, 768).toSeq)
   }
 
+  test("approx sketches track exact values: HLL++ distinct within rsd, approx percentile within rank error") {
+    // Sketch outputs are implementation-defined (no DuckDB hash-oracle
+    // possible); pin them against the exact aggregates instead.
+    val li = Tables.load(spark, sf, "lineitem")
+    val r = li.agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_med"),
+      expr("percentile(l_quantity, 0.5)").as("exact_med")).head()
+    val (ap, ep) = (r.getAs[Long]("approx_parts").toDouble, r.getAs[Long]("exact_parts").toDouble)
+    assert(math.abs(ap - ep) / ep < 0.05, s"HLL++ off by ${math.abs(ap - ep) / ep}")
+    val (am, em) = (r.getAs[Double]("approx_med"), r.getAs[Double]("exact_med"))
+    assert(math.abs(am - em) <= 1.0, s"approx median $am vs exact $em")
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
