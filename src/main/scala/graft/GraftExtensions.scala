@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.ArrayExpressions.{CosineSimilarity, MinHashSignature, SortedLongIntersectCount}
+import graft.functions.ArrayExpressions.{CosineSimilarity, MinHashSignature, ShingleHashesSorted, SortedLongIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
       es => MinHashSignature(es.head, es(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("shingle_hashes_sorted"),
+      new ExpressionInfo(classOf[ShingleHashesSorted].getName, "shingle_hashes_sorted"),
+      es => ShingleHashesSorted(es.head, es(1).eval().asInstanceOf[Number].intValue())))
   }
 }
