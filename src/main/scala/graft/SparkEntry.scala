@@ -65,6 +65,9 @@ object SparkEntry {
     "x14_multimodal_decode" -> ((s, d) => Multimodal.featureSummary(s, Tables.load(s, d, "documents"))),
     "x15_length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(Tables.load(s, d, "documents"))),
     "x21_multimodal_frames" -> ((s, d) => Multimodal.frameSampleSummary(s, Tables.load(s, d, "documents"))),
+    // same result as x7 through the custom bounded-heap aggregate instead
+    // of a window sort (map-side partial top-k -> tiny shuffle)
+    "x22_topk_aggregate" -> ((s, d) => Similarity.aggTopK(Tables.load(s, d, "embeddings"), 10, 5)),
     "x16_embedding_quantize" -> ((s, d) => Similarity.quantizationStats(Tables.load(s, d, "embeddings"))),
     "x17_curation_pipeline" -> ((s, d) => graft.queries.Curation.pipeline(s,
       Tables.load(s, d, "documents"), Tables.load(s, d, "embeddings"))),
@@ -296,6 +299,18 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.25
         |ORDER BY vec_a, vec_b""".stripMargin,
     "x7_similarity_topk" ->
+      """WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (
+        |  SELECT probe_id, cand_id, list_cosine_similarity(pv, cv) AS rawsim
+        |  FROM p JOIN c ON probe_id != cand_id
+        |  WHERE NOT isnan(list_cosine_similarity(pv, cv)))
+        |SELECT probe_id, cand_id, round(rawsim, 4) AS sim,
+        |       CAST(row_number() OVER (PARTITION BY probe_id ORDER BY rawsim DESC, cand_id) AS int) AS rank
+        |FROM s
+        |QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY rawsim DESC, cand_id) <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
+    "x22_topk_aggregate" ->
       """WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
         |s AS (

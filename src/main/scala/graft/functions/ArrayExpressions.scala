@@ -283,6 +283,10 @@ object ArrayExpressions {
       "shingle_hashes_sorted",
       es => ShingleHashesSorted(es.head, es(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
+    registry.createOrReplaceTempFunction(
+      "top_k_by_score",
+      es => TopKByScore(es.head, es(1), es(2).eval().asInstanceOf[Number].intValue()),
+      "built-in")
   }
 
   /** Column wrappers (require [[register]] on the active session). */
@@ -297,4 +301,8 @@ object ArrayExpressions {
 
   def shingleHashesSorted(text: Column, n: Int): Column =
     call_function("shingle_hashes_sorted", text, org.apache.spark.sql.functions.lit(n))
+
+  /** Bounded-heap top-k aggregate ([[TopKByScore]]); use under groupBy. */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    call_function("top_k_by_score", score, id, org.apache.spark.sql.functions.lit(k))
 }

@@ -56,6 +56,31 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** Exact top-k like [[bruteForceTopK]] but through the custom
+    * bounded-heap aggregate ([[graft.functions.TopKByScore]]) instead of a
+    * window sort: partial aggregation shrinks every map task's slice to k
+    * rows per probe BEFORE the shuffle, so the exchange carries
+    * k·probes·tasks rows instead of every scored candidate — the form
+    * that survives a billion-candidate scan. Output is identical to
+    * [[bruteForceTopK]] (same ordering and tie-breaks).
+    */
+  def aggTopK(emb: DataFrame, nProbes: Int, k: Int): DataFrame = {
+    graft.functions.ArrayExpressions.register(emb.sparkSession)
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pv"))
+    val cands = emb.select(col("vec_id").as("cand_id"), asDouble(col("embedding")).as("cv"))
+    cands.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("pv"), col("cv")))
+      .filter(!isnan(col("sim")))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.ArrayExpressions.topKByScore(col("sim"), col("cand_id"), k).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("probe_id"), col("t.id").as("cand_id"),
+        round(col("t.score"), 4).as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** Exact near-duplicate pairs (cosine >= threshold) within a
     * deterministic vec_id-modulo subset — the oracle-checkable baseline for
     * the LSH/IVF scale paths.

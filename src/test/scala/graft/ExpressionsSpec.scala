@@ -94,6 +94,26 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("top_k_by_score aggregate == window row_number top-k, including score ties") {
+    import spark.implicits._
+    ArrayExpressions.register(spark)
+    val rnd = new Random(9)
+    // few distinct scores => plenty of ties to exercise the id tie-break
+    val rows = Seq.fill(2000)((rnd.nextInt(8).toLong, rnd.nextInt(20) / 10.0, rnd.nextLong() & 0xffffL))
+    val df = rows.toDF("g", "score", "id")
+    val viaAgg = df.groupBy("g")
+      .agg(ArrayExpressions.topKByScore(col("score"), col("id"), 7).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("g"), col("t.score"), col("t.id"), (col("pos") + 1).cast("bigint").as("rank"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("id"))
+    val viaWindow = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 7)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3).toLong)).toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("interpreted eval matches codegen result") {
     val e = ArrayExpressions.SortedLongIntersectCount(
       org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1L, 5L, 9L),
