@@ -29,5 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_hashes_sorted"),
       new ExpressionInfo(classOf[ShingleHashesSorted].getName, "shingle_hashes_sorted"),
       es => ShingleHashesSorted(es.head, es(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("top_k_by_score"),
+      new ExpressionInfo(classOf[graft.functions.TopKByScore].getName, "top_k_by_score"),
+      es => graft.functions.TopKByScore(es.head, es(1),
+        es(2).eval().asInstanceOf[Number].intValue())))
   }
 }

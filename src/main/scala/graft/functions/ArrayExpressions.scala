@@ -179,22 +179,34 @@ object ArrayExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** splitmix64 finalizer — a bijection on Long (every step is
+    * invertible), shared by the hashing expressions below.
+    */
+  def mix64(v: Long): Long = {
+    var x = v
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
   /** Sorted distinct 64-bit hashes of the character n-grams of a string,
     * in ONE fused pass — replaces the
     * `array_sort(array_distinct(transform(sequence(...), i ->
     * xxhash64(substring(...)))))` chain, which allocates one UTF8String per
     * shingle and pays lambda dispatch per element.
     *
-    * For n <= 4 the hash is INJECTIVE: the n UTF-16 code units pack
-    * losslessly into one long (16 bits each) and the splitmix64 finalizer
-    * is a bijection on Long, so distinct-shingle counts and pairwise
+    * Shingles are CODE POINTS (like Spark's `substring`/`length` and
+    * DuckDB's string functions), not UTF-16 units — a surrogate pair is
+    * one character. For n <= 3 the hash is INJECTIVE: n code points
+    * (21 bits each) pack losslessly into one long and the [[mix64]]
+    * finalizer is a bijection, so distinct-shingle counts and pairwise
     * intersection counts are EXACTLY the string-set values (no collision
     * probability at all) — the Jaccard numbers oracle-match DuckDB's
     * string-list computation by construction.
     */
   case class ShingleHashesSorted(child: Expression, n: Int)
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-    require(n >= 1 && n <= 4, s"shingle_hashes_sorted supports 1 <= n <= 4, got $n")
+    require(n >= 1 && n <= 3, s"shingle_hashes_sorted supports 1 <= n <= 3, got $n")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "shingle_hashes_sorted"
     override def checkInputDataTypes(): TypeCheckResult =
@@ -206,23 +218,19 @@ object ArrayExpressions {
 
     /** JVM-side kernel; also the target of the generated code. */
     def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
-      val str = s.toString
-      val len = str.length
-      if (len < n) return ArrayData.toArrayData(Array.emptyLongArray)
-      val m = len - n + 1
+      val cps = s.toString.codePoints().toArray
+      val m = cps.length - n + 1
+      if (m <= 0) return ArrayData.toArrayData(Array.emptyLongArray)
       val out = new Array[Long](m)
       var i = 0
       while (i < m) {
         var packed = 0L
         var j = 0
         while (j < n) {
-          packed |= (str.charAt(i + j).toLong & 0xffffL) << (16 * j)
+          packed |= (cps(i + j).toLong & 0x1fffffL) << (21 * j)
           j += 1
         }
-        var x = packed
-        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-        out(i) = x ^ (x >>> 31)
+        out(i) = mix64(packed)
         i += 1
       }
       java.util.Arrays.sort(out)
@@ -253,12 +261,8 @@ object ArrayExpressions {
   object MinHash {
     /** 2^31−1 (Mersenne prime): a·h+b stays within Long under ANSI. */
     val P = 2147483647L
-    private def mix(seed: Long, i: Int): Long = {
-      var x = seed + 0x9E3779B97F4A7C15L * (i + 1)
-      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-      math.abs(x ^ (x >>> 31)) % (P - 1) + 1
-    }
+    private def mix(seed: Long, i: Int): Long =
+      math.abs(mix64(seed + 0x9E3779B97F4A7C15L * (i + 1))) % (P - 1) + 1
     def coefA(i: Int): Long = mix(42L, i)
     def coefB(i: Int): Long = mix(4242L, i)
   }

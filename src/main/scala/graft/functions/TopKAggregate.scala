@@ -52,7 +52,11 @@ case class TopKByScore(
   override def update(buf: TopKByScore.Heap, input: InternalRow): TopKByScore.Heap = {
     val s = scoreExpr.eval(input)
     val i = idExpr.eval(input)
-    if (s != null && i != null) buf.offer(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    // NaN scores are unrankable and would poison the heap's comparisons
+    // (every `worse` test on NaN is false, freezing eviction); skip them
+    // like nulls.
+    if (s != null && i != null && !java.lang.Double.isNaN(s.asInstanceOf[Double]))
+      buf.offer(s.asInstanceOf[Double], i.asInstanceOf[Long])
     buf
   }
 

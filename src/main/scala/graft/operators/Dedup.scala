@@ -209,6 +209,10 @@ object Dedup {
         .localCheckpoint() // truncate the growing lineage each round
     }
 
+    // No pairs => no clusters (and the sum-based convergence probe below
+    // would read sum(empty) = null).
+    if (labels.head(1).isEmpty) return labels
+
     var prevSum = Long.MinValue
     var i = 0
     var converged = false

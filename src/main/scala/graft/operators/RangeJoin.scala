@@ -25,14 +25,24 @@ object RangeJoin {
     * points in no interval and empty intervals drop. Column names of the
     * two inputs must be disjoint.
     */
+  /** Exact floor division in LONG arithmetic. `floor(x / b)` would round
+    * the dividend through double first — above 2^53 (e.g. nanosecond
+    * epochs) that loses low bits and silently mis-bins boundary points,
+    * which an equi-join can never recover. `x - pmod(x, b)` is the exact
+    * floor multiple (pmod is non-negative), so the integral `div` is
+    * exact.
+    */
+  private def floorDiv(x: Column, b: Long): Column =
+    call_function("div", x - pmod(x, lit(b)), lit(b))
+
   def pointInInterval(left: DataFrame, pointUs: Column,
                       right: DataFrame, loUs: Column, hiUs: Column,
                       binUs: Long): DataFrame = {
     require(binUs > 0, "binUs must be positive")
-    val lb = left.withColumn("_bin", floor(pointUs / binUs))
+    val lb = left.withColumn("_bin", floorDiv(pointUs, binUs))
     // [lo, hi) half-open: the last occupied bin is the one holding hi-1.
     val rb = right.withColumn("_bin",
-      explode(sequence(floor(loUs / binUs), floor((hiUs - 1) / binUs))))
+      explode(sequence(floorDiv(loUs, binUs), floorDiv(hiUs - 1, binUs))))
     lb.join(rb, "_bin")
       .filter(pointUs >= loUs && pointUs < hiUs)
       .drop("_bin")

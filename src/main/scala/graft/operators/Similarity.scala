@@ -129,7 +129,10 @@ object Similarity {
     * Vectors in the same bucket are near-duplicate candidates. A vector
     * whose size differs from `dim` gets a NULL bucket (drop-don't-fail:
     * under ANSI mode an unguarded element_at past the end would abort the
-    * job; the guard branch keeps ragged rows out of downstream joins).
+    * job). Equi-joins on the bucket drop NULLs automatically; a
+    * groupBy-bucket candidate generator must `.filter(bucket.isNotNull)`
+    * first, or every ragged vector lands in one shared null group and
+    * they all become mutual candidates.
     */
   def hyperplaneBucket(v: Column, dim: Int, nBits: Int): Column = {
     // Hyperplane component h_{b,i} in {-1, +1} from a splitmix-style hash.

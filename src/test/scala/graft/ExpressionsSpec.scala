@@ -74,9 +74,15 @@ class ExpressionsSpec extends AnyFunSuite {
     def randText(len: Int) =
       Seq.fill(len)("abcdef 0189"(rnd.nextInt(11))).mkString
     val texts = Seq.fill(40)(randText(rnd.nextInt(200) + 5)) ++
-      Seq("", "ab", "abc", "aaaa", "ééé niño") // edge: short, repeated, non-ASCII
-    def stringShingles(t: String, n: Int): Set[String] =
-      if (t.length < n) Set.empty else (0 to t.length - n).map(i => t.substring(i, i + n)).toSet
+      // edge: short, repeated, non-ASCII, astral (surrogate-pair) chars —
+      // shingling must count CODE POINTS like Spark substring / DuckDB
+      Seq("", "ab", "abc", "aaaa", "ééé niño", "ab😀cd", "😀😁x")
+    def stringShingles(t: String, n: Int): Set[String] = {
+      val cps = t.codePoints().toArray
+      if (cps.length < n) Set.empty
+      else (0 to cps.length - n)
+        .map(i => new String(cps.slice(i, i + n), 0, n)).toSet
+    }
     val rows = texts.toDF("text")
       .select(col("text"), ArrayExpressions.shingleHashesSorted(col("text"), 3).as("h"))
       .collect()
@@ -112,6 +118,19 @@ class ExpressionsSpec extends AnyFunSuite {
       .filter(col("rank") <= 7)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3).toLong)).toSet
     assert(viaAgg == viaWindow)
+  }
+
+  test("top_k_by_score skips NaN scores instead of freezing the heap") {
+    import spark.implicits._
+    ArrayExpressions.register(spark)
+    // NaN first so an unguarded heap would pin it at the root
+    val df = Seq((1L, Double.NaN, 99L), (1L, 0.3, 3L), (1L, 0.9, 1L), (1L, 0.5, 2L))
+      .toDF("g", "score", "id")
+    val top = df.groupBy("g")
+      .agg(ArrayExpressions.topKByScore(col("score"), col("id"), 2).as("top"))
+      .select(explode(col("top")).as("t")).select(col("t.id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L)) // NaN row ignored, real top-2 kept
   }
 
   test("interpreted eval matches codegen result") {

@@ -253,6 +253,40 @@ class QueriesSpec extends AnyFunSuite {
     assert(labels.forall(_.getAs[Long]("cluster_id") == 0L))
   }
 
+  test("dupClusters on an empty pair set returns an empty result (no NPE)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.operators.Dedup.dupClusters(empty).collect().isEmpty)
+  }
+
+  test("range join bins exactly at nanosecond-epoch magnitudes (beyond double precision)") {
+    import spark.implicits._
+    // ~1.8e18 > 2^53: floor(x / b) through double mis-bins boundary points;
+    // the integral floorDiv must match the naive join bit-for-bit.
+    val base = 1_800_000_000_000_000_000L
+    val binNs = 3_600_000_000_000L // 1 h in ns
+    val rnd = new scala.util.Random(13)
+    val points = (0 until 200).map { i =>
+      // cluster points tightly around bin boundaries to stress rounding
+      val nearBin = base + rnd.nextInt(50) * binNs + (rnd.nextInt(7) - 3)
+      (i.toLong, nearBin)
+    }
+    val intervals = (0 until 30).map { i =>
+      val lo = base + rnd.nextInt(50) * binNs + (rnd.nextInt(7) - 3)
+      (i.toLong, lo, lo + rnd.nextInt(3) * binNs + 1)
+    }
+    val got = graft.operators.RangeJoin
+      .pointInInterval(points.toDF("pid", "p"), col("p"),
+        intervals.toDF("iid", "lo", "hi"), col("lo"), col("hi"), binNs)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (pid, p) <- points; (iid, lo, hi) <- intervals
+      if p >= lo && p < hi
+    } yield (pid, iid)).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("asof join keeps left rows with no qualifying right row (null right cols)") {
     import spark.implicits._
     val left = Seq((1L, 10L, 100L), (2L, 10L, 5L), (3L, 20L, 100L))
