@@ -242,6 +242,30 @@ class QueriesSpec extends AnyFunSuite {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("dupClusters == union-find on random graphs (10 seeds)") {
+    import spark.implicits._
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(seed)
+      val n = rnd.nextInt(50) + 10
+      val edges = Seq.fill(rnd.nextInt(80) + 1)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        // reference: plain union-find
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+        edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = nodes.map { v =>
+          val comp = nodes.filter(u => find(u.toInt) == find(v.toInt))
+          v -> comp.min
+        }.toMap
+        val got = graft.operators.Dedup.dupClusters(edges.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+        assert(got == want, s"seed=$seed")
+      }
+    }
+  }
+
   test("dupClusters: a 200-link chain converges to one component (pointer doubling)") {
     // A path graph has diameter ~n; plain neighbor-min propagation needs n
     // rounds while pointer doubling needs ~log2(n). With maxIters=25 this

@@ -47,6 +47,42 @@ class StreamingAggSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming gap sessionizer equals the batch q8 sessions (cents-exact)") {
+    import graft.streaming.{GapEvent, StreamingGapSessionize}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Tables.load(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect()
+      .map(r => GapEvent(r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+      .sortBy(_.us)
+
+    val ms = MemoryStream[GapEvent]
+    val q = StreamingGapSessionize.sessions(spark, ms.toDS(), 1800L * 1000000L)
+      .writeStream.format("memory").queryName("gap_out").outputMode("append").start()
+    try {
+      val (b1, b2) = events.splitAt(events.length / 2)
+      ms.addData(b1.toIndexedSeq); q.processAllAvailable()
+      ms.addData(b2.toIndexedSeq); q.processAllAvailable()
+      // sentinel user -1 far in the future pushes the watermark past every
+      // open session's timeout so idle sessions flush
+      ms.addData(Seq(GapEvent(-1L, events.last.us + 1000L * 3600 * 1000000, 0)))
+      q.processAllAvailable()
+      val got = spark.table("gap_out").filter(col("user_id") >= 0)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("end_us"), r.getAs[Long]("n_events"), r.getAs[Long]("total_cents")))
+        .sorted.toSeq
+      val want = SparkEntry.queries("q8_sessionize")(spark, sf)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("start_us") + r.getAs[Long]("duration_us"),
+          r.getAs[Long]("n_events"), math.round(r.getAs[Double]("total_value") * 100)))
+        .sorted.toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("watermarked streaming dropDuplicates removes cross-batch repeats") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
