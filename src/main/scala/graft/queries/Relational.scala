@@ -273,7 +273,9 @@ object Relational {
       .select(col("l_orderkey").as("okey"), col("l_extendedprice"), col("l_discount"))
     val o = t(spark, dir, "orders")
       .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
-    graft.operators.Skew.saltedEquiJoin(li, o, "okey", buckets = 8)
+    // 4 salt buckets: enough to spread a hot key 4-ways while keeping the
+    // replicated build side small; raise with the observed skew factor.
+    graft.operators.Skew.saltedEquiJoin(li, o, "okey", buckets = 4)
       .groupBy(col("o_orderpriority"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
           .cast("double").as("revenue"),

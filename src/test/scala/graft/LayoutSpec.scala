@@ -36,6 +36,28 @@ class LayoutSpec extends AnyFunSuite {
       s"join should read bucketed layout without exchange:\n$plan")
   }
 
+  test("partitioned parquet writes prune to one directory on a partition filter") {
+    val dir = Files.createTempDirectory("graft_part").toFile.getAbsolutePath
+    Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val expected = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "click").count()
+    assert(q.count() == expected)
+    // the partition filter must prune at planning time: the scan reads one
+    // partition directory, not all five
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("event_type"),
+      s"partition filter not pushed:\n$scan")
+    val scannedDirs = q.queryExecution.executedPlan.collectLeaves().head match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+      case other => fail(s"unexpected leaf: ${other.getClass}")
+    }
+    assert(scannedDirs == 1, s"expected 1 pruned partition, scanned $scannedDirs")
+  }
+
   test("salted join equals plain join on a skewed key distribution") {
     import spark.implicits._
     // 90% of rows share one hot key — the canonical skew shape.
