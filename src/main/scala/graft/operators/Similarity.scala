@@ -151,6 +151,44 @@ object Similarity {
     when(size(v) === dim, bucket)
   }
 
+  /** Multi-table hyperplane-LSH near-duplicate pairs: `nTables`
+    * independent `nBits`-bit bucket ids per vector (disjoint slices of one
+    * hyperplane family); vectors sharing any (table, bucket) become
+    * candidates; exact cosine verifies, so precision is 1 and recall ≈
+    * 1-(1-p^nBits)^nTables with p = 1-θ/π. The shuffle is on (table,
+    * bucket) — near-linear like the MinHash LSH — versus the O(n²)
+    * all-pairs cosine. Angular LSH only pays off at HIGH thresholds
+    * (≥ ~0.8, small angles); below that the collision probability stops
+    * discriminating and brute force on a bounded subset is the honest
+    * choice ([[nearDupPairs]]).
+    */
+  def lshNearDupPairs(emb: DataFrame, threshold: Double,
+                      nBits: Int = 8, nTables: Int = 8): DataFrame = {
+    graft.functions.ArrayExpressions.register(emb.sparkSession)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(nBits * nTables <= 64, "nBits * nTables must fit in one long")
+    val withBuckets = emb
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .filter(size(col("v")) === dim)
+      // all tables' hyperplane signs in ONE fused bucket computation...
+      .withColumn("bucket64", hyperplaneBucket(col("v"), dim, nBits * nTables))
+      .filter(col("bucket64").isNotNull) // ragged rows: documented contract
+      // ...then each table is a cheap nBits-wide slice of it
+      .select(col("vec_id"), col("v"), explode(array((0 until nTables).map { t =>
+        struct(lit(t).as("t"),
+          shiftright(col("bucket64"), t * nBits)
+            .bitwiseAND(lit((1L << nBits) - 1)).as("bucket"))
+      }: _*)).as("tb"))
+    val a = withBuckets.select(col("tb").as("ta"), col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = withBuckets.select(col("tb").as("tb2"), col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, col("ta") === col("tb2") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("va"), col("vb")).distinct()
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(!isnan(col("sim")) && col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** IVF-style ANN: cluster centroids are the per-`label` mean vectors;
     * each probe searches only the `nprobe` nearest clusters. Approximate
     * (recall < 1) — compare against [[bruteForceTopK]] for recall.

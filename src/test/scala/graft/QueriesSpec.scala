@@ -171,6 +171,42 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("hyperplane multi-table LSH: perfect precision, high recall on synthetic near-dups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val dim = 32
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // 40 base vectors, each with a slightly-perturbed twin (cosine ~0.99),
+    // plus 120 unrelated vectors
+    val bases = Seq.fill(40)(unit())
+    val twins = bases.map { b =>
+      val noise = unit(); b.zip(noise).map { case (x, e) => x + 0.08 * e }
+    }
+    val noise = Seq.fill(120)(unit())
+    val all = (bases ++ twins ++ noise).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+    val df = all.toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.lshNearDupPairs(df, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact reference
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val vecs = (bases ++ twins ++ noise).toIndexedSeq
+    val want = (for {
+      i <- vecs.indices; j <- vecs.indices if i < j
+      if cos(vecs(i), vecs(j)) >= 0.9
+    } yield (i.toLong, j.toLong)).toSet
+    assert(got.subsetOf(want), "LSH must have perfect precision (exact verification)")
+    assert(want.size >= 40, "fixture should contain the twin pairs")
+    val recall = got.size.toDouble / want.size
+    assert(recall >= 0.9, s"recall $recall below 0.9 (got ${got.size} of ${want.size})")
+  }
+
   test("x16 int8 quantization: tiny reconstruction error, covers all labels") {
     val rows = queries("x16_embedding_quantize")
     assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
