@@ -58,6 +58,22 @@ class LayoutSpec extends AnyFunSuite {
     assert(scannedDirs == 1, s"expected 1 pruned partition, scanned $scannedDirs")
   }
 
+  test("q3 scan: predicates push down to parquet and projection prunes to the 4 used columns") {
+    val df = graft.queries.Relational.q3FilterAgg(spark, sf)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("FileScan parquet")).get
+    val pushed = scan.substring(scan.indexOf("PushedFilters"))
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"), s"filters not pushed:\n$scan")
+    val readSchema = scan.substring(scan.indexOf("ReadSchema"))
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"))
+      assert(readSchema.contains(c), s"$c missing from ReadSchema:\n$scan")
+    // a pruned scan must NOT read the wide untouched columns
+    for (c <- Seq("l_orderkey", "l_comment", "l_partkey"))
+      assert(!readSchema.contains(c), s"$c should be pruned from ReadSchema:\n$scan")
+  }
+
   test("salted join equals plain join on a skewed key distribution") {
     import spark.implicits._
     // 90% of rows share one hot key — the canonical skew shape.
