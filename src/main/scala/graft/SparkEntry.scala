@@ -68,6 +68,11 @@ object SparkEntry {
     // same result as x7 through the custom bounded-heap aggregate instead
     // of a window sort (map-side partial top-k -> tiny shuffle)
     "x22_topk_aggregate" -> ((s, d) => Similarity.aggTopK(Tables.load(s, d, "embeddings"), 10, 5)),
+    // reproducible 5-docs-per-source sample: hash-order sampling is a pure
+    // function of the data, so the DuckDB oracle reproduces it exactly
+    "x23_sample_per_group" -> ((s, d) =>
+      graft.operators.Sampling.kPerGroup(Tables.load(s, d, "documents"), "source", "doc_id", 5)
+        .orderBy("source", "doc_id")),
     "x16_embedding_quantize" -> ((s, d) => Similarity.quantizationStats(Tables.load(s, d, "embeddings"))),
     "x17_curation_pipeline" -> ((s, d) => graft.queries.Curation.pipeline(s,
       Tables.load(s, d, "documents"), Tables.load(s, d, "embeddings"))),
@@ -322,6 +327,13 @@ object SparkEntry {
         |FROM s
         |QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY rawsim DESC, cand_id) <= 5
         |ORDER BY probe_id, rank""".stripMargin,
+    "x23_sample_per_group" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |            ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin,
     "x9_text_langid" ->
       """WITH h AS (
         |  SELECT doc_id, lang AS labeled_lang,
