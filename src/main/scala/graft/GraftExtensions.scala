@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.ArrayExpressions.{CosineSimilarity, MinHashSignature, ShingleHashesSorted, SortedLongIntersectCount}
+import graft.functions.ArrayExpressions.{CosineSimilarity, DeflateRatio, MinHashSignature, ShingleHashesSorted, SortedLongIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_hashes_sorted"),
       new ExpressionInfo(classOf[ShingleHashesSorted].getName, "shingle_hashes_sorted"),
       es => ShingleHashesSorted(es.head, es(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
+      es => DeflateRatio(es.head)))
     e.injectFunction((
       FunctionIdentifier("top_k_by_score"),
       new ExpressionInfo(classOf[graft.functions.TopKByScore].getName, "top_k_by_score"),

@@ -73,6 +73,8 @@ object SparkEntry {
     "x23_sample_per_group" -> ((s, d) =>
       graft.operators.Sampling.kPerGroup(Tables.load(s, d, "documents"), "source", "doc_id", 5)
         .orderBy("source", "doc_id")),
+    // zlib-dependent values: rows-only driver check, invariants in tests
+    "x24_compress_ratio" -> ((s, d) => TextAnalysis.compressionProfile(Tables.load(s, d, "documents"))),
     "x16_embedding_quantize" -> ((s, d) => Similarity.quantizationStats(Tables.load(s, d, "embeddings"))),
     "x17_curation_pipeline" -> ((s, d) => graft.queries.Curation.pipeline(s,
       Tables.load(s, d, "documents"), Tables.load(s, d, "embeddings"))),

@@ -257,6 +257,48 @@ object ArrayExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** DEFLATE compression ratio of a string's UTF-8 bytes (compressed /
+    * raw, ~0.05..1.2): the classic cheap junk detector for training-data
+    * curation — highly repetitive or templated text compresses far below
+    * natural prose, random noise compresses above it. BEST_SPEED keeps the
+    * kernel ~100 MB/s/core; deterministic for a given JVM's zlib.
+    */
+  case class DeflateRatio(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "deflate_ratio"
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a string argument, got ${other.simpleString}")
+      }
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): Double = {
+      val bytes = s.getBytes
+      if (bytes.isEmpty) return 1.0
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+      try {
+        d.setInput(bytes)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        total.toDouble / bytes.length
+      } finally d.end()
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("deflater", this, classOf[DeflateRatio].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Shared deterministic coefficient scheme for MinHash permutations. */
   object MinHash {
     /** 2^31−1 (Mersenne prime): a·h+b stays within Long under ANSI. */
@@ -291,6 +333,8 @@ object ArrayExpressions {
       "top_k_by_score",
       es => TopKByScore(es.head, es(1), es(2).eval().asInstanceOf[Number].intValue()),
       "built-in")
+    registry.createOrReplaceTempFunction(
+      "deflate_ratio", es => DeflateRatio(es.head), "built-in")
   }
 
   /** Column wrappers (require [[register]] on the active session). */
@@ -309,4 +353,6 @@ object ArrayExpressions {
   /** Bounded-heap top-k aggregate ([[TopKByScore]]); use under groupBy. */
   def topKByScore(score: Column, id: Column, k: Int): Column =
     call_function("top_k_by_score", score, id, org.apache.spark.sql.functions.lit(k))
+
+  def deflateRatio(text: Column): Column = call_function("deflate_ratio", text)
 }

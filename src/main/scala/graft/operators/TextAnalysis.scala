@@ -106,6 +106,25 @@ object TextAnalysis {
         max(col("n_chars")).as("mx"))
       .orderBy("lang")
 
+  /** Per-source compressibility profile: DEFLATE ratio of each document
+    * (custom [[graft.functions.ArrayExpressions.DeflateRatio]] expression)
+    * aggregated per source — the Gopher/C4-style junk signal: templated or
+    * repetitive text compresses far below natural prose. Engine-internal
+    * values (zlib-dependent) → rows-only driver check + invariant tests.
+    */
+  def compressionProfile(docs: DataFrame): DataFrame = {
+    graft.functions.ArrayExpressions.register(docs.sparkSession)
+    docs
+      .select(col("source"),
+        graft.functions.ArrayExpressions.deflateRatio(col("text")).as("ratio"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("ratio")), 4).as("avg_ratio"),
+        round(min(col("ratio")), 4).as("min_ratio"),
+        round(max(col("ratio")), 4).as("max_ratio"))
+      .orderBy("source")
+  }
+
   /** Content fingerprint: md5 over the sorted distinct 4-gram shingle set —
     * stable under shingle reordering, the key for fingerprint-based dedup.
     */

@@ -133,6 +133,27 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(top == Seq(1L, 2L)) // NaN row ignored, real top-2 kept
   }
 
+  test("deflate_ratio separates repetitive, prose, and random text") {
+    import spark.implicits._
+    ArrayExpressions.register(spark)
+    val rnd = new Random(31)
+    val repetitive = "spam ham " * 300
+    val prose = Seq.fill(120)(Seq.fill(6)("abcdefghijklmnop".substring(0, rnd.nextInt(12) + 3)).mkString(" ")).mkString(". ")
+    val random = Seq.fill(2400)((rnd.nextInt(94) + 33).toChar).mkString
+    val rows = Seq(("rep", repetitive), ("prose", prose), ("rand", random), ("empty", ""))
+      .toDF("kind", "text")
+      .select(col("kind"), ArrayExpressions.deflateRatio(col("text")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows("rep") < 0.1, s"repetitive should compress hard: ${rows("rep")}")
+    assert(rows("rep") < rows("prose") && rows("prose") < rows("rand"),
+      s"ordering violated: $rows")
+    assert(rows("empty") == 1.0)
+    // deterministic across evaluations
+    val again = Seq(("x", repetitive)).toDF("k", "text")
+      .select(ArrayExpressions.deflateRatio(col("text"))).head().getDouble(0)
+    assert(again == rows("rep"))
+  }
+
   test("interpreted eval matches codegen result") {
     val e = ArrayExpressions.SortedLongIntersectCount(
       org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1L, 5L, 9L),
