@@ -75,6 +75,9 @@ object SparkEntry {
         .orderBy("source", "doc_id")),
     // zlib-dependent values: rows-only driver check, invariants in tests
     "x24_compress_ratio" -> ((s, d) => TextAnalysis.compressionProfile(Tables.load(s, d, "documents"))),
+    // simhash values are engine-internal (xxhash64 tokens) -> rows-only;
+    // the pigeonhole recall-1 guarantee is pinned in ScalaTest
+    "x25_simhash_pairs" -> ((s, d) => Dedup.simhashNearDupPairs(Tables.load(s, d, "documents"))),
     "x16_embedding_quantize" -> ((s, d) => Similarity.quantizationStats(Tables.load(s, d, "embeddings"))),
     "x17_curation_pipeline" -> ((s, d) => graft.queries.Curation.pipeline(s,
       Tables.load(s, d, "documents"), Tables.load(s, d, "embeddings"))),

@@ -229,6 +229,29 @@ object Dedup {
     labels.orderBy("doc_id")
   }
 
+  /** SimHash near-duplicate PAIRS via banded lookup (Manku et al.):
+    * documents sharing any of the 4 16-bit bands become candidates; the
+    * exact Hamming distance over the full 64-bit fingerprint verifies.
+    * By pigeonhole, any pair within Hamming distance 3 differs in at most
+    * 3 of the 4 bands, so it MUST share one — recall is exactly 1 for
+    * `maxHamming` <= 3, while the shuffle stays a near-linear bucket join
+    * (the same scale shape as the MinHash LSH).
+    */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 bands guarantee recall 1 only up to Hamming distance 3")
+    val sh = simhash(docs).select(col("doc_id"), col("simhash64"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"), col(s"band$b").as("v"))): _*)).as("band"))
+    val a = sh.select(col("band").as("ba"), col("doc_id").as("doc_a"), col("simhash64").as("ha"))
+    val b = sh.select(col("band").as("bb"), col("doc_id").as("doc_b"), col("simhash64").as("hb"))
+    a.join(b, col("ba") === col("bb") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** 64-bit SimHash per document over whitespace tokens, plus its 4 16-bit
     * bands (for banded Hamming-neighbor lookup à la Manku et al.). Fully
     * columnar: per-token bit vectors via shiftright/bitwise-and, summed with

@@ -207,6 +207,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall below 0.9 (got ${got.size} of ${want.size})")
   }
 
+  test("simhash banded pairs == ALL pairs within Hamming 3 (pigeonhole recall is exactly 1)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val got = graft.operators.Dedup.simhashNearDupPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hashes = graft.operators.Dedup.simhash(docs)
+      .select("doc_id", "simhash64")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val want = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(got == want)
+  }
+
   test("x16 int8 quantization: tiny reconstruction error, covers all labels") {
     val rows = queries("x16_embedding_quantize")
     assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
