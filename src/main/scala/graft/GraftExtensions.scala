@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.ArrayExpressions.{CosineSimilarity, DeflateRatio, MinHashSignature, ShingleHashesSorted, SortedLongIntersectCount}
+import graft.functions.ArrayExpressions.{CosineSimilarity, DeflateRatio, MinHashSignature, ShingleHashesSorted, SimHash64, SortedLongIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_hashes_sorted"),
       new ExpressionInfo(classOf[ShingleHashesSorted].getName, "shingle_hashes_sorted"),
       es => ShingleHashesSorted(es.head, es(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      es => SimHash64(es.head)))
     e.injectFunction((
       FunctionIdentifier("deflate_ratio"),
       new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),

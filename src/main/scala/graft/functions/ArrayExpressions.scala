@@ -257,6 +257,65 @@ object ArrayExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** 64-bit SimHash of a token array in one fused pass: each token is
+    * hashed ONCE (FNV-1a over its UTF-8 bytes + [[mix64]] finalizer), its
+    * bits vote ±1 per position, and the sign vector collapses to the
+    * fingerprint. Replaces the higher-order-function formulation that
+    * re-hashed every token once per bit (64x the hashing) under
+    * interpreted lambda dispatch.
+    */
+  case class SimHash64(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<string>, got ${other.simpleString}")
+      }
+
+    def compute(arr: ArrayData): Long = {
+      val counts = new Array[Int](64)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val bytes = arr.getUTF8String(i).getBytes
+          var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+          var k = 0
+          while (k < bytes.length) {
+            h = (h ^ (bytes(k) & 0xffL)) * 0x100000001b3L
+            k += 1
+          }
+          h = mix64(h)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+            j += 1
+          }
+        }
+        i += 1
+      }
+      var fp = 0L
+      var j = 0
+      while (j < 64) {
+        if (counts(j) > 0) fp |= 1L << j
+        j += 1
+      }
+      fp
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("simhasher", this, classOf[SimHash64].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** DEFLATE compression ratio of a string's UTF-8 bytes (compressed /
     * raw, ~0.05..1.2): the classic cheap junk detector for training-data
     * curation — highly repetitive or templated text compresses far below
@@ -335,6 +394,8 @@ object ArrayExpressions {
       "built-in")
     registry.createOrReplaceTempFunction(
       "deflate_ratio", es => DeflateRatio(es.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "simhash64", es => SimHash64(es.head), "built-in")
   }
 
   /** Column wrappers (require [[register]] on the active session). */
@@ -355,4 +416,6 @@ object ArrayExpressions {
     call_function("top_k_by_score", score, id, org.apache.spark.sql.functions.lit(k))
 
   def deflateRatio(text: Column): Column = call_function("deflate_ratio", text)
+
+  def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
 }

@@ -239,37 +239,50 @@ object Dedup {
     */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4 bands guarantee recall 1 only up to Hamming distance 3")
-    val sh = simhash(docs).select(col("doc_id"), col("simhash64"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("b"), col(s"band$b").as("v"))): _*)).as("band"))
+    // On a dense corpus band buckets are large, so the probe side does
+    // O(Σ bucket²) comparisons — it MUST be spread across cores. The
+    // explicit repartition count keeps AQE from coalescing this
+    // small-bytes/CPU-heavy stage to one partition (same gotcha as the
+    // shingling operators).
+    val sh = simhash(docs)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("simhash64"),
+        // single primitive bucket key (band index tag + 16-bit value):
+        // a long-keyed hashed relation probes far faster than struct keys
+        explode(array((0 until 4).map(b =>
+          lit(b.toLong * 65536L) + col(s"band$b")): _*)).as("band"))
+      // both join sides consume this — materialize the fingerprints once
+      .localCheckpoint()
     val a = sh.select(col("band").as("ba"), col("doc_id").as("doc_a"), col("simhash64").as("ha"))
     val b = sh.select(col("band").as("bb"), col("doc_id").as("doc_b"), col("simhash64").as("hb"))
-    a.join(b, col("ba") === col("bb") && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    // Hamming check INSIDE the join condition: on a dense corpus a band
+    // bucket can hold thousands of docs, and materializing + deduping the
+    // O(bucket²) candidates before filtering dominates; evaluated in the
+    // probe loop, failing candidates never leave the join operator.
+    a.join(b, col("ba") === col("bb") && col("doc_a") < col("doc_b") &&
+        bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
   /** 64-bit SimHash per document over whitespace tokens, plus its 4 16-bit
-    * bands (for banded Hamming-neighbor lookup à la Manku et al.). Fully
-    * columnar: per-token bit vectors via shiftright/bitwise-and, summed with
-    * `aggregate`+`zip_with`, sign-collapsed back into one BIGINT.
+    * bands (for banded Hamming-neighbor lookup à la Manku et al.).
+    * The fingerprint comes from the fused
+    * [[graft.functions.ArrayExpressions.SimHash64]] kernel — one hash per
+    * token; the earlier higher-order-function form re-hashed every token
+    * once per bit position.
     */
-  def simhash(docs: DataFrame): DataFrame =
+  def simhash(docs: DataFrame): DataFrame = {
+    graft.functions.ArrayExpressions.register(docs.sparkSession)
     docs.select(col("doc_id"),
-      expr("""
-        aggregate(
-          transform(sequence(0, 63),
-            j -> named_struct('j', j, 's', aggregate(split(text, '\\s+'), 0L,
-              (acc, t) -> acc + CASE WHEN (shiftright(xxhash64(t), CAST(j AS int)) & 1) = 1 THEN 1 ELSE -1 END))),
-          0L,
-          (fp, e) -> fp | CASE WHEN e.s > 0 THEN shiftleft(1L, CAST(e.j AS int)) ELSE 0L END)
-      """).as("simhash64"))
+      graft.functions.ArrayExpressions.simhash64(
+        split(col("text"), "\\s+")).as("simhash64"))
       .withColumn("band0", expr("shiftright(simhash64, 48) & 65535"))
       .withColumn("band1", expr("shiftright(simhash64, 32) & 65535"))
       .withColumn("band2", expr("shiftright(simhash64, 16) & 65535"))
       .withColumn("band3", expr("simhash64 & 65535"))
       .orderBy("doc_id")
+  }
 }
