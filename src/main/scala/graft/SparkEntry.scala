@@ -75,8 +75,8 @@ object SparkEntry {
         .orderBy("source", "doc_id")),
     // zlib-dependent values: rows-only driver check, invariants in tests
     "x24_compress_ratio" -> ((s, d) => TextAnalysis.compressionProfile(Tables.load(s, d, "documents"))),
-    // simhash values are engine-internal (xxhash64 tokens) -> rows-only;
-    // the pigeonhole recall-1 guarantee is pinned in ScalaTest
+    // simhash values are engine-internal (FNV+mix64 token hashes) ->
+    // rows-only; the pigeonhole recall-1 guarantee is pinned in ScalaTest
     "x25_simhash_pairs" -> ((s, d) => Dedup.simhashNearDupPairs(Tables.load(s, d, "documents"))),
     "x16_embedding_quantize" -> ((s, d) => Similarity.quantizationStats(Tables.load(s, d, "embeddings"))),
     "x17_curation_pipeline" -> ((s, d) => graft.queries.Curation.pipeline(s,
@@ -336,7 +336,7 @@ object SparkEntry {
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id,
         |         row_number() OVER (PARTITION BY source
-        |            ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+        |            ORDER BY ((doc_id % 2147483647) * 1640531527) % 2147483647, doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin,
     "x9_text_langid" ->

@@ -336,15 +336,17 @@ object ArrayExpressions {
     def compute(s: org.apache.spark.unsafe.types.UTF8String): Double = {
       val bytes = s.getBytes
       if (bytes.isEmpty) return 1.0
-      val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
-      try {
-        d.setInput(bytes)
-        d.finish()
-        val buf = new Array[Byte](8192)
-        var total = 0L
-        while (!d.finished()) total += d.deflate(buf)
-        total.toDouble / bytes.length
-      } finally d.end()
+      // one native zlib stream per executor thread, reset per row —
+      // per-row Deflater construction pays JNI stream init/free that
+      // dominates on short documents
+      val d = DeflateRatio.local.get()
+      d.reset()
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / bytes.length
     }
 
     override def nullSafeEval(input: Any): Any =
@@ -356,6 +358,12 @@ object ArrayExpressions {
     }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  object DeflateRatio {
+    private[functions] val local: ThreadLocal[java.util.zip.Deflater] =
+      ThreadLocal.withInitial(() =>
+        new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED))
   }
 
   /** Shared deterministic coefficient scheme for MinHash permutations. */

@@ -56,9 +56,9 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, mod: Int, threshold: Double): DataFrame = {
     graft.functions.ArrayExpressions.register(docs.sparkSession)
-    // Intersect SORTED 64-bit shingle hashes, not strings: for n <= 4 the
-    // packed-char hash is injective, so counts EQUAL the string-set values,
-    // and the custom merge-walk expression
+    // Intersect SORTED 64-bit shingle hashes, not strings: for n <= 3 the
+    // packed-code-point hash is injective, so counts EQUAL the string-set
+    // values, and the custom merge-walk expression
     // (graft.functions.ArrayExpressions) costs no hashing or boxing per pair.
     val d = docs
       .filter(col("doc_id") % mod === 0)
@@ -244,7 +244,7 @@ object Dedup {
     // explicit repartition count keeps AQE from coalescing this
     // small-bytes/CPU-heavy stage to one partition (same gotcha as the
     // shingling operators).
-    val sh = simhash(docs)
+    val sh = simhashRaw(docs)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("simhash64"),
         // single primitive bucket key (band index tag + 16-bit value):
@@ -274,7 +274,11 @@ object Dedup {
     * token; the earlier higher-order-function form re-hashed every token
     * once per bit position.
     */
-  def simhash(docs: DataFrame): DataFrame = {
+  /** Unordered fingerprints — the building block for pair generation,
+    * which repartitions anyway (a global sort here would be a wasted
+    * range-exchange on the hot path).
+    */
+  def simhashRaw(docs: DataFrame): DataFrame = {
     graft.functions.ArrayExpressions.register(docs.sparkSession)
     docs.select(col("doc_id"),
       graft.functions.ArrayExpressions.simhash64(
@@ -283,6 +287,8 @@ object Dedup {
       .withColumn("band1", expr("shiftright(simhash64, 32) & 65535"))
       .withColumn("band2", expr("shiftright(simhash64, 16) & 65535"))
       .withColumn("band3", expr("simhash64 & 65535"))
-      .orderBy("doc_id")
   }
+
+  def simhash(docs: DataFrame): DataFrame =
+    simhashRaw(docs).orderBy("doc_id")
 }

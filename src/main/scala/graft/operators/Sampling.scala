@@ -15,14 +15,24 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Knuth multiplicative hash of an id column, in [0, 2^32): integer
-    * arithmetic only — portable across engines bit-for-bit.
+  /** 2^31−1 (Mersenne prime) and an odd multiplier below 2^31: the
+    * product (id mod P)·A stays under 2^62, so the arithmetic can NEVER
+    * overflow a 64-bit signed integer — safe under ANSI mode for any id
+    * (the repo invariant: hash coefficients < 2^31). Multiplication by A
+    * is a bijection on [1, P) since P is prime.
     */
-  def knuthHash(id: Column): Column =
-    pmod(id * lit(2654435761L), lit(4294967296L))
+  val P = 2147483647L
+  val A = 1640531527L
+
+  /** Multiplicative hash of an id column, in [0, 2^31): integer
+    * arithmetic only — portable across engines bit-for-bit, and
+    * overflow-free for the full bigint id domain.
+    */
+  def multHash(id: Column): Column =
+    pmod(pmod(id, lit(P)) * lit(A), lit(P))
 
   /** Deterministic k-per-group sample: the k rows with the smallest
-    * [[knuthHash]] per group (ties by id). Implemented with the
+    * [[multHash]] per group (ties by id). Implemented with the
     * bounded-heap [[graft.functions.TopKByScore]] aggregate, so each map
     * task shrinks its slice to k rows per group before the shuffle —
     * sampling a 100 TB corpus shuffles k·groups·tasks rows, not the
@@ -34,7 +44,7 @@ object Sampling {
     // smallest-hash rows (deterministic "uniform" order).
     df.groupBy(col(groupCol))
       .agg(graft.functions.ArrayExpressions
-        .topKByScore(-knuthHash(col(idCol)).cast("double"), col(idCol), k).as("top"))
+        .topKByScore(-multHash(col(idCol)).cast("double"), col(idCol), k).as("top"))
       .select(col(groupCol), explode(col("top")).as("t"))
       .select(col(groupCol), col("t.id").as(idCol))
   }

@@ -36,6 +36,16 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Corpus dimensionality = the MOST COMMON embedding size (ties to the
+    * smaller), None on an empty input. Deriving dim from a single head()
+    * row would crash on empty input and — worse — silently adopt a ragged
+    * first row's size and drop every well-formed vector.
+    */
+  private def dominantDim(emb: DataFrame): Option[Int] =
+    emb.groupBy(size(col("embedding")).as("_s")).count()
+      .orderBy(col("count").desc, col("_s"))
+      .head(1).headOption.map(_.getInt(0))
+
   /** Exact top-k cosine neighbors for each probe (vec_id < nProbes), over
     * the full candidate set. Probe side is broadcast; top-k via per-probe
     * window. Deterministic tie-break on cand_id.
@@ -165,14 +175,19 @@ object Similarity {
   def lshNearDupPairs(emb: DataFrame, threshold: Double,
                       nBits: Int = 8, nTables: Int = 8): DataFrame = {
     graft.functions.ArrayExpressions.register(emb.sparkSession)
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     require(nBits * nTables <= 64, "nBits * nTables must fit in one long")
+    val dim = dominantDim(emb).getOrElse(return emb.sparkSession.createDataFrame(
+      emb.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_a", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("vec_b", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sim", org.apache.spark.sql.types.DoubleType)))))
     val withBuckets = emb
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .filter(size(col("v")) === dim)
-      // all tables' hyperplane signs in ONE fused bucket computation...
+      // all tables' hyperplane signs in ONE fused bucket computation; the
+      // bucket is NULL for ragged (size != dim) rows, dropped here
       .withColumn("bucket64", hyperplaneBucket(col("v"), dim, nBits * nTables))
-      .filter(col("bucket64").isNotNull) // ragged rows: documented contract
+      .filter(col("bucket64").isNotNull)
       // ...then each table is a cheap nBits-wide slice of it
       .select(col("vec_id"), col("v"), explode(array((0 until nTables).map { t =>
         struct(lit(t).as("t"),
@@ -197,8 +212,10 @@ object Similarity {
     graft.functions.ArrayExpressions.register(emb.sparkSession)
     import org.apache.spark.sql.expressions.Window
     // derive dimensionality from the data (a hard-coded dim would crash or
-    // silently truncate centroids on other corpora)
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // silently truncate centroids on other corpora); dominant size, not
+    // head() — a ragged first row must not redefine the corpus dim
+    val dim = dominantDim(emb).getOrElse(
+      throw new IllegalArgumentException("ivfTopK on an empty embeddings table"))
     val withV = emb.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       // drop-don't-fail: a ragged vector would abort the ANSI element_at
       // centroid sums below; filter instead of failing the job.

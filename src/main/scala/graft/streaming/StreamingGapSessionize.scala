@@ -54,7 +54,10 @@ object StreamingGapSessionize {
       }
       if (s != null) {
         state.update(s)
-        state.setTimeoutTimestamp(s.lastUs / 1000 + gapUs / 1000)
+        // ceil to ms: truncating would fire the timeout up to ~1 ms BEFORE
+        // lastUs + gapUs, flushing a session that a boundary event (diff
+        // == gap, which batch semantics keep together) should extend
+        state.setTimeoutTimestamp((s.lastUs + gapUs + 999) / 1000)
       }
       out.result().iterator
     }

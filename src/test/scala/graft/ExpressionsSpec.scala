@@ -67,7 +67,7 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getInt(1) == 2)
   }
 
-  test("shingle_hashes_sorted: injective for n<=4 — set sizes and intersections equal string-shingle sets") {
+  test("shingle_hashes_sorted: injective for n<=3 — set sizes and intersections equal string-shingle sets") {
     import spark.implicits._
     ArrayExpressions.register(spark)
     val rnd = new Random(7)

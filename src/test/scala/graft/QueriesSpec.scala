@@ -221,6 +221,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("sampling hash is ANSI-safe for the full bigint id domain; LSH handles empty/ragged input") {
+    import spark.implicits._
+    // ids near Long.MaxValue: (id % P) * A must not overflow under ANSI
+    val huge = Seq((1L, Long.MaxValue), (1L, Long.MaxValue - 7), (2L, 4000000000L))
+      .toDF("g", "id")
+    val sampled = graft.operators.Sampling.kPerGroup(huge, "g", "id", 2).collect()
+    assert(sampled.length == 3)
+    // empty embeddings: no crash, empty pair result
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.operators.Similarity.lshNearDupPairs(empty, 0.9).collect().isEmpty)
+    // ragged first row must not redefine the corpus dim: 1 short vector
+    // among 30 well-formed ones — the well-formed ones still pair up
+    val rnd = new scala.util.Random(41)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val rows = (0L, Array(1.0f, 2.0f)) +: (1 to 30).map(i =>
+      (i.toLong, base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)))
+    val ragged = rows.toDF("vec_id", "embedding")
+    val pairs = graft.operators.Similarity.lshNearDupPairs(ragged, 0.99)
+    assert(pairs.count() > 0, "well-formed near-dups must survive a ragged leading row")
+  }
+
   test("x16 int8 quantization: tiny reconstruction error, covers all labels") {
     val rows = queries("x16_embedding_quantize")
     assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
