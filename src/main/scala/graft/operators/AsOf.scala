@@ -31,4 +31,42 @@ object AsOf {
       .filter(col("_rn") === 1)
       .drop("_rn")
   }
+
+  /** Sort-based as-of — identical semantics to [[join]], built for the
+    * heavily-versioned case [[join]]'s scaladoc warns about: instead of
+    * materializing every (left, earlier-right) match and pruning to one,
+    * both sides union into one stream per key, ordered by (time, rights
+    * before lefts at the same instant, tie-break); a running
+    * `last(right_struct, ignoreNulls)` then carries the most recent right
+    * row onto each left row. One shuffle on the key, one sort, ZERO
+    * multiplicative blow-up — intermediate size is |left| + |right|
+    * regardless of how many right versions precede a left row.
+    */
+  def joinSorted(left: DataFrame, right: DataFrame,
+                 leftKey: Column, rightKey: Column,
+                 leftTime: Column, rightTime: Column, tieBreak: Column): DataFrame = {
+    val rightCols = right.columns
+    val r = right.select(
+      rightKey.as("_k"), rightTime.as("_t"), lit(1).as("_isR"), tieBreak.as("_tb"),
+      struct(rightCols.map(right(_)): _*).as("_rs"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        left.schema.fields)).as("_ls"))
+    val l = left.select(
+      leftKey.as("_k"), leftTime.as("_t"), lit(0).as("_isR"),
+      lit(null).cast(r.schema("_tb").dataType).as("_tb"),
+      lit(null).cast(r.schema("_rs").dataType).as("_rs"),
+      struct(left.columns.map(left(_)): _*).as("_ls"))
+    // At one instant: right rows sort BEFORE left rows (a version effective
+    // at t is visible to a left row at t — the <= contract), and later
+    // tie-breaks win because last() takes the final qualifying row.
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_isR").desc, col("_tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val leftFields = left.columns.map(c => col(s"_ls.$c").as(c))
+    val rightFields = rightCols.map(c => col(s"_asof.$c").as(c))
+    r.unionByName(l)
+      .withColumn("_asof", last(col("_rs"), ignoreNulls = true).over(w))
+      .filter(col("_isR") === 0)
+      .select(leftFields ++ rightFields: _*)
+  }
 }

@@ -194,8 +194,11 @@ object Relational {
     val events = t(spark, dir, "events")
     val orders = t(spark, dir, "orders")
       .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
-    graft.operators.AsOf.join(events, orders,
-        leftId = "event_id",
+    // sort-based variant: |events| + |orders| intermediate instead of
+    // one row per (event, earlier order) — the form that survives
+    // heavily-versioned right sides (equivalence with AsOf.join is
+    // pinned in QueriesSpec)
+    graft.operators.AsOf.joinSorted(events, orders,
         leftKey = col("user_id"), rightKey = col("o_custkey"),
         leftTime = col("ts"), rightTime = col("o_orderdate"),
         tieBreak = col("o_orderkey"))

@@ -382,6 +382,36 @@ class QueriesSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("sort-based asof == window-pruned asof on the q17 shape (incl. unmatched lefts)") {
+    import org.apache.spark.sql.functions.col
+    val events = Tables.load(spark, sf, "events")
+    val orders = Tables.load(spark, sf, "orders")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+    val cols = Seq("event_id", "user_id", "o_orderkey", "o_totalprice")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    val viaWindow = graft.operators.AsOf.join(events, orders, "event_id",
+      col("user_id"), col("o_custkey"), col("ts"), col("o_orderdate"), col("o_orderkey"))
+    val viaSort = graft.operators.AsOf.joinSorted(events, orders,
+      col("user_id"), col("o_custkey"), col("ts"), col("o_orderdate"), col("o_orderkey"))
+    assert(canon(viaWindow) == canon(viaSort))
+  }
+
+  test("sort-based asof: same-instant version visible, later tie-break wins, unmatched preserved") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 50L), (3L, 10L, 5L), (4L, 20L, 100L))
+      .toDF("id", "k", "t")
+    val right = Seq((10L, 50L, 7L, "v1"), (10L, 50L, 9L, "v2"), (10L, 90L, 1L, "v3"))
+      .toDF("rk", "rt", "ver", "tag")
+    val out = graft.operators.AsOf.joinSorted(left, right,
+        col("k"), col("rk"), col("t"), col("rt"), col("ver"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("tag") == "v3") // t=100: most recent rt=90
+    assert(out(1).getAs[String]("tag") == "v2") // t=50: same-instant rt=50, ver 9 > 7
+    assert(out(2).isNullAt(out(2).fieldIndex("tag"))) // t=5: nothing prior
+    assert(out(3).isNullAt(out(3).fieldIndex("tag"))) // key 20: unmatched
+  }
+
   test("asof join keeps left rows with no qualifying right row (null right cols)") {
     import spark.implicits._
     val left = Seq((1L, 10L, 100L), (2L, 10L, 5L), (3L, 20L, 100L))
