@@ -196,15 +196,16 @@ object Dedup {
 
     // One round = neighbor-min propagation + label-path compression (the
     // compression doubles the pointer jump per round → O(log diameter)
-    // rounds total).
+    // rounds total). Propagation is a union + one groupBy (each node's
+    // own label rides along as an extra candidate) — one exchange fewer
+    // than the join-then-left-join formulation.
     def round(ls: DataFrame): DataFrame = {
-      val neighborMin = edges
+      val viaEdges = edges
         .join(ls.withColumnRenamed("doc_id", "dst"), "dst")
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("cluster_id")).as("n_min"))
-      val propagated = ls.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
+        .select(col("src").as("doc_id"), col("cluster_id"))
+      val propagated = viaEdges.unionByName(ls)
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
       compress(propagated)
         .localCheckpoint() // truncate the growing lineage each round
     }
