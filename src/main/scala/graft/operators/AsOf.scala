@@ -46,7 +46,10 @@ object AsOf {
                  leftKey: Column, rightKey: Column,
                  leftTime: Column, rightTime: Column, tieBreak: Column): DataFrame = {
     val rightCols = right.columns
-    val r = right.select(
+    // a null-time right row can never satisfy rightTime <= leftTime in the
+    // predicate form, but unfiltered it would sort FIRST (nulls-first) and
+    // get picked up by last() — drop it to keep the semantics identical
+    val r = right.filter(rightTime.isNotNull).select(
       rightKey.as("_k"), rightTime.as("_t"), lit(1).as("_isR"), tieBreak.as("_tb"),
       struct(rightCols.map(right(_)): _*).as("_rs"),
       lit(null).cast(org.apache.spark.sql.types.StructType(

@@ -401,7 +401,9 @@ class QueriesSpec extends AnyFunSuite {
     import spark.implicits._
     val left = Seq((1L, 10L, 100L), (2L, 10L, 50L), (3L, 10L, 5L), (4L, 20L, 100L))
       .toDF("id", "k", "t")
-    val right = Seq((10L, 50L, 7L, "v1"), (10L, 50L, 9L, "v2"), (10L, 90L, 1L, "v3"))
+    val right = Seq(
+        (10L, Some(50L), 7L, "v1"), (10L, Some(50L), 9L, "v2"), (10L, Some(90L), 1L, "v3"),
+        (10L, None, 99L, "null-time")) // must never match (predicate form can't)
       .toDF("rk", "rt", "ver", "tag")
     val out = graft.operators.AsOf.joinSorted(left, right,
         col("k"), col("rk"), col("t"), col("rt"), col("ver"))
