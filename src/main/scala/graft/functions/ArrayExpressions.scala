@@ -316,6 +316,128 @@ object ArrayExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** nBits-bit random-hyperplane bucket of a double vector (sign SimHash):
+    * bit b is set iff Σ_i v[i]·sign(b,i) > 0, with sign(b,i) ∈ {−1,+1}
+    * derived from a splitmix-style hash of (b,i). ONE expression node
+    * regardless of dimensionality — the per-dimension Column formulation
+    * (`element_at(v,i)·sign` summed) builds dim × nBits plan nodes, which
+    * at production embedding dims (768–3072) is a 100k-node plan and a
+    * codegen fallback. The (b,i) index uses a 2^20 stride so hyperplane
+    * components stay independent up to dim 1,048,576.
+    *
+    * The projection runs over the vector's OWN length, so ragged rows never
+    * abort (ANSI-safe by construction); callers that require a uniform dim
+    * add `size(v) = dim` to their join/filter.
+    */
+  case class HyperplaneBucket(child: Expression, nBits: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    require(nBits >= 1 && nBits <= 64, s"hyperplane_bucket needs 1 <= nBits <= 64, got $nBits")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "hyperplane_bucket"
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayOf(DoubleType, children, prettyName)
+
+    def compute(v: ArrayData): Long = {
+      val n = v.numElements()
+      var bucket = 0L
+      var b = 0
+      while (b < nBits) {
+        val base = b.toLong << 20
+        var proj = 0.0
+        var i = 0
+        while (i < n) {
+          var x = 0x9E3779B97F4A7C15L * (base + i + 1)
+          x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+          val sign = if (((x ^ (x >>> 27)) & 1L) == 0L) -1.0 else 1.0
+          proj += v.getDouble(i) * sign
+          i += 1
+        }
+        if (proj > 0) bucket |= 1L << b
+        b += 1
+      }
+      bucket
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("hyperplaner", this, classOf[HyperplaneBucket].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Per-lexicon exact-token hit counts in ONE pass over the raw string:
+    * tokenizes on `\s+` runs (the same ASCII whitespace class Java regex
+    * `\s` and the split-based operators use) and counts tokens exactly
+    * equal to each lexicon's words, returning `array<int>` with one count
+    * per lexicon. Replaces `size(filter(split(text,'\\s+'), t ->
+    * t.isin(...)))` × nLexicons — a regex split allocating a token array
+    * plus interpreted HOF lambda dispatch per token per lexicon.
+    */
+  case class LexiconHits(child: Expression, lexicons: Seq[Seq[String]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "lexicon_hits"
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a string argument, got ${other.simpleString}")
+      }
+
+    // word -> bitmask of lexicon indices containing it (a word may appear
+    // in several lexicons, e.g. "la"/"que" in both es and fr)
+    @transient private lazy val wordMask: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer]()
+      lexicons.zipWithIndex.foreach { case (words, li) =>
+        words.foreach { w =>
+          val prev = m.get(w)
+          m.put(w, Integer.valueOf((if (prev == null) 0 else prev.intValue()) | (1 << li)))
+        }
+      }
+      m
+    }
+
+    private def isWs(c: Char): Boolean = // Java regex \s: [ \t\n\x0B\f\r]
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val counts = new Array[Int](lexicons.length)
+      val str = s.toString
+      val n = str.length
+      var i = 0
+      while (i < n) {
+        while (i < n && isWs(str.charAt(i))) i += 1
+        val start = i
+        while (i < n && !isWs(str.charAt(i))) i += 1
+        if (i > start) {
+          val mask = wordMask.get(str.substring(start, i))
+          if (mask != null) {
+            var m = mask.intValue()
+            while (m != 0) {
+              val li = java.lang.Integer.numberOfTrailingZeros(m)
+              counts(li) += 1
+              m &= m - 1
+            }
+          }
+        }
+      }
+      ArrayData.toArrayData(counts)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("lexicons", this, classOf[LexiconHits].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** DEFLATE compression ratio of a string's UTF-8 bytes (compressed /
     * raw, ~0.05..1.2): the classic cheap junk detector for training-data
     * curation — highly repetitive or templated text compresses far below
@@ -404,6 +526,18 @@ object ArrayExpressions {
       "deflate_ratio", es => DeflateRatio(es.head), "built-in")
     registry.createOrReplaceTempFunction(
       "simhash64", es => SimHash64(es.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "hyperplane_bucket",
+      es => HyperplaneBucket(es.head, es(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "vector_sum", es => VectorSum(es.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "lexicon_hits",
+      es => LexiconHits(es.head,
+        graft.operators.TextAnalysis.LexiconOrder.map(
+          graft.operators.TextAnalysis.Lexicons)),
+      "built-in")
   }
 
   /** Column wrappers (require [[register]] on the active session). */
@@ -426,4 +560,15 @@ object ArrayExpressions {
   def deflateRatio(text: Column): Column = call_function("deflate_ratio", text)
 
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  def hyperplaneBucket(v: Column, nBits: Int): Column =
+    call_function("hyperplane_bucket", v, org.apache.spark.sql.functions.lit(nBits))
+
+  /** Element-wise vector-sum aggregate ([[VectorSum]]); use under groupBy. */
+  def vectorSum(v: Column): Column = call_function("vector_sum", v)
+
+  /** Hit counts against [[graft.operators.TextAnalysis.Lexicons]] in
+    * [[graft.operators.TextAnalysis.LexiconOrder]] order, as array<int>.
+    */
+  def lexiconHits(text: Column): Column = call_function("lexicon_hits", text)
 }

@@ -133,11 +133,13 @@ object Dedup {
       .distinct()
     // Exact verification of the (small) candidate set only, on the SAME
     // sorted hashed sets via the custom merge-walk intersect expression.
-    // The fingerprint table is broadcast: candidate pairs then verify with
-    // zero shuffle of the (wide) array column. At corpus sizes where the
-    // fingerprints outgrow a broadcast, swap these for bucketed joins on
-    // doc_id — the pair volume is already bounded by maxBucket².
-    val sh = broadcast(withShingles.select(col("doc_id"), col("hashes").as("sh")))
+    // Plain shuffle joins on doc_id, NOT a broadcast of the fingerprint
+    // table: fingerprints are the full corpus (wide arrays) and
+    // broadcasting them is a driver/executor OOM at scale, while the
+    // candidate side is already bounded by maxBucket² per bucket — the
+    // exchange ships |candidates| + 2·|corpus| rows once. AQE still
+    // broadcast-converts the join when the runtime size happens to fit.
+    val sh = withShingles.select(col("doc_id"), col("hashes").as("sh"))
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")

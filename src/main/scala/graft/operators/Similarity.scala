@@ -40,6 +40,10 @@ object Similarity {
     * smaller), None on an empty input. Deriving dim from a single head()
     * row would crash on empty input and — worse — silently adopt a ragged
     * first row's size and drop every well-formed vector.
+    *
+    * Only [[hyperplaneBucket]]'s dim-pinned compatibility form still needs
+    * this as a standalone job; [[ivfTopK]] derives the dominant dim from
+    * the same aggregation that builds its centroids (one scan, not two).
     */
   private def dominantDim(emb: DataFrame): Option[Int] =
     emb.groupBy(size(col("embedding")).as("_s")).count()
@@ -135,31 +139,18 @@ object Similarity {
   }
 
   /** Random-hyperplane bucket id (nBits-bit SimHash of the vector): sign of
-    * the dot product against nBits deterministic pseudo-random hyperplanes.
-    * Vectors in the same bucket are near-duplicate candidates. A vector
-    * whose size differs from `dim` gets a NULL bucket (drop-don't-fail:
-    * under ANSI mode an unguarded element_at past the end would abort the
-    * job). Equi-joins on the bucket drop NULLs automatically; a
-    * groupBy-bucket candidate generator must `.filter(bucket.isNotNull)`
-    * first, or every ragged vector lands in one shared null group and
-    * they all become mutual candidates.
+    * the dot product against nBits deterministic pseudo-random hyperplanes,
+    * via the fused [[graft.functions.ArrayExpressions.HyperplaneBucket]]
+    * codegen kernel — ONE plan node at any dimensionality (the per-dim
+    * Column formulation built dim × nBits nodes: a 100k-node plan at
+    * production embedding dims). A vector whose size differs from `dim`
+    * gets a NULL bucket (drop-don't-fail); equi-joins on the bucket drop
+    * NULLs automatically, and a groupBy-bucket candidate generator must
+    * `.filter(bucket.isNotNull)` first, or every ragged vector lands in
+    * one shared null group and they all become mutual candidates.
     */
-  def hyperplaneBucket(v: Column, dim: Int, nBits: Int): Column = {
-    // Hyperplane component h_{b,i} in {-1, +1} from a splitmix-style hash.
-    def sign(b: Int, i: Int): Double = {
-      var x = 0x9E3779B97F4A7C15L * (b * 1024L + i + 1)
-      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-      if (((x ^ (x >>> 27)) & 1L) == 0L) -1.0 else 1.0
-    }
-    val bucket = (0 until nBits).map { b =>
-      val proj = (0 until dim).map(i => element_at(v, i + 1) * lit(sign(b, i)))
-        .reduce(_ + _)
-      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    // CaseWhen evaluates only the taken branch, so the element_at chain
-    // never runs for ragged rows.
-    when(size(v) === dim, bucket)
-  }
+  def hyperplaneBucket(v: Column, dim: Int, nBits: Int): Column =
+    when(size(v) === dim, graft.functions.ArrayExpressions.hyperplaneBucket(v, nBits))
 
   /** Multi-table hyperplane-LSH near-duplicate pairs: `nTables`
     * independent `nBits`-bit bucket ids per vector (disjoint slices of one
@@ -176,28 +167,31 @@ object Similarity {
                       nBits: Int = 8, nTables: Int = 8): DataFrame = {
     graft.functions.ArrayExpressions.register(emb.sparkSession)
     require(nBits * nTables <= 64, "nBits * nTables must fit in one long")
-    val dim = dominantDim(emb).getOrElse(return emb.sparkSession.createDataFrame(
-      emb.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("vec_a", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("vec_b", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("sim", org.apache.spark.sql.types.DoubleType)))))
-    val withBuckets = emb
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      // all tables' hyperplane signs in ONE fused bucket computation; the
-      // bucket is NULL for ragged (size != dim) rows, dropped here
-      .withColumn("bucket64", hyperplaneBucket(col("v"), dim, nBits * nTables))
-      .filter(col("bucket64").isNotNull)
+    val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val withBuckets = vecs
+      // all tables' hyperplane signs in ONE fused bucket computation over
+      // the vector's OWN length (no corpus-dim derivation job); vectors of
+      // different sizes never pair up — the join below requires equal size
+      .withColumn("sz", size(col("v")))
+      .withColumn("bucket64",
+        graft.functions.ArrayExpressions.hyperplaneBucket(col("v"), nBits * nTables))
       // ...then each table is a cheap nBits-wide slice of it
-      .select(col("vec_id"), col("v"), explode(array((0 until nTables).map { t =>
+      .select(col("vec_id"), col("sz"), explode(array((0 until nTables).map { t =>
         struct(lit(t).as("t"),
           shiftright(col("bucket64"), t * nBits)
             .bitwiseAND(lit((1L << nBits) - 1)).as("bucket"))
       }: _*)).as("tb"))
-    val a = withBuckets.select(col("tb").as("ta"), col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = withBuckets.select(col("tb").as("tb2"), col("vec_id").as("vec_b"), col("v").as("vb"))
-    a.join(b, col("ta") === col("tb2") && col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), col("va"), col("vb")).distinct()
+    val a = withBuckets.select(col("tb").as("ta"), col("sz").as("sza"), col("vec_id").as("vec_a"))
+    val b = withBuckets.select(col("tb").as("tb2"), col("sz").as("szb"), col("vec_id").as("vec_b"))
+    // Dedup CANDIDATE IDS before re-attaching vectors: carrying the wide
+    // array columns through the multi-table distinct() would shuffle every
+    // vector once per colliding table instead of 16 bytes per pair.
+    val pairs = a.join(b, col("ta") === col("tb2") && col("sza") === col("szb") &&
+        col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    pairs
+      .join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
       .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(!isnan(col("sim")) && col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
@@ -211,22 +205,29 @@ object Similarity {
   def ivfTopK(emb: DataFrame, nProbes: Int, k: Int, nprobe: Int = 5): DataFrame = {
     graft.functions.ArrayExpressions.register(emb.sparkSession)
     import org.apache.spark.sql.expressions.Window
-    // derive dimensionality from the data (a hard-coded dim would crash or
-    // silently truncate centroids on other corpora); dominant size, not
-    // head() — a ragged first row must not redefine the corpus dim
-    val dim = dominantDim(emb).getOrElse(
-      throw new IllegalArgumentException("ivfTopK on an empty embeddings table"))
-    val withV = emb.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      // drop-don't-fail: a ragged vector would abort the ANSI element_at
-      // centroid sums below; filter instead of failing the job.
-      .filter(size(col("v")) === dim)
-    // Centroid = mean vector per label partition: aggregate per-dimension sums
-    // columnar-ly, then divide by the count.
-    val sumCols = (0 until dim).map(i => sum(element_at(col("v"), i + 1)).as(s"s_$i"))
-    val centroids = withV.groupBy(col("label"))
-      .agg(sumCols.head, sumCols.tail :+ count(lit(1)).as("n"): _*)
+    val withV0 = emb.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    // ONE aggregation job yields both the per-(label, size) centroid sums
+    // and the corpus's dominant dimensionality — round 2 ran a separate
+    // full-scan dominantDim job before the centroid aggregation, and built
+    // the centroids from `dim` separate sum(element_at) columns (a plan
+    // whose node count grew with dim). The fused vector_sum aggregate is
+    // one plan node at any dim; grouping by size(v) alongside label keeps
+    // ragged rows in their own (dropped) groups — drop-don't-fail without
+    // a pre-filter.
+    val sums = withV0
+      .groupBy(col("label"), size(col("v")).as("sz"))
+      .agg(graft.functions.ArrayExpressions.vectorSum(col("v")).as("s"),
+        count(lit(1)).as("n"))
+      .localCheckpoint() // tiny (labels × sizes rows); read twice below
+    val dim = sums.groupBy(col("sz")).agg(sum(col("n")).as("n"))
+      .orderBy(col("n").desc, col("sz"))
+      .head(1).headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException("ivfTopK on an empty embeddings table"))
+    val centroids = sums.filter(col("sz") === dim)
       .select(col("label").as("c_label"),
-        array((0 until dim).map(i => col(s"s_$i") / col("n")): _*).as("centroid"))
+        expr("transform(s, x -> x / n)").as("centroid"))
+    // drop-don't-fail: ragged vectors leave the probe/candidate sets too.
+    val withV = withV0.filter(size(col("v")) === dim)
     val probes = withV.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
     // nprobe nearest centroids per probe (tiny: nLabels × nProbes rows).

@@ -20,18 +20,29 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
     "fr" -> Seq("le", "la", "les", "et", "est", "une", "que"))
 
+  /** Fixed lexicon order for the fused [[graft.functions.ArrayExpressions
+    * .LexiconHits]] counts array (and the langId tie-break precedence).
+    */
+  val LexiconOrder: Seq[String] = Seq("en", "es", "de", "fr")
+
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
   /** Per-document language prediction: argmax of stopword hits with a
     * deterministic precedence (en > es > de > fr > unknown on ties); a
     * document with zero hits in every lexicon is "unknown".
+    *
+    * All four lexicon counts come from ONE fused pass over the raw text
+    * (`lexicon_hits`) instead of a regex split plus four interpreted
+    * filter-lambda passes over the token array.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
+    graft.functions.ArrayExpressions.register(docs.sparkSession)
     docs.select(col("doc_id"), col("lang").as("labeled_lang"),
-        hits(t, Lexicons("en")).as("h_en"), hits(t, Lexicons("es")).as("h_es"),
-        hits(t, Lexicons("de")).as("h_de"), hits(t, Lexicons("fr")).as("h_fr"))
+        graft.functions.ArrayExpressions.lexiconHits(col("text")).as("h"))
+      .select(col("doc_id"), col("labeled_lang"),
+        element_at(col("h"), 1).as("h_en"), element_at(col("h"), 2).as("h_es"),
+        element_at(col("h"), 3).as("h_de"), element_at(col("h"), 4).as("h_fr"))
       .withColumn("pred_lang",
         when(col("h_en") + col("h_es") + col("h_de") + col("h_fr") === 0, "unknown")
           .when(col("h_en") >= col("h_es") && col("h_en") >= col("h_de") && col("h_en") >= col("h_fr"), "en")

@@ -154,6 +154,75 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(again == rows("rep"))
   }
 
+  test("hyperplane_bucket: deterministic, dim-independent plan size, dim-1024 works") {
+    import spark.implicits._
+    ArrayExpressions.register(spark)
+    val rnd = new Random(7)
+    // dim 1024: the round-2 per-dimension Column formulation would build
+    // 1024 × 16 plan nodes here; the fused kernel is one node.
+    val rows = Seq.fill(20)(Seq.fill(1024)(rnd.nextDouble() - 0.5))
+    val df = rows.toDF("v")
+    val got = df.select(ArrayExpressions.hyperplaneBucket(col("v"), 16).as("b")).collect()
+    got.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) < (1L << 16)))
+    // the plan stays a single project node over the scan — no per-dim blowup
+    val plan = df.select(ArrayExpressions.hyperplaneBucket(col("v"), 16))
+      .queryExecution.optimizedPlan
+    assert(plan.expressions.map(_.collect { case e => e }.size).sum < 10,
+      s"hyperplane_bucket plan grew with dim:\n$plan")
+    // same vector -> same bucket (pure function)
+    val twice = df.select(ArrayExpressions.hyperplaneBucket(col("v"), 16).as("b")).collect()
+    assert(got.map(_.getLong(0)).toSeq == twice.map(_.getLong(0)).toSeq)
+    // a near-duplicate (tiny perturbation) usually shares the bucket;
+    // an unrelated vector usually does not — sanity of the LSH property
+    val base = Seq.fill(256)(rnd.nextDouble() - 0.5)
+    val near = base.map(_ * 1.0000001)
+    val pair = Seq((base, near)).toDF("a", "b")
+      .select(ArrayExpressions.hyperplaneBucket(col("a"), 16).as("ba"),
+        ArrayExpressions.hyperplaneBucket(col("b"), 16).as("bb")).head()
+    assert(pair.getLong(0) == pair.getLong(1))
+  }
+
+  test("vector_sum aggregate == per-dimension sums; ragged rows dropped via size grouping") {
+    import spark.implicits._
+    ArrayExpressions.register(spark)
+    val rnd = new Random(8)
+    val rows = (0 until 200).map(i => (i % 3, Seq.fill(32)(rnd.nextDouble() - 0.5)))
+    val df = rows.toDF("g", "v").repartition(8)
+    val got = df.groupBy(col("g"))
+      .agg(ArrayExpressions.vectorSum(col("v")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val want = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> (0 until 32).map(i => vs.map(_._2(i)).sum)
+    }
+    want.foreach { case (g, w) =>
+      got(g).zip(w).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9, s"group $g") }
+    }
+    // dim 1024 in one node (the motivating case)
+    val big = Seq.fill(50)(Seq.fill(1024)(rnd.nextDouble())).toDF("v")
+    val s = big.agg(ArrayExpressions.vectorSum(col("v"))).head().getSeq[Double](0)
+    assert(s.length == 1024)
+  }
+
+  test("lexicon_hits == split + per-lexicon filter counts on adversarial whitespace") {
+    import spark.implicits._
+    ArrayExpressions.register(spark)
+    val texts = Seq(
+      "the la que und is  el\tder\nthe\r\nlade",
+      "  leading and trailing  ",
+      "", "no stopwords here at all?", "the the the la la y y y",
+      "tabs\tand\nnewlines the\fla")
+    val df = texts.toDF("text")
+    val lex = graft.operators.TextAnalysis.LexiconOrder
+      .map(graft.operators.TextAnalysis.Lexicons)
+    val got = df.select(ArrayExpressions.lexiconHits(col("text")).as("h")).collect()
+      .map(_.getSeq[Int](0))
+    val want = texts.map { t =>
+      val toks = t.split("\\s+").toSeq
+      lex.map(words => toks.count(words.contains))
+    }
+    assert(got.map(_.toSeq).toSeq == want)
+  }
+
   test("interpreted eval matches codegen result") {
     val e = ArrayExpressions.SortedLongIntersectCount(
       org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1L, 5L, 9L),
