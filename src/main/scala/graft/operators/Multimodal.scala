@@ -15,13 +15,20 @@ final case class MediaBlob(doc_id: Long, media_type: String, payload: Array[Byte
   */
 final case class MediaFrame(doc_id: Long, frame_idx: Int, n_frames: Int, frame: Array[Byte])
 
-/** Extracted per-blob features (what an image/audio decoder would emit). */
+/** Extracted per-blob features (what an image/audio decoder would emit).
+  * `byte_sum` (total of all payload byte values — a decoder's "total
+  * luminance" analog) is kept alongside the derived `channel_mean`
+  * because it is an exact integer: order-independent under aggregation,
+  * so corpus rollups of the decode output stay oracle-checkable where a
+  * float mean is not.
+  */
 final case class MediaFeatures(
     doc_id: Long,
     media_type: String,
     n_bytes: Long,
     width: Int,
     height: Int,
+    byte_sum: Long,
     channel_mean: Double)
 
 /** Multimodal-column handling: media as opaque `binary` columns with typed
@@ -62,6 +69,7 @@ object Multimodal {
       n_bytes = n,
       width = (n % 640).toInt,
       height = (n % 480).toInt,
+      byte_sum = sum,
       channel_mean = if (n == 0) 0.0 else sum.toDouble / n)
   }
 
@@ -135,14 +143,19 @@ object Multimodal {
         md5(col("payload")).as("content_md5"))
       .orderBy("doc_id")
 
-  /** Full decode pipeline rolled up per media type (rows-only checked —
-    * the stub features are engine-internal).
+  /** Full decode pipeline rolled up per media type. The count/byte/sum
+    * columns are exact integers, so the rollup is DuckDB-oracle-checkable
+    * (byte values are recomputable in SQL from the text's UTF-8 hex);
+    * `avg_channel_mean` is a float average whose value depends on
+    * partition summation order, so the driver-visible query drops it
+    * (see [[graft.SparkEntry]]) and ScalaTest covers it instead.
     */
   def featureSummary(spark: SparkSession, docs: DataFrame): DataFrame = {
     val feats = extractFeatures(spark, toBlobs(spark, docs)).toDF()
     feats.groupBy(col("media_type"))
       .agg(count(lit(1)).as("n_blobs"),
         sum(col("n_bytes")).as("total_bytes"),
+        sum(col("byte_sum")).cast("bigint").as("byte_sum"),
         round(avg(col("channel_mean")), 6).as("avg_channel_mean"))
       .orderBy("media_type")
   }

@@ -136,6 +136,23 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Driver-oracle form of [[compressionProfile]]: the zlib ratio VALUES
+    * are engine-internal (they depend on the JVM's deflate), but the
+    * per-source doc counts and the bound/ordering invariants of the ratios
+    * are not — emitted as booleans, they hash-compare against a DuckDB
+    * oracle of constants, so a zlib misbehavior or operator bug flips a
+    * value and fails the driver gate instead of hiding behind a rows-only
+    * check. (round() is monotone, so avg ∈ [min, max] survives the
+    * 4-decimal rounding in compressionProfile.)
+    */
+  def compressionInvariants(docs: DataFrame): DataFrame =
+    compressionProfile(docs)
+      .select(col("source"), col("n_docs"),
+        (col("min_ratio") > 0).as("min_gt_zero"),
+        (col("max_ratio") <= 1.25).as("max_le_125"),
+        (col("avg_ratio") >= col("min_ratio") && col("avg_ratio") <= col("max_ratio"))
+          .as("avg_within"))
+
   /** Content fingerprint: md5 over the sorted distinct 4-gram shingle set —
     * stable under shingle reordering, the key for fingerprint-based dedup.
     */
