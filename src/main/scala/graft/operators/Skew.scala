@@ -26,6 +26,18 @@ object Skew {
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Content-derived salt bucket: hash of every column modulo `buckets`.
+    * A pure function of the ROW, so placement is identical under task
+    * retries, AQE re-plans, and different input partition layouts — unlike
+    * `monotonically_increasing_id`, whose value encodes the partition
+    * index. Bytewise-identical rows share a bucket by construction; that
+    * is fine, because identical rows collapse in the map-side partial
+    * aggregate (algebraic aggs) or deduplicate in the accumulator (set
+    * aggs) before any one bucket can concentrate them.
+    */
+  def saltColumn(df: DataFrame, buckets: Int): Column =
+    pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(buckets))
+
   /** Two-phase aggregation for skewed group keys: pre-aggregate on
     * (key, salt), then combine per key. For algebraic aggregates this is
     * what Spark's partial aggregation already does; the explicit form
@@ -33,9 +45,7 @@ object Skew {
     * where map-side partials blow memory on a hot key.
     */
   def saltedSumByKey(df: DataFrame, key: String, valueCol: String, buckets: Int): DataFrame =
-    // salt must vary per ROW, not per value: a hot key whose rows all share
-    // one value (counting with value=1) would otherwise land in one bucket
-    df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+    df.withColumn("_salt", saltColumn(df, buckets))
       .groupBy(col(key), col("_salt"))
       .agg(sum(col(valueCol)).as("_partial"))
       .groupBy(col(key))

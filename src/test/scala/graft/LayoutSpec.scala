@@ -97,4 +97,25 @@ class LayoutSpec extends AnyFunSuite {
     assert(direct.keySet == salted.keySet)
     direct.foreach { case (k, v) => assert(math.abs(v - salted(k)) < 1e-6) }
   }
+
+  test("salt actually spreads a hot key across buckets, deterministically") {
+    import spark.implicits._
+    // one hot key, 10k distinct rows — the case salting exists for
+    val hot = (1 to 10000).map(i => (7L, i.toDouble)).toDF("k", "v")
+    val buckets = 16
+    val spread = hot.withColumn("_salt", Skew.saltColumn(hot, buckets))
+      .groupBy("_salt").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // every bucket hit, and no bucket hoards the key (≤ 3x the fair share)
+    assert(spread.keySet == (0 until buckets).toSet,
+      s"hot key not spread over all $buckets buckets: ${spread.keySet.toSeq.sorted}")
+    val fair = 10000.0 / buckets
+    spread.values.foreach(n => assert(n <= 3 * fair, s"bucket holds $n of ~$fair"))
+    // placement is a pure function of row content: same rows (any layout,
+    // e.g. a different partitioning) -> byte-identical assignment
+    val again = hot.repartition(7).withColumn("_salt", Skew.saltColumn(hot, buckets))
+      .groupBy("_salt").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(again == spread)
+  }
 }
