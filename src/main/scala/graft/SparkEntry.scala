@@ -94,7 +94,13 @@ object SparkEntry {
     // components get a real DuckDB oracle (recursive-CTE reachability)
     // instead of a rows-only check.
     "x20_dup_clusters_exact" -> ((s, d) =>
-      Dedup.dupClusters(Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"), 10, 0.5)))
+      Dedup.dupClusters(Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"), 10, 0.5))),
+    // Structured Streaming twin of q8, reshaped to q8's schema — carries
+    // q8's oracle, so stream==batch is in the driver's hard signal
+    "x26_streaming_sessionize" -> ((s, d) => graft.queries.StreamingQueries.gapSessions(s, d)),
+    // HLL++/approx-percentile next to their exact twins: exact columns
+    // oracled, sketch accuracy pinned by tolerance booleans (like x24)
+    "x27_sketch_stats" -> ((s, d) => graft.operators.Sketch.sketchStats(Tables.load(s, d, "documents")))
   )
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as
@@ -143,6 +149,28 @@ object SparkEntry {
     "x24_compress_ratio" ->
       """SELECT source, count(*) AS n_docs, true AS min_gt_zero, true AS max_le_125,
         |       true AS avg_within
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // identical semantics to q8 — the streaming twin must reproduce the
+    // batch result bit for bit
+    "x26_streaming_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, CAST(value AS decimal(18,2)) AS v,
+        |         lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS boundary
+        |  FROM e),
+        |s AS (
+        |  SELECT *, CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS session_id
+        |  FROM b)
+        |SELECT user_id, session_id, count(*) AS n_events, min(us) AS start_us,
+        |       max(us) - min(us) AS duration_us, CAST(sum(v) AS double) AS total_value
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "x27_sketch_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |       count(DISTINCT n_chars) AS nd_exact, true AS nd_sketch_ok,
+        |       round(quantile_cont(n_chars, 0.5), 6) AS p50_exact, true AS p50_sketch_ok
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q1_trip_histogram" ->
       s"""SELECT bin, count(*) AS n FROM (

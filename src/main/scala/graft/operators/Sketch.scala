@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Sketch aggregates (HyperLogLog++ distinct counting, GK-sketch
+  * approximate percentiles) alongside their exact counterparts, in the
+  * same oracle-the-invariants form as the compression profile: the sketch
+  * VALUES are engine-internal (another engine's HLL gives different
+  * estimates), but the exact columns hash-check against DuckDB and the
+  * tolerance booleans pin the sketches' accuracy contract — a sketch
+  * drifting outside its error bound fails the driver gate.
+  *
+  * Scale rationale: both sketches are the 100-TB path for their exact
+  * twins — countDistinct expands to a two-phase shuffle of every distinct
+  * value, and exact percentile collects per-group value arrays; HLL++ is
+  * a fixed few-KB buffer per group and the quantile summary is bounded by
+  * 1/accuracy, both merged map-side.
+  */
+object Sketch {
+
+  private def within(approx: Column, exact: Column, relTol: Double): Column =
+    abs(approx.cast("double") - exact.cast("double")) <=
+      lit(relTol) * greatest(abs(exact.cast("double")), lit(1.0))
+
+  /** Per-source distinct-length and median-length stats: exact values
+    * (oracled) + sketch-within-tolerance booleans. rsd 5% HLL++ against a
+    * 10% gate; percentile_approx at accuracy 10000 against a 10% gate.
+    */
+  def sketchStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("n_chars")).as("nd_exact"),
+        approx_count_distinct(col("n_chars"), 0.05).as("_nd_approx"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50_exact"),
+        expr("percentile_approx(n_chars, 0.5, 10000)").as("_p50_approx"))
+      .select(col("source"), col("n_docs"), col("nd_exact"),
+        within(col("_nd_approx"), col("nd_exact"), 0.10).as("nd_sketch_ok"),
+        col("p50_exact"),
+        within(col("_p50_approx"), col("p50_exact"), 0.10).as("p50_sketch_ok"))
+      .orderBy("source")
+}
