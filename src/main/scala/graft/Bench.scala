@@ -1,30 +1,20 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR
   * (default sf0.1) and prints ONE JSON line
   * `{"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}`.
   * Driver runs this per round → BENCH_r{N}.json (compared against
   * BASELINE.md).
+  *
+  * Timings consume every result value ([[BenchHarness.consume]]) — a
+  * count()-style consumer lets column pruning skip the computed columns,
+  * under-reporting exactly the expensive operators.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    // Trigger JIT + parquet-footer caches once so per-query numbers measure
-    // the plan, not first-touch JVM warmup.
-    SparkEntry.entry(spark).count()
+    val spark = BenchHarness.session("graft-bench")
+    BenchHarness.warmup(spark)
 
     // One untimed warm run (codegen compile + JIT of this query's plan),
     // then two timed runs, report the min. Round 2 showed min-of-2 alone
@@ -36,7 +26,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        BenchHarness.consume(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
       val sec = try { once(); math.min(once(), once()) }

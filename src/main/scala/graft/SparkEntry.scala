@@ -147,7 +147,7 @@ object SparkEntry {
         |       CAST(sum(byte_sum) AS bigint) AS byte_sum
         |FROM v GROUP BY media_type ORDER BY media_type""".stripMargin,
     "x24_compress_ratio" ->
-      """SELECT source, count(*) AS n_docs, true AS min_gt_zero, true AS max_le_125,
+      """SELECT source, count(*) AS n_docs, true AS all_docs_in_bounds,
         |       true AS avg_within
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // identical semantics to q8 — the streaming twin must reproduce the

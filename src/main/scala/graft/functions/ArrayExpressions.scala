@@ -378,6 +378,9 @@ object ArrayExpressions {
     */
   case class LexiconHits(child: Expression, lexicons: Seq[Seq[String]])
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    // the word->lexicon map packs lexicon membership into an Int bitmask;
+    // index 32 would alias index 0 (Java shifts are mod 32)
+    require(lexicons.length <= 32, s"lexicon_hits supports at most 32 lexicons, got ${lexicons.length}")
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def prettyName: String = "lexicon_hits"
     override def checkInputDataTypes(): TypeCheckResult =
@@ -432,6 +435,71 @@ object ArrayExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val self = ctx.addReferenceObj("lexicons", this, classOf[LexiconHits].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** md5 hex of the concatenation of the SORTED DISTINCT character
+    * n-gram shingles of a string — the whole
+    * `md5(concat_ws('', array_sort(array_distinct(transform(sequence(...),
+    * substring)))))` chain in one kernel, with no per-shingle Column
+    * machinery, no UTF8String churn through four HOF lambdas, and the
+    * digest fed incrementally (the concatenated shingle string is never
+    * materialized). Semantics pinned to the SQL form: shingles are CODE
+    * POINTS (Spark substring semantics), dedup is exact string equality,
+    * and the sort is code-point order — the same order `array_sort` gives
+    * strings (UTF-8 binary order preserves code-point order), NOT
+    * String.compareTo's UTF-16 order, which diverges for supplementary
+    * characters.
+    */
+  case class DocFingerprint(child: Expression, n: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    require(n >= 1, s"doc_fingerprint needs n >= 1, got $n")
+    override def dataType: DataType = StringType
+    override def prettyName: String = "doc_fingerprint"
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a string argument, got ${other.simpleString}")
+      }
+
+    private def codePointCompare(a: String, b: String): Int = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+      val str = s.toString
+      val cps = str.codePoints().toArray
+      val m = cps.length - n + 1
+      val set = new java.util.TreeSet[String]((a: String, b: String) => codePointCompare(a, b))
+      var i = 0
+      while (i < m) {
+        set.add(new String(cps, i, n))
+        i += 1
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val it = set.iterator()
+      while (it.hasNext) md.update(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val digest = md.digest()
+      val hex = new StringBuilder(32)
+      digest.foreach(b => hex.append(f"${b & 0xff}%02x"))
+      org.apache.spark.unsafe.types.UTF8String.fromString(hex.toString)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("fingerprinter", this, classOf[DocFingerprint].getName)
       nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
     }
 
@@ -533,6 +601,10 @@ object ArrayExpressions {
     registry.createOrReplaceTempFunction(
       "vector_sum", es => VectorSum(es.head), "built-in")
     registry.createOrReplaceTempFunction(
+      "doc_fingerprint",
+      es => DocFingerprint(es.head, es(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    registry.createOrReplaceTempFunction(
       "lexicon_hits",
       es => LexiconHits(es.head,
         graft.operators.TextAnalysis.LexiconOrder.map(
@@ -566,6 +638,9 @@ object ArrayExpressions {
 
   /** Element-wise vector-sum aggregate ([[VectorSum]]); use under groupBy. */
   def vectorSum(v: Column): Column = call_function("vector_sum", v)
+
+  def docFingerprint(text: Column, n: Int): Column =
+    call_function("doc_fingerprint", text, org.apache.spark.sql.functions.lit(n))
 
   /** Hit counts against [[graft.operators.TextAnalysis.Lexicons]] in
     * [[graft.operators.TextAnalysis.LexiconOrder]] order, as array<int>.

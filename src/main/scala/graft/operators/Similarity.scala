@@ -36,20 +36,6 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Corpus dimensionality = the MOST COMMON embedding size (ties to the
-    * smaller), None on an empty input. Deriving dim from a single head()
-    * row would crash on empty input and — worse — silently adopt a ragged
-    * first row's size and drop every well-formed vector.
-    *
-    * Only [[hyperplaneBucket]]'s dim-pinned compatibility form still needs
-    * this as a standalone job; [[ivfTopK]] derives the dominant dim from
-    * the same aggregation that builds its centroids (one scan, not two).
-    */
-  private def dominantDim(emb: DataFrame): Option[Int] =
-    emb.groupBy(size(col("embedding")).as("_s")).count()
-      .orderBy(col("count").desc, col("_s"))
-      .head(1).headOption.map(_.getInt(0))
-
   /** Exact top-k cosine neighbors for each probe (vec_id < nProbes), over
     * the full candidate set. Probe side is broadcast; top-k via per-probe
     * window. Deterministic tie-break on cand_id.

@@ -15,28 +15,43 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Inner equi-join `left ⋈ right` on `key`, salting `left` (the skewed
-    * side). Deterministic: salt = hash of the whole left row modulo
-    * buckets, not rand(), so retries/replays keep the same placement.
+    * side). Deterministic: salt = content hash modulo buckets
+    * ([[saltColumn]]), not rand(), so retries/replays keep the same
+    * placement.
     */
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String, buckets: Int): DataFrame = {
-    val salted = left.withColumn("_salt",
-      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(buckets)))
+    val salted = left.withColumn("_salt", saltColumn(left, buckets))
     val replicated = right.withColumn("_salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
-  /** Content-derived salt bucket: hash of every column modulo `buckets`.
-    * A pure function of the ROW, so placement is identical under task
-    * retries, AQE re-plans, and different input partition layouts — unlike
-    * `monotonically_increasing_id`, whose value encodes the partition
-    * index. Bytewise-identical rows share a bucket by construction; that
-    * is fine, because identical rows collapse in the map-side partial
-    * aggregate (algebraic aggs) or deduplicate in the accumulator (set
-    * aggs) before any one bucket can concentrate them.
+  /** Content-derived salt bucket: hash of every hashable column modulo
+    * `buckets`. A pure function of the ROW, so placement is identical
+    * under task retries, AQE re-plans, and different input partition
+    * layouts — unlike `monotonically_increasing_id`, whose value encodes
+    * the partition index. Bytewise-identical rows share a bucket by
+    * construction; that is fine, because identical rows collapse in the
+    * map-side partial aggregate (algebraic aggs) or deduplicate in the
+    * accumulator (set aggs) before any one bucket can concentrate them.
+    * MapType columns are skipped (Spark's `hash` rejects them — maps have
+    * no canonical entry order).
     */
-  def saltColumn(df: DataFrame, buckets: Int): Column =
-    pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(buckets))
+  def saltColumn(df: DataFrame, buckets: Int): Column = {
+    import org.apache.spark.sql.types._
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case ArrayType(e, _) => hasMap(e)
+      case StructType(fs) => fs.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+    val hashable = df.schema.fields.collect {
+      case f if !hasMap(f.dataType) => col(f.name)
+    }.toIndexedSeq
+    require(hashable.nonEmpty,
+      "saltColumn needs at least one non-map column to derive a deterministic salt")
+    pmod(hash(hashable: _*), lit(buckets))
+  }
 
   /** Two-phase aggregation for skewed group keys: pre-aggregate on
     * (key, salt), then combine per key. For algebraic aggregates this is

@@ -142,23 +142,42 @@ object TextAnalysis {
     * are not — emitted as booleans, they hash-compare against a DuckDB
     * oracle of constants, so a zlib misbehavior or operator bug flips a
     * value and fails the driver gate instead of hiding behind a rows-only
-    * check. (round() is monotone, so avg ∈ [min, max] survives the
-    * 4-decimal rounding in compressionProfile.)
+    * check.
+    *
+    * The upper bound is deflate's actual worst case PER DOCUMENT — stored
+    * blocks cost ≤ 5·⌈n/16383⌉ + 6 bytes of overhead, so ratio ≤
+    * ~1.0003 + 11/n; checked per doc as `ratio ≤ 1.0005 + 12/n` (never
+    * data-dependent slack: a fixed constant like 1.25 holds only for docs
+    * ≥ 44 bytes and would flip on any corpus with one short incompressible
+    * document).
     */
-  def compressionInvariants(docs: DataFrame): DataFrame =
-    compressionProfile(docs)
-      .select(col("source"), col("n_docs"),
-        (col("min_ratio") > 0).as("min_gt_zero"),
-        (col("max_ratio") <= 1.25).as("max_le_125"),
-        (col("avg_ratio") >= col("min_ratio") && col("avg_ratio") <= col("max_ratio"))
-          .as("avg_within"))
+  def compressionInvariants(docs: DataFrame): DataFrame = {
+    graft.functions.ArrayExpressions.register(docs.sparkSession)
+    docs
+      .select(col("source"),
+        graft.functions.ArrayExpressions.deflateRatio(col("text")).as("r"),
+        length(encode(col("text"), "UTF-8")).as("n"))
+      .withColumn("ok_doc",
+        col("r") > 0 &&
+          col("r") <= lit(1.0005) + lit(12.0) / greatest(col("n"), lit(1)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("ok_doc")).as("all_docs_in_bounds"),
+        (avg(col("r")) >= min(col("r")) && avg(col("r")) <= max(col("r"))).as("avg_within"))
+      .orderBy("source")
+  }
 
   /** Content fingerprint: md5 over the sorted distinct 4-gram shingle set —
     * stable under shingle reordering, the key for fingerprint-based dedup.
+    * Fused kernel ([[graft.functions.ArrayExpressions.DocFingerprint]]):
+    * the HOF chain (transform → distinct → sort → concat → md5) built one
+    * UTF8String per shingle per stage and was the single most expensive
+    * text operator once the bench consumed values.
     */
-  def fingerprint(docs: DataFrame): DataFrame =
+  def fingerprint(docs: DataFrame): DataFrame = {
+    graft.functions.ArrayExpressions.register(docs.sparkSession)
     docs.select(col("doc_id"),
-        md5(concat_ws("",
-          Dedup.shingles("text", 4))).as("fingerprint"))
+        graft.functions.ArrayExpressions.docFingerprint(col("text"), 4).as("fingerprint"))
       .orderBy("doc_id")
+  }
 }

@@ -29,9 +29,15 @@ object StreamingQueries {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val events = Tables.load(spark, dir, "events")
-      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      // cents via the SAME rounding the batch operator applies —
+      // cast(value AS decimal(18,2)) is BigDecimal HALF_UP, which differs
+      // from math.round(v*100) on >2-decimal or negative values (e.g.
+      // 2.675 -> 268 vs 267; -0.125 -> -13 vs -12), and a divergence here
+      // breaks the advertised bit-for-bit stream==batch guarantee
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
       .collect()
-      .map(r => GapEvent(r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+      .map(r => GapEvent(r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_.us)
     val name = s"graft_stream_gap_${runSeq.incrementAndGet()}"
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[GapEvent]
@@ -43,26 +49,33 @@ object StreamingQueries {
     // either way, and a real deployment sizes this to its key cardinality).
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = StreamingGapSessionize.sessions(spark, ms.toDS(), 1800L * 1000000L)
-      .writeStream.format("memory").queryName(name).outputMode("append").start()
-    try {
-      if (events.nonEmpty) {
-        // two chronological micro-batches exercise cross-batch state, then
-        // a far-future sentinel (user -1) pushes the watermark past every
-        // open session's timeout so idle sessions flush
-        val (b1, b2) = events.splitAt(events.length / 2)
-        ms.addData(b1.toIndexedSeq); q.processAllAvailable()
-        ms.addData(b2.toIndexedSeq); q.processAllAvailable()
-        ms.addData(Seq(GapEvent(-1L, events.last.us + 1000L * 3600 * 1000000, 0)))
-        q.processAllAvailable()
+    val sessions =
+      try {
+        val q = StreamingGapSessionize.sessions(spark, ms.toDS(), 1800L * 1000000L)
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try {
+          if (events.nonEmpty) {
+            // two chronological micro-batches exercise cross-batch state,
+            // then a far-future sentinel (user -1) pushes the watermark
+            // past every open session's timeout so idle sessions flush
+            val (b1, b2) = events.splitAt(events.length / 2)
+            ms.addData(b1.toIndexedSeq); q.processAllAvailable()
+            ms.addData(b2.toIndexedSeq); q.processAllAvailable()
+            ms.addData(Seq(GapEvent(-1L, events.last.us + 1000L * 3600 * 1000000, 0)))
+            q.processAllAvailable()
+          }
+          // materialize off the memory sink, then drop its temp view —
+          // repeated bench/verify invocations must not pin one full result
+          // copy per run in driver memory for the session lifetime
+          spark.table(name).localCheckpoint()
+        } finally q.stop()
+      } finally {
+        spark.catalog.dropTempView(name)
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
-    } finally {
-      q.stop()
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("start_us"))
-    spark.table(name).filter(col("user_id") >= 0)
+    sessions.filter(col("user_id") >= 0)
       .withColumn("session_id", row_number().over(w).cast("bigint"))
       .select(col("user_id"), col("session_id"),
         col("n_events"), col("start_us"),

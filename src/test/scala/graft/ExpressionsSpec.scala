@@ -223,6 +223,22 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got.map(_.toSeq).toSeq == want)
   }
 
+  test("doc_fingerprint == md5(concat of sorted distinct shingles) incl. unicode + short strings") {
+    import spark.implicits._
+    ArrayExpressions.register(spark)
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaa", "aaa", "ab", "", "ñandú emoji 😀 mixed ascii",
+      "repeat repeat repeat repeat")
+    val df = texts.toDF("text")
+    val got = df.select(ArrayExpressions.docFingerprint(col("text"), 4).as("f")).collect()
+      .map(_.getString(0))
+    val want = df.select(md5(concat_ws("",
+        graft.operators.Dedup.shingles("text", 4))).as("f")).collect()
+      .map(_.getString(0))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("interpreted eval matches codegen result") {
     val e = ArrayExpressions.SortedLongIntersectCount(
       org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1L, 5L, 9L),
