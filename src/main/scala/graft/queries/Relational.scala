@@ -139,12 +139,21 @@ object Relational {
   /** Q11: ROLLUP grouping sets — per (returnflag, linestatus), per
     * returnflag, and grand total in one pass.
     */
-  def q11Rollup(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-        count(lit(1)).as("n_items"))
+  def q11Rollup(spark: SparkSession, dir: String): DataFrame = {
+    // Pre-aggregate to the FINEST grouping first, then roll the tiny
+    // result up: Spark's grouping-sets Expand replicates every input row
+    // once per set (3x the 600k-row scan here, Nx at 100 TB) BEFORE the
+    // aggregate; sums of sums are the same values, but the expand runs
+    // over |groups| rows instead of |lineitem|. The data-null vs
+    // subtotal-null output ambiguity is identical in both forms.
+    val base = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).as("_sq"), count(lit(1)).as("_n"))
+    base.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("_sq")).cast("double").as("sum_qty"),
+        sum(col("_n")).as("n_items"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
 
   /** Q12: left outer join + null-skipping count — orders per customer
     * including zero-order customers.
@@ -247,12 +256,17 @@ object Relational {
   /** Q20: CUBE grouping sets — all four aggregation granularities of
     * (returnflag, linestatus) in one pass.
     */
-  def q20Cube(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
-      .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-        count(lit(1)).as("n_items"))
+  def q20Cube(spark: SparkSession, dir: String): DataFrame = {
+    // same pre-aggregate-then-expand shape as q11 — the cube's 4x row
+    // replication runs over |groups| pre-aggregated rows, not the scan
+    val base = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).as("_sq"), count(lit(1)).as("_n"))
+    base.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("_sq")).cast("double").as("sum_qty"),
+        sum(col("_n")).as("n_items"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
 
   /** Q21: pivot — event counts per day with one column per event type
     * (explicit value list keeps the output schema static, which also
