@@ -48,6 +48,8 @@ object SparkEntry {
     "q22_skew_join" -> ((s, d) => Relational.q22SkewJoin(s, d)),
     "q23_set_ops_all" -> ((s, d) => Relational.q23SetOpsAll(s, d)),
     "q24_session_window" -> ((s, d) => Relational.q24SessionWindow(s, d)),
+    "q25_correlated_subquery" -> ((s, d) => Relational.q25CorrelatedSubquery(s, d)),
+    "q26_window_frames" -> ((s, d) => Relational.q26WindowFrames(s, d)),
     // -- LLM-pipeline extensions ------------------------------------------
     "x1_dedup_exact" -> ((s, d) => Dedup.exactDupStats(Tables.load(s, d, "documents"))),
     "x2_dedup_normalized" -> ((s, d) => Dedup.normalizedDupGroups(Tables.load(s, d, "documents"))),
@@ -351,6 +353,25 @@ object SparkEntry {
         |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
         |       count(*) AS n_events, CAST(sum(v) AS double) AS total_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "q25_correlated_subquery" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_extendedprice AS decimal(18,2))) AS double) AS small_qty_revenue,
+        |       count(*) AS n_items
+        |FROM lineitem l
+        |WHERE l_quantity < (SELECT 0.4 * avg(l2.l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q26_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(sum(CAST(o_totalprice AS decimal(18,2))) OVER wr AS double) AS run_total,
+        |       CAST(sum(CAST(o_totalprice AS decimal(18,2))) OVER w3 AS double) AS sum3
+        |FROM orders
+        |WINDOW wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |       w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "x1_dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
         |       count(*) - count(DISTINCT md5(text)) AS n_dup_docs

@@ -330,6 +330,44 @@ object Relational {
         col("n_events"), col("total_value"))
       .orderBy("user_id", "start_us")
 
+  /** Q25: correlated scalar subquery (TPC-H Q17 shape) through the SQL
+    * surface — parts whose order quantity sits below 40% of that part's
+    * own average. Exercises Catalyst's subquery decorrelation: the
+    * correlated `avg` rewrites to an aggregate + join, NOT a per-row
+    * re-scan (assertion in LayoutSpec would show a single join of
+    * lineitem against its own aggregate).
+    */
+  def q25CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_extendedprice AS decimal(18,2))) AS double) AS small_qty_revenue,
+        |       count(*) AS n_items
+        |FROM lineitem l
+        |WHERE l_quantity < (SELECT 0.4 * avg(l2.l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** Q26: sliding window frames — per-customer running total and 3-order
+    * sliding sum over order history (ROWS frames; q6 covers the rank/lag
+    * surface, this pins aggregates-over-frames). Frame sums stay decimal
+    * (exact, order-independent) until the final double cast.
+    */
+  def q26WindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        dec(col("o_totalprice")).as("p"))
+      .withColumn("run_total", sum(col("p")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("sum3", sum(col("p")).over(w.rowsBetween(-2, 0)))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("run_total").cast("double").as("run_total"),
+        col("sum3").cast("double").as("sum3"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Q14: distinct aggregates — distinct parts/suppliers per return flag. */
   def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

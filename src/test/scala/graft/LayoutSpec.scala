@@ -98,6 +98,23 @@ class LayoutSpec extends AnyFunSuite {
     direct.foreach { case (k, v) => assert(math.abs(v - salted(k)) < 1e-6) }
   }
 
+  test("LSH verification joins carry no forced broadcast of the fingerprint table") {
+    import graft.operators.Dedup
+    // With auto-broadcast off, the verification joins must plan as shuffle
+    // joins — a plan-level broadcast() hint on the corpus fingerprints
+    // would OOM at 100 TB regardless of AQE. (AQE may still *choose* to
+    // broadcast at runtime when sizes fit; that is the desired behavior
+    // and is why we assert with the threshold disabled.)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables.load(spark, sf, "documents")
+      val plan = Dedup.minhashLshPairs(docs).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+        s"fingerprint verification forces a broadcast:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salt actually spreads a hot key across buckets, deterministically") {
     import spark.implicits._
     // one hot key, 10k distinct rows — the case salting exists for
