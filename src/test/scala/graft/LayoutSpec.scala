@@ -98,6 +98,38 @@ class LayoutSpec extends AnyFunSuite {
     direct.foreach { case (k, v) => assert(math.abs(v - salted(k)) < 1e-6) }
   }
 
+  test("bucketed tables co-join and aggregate with zero Exchange") {
+    import graft.sources.Bucketed
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Bucketed.writeBucketed(
+        Tables.load(spark, sf, "orders"), "b_orders", "o_orderkey", 4)
+      Bucketed.writeBucketed(
+        Tables.load(spark, sf, "lineitem")
+          .withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", 4)
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed co-located join still shuffles:\n$plan")
+      // and an aggregation on the bucket key needs no exchange either
+      val agg = spark.table("b_lineitem").groupBy("o_orderkey")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucketed aggregation still shuffles")
+      // correctness: same row count as the plain join
+      val plain = Tables.load(spark, sf, "orders").join(
+        Tables.load(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      assert(joined.count() == plain.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("LSH verification joins carry no forced broadcast of the fingerprint table") {
     import graft.operators.Dedup
     // With auto-broadcast off, the verification joins must plan as shuffle
