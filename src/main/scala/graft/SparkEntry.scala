@@ -353,15 +353,8 @@ object SparkEntry {
         |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
         |       count(*) AS n_events, CAST(sum(v) AS double) AS total_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
-    "q25_correlated_subquery" ->
-      """SELECT l_returnflag,
-        |       CAST(sum(CAST(l_extendedprice AS decimal(18,2))) AS double) AS small_qty_revenue,
-        |       count(*) AS n_items
-        |FROM lineitem l
-        |WHERE l_quantity < (SELECT 0.4 * avg(l2.l_quantity)
-        |                    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
-        |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
+    // the exact SQL the engine runs (one shared definition — no drift)
+    "q25_correlated_subquery" -> Relational.Q25Sql,
     "q26_window_frames" ->
       """SELECT o_custkey, o_orderkey,
         |       CAST(sum(CAST(o_totalprice AS decimal(18,2))) OVER wr AS double) AS run_total,

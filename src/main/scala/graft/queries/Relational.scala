@@ -330,24 +330,29 @@ object Relational {
         col("n_events"), col("total_value"))
       .orderBy("user_id", "start_us")
 
+  /** Q25's SQL — ONE definition shared by the engine (spark.sql) and the
+    * DuckDB oracle (SparkEntry.oracleSql), so the two sides cannot drift
+    * apart while keeping identical aliases.
+    */
+  val Q25Sql: String =
+    """SELECT l_returnflag,
+      |       CAST(sum(CAST(l_extendedprice AS decimal(18,2))) AS double) AS small_qty_revenue,
+      |       count(*) AS n_items
+      |FROM lineitem l
+      |WHERE l_quantity < (SELECT 0.4 * avg(l2.l_quantity)
+      |                    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Q25: correlated scalar subquery (TPC-H Q17 shape) through the SQL
     * surface — parts whose order quantity sits below 40% of that part's
     * own average. Exercises Catalyst's subquery decorrelation: the
     * correlated `avg` rewrites to an aggregate + join, NOT a per-row
-    * re-scan (assertion in LayoutSpec would show a single join of
-    * lineitem against its own aggregate).
+    * re-scan (LayoutSpec pins the no-nested-loop plan).
     */
   def q25CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(spark, dir)
-    spark.sql(
-      """SELECT l_returnflag,
-        |       CAST(sum(CAST(l_extendedprice AS decimal(18,2))) AS double) AS small_qty_revenue,
-        |       count(*) AS n_items
-        |FROM lineitem l
-        |WHERE l_quantity < (SELECT 0.4 * avg(l2.l_quantity)
-        |                    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
-        |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin)
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(Q25Sql)
   }
 
   /** Q26: sliding window frames — per-customer running total and 3-order

@@ -14,26 +14,32 @@ class LayoutSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("bucketed tables co-locate the orders-lineitem join: no shuffle in the plan") {
-    Tables.load(spark, sf, "orders").write
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("orders_b")
-    Tables.load(spark, sf, "lineitem").write
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("lineitem_b")
-    val joined = spark.table("lineitem_b")
-      .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"))
-    val n = joined.collect().map(_.getAs[Long]("n")).sum
-    assert(n == Tables.load(spark, sf, "lineitem")
-      .join(Tables.load(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey")).count())
-    // the join itself must be exchange-free (bucket layout satisfies the
-    // required distribution); only the small groupBy aggregate may shuffle
-    val plan = joined.queryExecution.executedPlan.toString
-    val joinSection = plan.substring(plan.indexOf("Join"))
-    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey") &&
-      !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
-      s"join should read bucketed layout without exchange:\n$plan")
+    import graft.sources.Bucketed
+    try {
+      Bucketed.writeBucketed(Tables.load(spark, sf, "orders"), "orders_b", "o_orderkey", 8)
+      Bucketed.writeBucketed(Tables.load(spark, sf, "lineitem"), "lineitem_b", "l_orderkey", 8)
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      val n = joined.collect().map(_.getAs[Long]("n")).sum
+      assert(n == Tables.load(spark, sf, "lineitem")
+        .join(Tables.load(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey")).count())
+      // the join itself must be exchange-free (bucket layout satisfies the
+      // required distribution); only the small groupBy aggregate may shuffle
+      val plan = joined.queryExecution.executedPlan.toString
+      val joinSection = plan.substring(plan.indexOf("Join"))
+      assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey") &&
+        !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+        s"join should read bucketed layout without exchange:\n$plan")
+      // an aggregation on the bucket key needs no exchange either
+      val agg = spark.table("lineitem_b").groupBy("l_orderkey").agg(count(lit(1)))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucketed aggregation still shuffles")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
   }
 
   test("partitioned parquet writes prune to one directory on a partition filter") {
@@ -98,36 +104,12 @@ class LayoutSpec extends AnyFunSuite {
     direct.foreach { case (k, v) => assert(math.abs(v - salted(k)) < 1e-6) }
   }
 
-  test("bucketed tables co-join and aggregate with zero Exchange") {
-    import graft.sources.Bucketed
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      Bucketed.writeBucketed(
-        Tables.load(spark, sf, "orders"), "b_orders", "o_orderkey", 4)
-      Bucketed.writeBucketed(
-        Tables.load(spark, sf, "lineitem")
-          .withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", 4)
-      val joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange"),
-        s"bucketed co-located join still shuffles:\n$plan")
-      // and an aggregation on the bucket key needs no exchange either
-      val agg = spark.table("b_lineitem").groupBy("o_orderkey")
-        .agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)))
-      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
-        "bucketed aggregation still shuffles")
-      // correctness: same row count as the plain join
-      val plain = Tables.load(spark, sf, "orders").join(
-        Tables.load(spark, sf, "lineitem"),
-        col("o_orderkey") === col("l_orderkey"))
-      assert(joined.count() == plain.count())
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.sql("DROP TABLE IF EXISTS b_orders")
-      spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    }
+  test("q25's correlated subquery decorrelates: aggregate + join, no nested loop") {
+    val plan = graft.queries.Relational.q25CorrelatedSubquery(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"correlated subquery planned as a per-row re-scan:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected decorrelated aggregate:\n$plan")
   }
 
   test("LSH verification joins carry no forced broadcast of the fingerprint table") {
