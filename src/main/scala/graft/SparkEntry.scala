@@ -102,7 +102,11 @@ object SparkEntry {
     "x26_streaming_sessionize" -> ((s, d) => graft.queries.StreamingQueries.gapSessions(s, d)),
     // HLL++/approx-percentile next to their exact twins: exact columns
     // oracled, sketch accuracy pinned by tolerance booleans (like x24)
-    "x27_sketch_stats" -> ((s, d) => graft.operators.Sketch.sketchStats(Tables.load(s, d, "documents")))
+    "x27_sketch_stats" -> ((s, d) => graft.operators.Sketch.sketchStats(Tables.load(s, d, "documents"))),
+    // content-defined chunking (Gear rolling hash): exact byte totals
+    // oracled, the chunking contract rides as invariant booleans; dup
+    // profile + locality property covered in ScalaTest
+    "x28_cdc_chunks" -> ((s, d) => graft.operators.Chunker.chunkStats(Tables.load(s, d, "documents")))
   )
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as
@@ -169,6 +173,12 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events, min(us) AS start_us,
         |       max(us) - min(us) AS duration_us, CAST(sum(v) AS double) AS total_value
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "x28_cdc_chunks" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(count(*) FILTER (octet_length(encode(text)) > 0) AS bigint) AS n_nonempty,
+        |       CAST(sum(octet_length(encode(text))) AS bigint) AS total_bytes,
+        |       true AS bytes_conserved, true AS all_nonempty_chunked, true AS sizes_bounded
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "x27_sketch_stats" ->
       """SELECT source, count(*) AS n_docs,
         |       count(DISTINCT n_chars) AS nd_exact, true AS nd_sketch_ok,

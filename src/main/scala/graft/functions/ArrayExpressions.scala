@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -506,6 +507,72 @@ object ArrayExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Content-defined chunks of a string's UTF-8 bytes via a Gear rolling
+    * hash: `array<struct<len:int, hash:bigint>>`, one pass. A boundary
+    * cuts where the rolling hash's low `avgBits` bits are zero (expected
+    * chunk size ≈ minSize + 2^avgBits) once `minSize` bytes have
+    * accumulated; `maxSize` forces a cut. The gear table derives from
+    * [[mix64]], so boundaries are deterministic and depend only on the
+    * last 64 bytes of context — the CDC locality property (edits move
+    * only the chunks they touch) that makes chunk-hash dedup work.
+    * Chunk hash = FNV-1a over the chunk's bytes + mix64 finalizer.
+    */
+  case class CdcChunks(child: Expression, minSize: Int, avgBits: Int, maxSize: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    require(minSize >= 1 && avgBits >= 1 && avgBits <= 28 && maxSize >= minSize,
+      s"cdc_chunks: need 1 <= minSize <= maxSize and 1 <= avgBits <= 28")
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("len", IntegerType, nullable = false),
+        StructField("hash", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "cdc_chunks"
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a string argument, got ${other.simpleString}")
+      }
+
+    private val mask: Long = (1L << avgBits) - 1
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val bytes = s.getBytes
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      var start = 0
+      var h = 0L
+      var fnv = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        h = (h << 1) + CdcChunks.gear(b)
+        fnv = (fnv ^ b) * 0x100000001b3L
+        i += 1
+        val len = i - start
+        if ((len >= minSize && (h & mask) == 0L) || len >= maxSize) {
+          out += InternalRow(len, mix64(fnv))
+          start = i; h = 0L; fnv = 0xcbf29ce484222325L
+        }
+      }
+      if (i > start) out += InternalRow(i - start, mix64(fnv))
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("chunker", this, classOf[CdcChunks].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  object CdcChunks {
+    /** Deterministic gear table shared by every instance. */
+    private[functions] val gear: Array[Long] =
+      Array.tabulate(256)(i => mix64(0x6763647F5AB1E92DL + i))
+  }
+
   /** DEFLATE compression ratio of a string's UTF-8 bytes (compressed /
     * raw, ~0.05..1.2): the classic cheap junk detector for training-data
     * curation — highly repetitive or templated text compresses far below
@@ -601,6 +668,13 @@ object ArrayExpressions {
     registry.createOrReplaceTempFunction(
       "vector_sum", es => VectorSum(es.head), "built-in")
     registry.createOrReplaceTempFunction(
+      "cdc_chunks",
+      es => CdcChunks(es.head,
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue(),
+        es(3).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    registry.createOrReplaceTempFunction(
       "doc_fingerprint",
       es => DocFingerprint(es.head, es(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
@@ -638,6 +712,12 @@ object ArrayExpressions {
 
   /** Element-wise vector-sum aggregate ([[VectorSum]]); use under groupBy. */
   def vectorSum(v: Column): Column = call_function("vector_sum", v)
+
+  def cdcChunks(text: Column, minSize: Int, avgBits: Int, maxSize: Int): Column =
+    call_function("cdc_chunks", text,
+      org.apache.spark.sql.functions.lit(minSize),
+      org.apache.spark.sql.functions.lit(avgBits),
+      org.apache.spark.sql.functions.lit(maxSize))
 
   def docFingerprint(text: Column, n: Int): Column =
     call_function("doc_fingerprint", text, org.apache.spark.sql.functions.lit(n))

@@ -239,6 +239,57 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("cdc_chunks: bytes conserved, sizes bounded, deterministic, and edits stay local") {
+    import spark.implicits._
+    ArrayExpressions.register(spark)
+    val rnd = new Random(11)
+    def randText(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val base = randText(4000)
+    val texts = Seq(base, "", "x", randText(31), randText(600), base + randText(500))
+    val df = texts.toDF("text")
+    val chunks = df.select(col("text"),
+        ArrayExpressions.cdcChunks(col("text"), 32, 6, 512).as("c")).collect()
+      .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1))
+
+    chunks.foreach { case (t, cs) =>
+      val nBytes = t.getBytes("UTF-8").length
+      // bytes conserved, empty -> no chunks
+      assert(cs.map(_.getInt(0)).sum == nBytes)
+      if (nBytes == 0) assert(cs.isEmpty)
+      // every chunk <= maxSize; every chunk but the last >= minSize
+      cs.foreach(c => assert(c.getInt(0) <= 512))
+      cs.dropRight(1).foreach(c => assert(c.getInt(0) >= 32))
+    }
+    // deterministic
+    val again = df.select(ArrayExpressions.cdcChunks(col("text"), 32, 6, 512)).collect()
+    assert(again.map(_.getSeq[org.apache.spark.sql.Row](0).toList).toSeq ==
+      chunks.map(_._2.toList).toSeq)
+    // LOCALITY: appending a suffix must not change any chunk before the
+    // one that held the original tail — the property that makes CDC dedup
+    // find shared prefixes/boilerplate
+    val baseChunks = chunks.find(_._1 == base).get._2.map(r => (r.getInt(0), r.getLong(1)))
+    val extChunks = chunks.find(_._1.length == base.length + 500).get._2
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(extChunks.take(baseChunks.length - 1) == baseChunks.dropRight(1),
+      "appending a suffix rewrote untouched chunks")
+  }
+
+  test("chunk-level dedup finds shared boilerplate across documents") {
+    import spark.implicits._
+    val rnd = new Random(12)
+    def randText(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val boilerplate = randText(2000)
+    val docs = (0L until 10L).map(i => (i, boilerplate + randText(200)))
+      .toDF("doc_id", "text")
+    val profile = graft.operators.Chunker.dupChunkProfile(docs).head()
+    val totalBytes = profile.getAs[Long]("total_bytes")
+    val dupBytes = profile.getAs[Long]("dup_bytes")
+    // 10 copies of a 2000-byte prefix: the shared chunks dedup away —
+    // at least half the corpus volume must be recognized as duplicate
+    assert(dupBytes > totalBytes / 2, s"dup $dupBytes of $totalBytes")
+    assert(profile.getAs[Long]("n_chunks") > profile.getAs[Long]("n_unique_chunks"))
+  }
+
   test("interpreted eval matches codegen result") {
     val e = ArrayExpressions.SortedLongIntersectCount(
       org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1L, 5L, 9L),
