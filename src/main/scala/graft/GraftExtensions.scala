@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.ArrayExpressions.{CosineSimilarity, DeflateRatio, MinHashSignature, ShingleHashesSorted, SimHash64, SortedLongIntersectCount}
+import graft.functions.ArrayExpressions.{CdcChunks, CosineSimilarity, DeflateRatio, DocFingerprint, HyperplaneBucket, LexiconHits, MinHashSignature, ShingleHashesSorted, SimHash64, SortedLongIntersectCount}
+import graft.functions.VectorSum
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -42,5 +43,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.TopKByScore].getName, "top_k_by_score"),
       es => graft.functions.TopKByScore(es.head, es(1),
         es(2).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("hyperplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),
+      es => HyperplaneBucket(es.head, es(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("vector_sum"),
+      new ExpressionInfo(classOf[VectorSum].getName, "vector_sum"),
+      es => VectorSum(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("lexicon_hits"),
+      new ExpressionInfo(classOf[LexiconHits].getName, "lexicon_hits"),
+      es => LexiconHits(es.head,
+        graft.operators.TextAnalysis.LexiconOrder.map(graft.operators.TextAnalysis.Lexicons))))
+    e.injectFunction((
+      FunctionIdentifier("doc_fingerprint"),
+      new ExpressionInfo(classOf[DocFingerprint].getName, "doc_fingerprint"),
+      es => DocFingerprint(es.head, es(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      es => CdcChunks(es.head,
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue(),
+        es(3).eval().asInstanceOf[Number].intValue())))
   }
 }
