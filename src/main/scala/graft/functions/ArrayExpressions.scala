@@ -509,13 +509,18 @@ object ArrayExpressions {
 
   /** Content-defined chunks of a string's UTF-8 bytes via a Gear rolling
     * hash: `array<struct<len:int, hash:bigint>>`, one pass. A boundary
-    * cuts where the rolling hash's low `avgBits` bits are zero (expected
+    * cuts where the rolling hash's HIGH `avgBits` bits are zero (expected
     * chunk size ≈ minSize + 2^avgBits) once `minSize` bytes have
-    * accumulated; `maxSize` forces a cut. The gear table derives from
-    * [[mix64]], so boundaries are deterministic and depend only on the
-    * last 64 bytes of context — the CDC locality property (edits move
-    * only the chunks they touch) that makes chunk-hash dedup work.
-    * Chunk hash = FNV-1a over the chunk's bytes + mix64 finalizer.
+    * accumulated; `maxSize` forces a cut. High bits, not low: with
+    * `h = (h << 1) + gear(b)`, bit k only sees the last k+1 bytes, so a
+    * low-bits test degenerates to ~avgBits bytes of context and collapses
+    * on periodic/low-entropy text (the original-Gear weakness FastCDC's
+    * spread masks address); the top bits aggregate the full 64-byte
+    * window. The gear table derives from [[mix64]], so boundaries are
+    * deterministic and depend only on those 64 bytes of context — the CDC
+    * locality property (edits move only the chunks they touch) that makes
+    * chunk-hash dedup work. Chunk hash = FNV-1a over the chunk's bytes +
+    * mix64 finalizer.
     */
   case class CdcChunks(child: Expression, minSize: Int, avgBits: Int, maxSize: Int)
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -532,7 +537,8 @@ object ArrayExpressions {
           s"$prettyName expects a string argument, got ${other.simpleString}")
       }
 
-    private val mask: Long = (1L << avgBits) - 1
+    // boundary iff the top avgBits bits of the rolling hash are zero
+    private val shift: Int = 64 - avgBits
 
     def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
       val bytes = s.getBytes
@@ -547,7 +553,7 @@ object ArrayExpressions {
         fnv = (fnv ^ b) * 0x100000001b3L
         i += 1
         val len = i - start
-        if ((len >= minSize && (h & mask) == 0L) || len >= maxSize) {
+        if ((len >= minSize && (h >>> shift) == 0L) || len >= maxSize) {
           out += InternalRow(len, mix64(fnv))
           start = i; h = 0L; fnv = 0xcbf29ce484222325L
         }
@@ -637,53 +643,46 @@ object ArrayExpressions {
     * functions — session-scoped, no catalog pollution). Query builders
     * invoke this on every construction; short-circuits per session.
     */
+  private def intArg(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
+
+  /** The ONE list of (name, implementing class, builder) triples — both
+    * registration paths ([[register]] temp functions and
+    * [[graft.GraftExtensions]] injection) consume it, so a new expression
+    * added here is automatically visible on both surfaces (the two paths
+    * had already drifted apart once when they were maintained by hand).
+    */
+  val functionBuilders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("sorted_long_intersect_count", classOf[SortedLongIntersectCount].getName,
+      es => SortedLongIntersectCount(es.head, es(1))),
+    ("cosine_similarity", classOf[CosineSimilarity].getName,
+      es => CosineSimilarity(es.head, es(1))),
+    ("minhash_signature", classOf[MinHashSignature].getName,
+      es => MinHashSignature(es.head, intArg(es(1)))),
+    ("shingle_hashes_sorted", classOf[ShingleHashesSorted].getName,
+      es => ShingleHashesSorted(es.head, intArg(es(1)))),
+    ("top_k_by_score", classOf[TopKByScore].getName,
+      es => TopKByScore(es.head, es(1), intArg(es(2)))),
+    ("deflate_ratio", classOf[DeflateRatio].getName, es => DeflateRatio(es.head)),
+    ("simhash64", classOf[SimHash64].getName, es => SimHash64(es.head)),
+    ("hyperplane_bucket", classOf[HyperplaneBucket].getName,
+      es => HyperplaneBucket(es.head, intArg(es(1)))),
+    ("vector_sum", classOf[VectorSum].getName, es => VectorSum(es.head)),
+    ("cdc_chunks", classOf[CdcChunks].getName,
+      es => CdcChunks(es.head, intArg(es(1)), intArg(es(2)), intArg(es(3)))),
+    ("doc_fingerprint", classOf[DocFingerprint].getName,
+      es => DocFingerprint(es.head, intArg(es(1)))),
+    ("lexicon_hits", classOf[LexiconHits].getName,
+      es => LexiconHits(es.head,
+        graft.operators.TextAnalysis.LexiconOrder.map(
+          graft.operators.TextAnalysis.Lexicons))))
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     if (registry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_signature"))) return
-    registry.createOrReplaceTempFunction(
-      "sorted_long_intersect_count", es => SortedLongIntersectCount(es.head, es(1)), "built-in")
-    registry.createOrReplaceTempFunction(
-      "cosine_similarity", es => CosineSimilarity(es.head, es(1)), "built-in")
-    registry.createOrReplaceTempFunction(
-      "minhash_signature",
-      es => MinHashSignature(es.head, es(1).eval().asInstanceOf[Number].intValue()),
-      "built-in")
-    registry.createOrReplaceTempFunction(
-      "shingle_hashes_sorted",
-      es => ShingleHashesSorted(es.head, es(1).eval().asInstanceOf[Number].intValue()),
-      "built-in")
-    registry.createOrReplaceTempFunction(
-      "top_k_by_score",
-      es => TopKByScore(es.head, es(1), es(2).eval().asInstanceOf[Number].intValue()),
-      "built-in")
-    registry.createOrReplaceTempFunction(
-      "deflate_ratio", es => DeflateRatio(es.head), "built-in")
-    registry.createOrReplaceTempFunction(
-      "simhash64", es => SimHash64(es.head), "built-in")
-    registry.createOrReplaceTempFunction(
-      "hyperplane_bucket",
-      es => HyperplaneBucket(es.head, es(1).eval().asInstanceOf[Number].intValue()),
-      "built-in")
-    registry.createOrReplaceTempFunction(
-      "vector_sum", es => VectorSum(es.head), "built-in")
-    registry.createOrReplaceTempFunction(
-      "cdc_chunks",
-      es => CdcChunks(es.head,
-        es(1).eval().asInstanceOf[Number].intValue(),
-        es(2).eval().asInstanceOf[Number].intValue(),
-        es(3).eval().asInstanceOf[Number].intValue()),
-      "built-in")
-    registry.createOrReplaceTempFunction(
-      "doc_fingerprint",
-      es => DocFingerprint(es.head, es(1).eval().asInstanceOf[Number].intValue()),
-      "built-in")
-    registry.createOrReplaceTempFunction(
-      "lexicon_hits",
-      es => LexiconHits(es.head,
-        graft.operators.TextAnalysis.LexiconOrder.map(
-          graft.operators.TextAnalysis.Lexicons)),
-      "built-in")
+    functionBuilders.foreach { case (name, _, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 
   /** Column wrappers (require [[register]] on the active session). */

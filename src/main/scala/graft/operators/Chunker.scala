@@ -45,10 +45,16 @@ object Chunker {
         count(lit(1)).as("doc_n_chunks"),
         max(col("chunk_len")).as("doc_max_chunk"),
         // every chunk but the last must be >= minSize; the last may be
-        // the document remainder
-        sum(when(col("chunk_len") < minSize, 1).otherwise(0)).as("doc_n_short"))
+        // the document remainder — so at most one short chunk, and only
+        // at the last index (positional, not just a count)
+        sum(when(col("chunk_len") < minSize, 1).otherwise(0)).as("doc_n_short"),
+        max(when(col("chunk_len") < minSize, col("chunk_idx"))).as("doc_short_idx"))
+    // NULL text is treated as 0 bytes (drop-don't-fail): without the
+    // coalesce every boolean below is NULL for a NULL-text doc and min()
+    // skips it, silently exempting those docs from the contract (and
+    // hash-mismatching the oracle's `true` on an all-NULL source group).
     docs.select(col("source"), col("doc_id"),
-        length(encode(col("text"), "UTF-8")).as("n_bytes"))
+        coalesce(length(encode(col("text"), "UTF-8")), lit(0)).as("n_bytes"))
       .join(ch, Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -57,7 +63,9 @@ object Chunker {
         min(coalesce(col("doc_chunk_bytes"), lit(0)) === col("n_bytes")).as("bytes_conserved"),
         min(col("n_bytes") === 0 || col("doc_n_chunks").isNotNull).as("all_nonempty_chunked"),
         min(coalesce(col("doc_max_chunk"), lit(0)) <= maxSize &&
-          coalesce(col("doc_n_short"), lit(0)) <= 1).as("sizes_bounded"))
+          coalesce(col("doc_n_short"), lit(0)) <= 1 &&
+          (col("doc_short_idx").isNull ||
+            col("doc_short_idx") === col("doc_n_chunks") - 1)).as("sizes_bounded"))
       .orderBy("source")
   }
 

@@ -12,6 +12,10 @@ import scala.util.Random
 class ExpressionsSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 
+  /** Random lowercase-alpha string (shared by the CDC tests). */
+  private def lowerAlpha(rnd: Random, n: Int): String =
+    (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+
   test("sorted_long_intersect_count == size(array_intersect) on random sorted sets") {
     import spark.implicits._
     ArrayExpressions.register(spark)
@@ -243,9 +247,9 @@ class ExpressionsSpec extends AnyFunSuite {
     import spark.implicits._
     ArrayExpressions.register(spark)
     val rnd = new Random(11)
-    def randText(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
-    val base = randText(4000)
-    val texts = Seq(base, "", "x", randText(31), randText(600), base + randText(500))
+    val base = lowerAlpha(rnd, 4000)
+    val texts = Seq(base, "", "x", lowerAlpha(rnd, 31), lowerAlpha(rnd, 600),
+      base + lowerAlpha(rnd, 500))
     val df = texts.toDF("text")
     val chunks = df.select(col("text"),
         ArrayExpressions.cdcChunks(col("text"), 32, 6, 512).as("c")).collect()
@@ -277,9 +281,8 @@ class ExpressionsSpec extends AnyFunSuite {
   test("chunk-level dedup finds shared boilerplate across documents") {
     import spark.implicits._
     val rnd = new Random(12)
-    def randText(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
-    val boilerplate = randText(2000)
-    val docs = (0L until 10L).map(i => (i, boilerplate + randText(200)))
+    val boilerplate = lowerAlpha(rnd, 2000)
+    val docs = (0L until 10L).map(i => (i, boilerplate + lowerAlpha(rnd, 200)))
       .toDF("doc_id", "text")
     val profile = graft.operators.Chunker.dupChunkProfile(docs).head()
     val totalBytes = profile.getAs[Long]("total_bytes")

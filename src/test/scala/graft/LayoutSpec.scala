@@ -15,6 +15,11 @@ class LayoutSpec extends AnyFunSuite {
 
   test("bucketed tables co-locate the orders-lineitem join: no shuffle in the plan") {
     import graft.sources.Bucketed
+    // broadcast disabled: at fixture scale the planner would broadcast the
+    // small side and the no-Exchange assertion would pass vacuously — the
+    // test must see the SortMergeJoin read the bucket layout
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       Bucketed.writeBucketed(Tables.load(spark, sf, "orders"), "orders_b", "o_orderkey", 8)
       Bucketed.writeBucketed(Tables.load(spark, sf, "lineitem"), "lineitem_b", "l_orderkey", 8)
@@ -37,6 +42,7 @@ class LayoutSpec extends AnyFunSuite {
       assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
         "bucketed aggregation still shuffles")
     } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
