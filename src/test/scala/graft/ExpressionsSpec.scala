@@ -293,6 +293,16 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(profile.getAs[Long]("n_chunks") > profile.getAs[Long]("n_unique_chunks"))
   }
 
+  test("every functionBuilders entry is registered and SQL-resolvable") {
+    ArrayExpressions.register(spark)
+    val registry = spark.sessionState.functionRegistry
+    ArrayExpressions.functionBuilders.foreach { case (name, className, _) =>
+      assert(registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)), s"$name not registered")
+      assert(Class.forName(className) != null) // ExpressionInfo class names stay real
+    }
+  }
+
   test("interpreted eval matches codegen result") {
     val e = ArrayExpressions.SortedLongIntersectCount(
       org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1L, 5L, 9L),
