@@ -20,13 +20,20 @@ object AsOf {
     * Right columns keep their names; ties on right.time break by
     * `tieBreak` descending. LEFT semantics: a left row with no qualifying
     * right row is preserved with null right columns (it forms a singleton
-    * window partition, so its row_number is 1).
+    * window partition, so its row_number is 1). `tolerance` (same units
+    * as the time columns) bounds how stale the match may be: matches
+    * older than leftTime − tolerance are treated as absent, like pandas
+    * `merge_asof(tolerance=...)` — without it, a years-stale version
+    * silently joins as "current".
     */
   def join(left: DataFrame, right: DataFrame,
            leftId: String, leftKey: Column, rightKey: Column,
-           leftTime: Column, rightTime: Column, tieBreak: Column): DataFrame = {
+           leftTime: Column, rightTime: Column, tieBreak: Column,
+           tolerance: Option[Column] = None): DataFrame = {
     val w = Window.partitionBy(col(leftId)).orderBy(rightTime.desc, tieBreak.desc)
-    left.join(right, leftKey === rightKey && rightTime <= leftTime, "left")
+    val cond = leftKey === rightKey && rightTime <= leftTime &&
+      tolerance.map(t => rightTime >= leftTime - t).getOrElse(lit(true))
+    left.join(right, cond, "left")
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn")
@@ -44,7 +51,8 @@ object AsOf {
     */
   def joinSorted(left: DataFrame, right: DataFrame,
                  leftKey: Column, rightKey: Column,
-                 leftTime: Column, rightTime: Column, tieBreak: Column): DataFrame = {
+                 leftTime: Column, rightTime: Column, tieBreak: Column,
+                 tolerance: Option[Column] = None): DataFrame = {
     val rightCols = right.columns
     // a null-time right row can never satisfy rightTime <= leftTime in the
     // predicate form, but unfiltered it would sort FIRST (nulls-first) and
@@ -67,9 +75,24 @@ object AsOf {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val leftFields = left.columns.map(c => col(s"_ls.$c").as(c))
     val rightFields = rightCols.map(c => col(s"_asof.$c").as(c))
-    r.unionByName(l)
+    val base = r.unionByName(l)
       .withColumn("_asof", last(col("_rs"), ignoreNulls = true).over(w))
-      .filter(col("_isR") === 0)
+    // Tolerance gate: the running last() can carry a match arbitrarily
+    // far forward, so the matched right TIME rides along in a second
+    // running column and a too-stale match nulls back out (the struct
+    // nulls as a whole → all right fields null, same as no match). The
+    // extra window column shares the same window frame — no extra
+    // shuffle or sort — and is skipped entirely when no tolerance is set,
+    // keeping the default plan byte-identical to before.
+    val gated = tolerance match {
+      case None => base
+      case Some(tol) => base
+        .withColumn("_asofT",
+          last(when(col("_isR") === 1, col("_t")), ignoreNulls = true).over(w))
+        .withColumn("_asof",
+          when(col("_asofT") >= col("_t") - tol, col("_asof")))
+    }
+    gated.filter(col("_isR") === 0)
       .select(leftFields ++ rightFields: _*)
   }
 }

@@ -414,6 +414,44 @@ class QueriesSpec extends AnyFunSuite {
     assert(out(3).isNullAt(out(3).fieldIndex("tag"))) // key 20: unmatched
   }
 
+  test("asof tolerance: stale matches null out, both forms agree, None unchanged") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 95L), (3L, 10L, 300L), (4L, 20L, 100L))
+      .toDF("id", "k", "t")
+    val right = Seq((10L, 90L, "recent"), (10L, 10L, "old"))
+      .toDF("rk", "rt", "tag")
+    def tags(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(r =>
+        if (r.isNullAt(r.fieldIndex("tag"))) null else r.getString(r.fieldIndex("tag"))).toSeq
+    val tol = Some(org.apache.spark.sql.functions.lit(20L))
+    val viaWindow = graft.operators.AsOf.join(left, right, "id",
+      col("k"), col("rk"), col("t"), col("rt"), col("rt"), tol)
+    val viaSort = graft.operators.AsOf.joinSorted(left, right,
+      col("k"), col("rk"), col("t"), col("rt"), col("rt"), tol)
+    // t=100: rt=90 within 20 -> recent; t=95: rt=90 within -> recent;
+    // t=300: rt=90 is 210 stale -> null; key 20 unmatched -> null
+    assert(tags(viaWindow) == Seq("recent", "recent", null, null))
+    assert(tags(viaSort) == tags(viaWindow))
+    // no tolerance: t=300 still matches the most recent version
+    val unbounded = graft.operators.AsOf.joinSorted(left, right,
+      col("k"), col("rk"), col("t"), col("rt"), col("rt"))
+    assert(tags(unbounded) == Seq("recent", "recent", "recent", null))
+    // random equivalence sweep: both forms agree under tolerance
+    val rnd = new scala.util.Random(21)
+    val bl = (1 to 300).map(i => (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+      .toDF("id", "k", "t")
+    val br = (1 to 200).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong)).toDF("rk", "rt", "ver")
+    val btol = Some(org.apache.spark.sql.functions.lit(50L))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("rt"), col("ver")).collect().map(_.toString).sorted.toSeq
+    val a = graft.operators.AsOf.join(bl, br, "id",
+      col("k"), col("rk"), col("t"), col("rt"), col("ver"), btol)
+    val b = graft.operators.AsOf.joinSorted(bl, br,
+      col("k"), col("rk"), col("t"), col("rt"), col("ver"), btol)
+    assert(canon(a) == canon(b))
+  }
+
   test("asof join keeps left rows with no qualifying right row (null right cols)") {
     import spark.implicits._
     val left = Seq((1L, 10L, 100L), (2L, 10L, 5L), (3L, 20L, 100L))
