@@ -59,14 +59,14 @@ object AsOf {
     // get picked up by last() — drop it to keep the semantics identical
     val r = right.filter(rightTime.isNotNull).select(
       rightKey.as("_k"), rightTime.as("_t"), lit(1).as("_isR"), tieBreak.as("_tb"),
-      struct(rightCols.map(right(_)): _*).as("_rs"),
+      struct(rightCols.toIndexedSeq.map(right(_)): _*).as("_rs"),
       lit(null).cast(org.apache.spark.sql.types.StructType(
         left.schema.fields)).as("_ls"))
     val l = left.select(
       leftKey.as("_k"), leftTime.as("_t"), lit(0).as("_isR"),
       lit(null).cast(r.schema("_tb").dataType).as("_tb"),
       lit(null).cast(r.schema("_rs").dataType).as("_rs"),
-      struct(left.columns.map(left(_)): _*).as("_ls"))
+      struct(left.columns.toIndexedSeq.map(left(_)): _*).as("_ls"))
     // At one instant: right rows sort BEFORE left rows (a version effective
     // at t is visible to a left row at t — the <= contract), and later
     // tie-breaks win because last() takes the final qualifying row.
@@ -93,6 +93,6 @@ object AsOf {
           when(col("_asofT") >= col("_t") - tol, col("_asof")))
     }
     gated.filter(col("_isR") === 0)
-      .select(leftFields ++ rightFields: _*)
+      .select((leftFields ++ rightFields).toIndexedSeq: _*)
   }
 }
