@@ -2,9 +2,11 @@ package graft.queries
 
 import graft.Tables
 import graft.streaming.{GapEvent, StreamingGapSessionize}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
+import java.nio.file.{Files, Path}
+import java.util.Comparator
 import java.util.concurrent.atomic.AtomicInteger
 
 /** Driver-visible Structured Streaming query: runs the streaming gap
@@ -14,10 +16,18 @@ import java.util.concurrent.atomic.AtomicInteger
   * the streaming twin — the stream-equals-batch guarantee moves from a
   * ScalaTest assertion into the driver's hard signal.
   *
-  * The MemoryStream feed collects the event table to the driver; that is
-  * the nature of the test-harness SOURCE (production would read Kafka/
-  * files), not of the operator — the sessionizer itself holds O(1) state
-  * per user and never involves the driver.
+  * The feed is stream-native: the event table is written to a spool
+  * directory as time-ranged parquet files and the sessionizer reads them
+  * through a FILE STREAM source (`maxFilesPerTrigger = 1`, one micro-batch
+  * per file — the same shape as a production directory-watching ingest).
+  * Nothing is ever materialized on the driver: the spool write is a
+  * distributed job, and each micro-batch flows scan → state store → sink
+  * entirely on executors. `repartitionByRange` over event time makes file
+  * k chronologically precede file k+1 (equal timestamps land in one file),
+  * so per-user event order across micro-batches is non-decreasing and the
+  * stream reproduces the batch sessionization bit for bit; disorder
+  * WITHIN a micro-batch is handled by the operator (and exercised, with
+  * genuine cross-batch disorder, in StreamingSpec).
   */
 object StreamingQueries {
 
@@ -25,9 +35,22 @@ object StreamingQueries {
   // bench/verify reruns never read a stale sink
   private val runSeq = new AtomicInteger(0)
 
+  /** Number of time-range spool files = number of event micro-batches the
+    * sessionizer sees (plus one for the sentinel flush). 3 keeps
+    * cross-batch state handoff exercised without paying unbounded
+    * per-batch state-store fixed costs locally.
+    */
+  private val FeedFiles = 3
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
+
   def gapSessions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val events = Tables.load(spark, dir, "events")
       // cents via the SAME rounding the batch operator applies —
       // cast(value AS decimal(18,2)) is BigDecimal HALF_UP, which differs
@@ -36,53 +59,82 @@ object StreamingQueries {
       // breaks the advertised bit-for-bit stream==batch guarantee
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
-      .collect()
-      .map(r => GapEvent(r.getLong(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_.us)
+    // One-row read off a single-column max — the sentinel must postdate
+    // every event by more than watermark + gap. (Same bounded driver-read
+    // pattern as ivfTopK's dim probe; NOT a data materialization.)
+    val maxUsRow = events.agg(max(col("us"))).head()
+    val spool = Files.createTempDirectory("graft_stream_spool")
+    val feedDir = spool.resolve("feed").toString
     val name = s"graft_stream_gap_${runSeq.incrementAndGet()}"
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[GapEvent]
-    // The streaming stage runs EAGERLY here (processAllAvailable below), so
-    // scoping the shuffle-partition count to it is safe — the returned
-    // DataFrame only reads the materialized sink. Fewer partitions = fewer
-    // state-store instances to open/commit per micro-batch; per-batch
-    // fixed cost dominates this operator locally (state per key is O(1)
-    // either way, and a real deployment sizes this to its key cardinality).
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val sessions =
-      try {
-        val q = StreamingGapSessionize.sessions(spark, ms.toDS(), 1800L * 1000000L)
-          .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // Spool the stream input as FeedFiles time-ranged parquet files.
+      // coalesce-to-range keeps exactly one file per range partition, so
+      // file boundaries ARE time boundaries.
+      events.repartitionByRange(FeedFiles, col("us"))
+        .sortWithinPartitions("us")
+        .write.mode("overwrite").parquet(feedDir)
+      // The file source replays files oldest-mtime-first; part file names
+      // sort in range order, so stamp strictly ascending mtimes to pin the
+      // chronological replay independent of write-task finish order.
+      val base = System.currentTimeMillis() - 1000L * 3600
+      Files.list(java.nio.file.Paths.get(feedDir)).sorted().toArray
+        .map(_.asInstanceOf[Path])
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .zipWithIndex
+        .foreach { case (p, i) => p.toFile.setLastModified(base + i * 1000L) }
+
+      implicit val enc: Encoder[GapEvent] = Encoders.product[GapEvent]
+      val stream = spark.readStream
+        .schema(enc.schema)
+        .option("maxFilesPerTrigger", "1") // one micro-batch per range file
+        .parquet(feedDir)
+        .as[GapEvent]
+      // The streaming stage runs EAGERLY here (processAllAvailable below),
+      // so scoping the shuffle-partition count to it is safe — the returned
+      // DataFrame only reads the materialized sink. Fewer partitions =
+      // fewer state-store instances to open/commit per micro-batch;
+      // per-batch fixed cost dominates this operator locally (state per
+      // key is O(1) either way, and a real deployment sizes this to its
+      // key cardinality).
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val sessions =
         try {
-          if (events.nonEmpty) {
-            // two chronological micro-batches exercise cross-batch state,
-            // then a far-future sentinel (user -1) pushes the watermark
-            // past every open session's timeout so idle sessions flush
-            val (b1, b2) = events.splitAt(events.length / 2)
-            ms.addData(b1.toIndexedSeq); q.processAllAvailable()
-            ms.addData(b2.toIndexedSeq); q.processAllAvailable()
-            ms.addData(Seq(GapEvent(-1L, events.last.us + 1000L * 3600 * 1000000, 0)))
-            q.processAllAvailable()
-          }
-          // materialize off the memory sink, then drop its temp view —
-          // repeated bench/verify invocations must not pin one full result
-          // copy per run in driver memory for the session lifetime
-          spark.table(name).localCheckpoint()
-        } finally q.stop()
-      } finally {
-        spark.catalog.dropTempView(name)
-        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("start_us"))
-    sessions.filter(col("user_id") >= 0)
-      .withColumn("session_id", row_number().over(w).cast("bigint"))
-      .select(col("user_id"), col("session_id"),
-        col("n_events"), col("start_us"),
-        (col("end_us") - col("start_us")).as("duration_us"),
-        // integer cents -> double via one correctly-rounded division:
-        // equals the batch decimal-sum-cast-double cents-exactly
-        (col("total_cents").cast("double") / 100).as("total_value"))
-      .orderBy("user_id", "session_id")
+          val q = StreamingGapSessionize.sessions(spark, stream, 1800L * 1000000L)
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", spool.resolve("ckpt").toString)
+            .start()
+          try {
+            q.processAllAvailable() // all FeedFiles batches, chronologically
+            if (!maxUsRow.isNullAt(0)) {
+              // far-future sentinel (user -1) as one more spooled file: its
+              // event time pushes the watermark past every open session's
+              // timeout, flushing idle sessions — written AFTER the first
+              // drain so it is guaranteed to arrive as its own micro-batch
+              Seq(GapEvent(-1L, maxUsRow.getLong(0) + 1000L * 3600 * 1000000, 0))
+                .toDS().coalesce(1).write.mode("append").parquet(feedDir)
+              q.processAllAvailable()
+            }
+            // materialize off the memory sink, then drop its temp view —
+            // repeated bench/verify invocations must not pin one full
+            // result copy per run in driver memory for the session lifetime
+            spark.table(name).localCheckpoint()
+          } finally q.stop()
+        } finally {
+          spark.catalog.dropTempView(name)
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("start_us"))
+      sessions.filter(col("user_id") >= 0)
+        .withColumn("session_id", row_number().over(w).cast("bigint"))
+        .select(col("user_id"), col("session_id"),
+          col("n_events"), col("start_us"),
+          (col("end_us") - col("start_us")).as("duration_us"),
+          // integer cents -> double via one correctly-rounded division:
+          // equals the batch decimal-sum-cast-double cents-exactly
+          (col("total_cents").cast("double") / 100).as("total_value"))
+        .orderBy("user_id", "session_id")
+    } finally deleteRecursively(spool)
   }
 }

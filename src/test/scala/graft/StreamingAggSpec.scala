@@ -83,6 +83,62 @@ class StreamingAggSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("x26's file-stream feed reproduces batch q8 bit for bit") {
+    // the driver-visible query: spool dir -> file stream source -> state
+    // store -> memory sink, no driver-side materialization of the events
+    val got = SparkEntry.queries("x26_streaming_sessionize")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val want = SparkEntry.queries("q8_sessionize")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("disordered micro-batches within the watermark still match batch; late-beyond-watermark drops") {
+    import graft.streaming.{GapEvent, StreamingGapSessionize}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Tables.load(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect()
+      .map(r => GapEvent(r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+      .sortBy(_.us)
+
+    val ms = MemoryStream[GapEvent]
+    val q = StreamingGapSessionize.sessions(spark, ms.toDS(), 1800L * 1000000L)
+      .writeStream.format("memory").queryName("gap_ooo_out").outputMode("append").start()
+    try {
+      // chronological SPLIT (so per-user order across batches holds), but
+      // DELIVERY ORDER inside each micro-batch fully shuffled — the
+      // disorder a real source produces within the watermark slack
+      val rnd = new scala.util.Random(42)
+      val (b1, b2) = events.splitAt(events.length / 2)
+      ms.addData(rnd.shuffle(b1.toIndexedSeq)); q.processAllAvailable()
+      // one event older than the post-batch-1 watermark (watermark delay is
+      // 30 min; this is 10 h before batch 1's max): must be DROPPED, not
+      // sessionized — feed it with batch 2 and assert no session shows it
+      val lateUser = 999999L
+      val late = GapEvent(lateUser, b1.last.us - 10L * 3600 * 1000000, 12345)
+      ms.addData(rnd.shuffle((b2 :+ late).toIndexedSeq)); q.processAllAvailable()
+      ms.addData(Seq(GapEvent(-1L, events.last.us + 1000L * 3600 * 1000000, 0)))
+      q.processAllAvailable()
+      val table = spark.table("gap_ooo_out")
+      assert(table.filter(col("user_id") === lateUser).isEmpty,
+        "late-beyond-watermark event was sessionized instead of dropped")
+      val got = table.filter(col("user_id") >= 0)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("end_us"), r.getAs[Long]("n_events"), r.getAs[Long]("total_cents")))
+        .sorted.toSeq
+      val want = SparkEntry.queries("q8_sessionize")(spark, sf)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("start_us") + r.getAs[Long]("duration_us"),
+          r.getAs[Long]("n_events"), math.round(r.getAs[Double]("total_value") * 100)))
+        .sorted.toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("watermarked streaming dropDuplicates removes cross-batch repeats") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
