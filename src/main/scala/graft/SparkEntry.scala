@@ -50,6 +50,9 @@ object SparkEntry {
     "q24_session_window" -> ((s, d) => Relational.q24SessionWindow(s, d)),
     "q25_correlated_subquery" -> ((s, d) => Relational.q25CorrelatedSubquery(s, d)),
     "q26_window_frames" -> ((s, d) => Relational.q26WindowFrames(s, d)),
+    // q22's aggregation against the BUCKETED layout (co-located merge join,
+    // zero join-side Exchange — LayoutSpec pins the plan); same oracle
+    "q27_bucketed_join" -> ((s, d) => graft.sources.Bucketed.q27BucketedJoin(s, d)),
     // -- LLM-pipeline extensions ------------------------------------------
     "x1_dedup_exact" -> ((s, d) => Dedup.exactDupStats(Tables.load(s, d, "documents"))),
     "x2_dedup_normalized" -> ((s, d) => Dedup.normalizedDupGroups(Tables.load(s, d, "documents"))),
@@ -365,6 +368,14 @@ object SparkEntry {
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
     // the exact SQL the engine runs (one shared definition — no drift)
     "q25_correlated_subquery" -> Relational.Q25Sql,
+    // q27 computes q22's result from a bucketed physical layout — layout
+    // must never change answers, so it carries q22's oracle verbatim
+    "q27_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |       CAST(sum(CAST(l_extendedprice AS decimal(18,2)) * (1 - CAST(l_discount AS decimal(18,2)))) AS double) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q26_window_frames" ->
       """SELECT o_custkey, o_orderkey,
         |       CAST(sum(CAST(o_totalprice AS decimal(18,2))) OVER wr AS double) AS run_total,

@@ -48,6 +48,28 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("q27's shipped plan joins the bucketed layout with zero join-side exchange") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // the EXACT code path the driver runs — not a re-derivation
+    val df = graft.sources.Bucketed.q27BucketedJoin(spark, sf)
+    val rows = df.collect()
+    // correctness: equals the plain (non-bucketed) q22 oracle aggregation
+    val want = graft.queries.Relational.q22SkewJoin(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == want.map(_.toString).toSeq)
+    // plan: no Exchange (and no per-query Sort) below the merge join — the
+    // bucket+sortBy layout satisfies both requirements at scan time
+    val executed = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+    val joinSection = executed.substring(executed.indexOf("SortMergeJoin"))
+    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey") &&
+      !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+      s"q27 join should read the bucketed layout without exchange:\n$executed")
+    assert(!joinSection.contains("Sort "),
+      s"q27 join should rely on the sortBy layout, not a per-query sort:\n$executed")
+  }
+
   test("partitioned parquet writes prune to one directory on a partition filter") {
     val dir = Files.createTempDirectory("graft_part").toFile.getAbsolutePath
     Tables.load(spark, sf, "events")
