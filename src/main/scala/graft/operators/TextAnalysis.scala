@@ -54,6 +54,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The composite quality score from its four raw counts — ONE shared
+    * definition, so the per-document report ([[qualityStats]]) and the
+    * gate-as-a-column form ([[qualityScoreOn]]) cannot drift.
+    */
+  def qualityScore(nPunct: Column, nDigits: Column, nStopwords: Column, nTokens: Column): Column =
+    round(lit(1.0) / (lit(1.0) + nPunct + nDigits) *
+      (lit(1.0) + nStopwords.cast("double") / nTokens), 6)
+
+  /** [[qualityScore]] computed directly on a text column — the filter-gate
+    * form for pipelines (x17) that need ONLY the score: no join back on
+    * doc_id, no materialized metric columns, no ordering. The stopword
+    * count comes from the fused `lexicon_hits` kernel (en is lexicon 0),
+    * which matches the `hits`-over-split form exactly (both implement the
+    * same `\s+`-token exact-match count; x9/x10 pin both against the same
+    * DuckDB oracle).
+    */
+  def qualityScoreOn(text: Column): Column = {
+    val nStop = element_at(graft.functions.ArrayExpressions.lexiconHits(text),
+      LexiconOrder.indexOf("en") + 1)
+    qualityScore(
+      size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0))),
+      size(regexp_extract_all(text, lit("[0-9]"), lit(0))),
+      nStop,
+      size(tokens(text)))
+  }
+
   /** Per-document quality metrics + a composite score. Ratios are exact
     * integer-over-integer divisions (deterministic doubles).
     */
@@ -71,8 +97,7 @@ object TextAnalysis {
       .withColumn("digit_ratio", round(col("n_digits").cast("double") / col("n_chars_m"), 6))
       .withColumn("stopword_ratio", round(col("n_stopwords").cast("double") / col("n_tokens"), 6))
       .withColumn("quality_score",
-        round(lit(1.0) / (lit(1.0) + col("n_punct") + col("n_digits")) *
-          (lit(1.0) + col("n_stopwords").cast("double") / col("n_tokens")), 6))
+        qualityScore(col("n_punct"), col("n_digits"), col("n_stopwords"), col("n_tokens")))
       .orderBy("doc_id")
   }
 

@@ -15,10 +15,14 @@ object Curation {
 
   def pipeline(spark: SparkSession, docs: DataFrame, embeddings: DataFrame,
                minQuality: Double = 0.05, dupThreshold: Double = 0.6): DataFrame = {
-    // 1. quality gate
-    val quality = TextAnalysis.qualityStats(docs)
-      .select(col("doc_id"), col("quality_score"))
-    val gated = docs.join(quality, "doc_id")
+    // 1. quality gate — the score computed AS A COLUMN on the doc scan
+    //    (same formula as qualityStats via TextAnalysis.qualityScore); the
+    //    earlier qualityStats-then-self-join form paid a second documents
+    //    scan, a shuffle join on doc_id, and qualityStats' global sort,
+    //    all to attach one column the scan can compute in place
+    graft.functions.ArrayExpressions.register(spark)
+    val gated = docs
+      .withColumn("quality_score", TextAnalysis.qualityScoreOn(col("text")))
       .filter(col("quality_score") >= minQuality)
     // 2. near-dup removal: every doc_b of a verified LSH pair drops
     //    (doc_a < doc_b, so the lowest id of each cluster survives)
