@@ -33,18 +33,34 @@ object Sketch {
     * (oracled) + sketch-within-tolerance booleans. rsd 2% HLL++ against a
     * 10%-or-±8 gate; percentile_approx at accuracy 10000 against a
     * 10%-or-±8 gate.
+    *
+    * The exact twins are computed from a pre-reduced LENGTH HISTOGRAM
+    * (`groupBy(source, n_chars)` → counts), not per-group value arrays:
+    * `count(*)` over the histogram IS the exact distinct count, and the
+    * frequency-weighted `percentile(n_chars, 0.5, cnt)` IS the exact
+    * interpolated median — same results, but aggregate state bounded by
+    * distinct lengths per source (map-side-combined) instead of one entry
+    * per ROW per group. The sketches still run over the raw rows: they are
+    * the honest streaming path whose accuracy the booleans pin.
     */
-  def sketchStats(docs: DataFrame): DataFrame =
-    docs.groupBy(col("source"))
+  def sketchStats(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("source"), col("n_chars"))
+    val exact = base.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
       .agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(col("n_chars")).as("nd_exact"),
+        sum(col("cnt")).as("n_docs"),
+        count(lit(1)).as("nd_exact"),
+        round(expr("percentile(n_chars, 0.5, cnt)"), 6).as("p50_exact"))
+    val approx = base.groupBy(col("source"))
+      .agg(
         approx_count_distinct(col("n_chars"), 0.02).as("_nd_approx"),
-        round(expr("percentile(n_chars, 0.5)"), 6).as("p50_exact"),
         expr("percentile_approx(n_chars, 0.5, 10000)").as("_p50_approx"))
+    exact.join(approx, "source")
       .select(col("source"), col("n_docs"), col("nd_exact"),
         within(col("_nd_approx"), col("nd_exact"), 0.10, 8.0).as("nd_sketch_ok"),
         col("p50_exact"),
         within(col("_p50_approx"), col("p50_exact"), 0.10, 8.0).as("p50_sketch_ok"))
       .orderBy("source")
+  }
 }
