@@ -29,11 +29,22 @@ object BenchHarness {
   def warmup(spark: SparkSession): Unit =
     SparkEntry.entry(spark).count()
 
-  /** Evaluate EVERY value of the result: hash all columns per row, sum the
-    * hashes. A bare `count()` lets column pruning delete expensive
+  /** Evaluate EVERY value of the result: hash all columns per row, fold
+    * the hashes. A bare `count()` lets column pruning delete expensive
     * computed columns from the plan entirely — a fingerprinting query
     * "benched" by count runs at scan speed with its fingerprints never
     * computed. One xxhash64 per row is noise next to any real operator.
+    *
+    * Two DELIBERATE limits of this consumer, so nobody reads more into
+    * the timings than they say:
+    *  - a query's terminal `orderBy` is NOT timed: wrapping in an
+    *    Aggregate lets Catalyst's EliminateSorts drop the (semantically
+    *    unobservable) final sort. Every non-terminal sort — windows,
+    *    sort-merge joins, sortWithinPartitions — is still paid.
+    *  - the folded value is a consumption device, not a faithful digest:
+    *    bit_xor cancels duplicate rows pairwise. The rows are still
+    *    COMPUTED (that is all timing needs); correctness lives in the
+    *    driver's oracle compare, which hashes actual values.
     */
   def consume(df: DataFrame): Unit = {
     // bit_xor, not sum: summing 64-bit hashes overflows long within a few

@@ -324,7 +324,9 @@ object ArrayExpressions {
     * (`element_at(v,i)·sign` summed) builds dim × nBits plan nodes, which
     * at production embedding dims (768–3072) is a 100k-node plan and a
     * codegen fallback. The (b,i) index uses a 2^20 stride so hyperplane
-    * components stay independent up to dim 1,048,576.
+    * components stay independent up to dim 1,048,576; longer vectors are
+    * REJECTED (compute throws) rather than silently aliasing components
+    * across bits, which would quietly degrade LSH independence.
     *
     * The projection runs over the vector's OWN length, so ragged rows never
     * abort (ANSI-safe by construction); callers that require a uniform dim
@@ -340,6 +342,9 @@ object ArrayExpressions {
 
     def compute(v: ArrayData): Long = {
       val n = v.numElements()
+      if (n > (1 << 20)) throw new IllegalArgumentException(
+        s"hyperplane_bucket supports vectors up to ${1 << 20} elements " +
+          s"(the (bit, index) stride); got $n — components would alias across bits")
       var bucket = 0L
       var b = 0
       while (b < nBits) {
@@ -650,28 +655,48 @@ object ArrayExpressions {
     * [[graft.GraftExtensions]] injection) consume it, so a new expression
     * added here is automatically visible on both surfaces (the two paths
     * had already drifted apart once when they were maintained by hand).
+    *
+    * Every builder validates its arity up front and raises Spark's
+    * standard WRONG_NUM_ARGS analysis error — a wrong-arity SQL call
+    * (`minhash_signature(x)`, `lexicon_hits(x, extra)`) must fail like a
+    * misused built-in, not with an IndexOutOfBounds from inside the
+    * builder or by silently ignoring extra arguments.
     */
+  private def entry(name: String, clazz: String, arity: Int)(
+      build: Seq[Expression] => Expression): (String, String, Seq[Expression] => Expression) =
+    (name, clazz, es => {
+      if (es.length != arity)
+        throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map(
+            "functionName" -> ("`" + name + "`"),
+            "expectedNum" -> arity.toString,
+            "actualNum" -> es.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      build(es)
+    })
+
   val functionBuilders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
-    ("sorted_long_intersect_count", classOf[SortedLongIntersectCount].getName,
+    entry("sorted_long_intersect_count", classOf[SortedLongIntersectCount].getName, 2)(
       es => SortedLongIntersectCount(es.head, es(1))),
-    ("cosine_similarity", classOf[CosineSimilarity].getName,
+    entry("cosine_similarity", classOf[CosineSimilarity].getName, 2)(
       es => CosineSimilarity(es.head, es(1))),
-    ("minhash_signature", classOf[MinHashSignature].getName,
+    entry("minhash_signature", classOf[MinHashSignature].getName, 2)(
       es => MinHashSignature(es.head, intArg(es(1)))),
-    ("shingle_hashes_sorted", classOf[ShingleHashesSorted].getName,
+    entry("shingle_hashes_sorted", classOf[ShingleHashesSorted].getName, 2)(
       es => ShingleHashesSorted(es.head, intArg(es(1)))),
-    ("top_k_by_score", classOf[TopKByScore].getName,
+    entry("top_k_by_score", classOf[TopKByScore].getName, 3)(
       es => TopKByScore(es.head, es(1), intArg(es(2)))),
-    ("deflate_ratio", classOf[DeflateRatio].getName, es => DeflateRatio(es.head)),
-    ("simhash64", classOf[SimHash64].getName, es => SimHash64(es.head)),
-    ("hyperplane_bucket", classOf[HyperplaneBucket].getName,
+    entry("deflate_ratio", classOf[DeflateRatio].getName, 1)(es => DeflateRatio(es.head)),
+    entry("simhash64", classOf[SimHash64].getName, 1)(es => SimHash64(es.head)),
+    entry("hyperplane_bucket", classOf[HyperplaneBucket].getName, 2)(
       es => HyperplaneBucket(es.head, intArg(es(1)))),
-    ("vector_sum", classOf[VectorSum].getName, es => VectorSum(es.head)),
-    ("cdc_chunks", classOf[CdcChunks].getName,
+    entry("vector_sum", classOf[VectorSum].getName, 1)(es => VectorSum(es.head)),
+    entry("cdc_chunks", classOf[CdcChunks].getName, 4)(
       es => CdcChunks(es.head, intArg(es(1)), intArg(es(2)), intArg(es(3)))),
-    ("doc_fingerprint", classOf[DocFingerprint].getName,
+    entry("doc_fingerprint", classOf[DocFingerprint].getName, 2)(
       es => DocFingerprint(es.head, intArg(es(1)))),
-    ("lexicon_hits", classOf[LexiconHits].getName,
+    entry("lexicon_hits", classOf[LexiconHits].getName, 1)(
       es => LexiconHits(es.head,
         graft.operators.TextAnalysis.LexiconOrder.map(
           graft.operators.TextAnalysis.Lexicons))))

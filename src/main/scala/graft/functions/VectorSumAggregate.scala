@@ -21,10 +21,15 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
   * partial aggregation (the shuffle carries one vector per group per
   * task, not the input).
   *
-  * The buffer's length locks to the FIRST non-null vector seen; rows of a
-  * different length are ignored (drop-don't-fail). Callers that need strict
-  * uniformity group by `size(v)` alongside their key, which makes the
-  * drop-path unreachable. Empty groups evaluate to NULL.
+  * Ragged groups follow a DETERMINISTIC drop-don't-fail rule: the result
+  * is the element-wise sum of exactly the vectors having the group's
+  * MAXIMUM length — a pure function of the group's multiset of vectors,
+  * independent of partitioning and merge order (a longer vector resets the
+  * buffer, a shorter one is dropped, equal lengths accumulate; merging
+  * keeps the longer buffer). SQL-surface callers (`vector_sum(v)`) that
+  * want no drops at all group by `size(v)` alongside their key, which
+  * makes the drop-path unreachable — ivfTopK's pattern. Empty groups
+  * evaluate to NULL.
   */
 case class VectorSum(
     child: Expression,
@@ -94,22 +99,26 @@ object VectorSum {
   final class Buf {
     var sums: Array[Double] = _
 
+    // Max-length-wins keeps the result order-independent: any shorter
+    // accumulation is discarded the moment a longer vector (or buffer)
+    // appears, and shorter inputs never touch a longer buffer — so every
+    // update/merge order converges on "sum of the max-length vectors".
     def add(v: ArrayData): Unit = {
       val n = v.numElements()
-      if (sums == null) sums = new Array[Double](n)
+      if (sums == null || sums.length < n) sums = new Array[Double](n)
       if (sums.length == n) {
         var i = 0
         while (i < n) { sums(i) += v.getDouble(i); i += 1 }
-      } // else: length mismatch within the group — dropped (see scaladoc)
+      } // else: shorter than the group max seen so far — dropped (scaladoc)
     }
 
     def merge(other: Buf): Unit = {
       if (other.sums != null) {
-        if (sums == null) sums = other.sums.clone()
+        if (sums == null || sums.length < other.sums.length) sums = other.sums.clone()
         else if (sums.length == other.sums.length) {
           var i = 0
           while (i < sums.length) { sums(i) += other.sums(i); i += 1 }
-        }
+        } // else: other accumulated only shorter-than-max vectors — dropped
       }
     }
   }

@@ -207,6 +207,38 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(s.length == 1024)
   }
 
+  test("vector_sum on a ragged group is deterministic: max-length vectors win, any layout") {
+    import spark.implicits._
+    ArrayExpressions.register(spark)
+    // lengths 2/4/8 mixed in one group: the contract is "element-wise sum
+    // of exactly the max-length vectors" regardless of partition/merge
+    // order — shorter rows drop deterministically
+    val vecs = Seq(
+      Seq(1.0, 2.0), Seq(1.0, 1.0, 1.0, 1.0),
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0),
+      Seq(0.5, 0.5, 0.5, 0.5), Seq(10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0))
+    val want = (0 until 8).map(i => vecs(2)(i) + vecs(4)(i))
+    for (parts <- Seq(1, 2, 5)) {
+      val got = vecs.toDF("v").repartition(parts)
+        .agg(ArrayExpressions.vectorSum(col("v"))).head().getSeq[Double](0)
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("wrong-arity SQL calls raise the standard WRONG_NUM_ARGS analysis error") {
+    ArrayExpressions.register(spark)
+    val tooFew = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_signature(array(1L))").collect()
+    }
+    assert(tooFew.getMessage.contains("minhash_signature") &&
+      tooFew.getMessage.contains("2 parameters"), tooFew.getMessage)
+    val tooMany = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT lexicon_hits('a', 'extra')").collect()
+    }
+    assert(tooMany.getMessage.contains("lexicon_hits") &&
+      tooMany.getMessage.contains("1 parameters"), tooMany.getMessage)
+  }
+
   test("lexicon_hits == split + per-lexicon filter counts on adversarial whitespace") {
     import spark.implicits._
     ArrayExpressions.register(spark)
