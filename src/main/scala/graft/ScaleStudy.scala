@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** LSH dedup scale study: measures candidate-pair volume and wall time of
+  * the MinHash-LSH path at 1×/3×/10× the corpus, to demonstrate (or
+  * refute) the Σ bucket² near-linearity claim that makes banded LSH the
+  * 100-TB dedup plan. Results are recorded in BASELINE.md.
+  *
+  * Corpus expansion must keep duplicate DENSITY constant: replica r
+  * applies an alphabet rotation (a deterministic substitution cipher) to
+  * every document, so each replica reproduces the original corpus's
+  * near-dup structure in a disjoint shingle space — 10× the corpus means
+  * 10× the clusters of the same shape, not clusters 10× denser (naive
+  * replication would make every original+replica set mutually near-dup
+  * and measure an artificial quadratic blow-up instead of scaling).
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt 'runMain graft.ScaleStudy'
+  */
+object ScaleStudy {
+
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = Lower.toUpperCase
+  private val Digits = "0123456789"
+
+  private def rot(s: String, r: Int): String = s.drop(r % s.length) + s.take(r % s.length)
+
+  /** k disjoint-shingle-space replicas of the corpus (replica 0 = original). */
+  def expand(docs: DataFrame, k: Int): DataFrame =
+    (0 until k).map { r =>
+      docs.select(
+        (col("doc_id") * k + lit(r)).as("doc_id"),
+        (if (r == 0) col("text")
+         else translate(col("text"),
+           Lower + Upper + Digits, rot(Lower, r) + rot(Upper, r) + rot(Digits, r))).as("text"))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = BenchHarness.session("graft-scale-study")
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    // untimed warmup: codegen + JIT of the LSH plan, so the scale-1 row
+    // doesn't carry one-time compile cost the larger rows don't pay
+    Dedup.minhashLshPairs(docs.localCheckpoint()).count()
+    for (k <- Seq(1, 3, 10)) {
+      // materialize the synthetic corpus so timings measure LSH, not synthesis
+      val corpus = expand(docs, k).localCheckpoint()
+      val nDocs = corpus.count()
+      val t0 = System.nanoTime()
+      val nCand = Dedup.minhashLshCandidates(corpus).count()
+      val tCand = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nVerified = Dedup.minhashLshPairs(corpus).count()
+      val tFull = (System.nanoTime() - t1) / 1e9
+      println(f"""{"scale":$k,"docs":$nDocs,"candidate_pairs":$nCand,"verified_pairs":$nVerified,"candidates_sec":$tCand%.2f,"full_lsh_sec":$tFull%.2f}""")
+    }
+    spark.stop()
+  }
+}

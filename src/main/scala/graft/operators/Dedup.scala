@@ -88,39 +88,38 @@ object Dedup {
     * signatures; docs sharing any (band, signature) bucket become
     * candidates; candidates verified with exact Jaccard >= threshold.
     */
-  def minhashLshPairs(docs: DataFrame, numPerms: Int = 32, rowsPerBand: Int = 4,
-                      threshold: Double = 0.6, maxBucket: Int = 64): DataFrame = {
-    require(numPerms % rowsPerBand == 0)
-    graft.functions.ArrayExpressions.register(docs.sparkSession)
+  /** Sorted distinct shingle-hash fingerprints (doc_id, hashes): the
+    * shared input of LSH banding AND exact verification. Spread across
+    * every core (single-file scans are one partition, and AQE would
+    * coalesce a count-less repartition of small-bytes/heavy-CPU data right
+    * back) and materialized once — the shingling is the dominant CPU cost
+    * and several consumers read it. localCheckpoint (not persist) so the
+    * blocks auto-clean when the query's RDD is GC'd.
+    */
+  private def shingleFingerprints(docs: DataFrame): DataFrame = docs
+    .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    .select(col("doc_id"),
+      graft.functions.ArrayExpressions.shingleHashesSorted(col("text"), 3).as("hashes"))
+    .filter(size(col("hashes")) > 0)
+    .localCheckpoint()
+
+  /** Banded-LSH candidate pairs from fingerprints. Group each (band,
+    * signature) bucket and emit its member pairs. Oversized buckets
+    * (> maxBucket) are skipped: a signature shared by hundreds of docs
+    * carries no discriminating information, and capping bounds the
+    * per-bucket pair blow-up to O(maxBucket²) — the property that keeps
+    * the shuffle near-linear at 100 TB (measured: ScaleStudy / BASELINE.md).
+    */
+  private def bandedCandidatePairs(fingerprints: DataFrame, numPerms: Int,
+                                   rowsPerBand: Int, maxBucket: Int): DataFrame = {
     val numBands = numPerms / rowsPerBand
-    // Sorted distinct shingle hashes, computed ONCE: minhash is
-    // order-independent, and the sorted form feeds the merge-walk
-    // verification directly.
-    val withShingles = docs
-      // spread the per-doc shingle+minhash compute across every core
-      // (single-file scans are one partition, and AQE would coalesce a
-      // count-less repartition of small-bytes/heavy-CPU data right back)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"),
-        graft.functions.ArrayExpressions.shingleHashesSorted(col("text"), 3).as("hashes"))
-      .filter(size(col("hashes")) > 0)
-      // materialize once: both the signature lineage and the broadcast
-      // verification side consume this, and it is the dominant CPU cost.
-      // localCheckpoint (not persist) so the blocks auto-clean when the
-      // query's RDD is GC'd.
-      .localCheckpoint()
     // All numPerms permuted minima in ONE fused pass (custom expression).
-    val sigs = withShingles.select(col("doc_id"),
+    val sigs = fingerprints.select(col("doc_id"),
       graft.functions.ArrayExpressions.minhashSignature(col("hashes"), numPerms).as("mhs"))
     val bandCols = (0 until numBands).map { bnd =>
       expr(s"named_struct('band', $bnd, 'sig', xxhash64(slice(mhs, ${bnd * rowsPerBand + 1}, $rowsPerBand)))")
     }
-    // Group each (band, signature) bucket and emit its member pairs.
-    // Oversized buckets (> maxBucket) are skipped: a signature shared by
-    // hundreds of docs carries no discriminating information, and capping
-    // bounds the per-bucket pair blow-up to O(maxBucket²) — the property
-    // that keeps the shuffle near-linear at 100 TB.
-    val candidates = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .groupBy(col("b.band"), col("b.sig"))
       .agg(collect_list(col("doc_id")).as("ids"))
@@ -131,6 +130,27 @@ object Dedup {
       .select(col("pr.doc_a"), col("pr.doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))
       .distinct()
+  }
+
+  /** The candidate stage alone (no exact verification) — the quantity the
+    * Σ bucket² bound governs; [[graft.ScaleStudy]] measures its growth.
+    */
+  def minhashLshCandidates(docs: DataFrame, numPerms: Int = 32, rowsPerBand: Int = 4,
+                           maxBucket: Int = 64): DataFrame = {
+    require(numPerms % rowsPerBand == 0)
+    graft.functions.ArrayExpressions.register(docs.sparkSession)
+    bandedCandidatePairs(shingleFingerprints(docs), numPerms, rowsPerBand, maxBucket)
+  }
+
+  def minhashLshPairs(docs: DataFrame, numPerms: Int = 32, rowsPerBand: Int = 4,
+                      threshold: Double = 0.6, maxBucket: Int = 64): DataFrame = {
+    require(numPerms % rowsPerBand == 0)
+    graft.functions.ArrayExpressions.register(docs.sparkSession)
+    // Sorted distinct shingle hashes, computed ONCE: minhash is
+    // order-independent, and the sorted form feeds the merge-walk
+    // verification directly.
+    val withShingles = shingleFingerprints(docs)
+    val candidates = bandedCandidatePairs(withShingles, numPerms, rowsPerBand, maxBucket)
     // Exact verification of the (small) candidate set only, on the SAME
     // sorted hashed sets via the custom merge-walk intersect expression.
     // Plain shuffle joins on doc_id, NOT a broadcast of the fingerprint
