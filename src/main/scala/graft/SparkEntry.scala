@@ -53,6 +53,9 @@ object SparkEntry {
     // q22's aggregation against the BUCKETED layout (co-located merge join,
     // zero join-side Exchange — LayoutSpec pins the plan); same oracle
     "q27_bucketed_join" -> ((s, d) => graft.sources.Bucketed.q27BucketedJoin(s, d)),
+    // date-partitioned layout + runtime-derived day dimension: the fact
+    // scan prunes via dynamic partition pruning (LayoutSpec pins the plan)
+    "q28_dpp_join" -> ((s, d) => graft.sources.PartitionedLayout.q28DppJoin(s, d)),
     // -- LLM-pipeline extensions ------------------------------------------
     "x1_dedup_exact" -> ((s, d) => Dedup.exactDupStats(Tables.load(s, d, "documents"))),
     "x2_dedup_normalized" -> ((s, d) => Dedup.normalizedDupGroups(Tables.load(s, d, "documents"))),
@@ -376,6 +379,20 @@ object SparkEntry {
         |       count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q28 runs against the date-partitioned events copy; the oracle runs
+    // the same query over the ORIGINAL single-file events.parquet —
+    // layout must never change answers
+    "q28_dpp_join" ->
+      """WITH top_days AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |         sum(CAST(value AS decimal(18,2))) AS pv
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1 ORDER BY pv DESC, d ASC LIMIT 5
+        |)
+        |SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS decimal(18,2))) AS double) AS total_value
+        |FROM events JOIN top_days ON CAST(ts AS DATE) = top_days.d
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q26_window_frames" ->
       """SELECT o_custkey, o_orderkey,
         |       CAST(sum(CAST(o_totalprice AS decimal(18,2))) OVER wr AS double) AS run_total,

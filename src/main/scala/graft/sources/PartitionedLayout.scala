@@ -1,0 +1,87 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Date-partitioned layout + dynamic partition pruning (DPP): the
+  * scan-level answer to time-scoped queries over an append-heavy fact
+  * table. Writing events partitioned by event date turns "which days?"
+  * into directory selection; when the day set is only known at RUNTIME
+  * (it comes out of a join against a derived/filtered dimension), Spark's
+  * dynamic partition pruning evaluates the build side first and prunes
+  * the fact scan to the matching directories — at 100 TB this is the
+  * difference between scanning the full table and scanning five
+  * partitions. Complements [[Bucketed]] (q27): bucketing pre-pays the
+  * JOIN shuffle, date partitioning pre-pays the time-scoped SCAN.
+  *
+  * Reference analog: the reference scans its full input per job
+  * (`AirportTripsRevenue.java` has no partition concept); this is the
+  * layout feature a 100-TB deployment of the same pipeline would lean on
+  * first.
+  */
+object PartitionedLayout {
+
+  /** Idempotently materialize `$dir/events.parquet` date-partitioned by
+    * `d = to_date(ts)` (~30 directories on the fixture's 30-day span).
+    * One file per day: `repartition(col("d"))` shuffles each day to one
+    * task before `partitionBy` splits directories. Reused across
+    * invocations AND across JVMs (`_SUCCESS` check) — the one-time-layout
+    * amortization story, same as q27's bucketed tables.
+    *
+    * `d` is derived by pure UTC epoch arithmetic, NOT `to_date` — every
+    * shipped session pins UTC anyway (Verify/Bench/tests), but a
+    * session-timezone-dependent derivation inside a persistent cross-JVM
+    * cache would let one non-UTC caller silently poison the layout for
+    * every later reader. This also matches DuckDB's timezone-free
+    * `CAST(ts AS DATE)` on the naive source timestamps by construction.
+    */
+  def partitionedEventsPath(spark: SparkSession, dir: String): String = {
+    val tag = "events_bydate_" + java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir) | Int.MinValue).substring(1)
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_partitioned", tag)
+    if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
+      Tables.load(spark, dir, "events")
+        // integer `div`: `/` is double division, and a last-microsecond-
+        // of-day event sits ~1e-11 below the next integer — too close to
+        // floating rounding for a layout decision
+        .withColumn("d", date_from_unix_date(
+          expr("unix_micros(ts) div 86400000000").cast("int")))
+        .repartition(col("d"))
+        .write.mode("overwrite").partitionBy("d")
+        .parquet(path.toString)
+    }
+    path.toString
+  }
+
+  /** Q28: per-type event counts and value totals restricted to the top 5
+    * days by purchase value — the day set is computed at runtime from the
+    * same table, so the fact-side scan can only be pruned DYNAMICALLY.
+    * The broadcast of the 5-row day dimension doubles as the DPP filter
+    * (reuseBroadcastOnly mode, Spark's default): the plan's fact scan
+    * carries `PartitionFilters: [dynamicpruning#...]` and reads 5 of ~30
+    * directories. LayoutSpec pins that plan shape on this exact path.
+    *
+    * Decimal(18,2) sums both for the day ranking (deterministic ordering
+    * — double summation order could flip near-ties) and the output
+    * totals; `d` breaks exact ties. Oracle: the same query in DuckDB over
+    * the ORIGINAL single-file events.parquet — layout must never change
+    * answers.
+    */
+  def q28DppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(partitionedEventsPath(spark, dir))
+    val topDays = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("d"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("pv"))
+      .orderBy(desc("pv"), asc("d"))
+      .limit(5)
+      .select(col("d"))
+    ev.join(broadcast(topDays), "d")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+}

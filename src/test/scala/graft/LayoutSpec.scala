@@ -70,6 +70,49 @@ class LayoutSpec extends AnyFunSuite {
       s"q27 join should rely on the sortBy layout, not a per-query sort:\n$executed")
   }
 
+  test("q28's shipped plan prunes the fact scan dynamically to the 5 joined days") {
+    // the EXACT code path the driver runs
+    val df = graft.sources.PartitionedLayout.q28DppJoin(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // correctness: layout must not change answers — same query over the
+    // original single-file events table
+    val ev = Tables.load(spark, sf, "events").withColumn("d", to_date(col("ts")))
+    val topDays = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("d")).agg(sum(col("value").cast("decimal(18,2)")).as("pv"))
+      .orderBy(desc("pv"), asc("d")).limit(5).select(col("d"))
+    val want = ev.join(topDays, "d")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("event_type").collect()
+    assert(rows.map(_.toString).toSeq == want.map(_.toString).toSeq)
+    // plan: the events fact scan must carry a DYNAMIC partition filter —
+    // the day set only exists at runtime, so static pruning cannot apply,
+    // and without DPP the scan reads all ~30 day directories
+    val scans = df.queryExecution.executedPlan.toString
+    assert(scans.contains("dynamicpruning"),
+      s"q28 fact scan should be dynamically pruned:\n$scans")
+    // and the pruning must actually bite: the fact side reads 5 of ~30
+    // day partitions at execution time. AQE wraps stages as leaf nodes,
+    // so descend explicitly.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val factScan = allScans(df.queryExecution.executedPlan)
+      .filter(_.partitionFilters.exists(_.toString.contains("dynamicpruning")))
+    assert(factScan.nonEmpty, s"no dynamically-pruned scan found:\n$scans")
+    // selectedPartitions is the STATIC selection (all ~30 days); the
+    // runtime-pruned count is what the executed scan actually read
+    val read = factScan.head.metrics("numPartitions").value
+    assert(read == 5, s"expected 5 pruned day partitions, read $read")
+  }
+
   test("partitioned parquet writes prune to one directory on a partition filter") {
     val dir = Files.createTempDirectory("graft_part").toFile.getAbsolutePath
     Tables.load(spark, sf, "events")
