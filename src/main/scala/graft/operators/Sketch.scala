@@ -42,6 +42,13 @@ object Sketch {
     * distinct lengths per source (map-side-combined) instead of one entry
     * per ROW per group. The sketches still run over the raw rows: they are
     * the honest streaming path whose accuracy the booleans pin.
+    *
+    * NULL semantics match the single-groupBy form and SQL: a NULL n_chars
+    * row counts toward n_docs but NOT toward nd_exact (count(n_chars)
+    * over the histogram skips the NULL group, like count(DISTINCT ...));
+    * percentile already ignores NULL inputs; and the exact/approx halves
+    * rejoin on NULL-SAFE source equality so a NULL source group survives
+    * the join exactly as it survives one groupBy.
     */
   def sketchStats(docs: DataFrame): DataFrame = {
     val base = docs.select(col("source"), col("n_chars"))
@@ -50,13 +57,14 @@ object Sketch {
       .groupBy(col("source"))
       .agg(
         sum(col("cnt")).as("n_docs"),
-        count(lit(1)).as("nd_exact"),
+        count(col("n_chars")).as("nd_exact"),
         round(expr("percentile(n_chars, 0.5, cnt)"), 6).as("p50_exact"))
     val approx = base.groupBy(col("source"))
       .agg(
         approx_count_distinct(col("n_chars"), 0.02).as("_nd_approx"),
         expr("percentile_approx(n_chars, 0.5, 10000)").as("_p50_approx"))
-    exact.join(approx, "source")
+      .withColumnRenamed("source", "_source_a")
+    exact.join(approx, col("source") <=> col("_source_a")).drop("_source_a")
       .select(col("source"), col("n_docs"), col("nd_exact"),
         within(col("_nd_approx"), col("nd_exact"), 0.10, 8.0).as("nd_sketch_ok"),
         col("p50_exact"),

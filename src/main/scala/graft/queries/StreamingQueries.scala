@@ -75,13 +75,20 @@ object StreamingQueries {
         .write.mode("overwrite").parquet(feedDir)
       // The file source replays files oldest-mtime-first; part file names
       // sort in range order, so stamp strictly ascending mtimes to pin the
-      // chronological replay independent of write-task finish order.
+      // chronological replay independent of write-task finish order. The
+      // stamping must not fail silently: an un-stamped file could replay
+      // out of range order and the sessionizer would quietly drop the
+      // resulting cross-batch stragglers — fail fast instead.
       val base = System.currentTimeMillis() - 1000L * 3600
-      Files.list(java.nio.file.Paths.get(feedDir)).sorted().toArray
-        .map(_.asInstanceOf[Path])
-        .filter(_.getFileName.toString.startsWith("part-"))
-        .zipWithIndex
-        .foreach { case (p, i) => p.toFile.setLastModified(base + i * 1000L) }
+      val listing = Files.list(java.nio.file.Paths.get(feedDir))
+      val partFiles =
+        try listing.sorted().toArray.map(_.asInstanceOf[Path])
+          .filter(_.getFileName.toString.startsWith("part-"))
+        finally listing.close()
+      partFiles.zipWithIndex.foreach { case (p, i) =>
+        require(p.toFile.setLastModified(base + i * 1000L),
+          s"cannot stamp spool-file mtime on $p — chronological replay not guaranteed")
+      }
 
       implicit val enc: Encoder[GapEvent] = Encoders.product[GapEvent]
       val stream = spark.readStream

@@ -48,8 +48,7 @@ object Bucketed {
     * runs — reuse the layout, which is exactly the amortization story).
     */
   private def bucketedTable(spark: SparkSession, dir: String, src: String, key: String): String = {
-    val tag = src + "_bkt_" + java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir) | Int.MinValue).substring(1)
+    val tag = src + "_bkt_" + DirTag(dir, src)
     if (!spark.catalog.tableExists(tag)) {
       val path = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), "graft_bucketed", tag).toString
@@ -73,6 +72,13 @@ object Bucketed {
     // guarantees one file per bucket — and the conf keeps its own guard:
     // a scan over multi-file buckets still sorts per query (verified
     // empirically on 4.1), so this cannot corrupt foreign bucketed tables.
+    // The set is deliberately NOT save/restored: the returned DataFrame is
+    // lazy and the conf is read at physical-planning time (i.e. at the
+    // caller's action), so restoring before returning would undo it. It
+    // persists for the session — safe (the guard above makes it a
+    // correctness no-op elsewhere), but plans of OTHER single-file-bucket
+    // scans in the same session may also drop their per-query sort after
+    // q27 runs, which is the conf working as designed.
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     val li = bucketedTable(spark, dir, "lineitem", "l_orderkey")
     val o = bucketedTable(spark, dir, "orders", "o_orderkey")

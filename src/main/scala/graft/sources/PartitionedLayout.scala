@@ -37,17 +37,22 @@ object PartitionedLayout {
     * `CAST(ts AS DATE)` on the naive source timestamps by construction.
     */
   def partitionedEventsPath(spark: SparkSession, dir: String): String = {
-    val tag = "events_bydate_" + java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir) | Int.MinValue).substring(1)
+    // DirTag keys on the source file's (mtime, size) too, so a
+    // regenerated events.parquet invalidates this cross-JVM cache
+    val tag = "events_bydate_" + DirTag(dir, "events")
     val path = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_partitioned", tag)
     if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
       Tables.load(spark, dir, "events")
-        // integer `div`: `/` is double division, and a last-microsecond-
-        // of-day event sits ~1e-11 below the next integer — too close to
-        // floating rounding for a layout decision
-        .withColumn("d", date_from_unix_date(
-          expr("unix_micros(ts) div 86400000000").cast("int")))
+        // FLOOR division in integer arithmetic: `/` is double division (a
+        // last-microsecond-of-day event sits ~1e-11 below the next
+        // integer — too close to floating rounding for a layout
+        // decision), and bare `div` truncates toward zero, which would
+        // bucket a pre-1970 timestamp to the wrong day vs the oracle's
+        // calendar CAST(ts AS DATE)
+        .withColumn("d", date_from_unix_date(expr(
+          "(unix_micros(ts) div 86400000000) - " +
+            "(case when unix_micros(ts) % 86400000000 < 0 then 1 else 0 end)").cast("int")))
         .repartition(col("d"))
         .write.mode("overwrite").partitionBy("d")
         .parquet(path.toString)

@@ -13,6 +13,15 @@ class StreamingAggSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
   private val sf = "/root/testdata/sf0.001"
 
+  /** Cents via the SAME decimal(18,2) HALF_UP rule as the production feed
+    * (StreamingQueries) and the batch operator — math.round(v*100) differs
+    * on >2-decimal and negative values, and these tests' `want` side is
+    * the decimal-summed batch result.
+    */
+  private def cents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP)
+      .movePointRight(2).longValueExact()
+
   test("streaming tumbling-window counts equal the batch q9 result") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -54,7 +63,7 @@ class StreamingAggSpec extends AnyFunSuite {
     val events = Tables.load(spark, sf, "events")
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
       .collect()
-      .map(r => GapEvent(r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+      .map(r => GapEvent(r.getLong(0), r.getLong(1), cents(r.getDouble(2))))
       .sortBy(_.us)
 
     val ms = MemoryStream[GapEvent]
@@ -100,7 +109,7 @@ class StreamingAggSpec extends AnyFunSuite {
     val events = Tables.load(spark, sf, "events")
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
       .collect()
-      .map(r => GapEvent(r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+      .map(r => GapEvent(r.getLong(0), r.getLong(1), cents(r.getDouble(2))))
       .sortBy(_.us)
 
     val ms = MemoryStream[GapEvent]
