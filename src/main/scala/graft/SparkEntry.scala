@@ -112,7 +112,9 @@ object SparkEntry {
     // content-defined chunking (Gear rolling hash): exact byte totals
     // oracled, the chunking contract rides as invariant booleans; dup
     // profile + locality property covered in ScalaTest
-    "x28_cdc_chunks" -> ((s, d) => graft.operators.Chunker.chunkStats(Tables.load(s, d, "documents")))
+    "x28_cdc_chunks" -> ((s, d) => graft.operators.Chunker.chunkStats(Tables.load(s, d, "documents"))),
+    // inverted-index-shaped relevance scoring: top-3 tf-idf terms per doc
+    "x29_tfidf_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.load(s, d, "documents")))
   )
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as
@@ -190,6 +192,24 @@ object SparkEntry {
         |       count(DISTINCT n_chars) AS nd_exact, true AS nd_sketch_ok,
         |       round(quantile_cont(n_chars, 0.5), 6) AS p50_exact, true AS p50_sketch_ok
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // same whitespace tokenization as x11 (parity hash-proven there);
+    // ties broken (score desc, token asc) on both sides
+    "x29_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2
+        |), df AS (
+        |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT doc_id, token, tf, df, round(s, 6) AS tfidf FROM (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |         tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS s,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) DESC, tf.token ASC) AS rk
+        |  FROM tf JOIN df USING (token) CROSS JOIN n
+        |) WHERE rk <= 3 ORDER BY doc_id, tfidf DESC, token""".stripMargin,
     "q1_trip_histogram" ->
       s"""SELECT bin, count(*) AS n FROM (
          |  SELECT CASE WHEN dist >= 80 THEN '>=80'

@@ -161,6 +161,45 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** TF-IDF relevance scoring: the top-k most distinctive terms per
+    * document — the inverted-index-shaped aggregation a curation pipeline
+    * uses for relevance filtering and topic labeling. idf is the smoothed
+    * `ln((N+1)/(df+1))` form (never divides by zero, never negative for
+    * df ≤ N).
+    *
+    * Shape at 100 TB: term frequency is ONE shuffle on (doc_id, token)
+    * with map-side combine (the token explosion never crosses the wire
+    * un-reduced); document frequency derives from the already-reduced tf
+    * relation — counting tf rows per token IS df, no second pass over the
+    * corpus; the corpus size N joins in as a broadcast 1-row aggregate
+    * (no driver action); the per-document top-k is a window over each
+    * document's own terms (tie-broken `score desc, token asc` for
+    * determinism — at extreme per-doc cardinalities swap in the bounded-
+    * heap `top_k_by_score` aggregate, x22's kernel, for map-side partial
+    * top-k).
+    *
+    * Tokenization is the SAME whitespace split as [[tokenCounts]]
+    * (lowercased), whose DuckDB parity x11 hash-proves.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("token"))
+      .filter(col("token") =!= "") // leading-whitespace artifact of split
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(dfc, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("_s", col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("_s").desc, col("token").asc)
+    scored.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("_s"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
+  }
+
   /** Driver-oracle form of [[compressionProfile]]: the zlib ratio VALUES
     * are engine-internal (they depend on the JVM's deflate), but the
     * per-source doc counts and the bound/ordering invariants of the ratios

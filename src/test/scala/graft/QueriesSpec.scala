@@ -106,6 +106,28 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x29 tf-idf: hand-computed scores on a tiny corpus; k rows max per doc, descending") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry durian cherry cherry")).toDF("doc_id", "text")
+    val rows = graft.operators.TextAnalysis.tfidfTopTerms(docs, k = 3).collect()
+    // N=3; idf = ln(4/(df+1)): apple/durian ln(2), banana/cherry ln(4/3)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.values.forall(_.length <= 3))
+    val top1 = byDoc(1L).head
+    assert(top1.getAs[String]("token") == "apple" &&
+      top1.getAs[Long]("tf") == 2 && top1.getAs[Long]("df") == 1)
+    assert(math.abs(top1.getAs[Double]("tfidf") - 2 * math.log(2)) < 1e-5)
+    assert(byDoc(3L).head.getAs[String]("token") == "cherry")
+    // per-doc scores descending (window ordered score desc, token asc)
+    byDoc.values.foreach { rs =>
+      val scores = rs.map(_.getAs[Double]("tfidf")).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+  }
+
   test("x4 minhash-LSH finds every exact-jaccard pair at its threshold (recall on candidates)") {
     // With J >= 0.6 and 8 bands x 4 rows, P(candidate) = 1-(1-J^4)^8 >= 0.67;
     // on this corpus the dense-cluster pairs all exceed it, so LSH ⊆ exact
