@@ -114,7 +114,11 @@ object SparkEntry {
     // profile + locality property covered in ScalaTest
     "x28_cdc_chunks" -> ((s, d) => graft.operators.Chunker.chunkStats(Tables.load(s, d, "documents"))),
     // inverted-index-shaped relevance scoring: top-3 tf-idf terms per doc
-    "x29_tfidf_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.load(s, d, "documents")))
+    "x29_tfidf_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.load(s, d, "documents"))),
+    // deterministic 80/10/10 split: assignment is a pure function of
+    // doc_id, fingerprinted per (source, split) so the oracle pins it
+    "x30_stratified_split" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedSplit(Tables.load(s, d, "documents")))
   )
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as
@@ -482,6 +486,18 @@ object SparkEntry {
         |            ORDER BY ((doc_id % 2147483647) * 1640531527) % 2147483647, doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin,
+    // same multiplicative hash as x23 (plain % matches pmod on the
+    // fixture's non-negative ids, the precedent x23 set)
+    "x30_stratified_split" ->
+      """WITH a AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN ((doc_id % 2147483647) * 1640531527) % 2147483647 % 100 < 80 THEN 'train'
+        |         WHEN ((doc_id % 2147483647) * 1640531527) % 2147483647 % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT source, split, count(*) AS n_docs, bit_xor(doc_id) AS id_xor,
+        |       min(doc_id) AS id_min, max(doc_id) AS id_max
+        |FROM a GROUP BY source, split ORDER BY source, split""".stripMargin,
     "x9_text_langid" ->
       """WITH h AS (
         |  SELECT doc_id, lang AS labeled_lang,

@@ -48,4 +48,35 @@ object Sampling {
       .select(col(groupCol), explode(col("top")).as("t"))
       .select(col(groupCol), col("t.id").as(idCol))
   }
+
+  /** Deterministic stratified train/val/test split: each document's split
+    * is a pure function of its id (hash bucket in [0,100)), so the split
+    * is reproducible across engines, retries, partitionings, and corpus
+    * growth — a document keeps its split when new data arrives, which is
+    * what makes incremental training-set builds auditable. Fractions are
+    * hash-uniform approximations of trainPct/valPct (exact reproducibility
+    * is the contract, not exact proportions).
+    *
+    * Output is the per-(source, split) summary: count + an id fingerprint
+    * (bit_xor/min/max), so the oracle pins the individual assignments,
+    * not just the marginals. One map-side-combined aggregation — at
+    * 100 TB the shuffle carries |sources|·3 rows per task. The assignment
+    * itself (`doc_id, split`) is the intermediate `select` and can be
+    * joined/written directly by pipelines that need per-row labels.
+    */
+  def stratifiedSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100)
+    val bucket = pmod(multHash(col("doc_id")), lit(100L))
+    val split = when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+    docs.select(col("source"), col("doc_id"), split.as("split"))
+      .groupBy(col("source"), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("bit_xor(doc_id)").as("id_xor"),
+        min(col("doc_id")).as("id_min"),
+        max(col("doc_id")).as("id_max"))
+      .orderBy("source", "split")
+  }
 }

@@ -243,6 +243,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("x30 stratified split: complete, ~80/10/10, layout-independent") {
+    val docs = Tables.load(spark, sf, "documents")
+    val out = graft.operators.Sampling.stratifiedSplit(docs).collect()
+    assert(out.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "val", "test")))
+    // complete partition of the corpus
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // hash-uniform fractions: train ~0.8 of each total (loose band — the
+    // contract is reproducibility, not exact proportions)
+    val total = out.map(_.getAs[Long]("n_docs")).sum.toDouble
+    val train = out.filter(_.getAs[String]("split") == "train")
+      .map(_.getAs[Long]("n_docs")).sum.toDouble
+    assert(train / total > 0.7 && train / total < 0.9, s"train fraction ${train / total}")
+    // assignment is a pure function of doc_id: identical output under a
+    // completely different physical layout
+    val relaid = graft.operators.Sampling.stratifiedSplit(docs.repartition(7)).collect()
+    assert(out.map(_.toString).toSeq == relaid.map(_.toString).toSeq)
+  }
+
   test("sampling hash is ANSI-safe for the full bigint id domain; LSH handles empty/ragged input") {
     import spark.implicits._
     // ids near Long.MaxValue: (id % P) * A must not overflow under ANSI
