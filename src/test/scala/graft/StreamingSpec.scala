@@ -3,8 +3,9 @@ package graft
 import graft.operators.{TaxiFsm, TaxiPosition}
 import graft.queries.TaxiQueries
 import graft.sources.TaxiText
-import graft.streaming.StreamingSessionize
+import graft.streaming.{GapEvent, GapSession, StreamingGapSessionize, StreamingSessionize}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.TestGroupState
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -51,6 +52,71 @@ class StreamingSpec extends AnyFunSuite {
       val got = spark.table("trips_out").as[graft.operators.TaxiTrip]
         .collect().map(_.toString).sorted.toSeq
       assert(got.size == expected.size, s"${got.size} != ${expected.size}")
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("gap sessionizer: disordered input matches batch; beyond-watermark row drops") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // 12 users x 3 session waves (2 h apart, gap 30 min), 1-5 events per
+    // session 5 min apart — so within-batch disorder (minutes) stays well
+    // inside the 30-minute watermark delay.
+    val gapUs = 1800L * 1000000L
+    val waveUs = 7200L * 1000000L
+    val base = 1700000000L * 1000000L
+    val rng = new scala.util.Random(4)
+    val events = (for {
+      u <- 1 to 12
+      w <- 0 until 3
+      e <- 0 until (1 + rng.nextInt(5))
+    } yield GapEvent(u.toLong, base + w * waveUs + e * 300L * 1000000 + u * 1000L,
+      (u * 100 + e).toLong)).toVector
+
+    // Batch truth from the SAME machinery q8 ships (GapSessionize.assign),
+    // so stream==batch is checked against the oracled operator, not a
+    // reimplementation.
+    val expected = {
+      val assigned = graft.operators.GapSessionize.assign(
+        events.toDF(), col("user_id"), col("us"), gapUs, col("cents"))
+      assigned.groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+          count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+        .select("user_id", "start_us", "end_us", "n_events", "total_cents")
+        .as[GapSession].collect().sortBy(s => (s.user_id, s.start_us)).toSeq
+    }
+
+    // One micro-batch per wave, SHUFFLED within the batch; additionally the
+    // two globally-latest events of waves 0 and 1 are held back and
+    // delivered one batch late (older than everything around them — genuine
+    // cross-batch disorder, still newer than the watermark).
+    val waves = (0 until 3).map { w =>
+      events.filter(e => (e.us - base) / waveUs == w).sortBy(_.us)
+    }
+    val batches = Seq(
+      rng.shuffle(waves(0).dropRight(2)),
+      rng.shuffle(waves(1).dropRight(2) ++ waves(0).takeRight(2)),
+      rng.shuffle(waves(2) ++ waves(1).takeRight(2)))
+
+    val ms = MemoryStream[GapEvent]
+    val q = StreamingGapSessionize.sessions(spark, ms.toDS(), gapUs)
+      .writeStream.format("memory").queryName("gap_disorder_out")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      // By now the watermark sits ~30 min behind wave 2 (base + 4 h), so an
+      // event back at `base` is late beyond the watermark: the stateful
+      // operator must drop it BEFORE it reaches user state. Fresh user id,
+      // so if it leaked through it would surface as a flushed session.
+      ms.addData(GapEvent(999L, base, 1L)); q.processAllAvailable()
+      // Far-future sentinel advances the watermark past every open
+      // session's timeout, flushing them (the x26 pattern).
+      ms.addData(GapEvent(-1L, base + 100L * 3600 * 1000000, 0L)); q.processAllAvailable()
+
+      val all = spark.table("gap_disorder_out").as[GapSession].collect()
+      assert(!all.exists(_.user_id == 999L), "beyond-watermark event must be dropped")
+      val got = all.filter(_.user_id >= 0).sortBy(s => (s.user_id, s.start_us)).toSeq
       assert(got == expected)
     } finally q.stop()
   }
