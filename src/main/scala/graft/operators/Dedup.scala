@@ -189,14 +189,22 @@ object Dedup {
     * throws rather than return non-minimal cluster ids.
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    // Materialize the pair computation ONCE before mirroring: the union
-    // would otherwise evaluate the (expensive) pair-generation subtree
-    // twice — once per direction.
-    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
-    // undirected edge list, materialized once (reused every round)
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
+    // Undirected edge list in ONE pass over the pair subtree: explode each
+    // pair into both directions (a union of two selects would evaluate the
+    // expensive pair-generation subtree twice). No distinct: mirroring
+    // unique (doc_a < doc_b) pairs cannot collide, and min-label
+    // propagation is idempotent to duplicate edges anyway — the old
+    // distinct was a full extra shuffle + materialization for nothing.
+    // Hash-partition by dst BEFORE the checkpoint: Dataset.localCheckpoint
+    // preserves outputPartitioning through LogicalRDD, so every round's
+    // edges⋈labels join reuses this layout and only the (tiny) label side
+    // moves — without it the full edge list re-shuffles once per round.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(pairs.sparkSession.sparkContext.defaultParallelism, col("dst"))
       .localCheckpoint()
     // Seed labels with the neighbor minimum directly (labels(x) = x
     // initially, so the first propagation needs no join — one groupBy).
