@@ -46,13 +46,36 @@ object Bucketed {
   /** Idempotently materialize `$dir/<src>.parquet` as an external bucketed
     * table (once per session+dir: later invocations — e.g. warm bench
     * runs — reuse the layout, which is exactly the amortization story).
+    *
+    * The data directory is produced through [[LayoutCache]] (temp sibling
+    * + atomic rename, stale-tag sweep), so a SECOND JVM with the same
+    * fixture reuses the files instead of re-shuffling them — registration
+    * over pre-existing files is a metadata-only CREATE TABLE carrying the
+    * same bucket spec. Catalog entries of older tags of the same source
+    * (a long-lived session that regenerated its fixture) are dropped
+    * before the new one registers, so neither the catalog nor tmpdir
+    * accumulates orphans.
     */
   private def bucketedTable(spark: SparkSession, dir: String, src: String, key: String): String = {
     val tag = src + "_bkt_" + DirTag(dir, src)
     if (!spark.catalog.tableExists(tag)) {
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_bucketed", tag).toString
-      writeBucketed(Tables.load(spark, dir, src), tag, key, Q27Buckets, Some(path))
+      // metadata-only listing + drop (external tables keep their files;
+      // LayoutCache's sweep owns the on-disk lifecycle)
+      spark.sessionState.catalog.listTables("default", s"${src}_bkt_*")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `${t.table}`"))
+      val schemaDdl = Tables.load(spark, dir, src).schema.toDDL
+      val path = LayoutCache.materialize("graft_bucketed", src + "_bkt_", tag) { tmp =>
+        // write under a throwaway catalog name into the temp dir; the
+        // drop is metadata-only (external path), leaving the files for
+        // the atomic publish
+        val writerTable = tag + "_writer"
+        writeBucketed(Tables.load(spark, dir, src), writerTable, key, Q27Buckets, Some(tmp))
+        spark.sql(s"DROP TABLE IF EXISTS `$writerTable`")
+      }
+      spark.sql(
+        s"""CREATE TABLE `$tag` ($schemaDdl) USING parquet
+           |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $Q27Buckets BUCKETS
+           |LOCATION '${path.toString}'""".stripMargin)
     }
     tag
   }
@@ -72,26 +95,30 @@ object Bucketed {
     // guarantees one file per bucket — and the conf keeps its own guard:
     // a scan over multi-file buckets still sorts per query (verified
     // empirically on 4.1), so this cannot corrupt foreign bucketed tables.
-    // The set is deliberately NOT save/restored: the returned DataFrame is
-    // lazy and the conf is read at physical-planning time (i.e. at the
-    // caller's action), so restoring before returning would undo it. It
-    // persists for the session — safe (the guard above makes it a
-    // correctness no-op elsewhere), but plans of OTHER single-file-bucket
-    // scans in the same session may also drop their per-query sort after
-    // q27 runs, which is the conf working as designed.
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    val li = bucketedTable(spark, dir, "lineitem", "l_orderkey")
-    val o = bucketedTable(spark, dir, "orders", "o_orderkey")
-    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
-    spark.table(li)
-      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      .hint("merge")
-      .join(spark.table(o).select(col("o_orderkey"), col("o_orderpriority")),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderpriority"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
-          .cast("double").as("revenue"),
-        count(lit(1)).as("n_items"))
-      .orderBy("o_orderpriority")
+    // SCOPED, not session-global: physical planning is forced eagerly
+    // (executedPlan) while the conf is set, then the previous value is
+    // restored — the planned Dataset keeps its sort-free executed plan,
+    // and no conf drift leaks into other queries of the session
+    // (LayoutSpec asserts both the plan shape and the restore).
+    val confKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "true")
+    try {
+      val li = bucketedTable(spark, dir, "lineitem", "l_orderkey")
+      val o = bucketedTable(spark, dir, "orders", "o_orderkey")
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+      val df = spark.table(li)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .hint("merge")
+        .join(spark.table(o).select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+      df.queryExecution.executedPlan // plan now, under the conf
+      df
+    } finally prev.fold(spark.conf.unset(confKey))(v => spark.conf.set(confKey, v))
   }
 }

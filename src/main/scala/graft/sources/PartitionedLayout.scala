@@ -38,11 +38,11 @@ object PartitionedLayout {
     */
   def partitionedEventsPath(spark: SparkSession, dir: String): String = {
     // DirTag keys on the source file's (mtime, size) too, so a
-    // regenerated events.parquet invalidates this cross-JVM cache
+    // regenerated events.parquet invalidates this cross-JVM cache;
+    // LayoutCache writes to a temp sibling + atomic rename (no partially
+    // visible or mid-overwrite directories) and sweeps stale tags.
     val tag = "events_bydate_" + DirTag(dir, "events")
-    val path = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_partitioned", tag)
-    if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
+    LayoutCache.materialize("graft_partitioned", "events_bydate_", tag) { tmp =>
       Tables.load(spark, dir, "events")
         // FLOOR division in integer arithmetic: `/` is double division (a
         // last-microsecond-of-day event sits ~1e-11 below the next
@@ -55,9 +55,8 @@ object PartitionedLayout {
             "(case when unix_micros(ts) % 86400000000 < 0 then 1 else 0 end)").cast("int")))
         .repartition(col("d"))
         .write.mode("overwrite").partitionBy("d")
-        .parquet(path.toString)
-    }
-    path.toString
+        .parquet(tmp)
+    }.toString
   }
 
   /** Q28: per-type event counts and value totals restricted to the top 5

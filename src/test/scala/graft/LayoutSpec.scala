@@ -50,8 +50,14 @@ class LayoutSpec extends AnyFunSuite {
 
   test("q27's shipped plan joins the bucketed layout with zero join-side exchange") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val legacyKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val legacyBefore = spark.conf.getOption(legacyKey)
     // the EXACT code path the driver runs — not a re-derivation
     val df = graft.sources.Bucketed.q27BucketedJoin(spark, sf)
+    // the legacy-ordering conf is scoped to q27's eager planning: no
+    // session-global drift may leak into other queries' plans
+    assert(spark.conf.getOption(legacyKey) == legacyBefore,
+      s"q27 leaked $legacyKey into the session")
     val rows = df.collect()
     // correctness: equals the plain (non-bucketed) q22 oracle aggregation
     val want = graft.queries.Relational.q22SkewJoin(spark, sf).collect()
