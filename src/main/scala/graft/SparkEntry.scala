@@ -118,7 +118,12 @@ object SparkEntry {
     // deterministic 80/10/10 split: assignment is a pure function of
     // doc_id, fingerprinted per (source, split) so the oracle pins it
     "x30_stratified_split" -> ((s, d) =>
-      graft.operators.Sampling.stratifiedSplit(Tables.load(s, d, "documents")))
+      graft.operators.Sampling.stratifiedSplit(Tables.load(s, d, "documents"))),
+    // incremental new-batch-vs-corpus dedup against persisted band +
+    // fingerprint stores; DuckDB-exact batch counts + the
+    // equals-whole-corpus-restriction contract as invariant booleans
+    "x31_incremental_dedup" -> ((s, d) =>
+      graft.operators.IncrementalDedup.incrementalSummary(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as
@@ -596,6 +601,14 @@ object SparkEntry {
         |       (n_sampled - 1) * 256 +
         |       CASE WHEN last_idx = n_frames - 1 THEN n - (n_frames - 1) * 256 ELSE 256 END AS sampled_bytes
         |FROM s ORDER BY doc_id""".stripMargin,
+    // the LSH pair SETS are engine-internal (hash family), but the batch
+    // counts are exact and the restriction-equality contract rides as
+    // booleans — same pattern as x24/x27/x28
+    "x31_incremental_dedup" ->
+      """SELECT count(*) FILTER (WHERE doc_id % 10 = 7) AS n_new,
+        |       count(*) FILTER (WHERE doc_id % 10 <> 7) AS n_corpus,
+        |       true AS incremental_equals_full, true AS all_pairs_verified
+        |FROM documents""".stripMargin,
     "x15_length_quantiles" ->
       """SELECT lang,
         |       round(quantile_cont(n_chars, 0.5), 6) AS q50,

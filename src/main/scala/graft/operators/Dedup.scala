@@ -96,7 +96,7 @@ object Dedup {
     * and several consumers read it. localCheckpoint (not persist) so the
     * blocks auto-clean when the query's RDD is GC'd.
     */
-  private def shingleFingerprints(docs: DataFrame): DataFrame = docs
+  private[operators] def shingleFingerprints(docs: DataFrame): DataFrame = docs
     .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
     .select(col("doc_id"),
       graft.functions.ArrayExpressions.shingleHashesSorted(col("text"), 3).as("hashes"))
@@ -110,10 +110,15 @@ object Dedup {
     * per-bucket pair blow-up to O(maxBucket²) — the property that keeps
     * the shuffle near-linear at 100 TB (measured: ScaleStudy / BASELINE.md).
     */
-  private def bandedCandidatePairs(fingerprints: DataFrame, numPerms: Int,
-                                   rowsPerBand: Int, maxBucket: Int): DataFrame = {
+  /** (doc_id, band, sig) band signatures from fingerprints — all numPerms
+    * permuted minima in ONE fused pass (custom expression), then each
+    * band's slice hashed to one 64-bit signature. Shared by the in-query
+    * LSH below AND the persisted band store ([[IncrementalDedup]]), so
+    * the two can never band differently.
+    */
+  private[operators] def bandSignatures(fingerprints: DataFrame, numPerms: Int,
+                                        rowsPerBand: Int): DataFrame = {
     val numBands = numPerms / rowsPerBand
-    // All numPerms permuted minima in ONE fused pass (custom expression).
     val sigs = fingerprints.select(col("doc_id"),
       graft.functions.ArrayExpressions.minhashSignature(col("hashes"), numPerms).as("mhs"))
     val bandCols = (0 until numBands).map { bnd =>
@@ -121,7 +126,13 @@ object Dedup {
     }
     sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .groupBy(col("b.band"), col("b.sig"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+  }
+
+  private def bandedCandidatePairs(fingerprints: DataFrame, numPerms: Int,
+                                   rowsPerBand: Int, maxBucket: Int): DataFrame = {
+    bandSignatures(fingerprints, numPerms, rowsPerBand)
+      .groupBy(col("band"), col("sig"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(expr(

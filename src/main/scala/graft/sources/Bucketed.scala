@@ -56,25 +56,40 @@ object Bucketed {
     * before the new one registers, so neither the catalog nor tmpdir
     * accumulates orphans.
     */
-  private def bucketedTable(spark: SparkSession, dir: String, src: String, key: String): String = {
-    val tag = src + "_bkt_" + DirTag(dir, src)
+  private def bucketedTable(spark: SparkSession, dir: String, src: String, key: String): String =
+    materializedBucketedTable(spark, s"${src}_bkt_", src + "_bkt_" + DirTag(dir, src),
+      key, Q27Buckets)(Tables.load(spark, dir, src))
+
+  /** Idempotent, tag-keyed, cross-JVM bucketed materialization of ANY
+    * derived DataFrame (`df` must be a pure function of the tag): files
+    * land once via [[LayoutCache]] (temp sibling + atomic rename,
+    * stale-tag sweep), then a metadata-only CREATE TABLE registers them
+    * with the bucket spec — a second JVM re-registers without
+    * re-shuffling. Catalog entries of older tags with the same prefix are
+    * dropped first (external tables: drop is metadata-only; the sweep
+    * owns the on-disk lifecycle). Shared by q27's fixture tables and the
+    * incremental-dedup band/fingerprint stores.
+    */
+  private[graft] def materializedBucketedTable(spark: SparkSession, tagPrefix: String,
+                                               tag: String, key: String, numBuckets: Int)
+                                              (df: => DataFrame): String = {
     if (!spark.catalog.tableExists(tag)) {
-      // metadata-only listing + drop (external tables keep their files;
-      // LayoutCache's sweep owns the on-disk lifecycle)
-      spark.sessionState.catalog.listTables("default", s"${src}_bkt_*")
+      spark.sessionState.catalog.listTables("default", s"$tagPrefix*")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `${t.table}`"))
-      val schemaDdl = Tables.load(spark, dir, src).schema.toDDL
-      val path = LayoutCache.materialize("graft_bucketed", src + "_bkt_", tag) { tmp =>
+      val path = LayoutCache.materialize("graft_bucketed", tagPrefix, tag) { tmp =>
         // write under a throwaway catalog name into the temp dir; the
         // drop is metadata-only (external path), leaving the files for
         // the atomic publish
         val writerTable = tag + "_writer"
-        writeBucketed(Tables.load(spark, dir, src), writerTable, key, Q27Buckets, Some(tmp))
+        writeBucketed(df, writerTable, key, numBuckets, Some(tmp))
         spark.sql(s"DROP TABLE IF EXISTS `$writerTable`")
       }
+      // schema from the published files (footer-only read): evaluating
+      // `df` here instead would burn a full compute job on the warm path
+      val schemaDdl = spark.read.parquet(path.toString).schema.toDDL
       spark.sql(
         s"""CREATE TABLE `$tag` ($schemaDdl) USING parquet
-           |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $Q27Buckets BUCKETS
+           |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $numBuckets BUCKETS
            |LOCATION '${path.toString}'""".stripMargin)
     }
     tag

@@ -10,7 +10,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * [[Bucketed]] and [[PartitionedLayout]] so the keying rule cannot
   * drift between the two layout stories.
   */
-private[sources] object DirTag {
+private[graft] object DirTag {
   def apply(dir: String, src: String): String = {
     val f = java.nio.file.Paths.get(dir, src + ".parquet")
     val stamp =
@@ -41,7 +41,7 @@ private[sources] object DirTag {
   * (they are stale by construction — no source file carries their stamp
   * anymore).
   */
-private[sources] object LayoutCache {
+private[graft] object LayoutCache {
 
   /** `$tmpdir/$family/$tag`, materialized via `write(tempPath)` + atomic
     * rename iff `$tag/_SUCCESS` is absent. `prefix` is the tag-family

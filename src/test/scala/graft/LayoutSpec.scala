@@ -157,6 +157,32 @@ class LayoutSpec extends AnyFunSuite {
       assert(!readSchema.contains(c), s"$c should be pruned from ReadSchema:\n$scan")
   }
 
+  test("x31 incremental dedup reads the corpus from persisted stores, never its text") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = graft.operators.IncrementalDedup.incrementalPairs(spark, sf)
+    df.collect()
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val scanPaths = allScans(df.queryExecution.executedPlan)
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    // the corpus side comes entirely from the two persisted bucketed
+    // stores; the only documents.parquet scans belong to the NEW batch
+    assert(scanPaths.exists(_.contains("bandstore_")),
+      s"band store not scanned:\n${scanPaths.mkString("\n")}")
+    assert(scanPaths.exists(_.contains("fpstore_")),
+      s"fingerprint store not scanned:\n${scanPaths.mkString("\n")}")
+    // no corpus-text re-read: the only documents.parquet access is the
+    // new batch's fingerprint job (checkpointed before this plan), so the
+    // final candidate+verification plan must not scan documents at all
+    assert(!scanPaths.exists(_.contains("documents.parquet")),
+      s"incremental path re-reads document text:\n${scanPaths.mkString("\n")}")
+  }
+
   test("salted join equals plain join on a skewed key distribution") {
     import spark.implicits._
     // 90% of rows share one hot key — the canonical skew shape.

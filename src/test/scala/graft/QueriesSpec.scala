@@ -23,6 +23,27 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x31: incremental pairs equal whole-corpus pairs restricted to new endpoints") {
+    import graft.operators.{Dedup, IncrementalDedup}
+    // sf0.01 — the fixture the driver gates on; sf0.001's 50 docs yield
+    // too few (possibly zero) cross-slice pairs to exercise the contract
+    val dir = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, dir, "documents")
+    val inc = IncrementalDedup.incrementalPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashLshPairs(docs)
+      .filter(IncrementalDedup.isNewDoc(col("doc_a")) || IncrementalDedup.isNewDoc(col("doc_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc.nonEmpty, "fixture produced no cross-batch near-dup pairs — contract untested")
+    assert(inc == full,
+      s"incremental != restricted full: only-inc=${(inc -- full).take(5)}, only-full=${(full -- inc).take(5)}")
+    // and the driver-visible summary row reports the contract as true
+    val row = IncrementalDedup.incrementalSummary(spark, dir).collect().head
+    assert(row.getAs[Boolean]("incremental_equals_full"))
+    assert(row.getAs[Boolean]("all_pairs_verified"))
+    assert(row.getAs[Long]("n_new") + row.getAs[Long]("n_corpus") == docs.count())
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(extra.isEmpty, s"oracleSql without query impl: $extra")
