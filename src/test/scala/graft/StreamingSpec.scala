@@ -121,6 +121,81 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint restart: file-stream sessionizer resumes exactly-once") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // The recovery contract x26's checkpoint dir merely configures: kill
+    // the query mid-stream, start a NEW query from the same checkpoint,
+    // deliver the rest, and the union of outputs must equal the batch
+    // truth with no duplicates. State restoration is exercised for real:
+    // two events of the pre-stop wave are held back and delivered only
+    // AFTER the restart, so their sessions are open in the state store at
+    // the kill point and must be restored, extended, and flushed by the
+    // second query.
+    implicit val enc: org.apache.spark.sql.Encoder[GapEvent] = org.apache.spark.sql.Encoders.product[GapEvent]
+    val gapUs = 1800L * 1000000L
+    val waveUs = 7200L * 1000000L
+    val base = 1700000000L * 1000000L
+    val rng = new scala.util.Random(11)
+    val events = (for {
+      u <- 1 to 8
+      w <- 0 until 3
+      e <- 0 until (1 + rng.nextInt(4))
+    } yield GapEvent(u.toLong, base + w * waveUs + e * 300L * 1000000 + u * 1000L,
+      (u * 10 + e).toLong)).toVector
+
+    val expected = {
+      val assigned = graft.operators.GapSessionize.assign(
+        events.toDF(), col("user_id"), col("us"), gapUs, col("cents"))
+      assigned.groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+          count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+        .select("user_id", "start_us", "end_us", "n_events", "total_cents")
+        .as[GapSession].collect().sortBy(s => (s.user_id, s.start_us)).toSeq
+    }
+
+    val waves = (0 until 3).map { w =>
+      events.filter(e => (e.us - base) / waveUs == w).sortBy(_.us)
+    }
+    val root = Files.createTempDirectory("graft_restart")
+    val feed = root.resolve("feed"); Files.createDirectories(feed)
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    val mtimeBase = System.currentTimeMillis() - 1000L * 3600
+    def addFile(idx: Int, evs: Seq[GapEvent]): Unit = {
+      val tmp = root.resolve(s"w$idx")
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part = try listing.filter(_.getFileName.toString.startsWith("part-"))
+        .findFirst.get finally listing.close()
+      val dest = feed.resolve(f"file-$idx%03d.parquet")
+      Files.move(part, dest)
+      require(dest.toFile.setLastModified(mtimeBase + idx * 1000L))
+    }
+    def startQuery() = StreamingGapSessionize.sessions(spark,
+        spark.readStream.schema(enc.schema).option("maxFilesPerTrigger", "1")
+          .parquet(feed.toString).as[GapEvent], gapUs)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    // phase 1: waves 0 and 1, then KILL the query
+    addFile(0, waves(0))
+    addFile(1, waves(1).dropRight(2)) // hold the 2 latest wave-1 events back
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // phase 2: fresh query, same checkpoint; stragglers + wave 2 + sentinel
+    addFile(2, waves(2) ++ waves(1).takeRight(2))
+    addFile(3, Seq(GapEvent(-1L, base + 100L * 3600 * 1000000, 0L)))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val all = spark.read.parquet(outDir).as[GapSession].collect()
+    assert(all.length == all.distinct.length, "restart duplicated output rows")
+    val got = all.filter(_.user_id >= 0).sortBy(s => (s.user_id, s.start_us)).toSeq
+    assert(got == expected)
+  }
+
   test("event-time timeout flushes an idle taxi's open trip") {
     val sfo = (37.62131, -122.37896)
     def pos(t: Int, dLat: Double) = TaxiPosition(9, 1211673600.0 + t,
