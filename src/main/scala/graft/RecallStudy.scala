@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Quantifies MinHash-LSH recall against the exact-Jaccard baseline on the
+  * doc_id-modulo subset, at pair AND cluster granularity (numbers recorded
+  * in BASELINE.md; the x4 driver gate pins precision + kernel equality,
+  * recall is measured here rather than faked as a floor).
+  *
+  * Why both granularities: the fixture corpus is dominated by huge
+  * marginal-similarity (J ≈ 0.6) template families whose band buckets
+  * exceed the maxBucket cap. The cap emits STAR edges (hub = bucket-min
+  * doc) for such buckets — linear blow-up, connectivity preserved — so the
+  * honest recall unit for capped families is the CLUSTER reachable through
+  * hubs, not the individual pair. Usage:
+  *   sbt "runMain graft.RecallStudy"
+  */
+object RecallStudy {
+  def main(args: Array[String]): Unit = {
+    val spark = BenchHarness.session("graft-recall-study")
+    import graft.operators.{Dedup, Similarity}
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val docs = Tables.load(spark, sf, "documents")
+
+      val exact = Dedup.ngramJaccardPairs(docs, 10, 0.6)
+        .select(col("doc_a"), col("doc_b"), col("jaccard").as("j_exact"))
+      val lshPairs = Dedup.minhashLshPairs(docs).localCheckpoint()
+      val lsh = lshPairs.select(col("doc_a"), col("doc_b"), lit(true).as("found"))
+      println(s"[$sf] subset pair recall per exact-jaccard decile:")
+      exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+        .groupBy(floor(col("j_exact") * 10).as("jbucket"))
+        .agg(count(lit(1)).as("n"), sum(when(col("found"), 1).otherwise(0)).as("n_found"))
+        .orderBy("jbucket").collect()
+        .foreach(r => println(s"  j=0.${r.get(0)}x total=${r.get(1)} found=${r.get(2)}"))
+      println(s"[$sf] lsh verified pairs total=${lshPairs.count()}")
+
+      // cluster-level recall: an exact-subset cluster is "caught" when all
+      // of its members land in ONE lsh cluster (reachable via hub edges)
+      val exactClusters = Dedup.dupClusters(exact.select("doc_a", "doc_b"))
+        .select(col("doc_id"), col("cluster_id").as("exact_cluster"))
+      val lshClusters = Dedup.dupClusters(lshPairs.select("doc_a", "doc_b"))
+        .select(col("doc_id"), col("cluster_id").as("lsh_cluster"))
+      val split = exactClusters.join(lshClusters, Seq("doc_id"), "left")
+        .groupBy(col("exact_cluster"))
+        .agg(countDistinct(col("lsh_cluster")).as("n_lsh"),
+          sum(when(col("lsh_cluster").isNull, 1).otherwise(0)).as("n_unclustered"))
+      val bad = split.filter(col("n_lsh") > 1 || col("n_unclustered") > 0).count()
+      println(s"[$sf] exact-subset clusters: ${split.count()}, split-or-missed under LSH: $bad")
+
+      // IVF recall vs exact top-k (the x8 gate's floor evidence)
+      val emb = Tables.load(spark, sf, "embeddings")
+      val bf = Similarity.bruteForceTopK(emb, 10, 5).select(col("probe_id"), col("cand_id"))
+      val nEx = bf.count()
+      val hits = bf.join(Similarity.ivfTopK(emb, 10, 5).select(col("probe_id"), col("cand_id")),
+        Seq("probe_id", "cand_id"), "left_semi").count()
+      println(f"[$sf] ivf recall@5 = ${hits.toDouble / nEx}%.4f ($hits of $nEx)")
+    }
+    spark.stop()
+  }
+}

@@ -60,11 +60,16 @@ object SparkEntry {
     "x1_dedup_exact" -> ((s, d) => Dedup.exactDupStats(Tables.load(s, d, "documents"))),
     "x2_dedup_normalized" -> ((s, d) => Dedup.normalizedDupGroups(Tables.load(s, d, "documents"))),
     "x3_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"), 10, 0.6)),
-    "x4_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables.load(s, d, "documents"))),
+    // the LSH pair SET is hash-family-internal, but its quality contract is
+    // driver-gated: exact-subset pair count (DuckDB recomputes), bounds
+    // verification, and per-pair value equality on the x3 subset
+    "x4_dedup_minhash_lsh" -> ((s, d) => Dedup.lshQualityGate(Tables.load(s, d, "documents"))),
     "x5_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.load(s, d, "documents"))),
     "x6_embedding_neardup" -> ((s, d) => Similarity.nearDupPairs(Tables.load(s, d, "embeddings"), 5, 0.25)),
     "x7_similarity_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"), 10, 5)),
-    "x8_similarity_ivf" -> ((s, d) => Similarity.ivfTopK(Tables.load(s, d, "embeddings"), 10, 5)),
+    // IVF's approximate row set is centroid-internal, but its recall vs the
+    // exact x7 top-k is driver-gated (exact counts + recall boolean)
+    "x8_similarity_ivf" -> ((s, d) => Similarity.ivfRecallGate(Tables.load(s, d, "embeddings"), 10, 5)),
     "x9_text_langid" -> ((s, d) => TextAnalysis.langId(Tables.load(s, d, "documents"))),
     "x10_text_quality" -> ((s, d) => TextAnalysis.qualityStats(Tables.load(s, d, "documents"))),
     "x11_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.load(s, d, "documents"))),
@@ -128,11 +133,12 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as
     * the Spark result — the driver sorts columns by name and hashes values).
-    * Omitted: x4 (minhash perms), x5 (simhash bit tricks), x8 (approximate
-    * IVF), x17/x18 (depend on the LSH candidate set), x25 (FNV token
-    * hashes) — rows-only checks, covered by ScalaTest goldens/properties
-    * instead; the clustering operator itself is oracle-checked via x20
-    * (exact pairs + recursive-CTE reachability). The q2_* FSM queries
+    * Omitted: x5 (simhash bit tricks), x17/x18 (depend on the LSH candidate
+    * set), x25 (FNV token hashes) — rows-only checks, covered by ScalaTest
+    * goldens/properties instead; the clustering operator itself is
+    * oracle-checked via x20 (exact pairs + recursive-CTE reachability), and
+    * the x4/x8 approximate paths are gated through exact counts + invariant
+    * booleans (their raw pair sets stay ScalaTest-pinned). The q2_* FSM queries
     * oracle against the committed golden fixtures (the same files the
     * byte-exact TaxiGoldenSpec pins), so the reference's flagship pipeline
     * is in the driver's hard signal too.
@@ -453,6 +459,35 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS double)
         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the exact-pair count comes from the same CTE as the x3 oracle, so
+    // DuckDB independently recomputes it; the booleans pin the LSH quality
+    // contract (precision-by-verification + per-value kernel equality on
+    // the subset)
+    "x4_dedup_minhash_lsh" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, length(text) - 1),
+        |                       i -> substring(text, CAST(i AS int), 3))) AS sh
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT count(*) AS n_exact_pairs, true AS all_verified,
+        |       true AS subset_precision_ok
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS double)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6""".stripMargin,
+    // exact-top-k counts recomputed by DuckDB from the x7 oracle query; the
+    // IVF recall floor rides as a boolean
+    "x8_similarity_ivf" ->
+      """WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (
+        |  SELECT probe_id, cand_id, list_cosine_similarity(pv, cv) AS rawsim
+        |  FROM p JOIN c ON probe_id != cand_id
+        |  WHERE NOT isnan(list_cosine_similarity(pv, cv))),
+        |t AS (
+        |  SELECT probe_id, cand_id FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY rawsim DESC, cand_id) <= 5)
+        |SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_exact, true AS recall_ok
+        |FROM t""".stripMargin,
     "x6_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 5 = 0)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

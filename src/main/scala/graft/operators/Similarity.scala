@@ -184,6 +184,40 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Driver-gated recall contract for the IVF path (the x8 ledger row):
+    * the approximate top-k row set depends on engine-internal centroids and
+    * can never hash-match a SQL oracle, but its recall against the EXACT
+    * top-k can ride as a boolean — the x24/x27/x31 invariant pattern. One
+    * output row:
+    *
+    *  - `n_probes` / `n_exact`: probe count and exact-top-k row count —
+    *    DuckDB recomputes both from the x7 oracle query, so they are hard
+    *    value checks;
+    *  - `recall_ok`: |IVF ∩ exact| / |exact| >= `minRecall`. The floor is
+    *    what the fixture's RANDOM vectors support (label clusters barely
+    *    discriminate on isotropic data — recall ~0.5 at nprobe=5 of ~10
+    *    labels, i.e. ~nprobe/nLabels as theory predicts); on clustered
+    *    production embeddings the same plan recalls far higher, and the
+    *    gate pins that it never silently degrades below the measured floor.
+    *
+    * Both sides reduce to 1-row aggregates joined by broadcast — no driver
+    * action beyond ivfTopK's own documented dim probe.
+    */
+  def ivfRecallGate(emb: DataFrame, nProbes: Int, k: Int, nprobe: Int = 5,
+                    minRecall: Double = 0.4): DataFrame = {
+    val exact = bruteForceTopK(emb, nProbes, k).select(col("probe_id"), col("cand_id"))
+    val approx = ivfTopK(emb, nProbes, k, nprobe).select(col("probe_id"), col("cand_id"))
+    val hits = exact.join(approx, Seq("probe_id", "cand_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    exact.agg(
+      countDistinct(col("probe_id")).as("n_probes"),
+      count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(hits))
+      .select(col("n_probes"), col("n_exact"),
+        (col("n_hits").cast("double") >=
+          col("n_exact").cast("double") * minRecall).as("recall_ok"))
+  }
+
   /** IVF-style ANN: cluster centroids are the per-`label` mean vectors;
     * each probe searches only the `nprobe` nearest clusters. Approximate
     * (recall < 1) — compare against [[bruteForceTopK]] for recall.

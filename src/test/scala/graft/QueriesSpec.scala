@@ -153,12 +153,34 @@ class QueriesSpec extends AnyFunSuite {
     // With J >= 0.6 and 8 bands x 4 rows, P(candidate) = 1-(1-J^4)^8 >= 0.67;
     // on this corpus the dense-cluster pairs all exceed it, so LSH ⊆ exact
     // is the hard invariant we assert (precision side is exact-verified).
-    val lsh = queries("x4_dedup_minhash_lsh")
-      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val lsh = graft.operators.Dedup.minhashLshPairs(Tables.load(spark, sf, "documents"))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     val exactAll = graft.operators.Dedup
       .ngramJaccardPairs(Tables.load(spark, sf, "documents"), 1, 0.6)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(lsh.subsetOf(exactAll), s"LSH produced non-duplicate pairs: ${lsh -- exactAll}")
+  }
+
+  test("x4 star edges keep capped template families cluster-connected (sf0.01)") {
+    import graft.operators.Dedup
+    // Oversized band buckets (> maxBucket) used to be skipped outright,
+    // silently disconnecting every template family larger than the cap.
+    // They now emit star edges to the bucket-min hub, so an exact-Jaccard
+    // cluster on the subset must land inside ONE LSH cluster. sf0.01 —
+    // sf0.001's corpus has no oversized buckets to exercise.
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, 10, 0.6).select("doc_a", "doc_b")
+    val lshPairs = Dedup.minhashLshPairs(docs)
+    val exactClusters = Dedup.dupClusters(exact)
+      .select(col("doc_id"), col("cluster_id").as("exact_cluster"))
+    val lshClusters = Dedup.dupClusters(lshPairs.select("doc_a", "doc_b"))
+      .select(col("doc_id"), col("cluster_id").as("lsh_cluster"))
+    val split = exactClusters.join(lshClusters, Seq("doc_id"), "left")
+      .groupBy(col("exact_cluster"))
+      .agg(countDistinct(col("lsh_cluster")).as("n_lsh"),
+        sum(when(col("lsh_cluster").isNull, 1).otherwise(0)).as("n_missed"))
+    val bad = split.filter(col("n_lsh") > 1 || col("n_missed") > 0).collect()
+    assert(bad.isEmpty, s"split-or-missed exact clusters: ${bad.mkString(", ")}")
   }
 
   test("x7 top-k: 5 ranked neighbors per probe, sims in [-1,1] descending") {
@@ -174,12 +196,29 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("x8 IVF recall vs brute force is reasonable (>= 40% on random vectors)") {
+    val emb = Tables.load(spark, sf, "embeddings")
     val brute = queries("x7_similarity_topk")
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"))).toSet
-    val ivf = queries("x8_similarity_ivf")
-      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"))).toSet
+    val ivf = graft.operators.Similarity.ivfTopK(emb, 10, 5)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"))).toSet
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.4, s"IVF recall $recall")
+  }
+
+  test("x4/x8 driver gates: every quality boolean holds, counts match the exact baselines") {
+    // These are the rows the driver hash-compares against DuckDB — if a
+    // boolean ever goes false here, the ledger flips red, so pin them at
+    // the test fixture too (the gate floors must hold at EVERY scale).
+    val g4 = queries("x4_dedup_minhash_lsh").head
+    assert(g4.getAs[Boolean]("all_verified"))
+    assert(g4.getAs[Boolean]("subset_precision_ok"))
+    val nExact = graft.operators.Dedup
+      .ngramJaccardPairs(Tables.load(spark, sf, "documents"), 10, 0.6).count()
+    assert(g4.getAs[Long]("n_exact_pairs") == nExact)
+    val g8 = queries("x8_similarity_ivf").head
+    assert(g8.getAs[Boolean]("recall_ok"))
+    assert(g8.getAs[Long]("n_probes") == 10L)
+    assert(g8.getAs[Long]("n_exact") == 50L)
   }
 
   test("x5 simhash: near-identical docs get near-identical fingerprints") {
