@@ -36,6 +36,10 @@ object LayoutStudy {
     (0 until k).map { r =>
       keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) * k + lit(r)))
     }.reduce(_ unionByName _)
+      // single-file fixtures scan as ONE partition; without this the
+      // "plain" baseline would serialize on one task at 1x and the study
+      // would measure parallelism artifacts instead of layout savings
+      .repartition(32)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,14 +82,14 @@ object LayoutStudy {
       val o = replicate(Tables.load(spark, sfDir, "orders")
         .select("o_orderkey", "o_orderpriority"), k, Seq("o_orderkey"))
         .localCheckpoint()
-      val plainWriteB = timeMin(1) {
+      val plainWriteB = timeMin(2) {
         li.write.mode("overwrite").parquet(s"$dir/li_plain")
         o.write.mode("overwrite").parquet(s"$dir/o_plain")
       }
       // buckets sized to the data (the 100-TB rule: bytes / healthy
       // partition size), not held constant while the data grows 10x
       val buckets = 8 * k
-      val layoutWriteB = timeMin(1) {
+      val layoutWriteB = timeMin(2) {
         graft.sources.Bucketed.writeBucketed(li, s"study_li_$k", "l_orderkey", buckets,
           Some(s"$dir/li_bkt"))
         graft.sources.Bucketed.writeBucketed(o, s"study_o_$k", "o_orderkey", buckets,
@@ -94,11 +98,11 @@ object LayoutStudy {
       val liP = spark.read.parquet(s"$dir/li_plain")
       val oP = spark.read.parquet(s"$dir/o_plain")
       BenchHarness.consume(q27Shape(liP, oP)) // warm
-      val qPlainB = timeMin(3)(BenchHarness.consume(q27Shape(liP, oP)))
+      val qPlainB = timeMin(5)(BenchHarness.consume(q27Shape(liP, oP)))
       val liB = spark.table(s"study_li_$k")
       val oB = spark.table(s"study_o_$k")
       BenchHarness.consume(q27Shape(liB, oB))
-      val qLayoutB = timeMin(3)(BenchHarness.consume(q27Shape(liB, oB)))
+      val qLayoutB = timeMin(5)(BenchHarness.consume(q27Shape(liB, oB)))
       println(f"""{"layout":"bucketed","scale":$k,"plain_write":$plainWriteB%.2f,"layout_write":$layoutWriteB%.2f,"q_plain":$qPlainB%.3f,"q_layout":$qLayoutB%.3f,"breakeven":${(layoutWriteB - plainWriteB) / math.max(qPlainB - qLayoutB, 1e-9)}%.1f}""")
 
       // ---- date-partitioned (q28 shape) ---------------------------------
@@ -108,16 +112,16 @@ object LayoutStudy {
           "(unix_micros(ts) div 86400000000) - " +
             "(case when unix_micros(ts) % 86400000000 < 0 then 1 else 0 end)").cast("int")))
         .localCheckpoint()
-      val plainWriteP = timeMin(1)(ev.write.mode("overwrite").parquet(s"$dir/ev_plain"))
-      val layoutWriteP = timeMin(1) {
+      val plainWriteP = timeMin(2)(ev.write.mode("overwrite").parquet(s"$dir/ev_plain"))
+      val layoutWriteP = timeMin(2) {
         ev.repartition(col("d")).write.mode("overwrite").partitionBy("d").parquet(s"$dir/ev_part")
       }
       val evP = spark.read.parquet(s"$dir/ev_plain")
       BenchHarness.consume(q28Shape(evP))
-      val qPlainP = timeMin(3)(BenchHarness.consume(q28Shape(evP)))
+      val qPlainP = timeMin(5)(BenchHarness.consume(q28Shape(evP)))
       val evL = spark.read.parquet(s"$dir/ev_part")
       BenchHarness.consume(q28Shape(evL))
-      val qLayoutP = timeMin(3)(BenchHarness.consume(q28Shape(evL)))
+      val qLayoutP = timeMin(5)(BenchHarness.consume(q28Shape(evL)))
       println(f"""{"layout":"partitioned","scale":$k,"plain_write":$plainWriteP%.2f,"layout_write":$layoutWriteP%.2f,"q_plain":$qPlainP%.3f,"q_layout":$qLayoutP%.3f,"breakeven":${(layoutWriteP - plainWriteP) / math.max(qPlainP - qLayoutP, 1e-9)}%.1f}""")
     }
 
