@@ -128,7 +128,22 @@ object SparkEntry {
     // fingerprint stores; DuckDB-exact batch counts + the
     // equals-whole-corpus-restriction contract as invariant booleans
     "x31_incremental_dedup" -> ((s, d) =>
-      graft.operators.IncrementalDedup.incrementalSummary(s, d))
+      graft.operators.IncrementalDedup.incrementalSummary(s, d)),
+    // PII scrub: counts on the original text + md5 of the redacted text
+    "x32_pii_redaction" -> ((s, d) => TextAnalysis.piiRedact(Tables.load(s, d, "documents"))),
+    // benchmark decontamination: 8-token-gram overlap vs the doc_id%17==3
+    // eval slice; broadcast benchmark, distinct-reduced corpus grams
+    "x33_decontaminate" -> ((s, d) => TextAnalysis.contamination(Tables.load(s, d, "documents"))),
+    // Gopher-style dominant-bigram coverage per document
+    "x34_repetition_stats" -> ((s, d) => TextAnalysis.repetitionStats(Tables.load(s, d, "documents"))),
+    // deterministic domain-mixture downsampling, independent of the x30
+    // split hash; per-source kept-id fingerprints pin the decisions
+    "x35_mixture_resample" -> ((s, d) => graft.operators.Sampling.mixtureResample(
+      Tables.load(s, d, "documents"), Map("src0" -> 0.25, "src5" -> 0.5, "src10" -> 0.75))),
+    // streaming first-seen-per-key dedup: commutative min-struct streaming
+    // aggregation across micro-batches — arrival-order-independent, so the
+    // batch oracle pins it exactly
+    "x36_streaming_first_touch" -> ((s, d) => graft.queries.StreamingQueries.firstTouch(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as
@@ -644,6 +659,75 @@ object SparkEntry {
         |       count(*) FILTER (WHERE doc_id % 10 <> 7) AS n_corpus,
         |       true AS incremental_equals_full, true AS all_pairs_verified
         |FROM documents""".stripMargin,
+    // same regexes as the Spark side (chosen Java/RE2-portable); DuckDB
+    // needs the explicit 'g' flag for replace-all
+    "x32_pii_redaction" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS int) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS int) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b')) AS int) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b', '<PHONE>', 'g')) AS redacted_md5,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |     + len(regexp_extract_all(text, '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b')) AS int) AS n_pii
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // same whitespace-lower tokenization as x11/x29; DuckDB range() is
+    // end-exclusive, so range(1, len-n+2) == Spark sequence(1, len-n+1)
+    "x33_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+        |         i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS gram
+        |  FROM t),
+        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 3)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM g JOIN b USING (gram)
+        |WHERE doc_id % 17 <> 3
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x34_repetition_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+        |         i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bigram
+        |  FROM t),
+        |c AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+        |r AS (SELECT doc_id, bigram, n,
+        |             CAST(sum(n) OVER (PARTITION BY doc_id) AS bigint) AS n_bigrams,
+        |             row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bigram) AS rk FROM c)
+        |SELECT doc_id, n_bigrams, bigram AS top_bigram, n AS top_n,
+        |       round(CAST(n AS double) / n_bigrams, 6) AS top_frac
+        |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    // same multiplicative-hash-with-independent-multiplier as the Spark
+    // side; plain % matches pmod on the fixture's non-negative ids (the
+    // x23/x30 precedent)
+    "x35_mixture_resample" ->
+      """WITH a AS (
+        |  SELECT source, doc_id,
+        |         CASE source WHEN 'src0' THEN 2500 WHEN 'src5' THEN 5000
+        |                     WHEN 'src10' THEN 7500 ELSE 10000 END AS thr,
+        |         ((doc_id % 2147483647) * 1103515245) % 2147483647 % 10000 AS bucket
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+        |       bit_xor(CASE WHEN bucket < thr THEN doc_id ELSE 0 END) AS kept_id_xor
+        |FROM a GROUP BY source ORDER BY source""".stripMargin,
+    // the batch definition of "first event per user"; the streaming side
+    // must reproduce it exactly because its min-struct state is commutative
+    "x36_streaming_first_touch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, CAST(value AS decimal(18,2)) AS v,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, us AS first_us, event_id AS first_event_id,
+        |       CAST(v AS double) AS first_value
+        |FROM e WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "x15_length_quantiles" ->
       """SELECT lang,
         |       round(quantile_cont(n_chars, 0.5), 6) AS q50,

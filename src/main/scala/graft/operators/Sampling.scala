@@ -49,6 +49,48 @@ object Sampling {
       .select(col(groupCol), col("t.id").as(idCol))
   }
 
+  /** Second independent multiplier (classic LCG constant, odd, < 2^31 —
+    * same ANSI-overflow-safety argument as [[A]]): mixture selection must
+    * not correlate with the [[stratifiedSplit]] hash, or downweighted
+    * sources would be downweighted disproportionately from one split.
+    */
+  val A2 = 1103515245L
+
+  /** Multiplicative hash for mixture decisions, independent of
+    * [[multHash]] (different multiplier → different bijection of id space).
+    */
+  def mixHash(id: Column): Column =
+    pmod(pmod(id, lit(P)) * lit(A2), lit(P))
+
+  /** Deterministic domain-mixture resampling: downsample each source to a
+    * target weight (fraction kept, in [0,1]) by hash thresholding — the
+    * "data mixing" step that rebalances web/books/code/wiki proportions
+    * before training. Keep/drop is a pure function of (source weight,
+    * doc_id): reproducible across engines, retries, partitionings, and
+    * corpus growth, and independent of the train/val/test split hash.
+    *
+    * Output pins the per-source decisions, not just the marginals: count
+    * kept + bit_xor fingerprint of the kept ids. One map-side-combined
+    * aggregation; the per-row keep column is the intermediate `select`
+    * for pipelines that need the rows themselves.
+    */
+  def mixtureResample(docs: DataFrame, weights: Map[String, Double],
+                      defaultWeight: Double = 1.0): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(w => w >= 0 && w <= 1))
+    // weights in basis points: integer thresholds, no float boundary risk
+    val thr = weights.toSeq.sortBy(_._1).foldLeft(lit((defaultWeight * 10000).round)) {
+      case (acc, (s, w)) => when(col("source") === s, lit((w * 10000).round)).otherwise(acc)
+    }
+    docs
+      .select(col("source"), col("doc_id"),
+        (pmod(mixHash(col("doc_id")), lit(10000L)) < thr).as("keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        expr("bit_xor(CASE WHEN keep THEN doc_id ELSE 0 END)").as("kept_id_xor"))
+      .orderBy("source")
+  }
+
   /** Deterministic stratified train/val/test split: each document's split
     * is a pure function of its id (hash bucket in [0,100)), so the split
     * is reproducible across engines, retries, partitionings, and corpus

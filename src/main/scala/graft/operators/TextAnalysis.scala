@@ -231,6 +231,89 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  // PII patterns chosen to mean the same thing in Java regex and RE2
+  // (DuckDB): no backreferences, no lookaround, plain classes + \b only.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b"
+
+  /** PII detection + redaction: per-document counts of email / IPv4 /
+    * phone-shaped spans and the md5 of the text after replacing them with
+    * typed placeholders (email → ip → phone, fixed order). The scrub every
+    * training-data pipeline runs before anything else ships. Counts are
+    * measured on the ORIGINAL text (the three patterns cannot overlap:
+    * emails contain no spaces/dashes-digit runs, IPs no dashes), so count
+    * and redaction order are independent. Pure columnar regex projection —
+    * scan-dominated, no shuffle at all beyond the output sort, which a
+    * pipeline consumer would drop.
+    */
+  def piiRedact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ips"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")).as("redacted_md5"))
+      .withColumn("n_pii", col("n_emails") + col("n_ips") + col("n_phones"))
+      .orderBy("doc_id")
+
+  /** Benchmark decontamination: flags corpus documents sharing any
+    * `n`-token run with a held-out benchmark set (here the deterministic
+    * doc_id % benchMod == benchRem slice — in production, the eval sets).
+    * The standard pre-training hygiene pass: a document that contains a
+    * benchmark passage leaks the eval into training.
+    *
+    * Shape at 100 TB: corpus side explodes to DISTINCT per-doc n-grams
+    * (array_distinct before the explode — the shuffle never carries a
+    * doc's internal repetition), benchmark side is distinct-reduced and
+    * BROADCAST (eval sets are tiny next to the corpus; a shuffle join on
+    * gram would move the whole corpus's gram table for a few thousand
+    * benchmark grams). Grams join as strings so the DuckDB oracle
+    * reproduces the counts exactly; a production run would join on
+    * xxhash64(gram) to shrink the broadcast — same plan, 8 bytes per gram.
+    */
+  def contamination(docs: DataFrame, n: Int = 8,
+                    benchMod: Int = 17, benchRem: Int = 3): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), filter(tokens(lower(col("text"))), t => t =!= "").as("t"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"case when size(t) >= $n then transform(sequence(1, size(t) - ${n - 1}), " +
+          s"i -> array_join(slice(t, i, $n), ' ')) else array() end"))).as("gram"))
+    val bench = grams.filter(col("doc_id") % benchMod === benchRem)
+      .select(col("gram")).distinct()
+    grams.filter(col("doc_id") % benchMod =!= benchRem)
+      .join(broadcast(bench), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits")) // grams pre-distinct'd per doc
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition profile: each document's dominant token
+    * bigram and the fraction of bigram slots it occupies — the
+    * "most-common-n-gram coverage" rule used to drop boilerplate and
+    * degenerate repetition. One shuffle on (doc_id, bigram) with map-side
+    * combine; the per-doc argmax is a window over each document's own
+    * bigrams (count desc, bigram asc tie-break for determinism), and the
+    * slot total rides the same window — no second pass, no join back.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val bigrams = docs
+      .select(col("doc_id"), filter(tokens(lower(col("text"))), t => t =!= "").as("t"))
+      .select(col("doc_id"), explode(expr(
+        "case when size(t) >= 2 then transform(sequence(1, size(t) - 1), " +
+          "i -> array_join(slice(t, i, 2), ' ')) else array() end")).as("bigram"))
+    val counts = bigrams.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("n"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    counts
+      .withColumn("n_bigrams", sum(col("n")).over(byDoc))
+      .withColumn("_rk", row_number().over(byDoc.orderBy(col("n").desc, col("bigram").asc)))
+      .filter(col("_rk") === 1)
+      .select(col("doc_id"), col("n_bigrams"), col("bigram").as("top_bigram"),
+        col("n").as("top_n"),
+        round(col("n").cast("double") / col("n_bigrams"), 6).as("top_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Content fingerprint: md5 over the sorted distinct 4-gram shingle set —
     * stable under shingle reordering, the key for fingerprint-based dedup.
     * Fused kernel ([[graft.functions.ArrayExpressions.DocFingerprint]]):

@@ -49,6 +49,95 @@ object StreamingQueries {
       finally s.close()
     }
 
+  /** Spool `events` (schema (user_id, us, ...)) into `n` time-ranged
+    * parquet files with strictly ascending mtimes, so a file-stream source
+    * replays them chronologically as one micro-batch each. Fail-fast mtime
+    * stamping — an un-stamped file could replay out of range order.
+    */
+  private def spoolChronological(events: DataFrame, feedDir: String, n: Int): Unit = {
+    events.repartitionByRange(n, col("us"))
+      .sortWithinPartitions("us")
+      .write.mode("overwrite").parquet(feedDir)
+    val base = System.currentTimeMillis() - 1000L * 3600
+    val listing = Files.list(java.nio.file.Paths.get(feedDir))
+    val partFiles =
+      try listing.sorted().toArray.map(_.asInstanceOf[Path])
+        .filter(_.getFileName.toString.startsWith("part-"))
+      finally listing.close()
+    partFiles.zipWithIndex.foreach { case (p, i) =>
+      require(p.toFile.setLastModified(base + i * 1000L),
+        s"cannot stamp spool-file mtime on $p — chronological replay not guaranteed")
+    }
+  }
+
+  /** Streaming first-touch (first-seen-per-key dedup): each user's FIRST
+    * event by (event time, event_id), maintained as streaming-aggregation
+    * state across micro-batches and emitted in UPDATE mode. This is the
+    * streaming ingest-dedup pattern — keep the first occurrence per key,
+    * drop the rest — built on `min(struct(us, event_id, cents))` rather
+    * than `dropDuplicates`, because a struct-min is COMMUTATIVE: the
+    * result is bit-identical under any arrival order or batch boundary
+    * placement (dropDuplicates keeps the first ARRIVAL, which is
+    * nondeterministic within a micro-batch). No watermark needed: state
+    * is one struct per key by construction, and a production deployment
+    * bounds key cardinality, not time.
+    *
+    * The update-mode memory sink receives one row per (key, batch-where-
+    * it-changed); the final state is recovered with the SAME commutative
+    * min over the sink — no order assumption on sink rows either.
+    */
+  /** The one commutative aggregation both the streaming stage and the
+    * sink-reduction use — a single definition, so they cannot drift.
+    */
+  private[graft] def firstTouchAgg(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(min(struct(col("us"), col("event_id"), col("cents"))).as("first"))
+
+  /** Reduce an update-mode sink (or any superset of state snapshots) to
+    * the final first-touch rows in the driver-contract schema.
+    */
+  private[graft] def firstTouchFinal(sink: DataFrame): DataFrame =
+    sink.groupBy(col("user_id"))
+      .agg(min(col("first")).as("first"))
+      .select(col("user_id"),
+        col("first.us").as("first_us"),
+        col("first.event_id").as("first_event_id"),
+        (col("first.cents").cast("double") / 100).as("first_value"))
+      .orderBy("user_id")
+
+  def firstTouch(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val spool = Files.createTempDirectory("graft_stream_touch")
+    val feedDir = spool.resolve("feed").toString
+    val name = s"graft_stream_touch_${runSeq.incrementAndGet()}"
+    try {
+      spoolChronological(events, feedDir, FeedFiles)
+      val stream = spark.readStream
+        .schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feedDir)
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val finalState =
+        try {
+          val q = firstTouchAgg(stream)
+            .writeStream.format("memory").queryName(name).outputMode("update")
+            .option("checkpointLocation", spool.resolve("ckpt").toString)
+            .start()
+          try {
+            q.processAllAvailable()
+            spark.table(name).localCheckpoint()
+          } finally q.stop()
+        } finally {
+          spark.catalog.dropTempView(name)
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+      firstTouchFinal(finalState)
+    } finally deleteRecursively(spool)
+  }
+
   def gapSessions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val events = Tables.load(spark, dir, "events")
@@ -67,28 +156,12 @@ object StreamingQueries {
     val feedDir = spool.resolve("feed").toString
     val name = s"graft_stream_gap_${runSeq.incrementAndGet()}"
     try {
-      // Spool the stream input as FeedFiles time-ranged parquet files.
-      // coalesce-to-range keeps exactly one file per range partition, so
-      // file boundaries ARE time boundaries.
-      events.repartitionByRange(FeedFiles, col("us"))
-        .sortWithinPartitions("us")
-        .write.mode("overwrite").parquet(feedDir)
-      // The file source replays files oldest-mtime-first; part file names
-      // sort in range order, so stamp strictly ascending mtimes to pin the
-      // chronological replay independent of write-task finish order. The
-      // stamping must not fail silently: an un-stamped file could replay
-      // out of range order and the sessionizer would quietly drop the
-      // resulting cross-batch stragglers — fail fast instead.
-      val base = System.currentTimeMillis() - 1000L * 3600
-      val listing = Files.list(java.nio.file.Paths.get(feedDir))
-      val partFiles =
-        try listing.sorted().toArray.map(_.asInstanceOf[Path])
-          .filter(_.getFileName.toString.startsWith("part-"))
-        finally listing.close()
-      partFiles.zipWithIndex.foreach { case (p, i) =>
-        require(p.toFile.setLastModified(base + i * 1000L),
-          s"cannot stamp spool-file mtime on $p — chronological replay not guaranteed")
-      }
+      // Spool the stream input as FeedFiles time-ranged parquet files with
+      // ascending mtimes (file boundaries ARE time boundaries, and the
+      // file source replays oldest-mtime-first), so per-user event order
+      // across micro-batches is non-decreasing — required for the
+      // bit-for-bit batch equivalence of a gap sessionizer.
+      spoolChronological(events, feedDir, FeedFiles)
 
       implicit val enc: Encoder[GapEvent] = Encoders.product[GapEvent]
       val stream = spark.readStream

@@ -221,6 +221,76 @@ class QueriesSpec extends AnyFunSuite {
     assert(g8.getAs[Long]("n_exact") == 50L)
   }
 
+  test("x32 PII redaction: counts and redacted-text md5 on synthetic PII") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "contact john.doe+x@example.com or 192.168.1.1 today"),
+      (2L, "call 555-123-4567 now; 555 1234 999 is not a phone"),
+      (3L, "clean text, 1.2.3 is not an ip and a@b is not an email")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.piiRedact(docs).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Int]("n_emails") == 1 && byId(1L).getAs[Int]("n_ips") == 1
+      && byId(1L).getAs[Int]("n_phones") == 0 && byId(1L).getAs[Int]("n_pii") == 2)
+    assert(byId(1L).getAs[String]("redacted_md5") ==
+      md5hex("contact <EMAIL> or <IP> today"))
+    assert(byId(2L).getAs[Int]("n_phones") == 1 && byId(2L).getAs[Int]("n_pii") == 1)
+    assert(byId(2L).getAs[String]("redacted_md5") ==
+      md5hex("call <PHONE> now; 555 1234 999 is not a phone"))
+    assert(byId(3L).getAs[Int]("n_pii") == 0 &&
+      byId(3L).getAs[String]("redacted_md5") == md5hex(
+        "clean text, 1.2.3 is not an ip and a@b is not an email"))
+  }
+
+  test("x33 decontamination: flags exactly the docs sharing an 8-token run with the benchmark slice") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // doc 3 is the benchmark (3 % 17 == 3); doc 1 repeats its text (10
+    // tokens -> 3 shared 8-grams), doc 2 shares nothing
+    val docs = Seq(
+      (3L, "a b c d e f g h i j"),
+      (1L, "a b c d e f g h i j"),
+      (2L, "k l m n o p q r s t")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.contamination(docs).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("doc_id") == 1L && rows.head.getAs[Long]("n_hits") == 3L)
+  }
+
+  test("x34 repetition: dominant bigram with deterministic tie-break") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // bigrams of [x y x y x z]: "x y"x2, "y x"x2, "x z"x1 -> tie broken
+    // alphabetically to "x y"; 5 bigram slots total
+    val docs = Seq((1L, "x y x y x z"), (2L, "w")).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionStats(docs).collect()
+    assert(rows.length == 1) // doc 2 has no bigrams
+    val r = rows.head
+    assert(r.getAs[Long]("doc_id") == 1L && r.getAs[String]("top_bigram") == "x y"
+      && r.getAs[Long]("top_n") == 2L && r.getAs[Long]("n_bigrams") == 5L
+      && math.abs(r.getAs[Double]("top_frac") - 0.4) < 1e-9)
+  }
+
+  test("x35 mixture resampling: weight 0 drops all, weight 1 keeps all, fingerprints pin ids") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = (0L until 100L).map(i => (i, if (i < 50) "s0" else "s1")).toDF("doc_id", "source")
+    val rows = Sampling.mixtureResample(docs, Map("s0" -> 0.0)).collect()
+    val byS = rows.map(r => r.getAs[String]("source") -> r).toMap
+    assert(byS("s0").getAs[Long]("n_docs") == 50 && byS("s0").getAs[Long]("n_kept") == 0
+      && byS("s0").getAs[Long]("kept_id_xor") == 0L)
+    assert(byS("s1").getAs[Long]("n_docs") == 50 && byS("s1").getAs[Long]("n_kept") == 50
+      && byS("s1").getAs[Long]("kept_id_xor") == (50L until 100L).reduce(_ ^ _))
+    // a fractional weight keeps a strict, deterministic subset
+    val half = Sampling.mixtureResample(docs, Map("s0" -> 0.5)).collect()
+      .find(_.getAs[String]("source") == "s0").get
+    assert(half.getAs[Long]("n_kept") > 0 && half.getAs[Long]("n_kept") < 50)
+  }
+
   test("x5 simhash: near-identical docs get near-identical fingerprints") {
     import spark.implicits._
     val docs = Seq(

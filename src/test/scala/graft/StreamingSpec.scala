@@ -9,6 +9,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.TestGroupState
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Event row for the x36 MemoryStream feed (top-level for a stable
+  * product encoder).
+  */
+case class FtEvent(user_id: Long, us: Long, event_id: Long, cents: Long)
+
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 
@@ -194,6 +199,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.length == all.distinct.length, "restart duplicated output rows")
     val got = all.filter(_.user_id >= 0).sortBy(s => (s.user_id, s.start_us)).toSeq
     assert(got == expected)
+  }
+
+  test("x36 first touch: adversarial (reversed) arrival order still yields the batch first event") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[FtEvent].collect()
+    // Feed NEWEST-first across three micro-batches: dropDuplicates-style
+    // first-ARRIVAL state would keep the newest event; the commutative
+    // min-struct state must still converge to the true first.
+    val batches = events.sortBy(e => (-e.us, -e.event_id))
+      .grouped((events.length + 2) / 3).toSeq
+    val ms = MemoryStream[FtEvent]
+    val q = graft.queries.StreamingQueries.firstTouchAgg(ms.toDS().toDF())
+      .writeStream.format("memory").queryName("ft_adversarial").outputMode("update").start()
+    try {
+      batches.foreach { b => ms.addData(b.toIndexedSeq); q.processAllAvailable() }
+      val got = graft.queries.StreamingQueries.firstTouchFinal(spark.table("ft_adversarial"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = events.groupBy(_.user_id).map { case (u, es) =>
+        val f = es.minBy(e => (e.us, e.event_id)); (u, f.us, f.event_id)
+      }.toSet
+      assert(got == expected)
+    } finally { q.stop(); spark.catalog.dropTempView("ft_adversarial") }
   }
 
   test("event-time timeout flushes an idle taxi's open trip") {
