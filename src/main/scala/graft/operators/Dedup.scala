@@ -116,7 +116,7 @@ object Dedup {
     * LSH below AND the persisted band store ([[IncrementalDedup]]), so
     * the two can never band differently.
     */
-  private[graft] def bandSignatures(fingerprints: DataFrame, numPerms: Int,
+  private[operators] def bandSignatures(fingerprints: DataFrame, numPerms: Int,
                                         rowsPerBand: Int): DataFrame = {
     val numBands = numPerms / rowsPerBand
     val sigs = fingerprints.select(col("doc_id"),

@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   * store, so the only corpus rows that move are members of buckets the
   * new batch actually hits (O(|new| x bucket size), not O(corpus)), and
   * verification fingerprints come from the bucketed store (exchange-free
-  * on the store side). Candidate semantics — bucket membership, the
-  * [2, maxBucket] cap, exact-Jaccard verification — are shared with the
-  * whole-corpus path ([[Dedup.bandSignatures]] / the same fused
+  * on the store side). Candidate semantics — bucket membership, all pairs
+  * within the maxBucket cap, star edges to the bucket-min hub above it,
+  * exact-Jaccard verification — are shared with the whole-corpus path
+  * ([[Dedup.bandSignatures]] / the same fused
   * expressions), which yields the testable contract: the incremental
   * pair set EQUALS the whole-corpus pair set restricted to pairs with at
   * least one new endpoint. x31 carries that equality into the driver's
@@ -102,19 +103,28 @@ object IncrementalDedup {
       .unionByName(newBands
         .select(col("bsig"), col("band"), col("sig"), col("doc_id"), lit(true).as("is_new")))
 
-    // bucket cap on the TOTAL membership (store + new), exactly as the
-    // whole-corpus path caps its buckets — required for restriction
-    // equality; grouping carries (band, sig) so a (theoretical) xxhash64
-    // collision cannot merge two buckets differently than x4 would
+    // bucket handling on the TOTAL membership (store + new) mirrors the
+    // whole-corpus path EXACTLY — all pairs within the [2, maxBucket]
+    // cap, STAR edges to the bucket-min hub above it — because the x31
+    // contract is restriction EQUALITY, and that test is the no-drift
+    // guard between the two implementations. sort_array orders the
+    // structs by doc_id (first field), so ids[0] is the hub, same hub the
+    // whole-corpus path picks; grouping carries (band, sig) so a
+    // (theoretical) xxhash64 collision cannot merge two buckets
+    // differently than x4 would
     val candidates = members
       .groupBy(col("bsig"), col("band"), col("sig"))
-      .agg(collect_list(struct(col("doc_id"), col("is_new"))).as("ids"))
-      .filter(size(col("ids")).between(2, MaxBucket))
-      .select(explode(expr(
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("is_new")))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(when(size(col("ids")) <= MaxBucket, expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> " +
           "named_struct('doc_a', least(x.doc_id, y.doc_id), " +
           "'doc_b', greatest(x.doc_id, y.doc_id), " +
-          "'any_new', x.is_new or y.is_new))))")).as("pr"))
+          "'any_new', x.is_new or y.is_new))))"))
+        .otherwise(expr(
+          "transform(slice(ids, 2, size(ids)), y -> " +
+            "named_struct('doc_a', ids[0].doc_id, 'doc_b', y.doc_id, " +
+            "'any_new', ids[0].is_new or y.is_new))"))).as("pr"))
       .filter(col("pr.any_new") && col("pr.doc_a") =!= col("pr.doc_b"))
       .select(col("pr.doc_a"), col("pr.doc_b"))
       .distinct()
