@@ -143,7 +143,15 @@ object SparkEntry {
     // streaming first-seen-per-key dedup: commutative min-struct streaming
     // aggregation across micro-batches — arrival-order-independent, so the
     // batch oracle pins it exactly
-    "x36_streaming_first_touch" -> ((s, d) => graft.queries.StreamingQueries.firstTouch(s, d))
+    "x36_streaming_first_touch" -> ((s, d) => graft.queries.StreamingQueries.firstTouch(s, d)),
+    // cross-document boilerplate: per-doc fraction of 8-grams shared with
+    // >= 3 documents; gram->df join reuses the grouping exchange
+    "x37_boilerplate_ngrams" -> ((s, d) =>
+      TextAnalysis.boilerplateCoverage(Tables.load(s, d, "documents"))),
+    // deterministic concat-and-chunk packing into 256-token sequences,
+    // sharded per (source, doc_id % 4) so window partitions stay bounded
+    "x38_sequence_packing" -> ((s, d) =>
+      graft.operators.Sampling.sequencePacking(Tables.load(s, d, "documents")))
   )
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as
@@ -728,6 +736,37 @@ object SparkEntry {
         |SELECT user_id, us AS first_us, event_id AS first_event_id,
         |       CAST(v AS double) AS first_value
         |FROM e WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // same gram CTE as x33 (shared Spark-side helper, shared SQL shape)
+    "x37_boilerplate_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+        |         i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS gram
+        |  FROM t),
+        |f AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+        |SELECT doc_id, count(*) AS n_grams,
+        |       CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS bigint) AS n_boiler,
+        |       round(CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS double) / count(*), 6) AS boiler_frac
+        |FROM g JOIN f USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same tokenization as x11/x33; running sum over (source, doc_id % 4)
+    // shards in doc_id order, integer pack arithmetic
+    "x38_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, doc_id % 4 AS shard,
+        |         len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, shard, doc_id, CAST(n_tokens AS int) AS n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint) AS tok_start
+        |  FROM t)
+        |SELECT source, shard, doc_id, n_tokens, tok_start,
+        |       tok_start // 256 AS pack_id,
+        |       (tok_start + greatest(n_tokens, 1) - 1) // 256 - tok_start // 256 + 1 AS packs_spanned
+        |FROM s ORDER BY doc_id""".stripMargin,
     "x15_length_quantiles" ->
       """SELECT lang,
         |       round(quantile_cont(n_chars, 0.5), 6) AS q50,

@@ -121,4 +121,46 @@ object Sampling {
         max(col("doc_id")).as("id_max"))
       .orderBy("source", "split")
   }
+
+  /** Deterministic concat-and-chunk sequence packing: documents are laid
+    * end-to-end in doc_id order and cut into fixed `budget`-token training
+    * sequences — the packing step between a curated corpus and a trainer's
+    * fixed-length batches. Each document's placement (starting token
+    * offset, first pack, packs spanned) is a pure function of the corpus
+    * content, so the layout is reproducible across engines, retries, and
+    * partitionings.
+    *
+    * Streams are packed per (source, shard) with `shard = doc_id % nShards`
+    * — shard assignment is again a pure function of doc_id. That is the
+    * 100-TB shape: a single running sum per source would serialize each
+    * source through one window partition (one task per source, unbounded
+    * partition size); sharding bounds every window partition at
+    * |source|/nShards docs while keeping full determinism, at the cost of
+    * at most one partially-filled trailing pack per shard (the same waste
+    * any parallel packer accepts). The window's running sum is
+    * shuffle-partitioned on (source, shard) and sorted by doc_id — one
+    * exchange, one sort, no join.
+    */
+  def sequencePacking(docs: DataFrame, budget: Int = 256, nShards: Int = 4): DataFrame = {
+    require(budget > 0 && nShards > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col("source"), col("doc_id"), pmod(col("doc_id"), lit(nShards)).as("shard"),
+        size(filter(graft.operators.TextAnalysis.tokens(lower(col("text"))),
+          t => t =!= "")).as("n_tokens"))
+      .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // an empty doc occupies no slots but still "lands" at its offset's
+      // pack; greatest(n_tokens, 1) keeps the span formula total
+      // `div`, not `/`: Spark's `/` on longs is DOUBLE division — exact
+      // integer pack arithmetic must not round-trip through a float
+      .select(col("source"), col("shard"), col("doc_id"), col("n_tokens"), col("tok_start"),
+        expr(s"tok_start div $budget").as("pack_id"),
+        expr(s"(tok_start + greatest(n_tokens, 1) - 1) div $budget").as("last_pack"))
+      .withColumn("packs_spanned", col("last_pack") - col("pack_id") + 1)
+      .drop("last_pack")
+      .orderBy("doc_id")
+  }
 }

@@ -274,17 +274,52 @@ object TextAnalysis {
     */
   def contamination(docs: DataFrame, n: Int = 8,
                     benchMod: Int = 17, benchRem: Int = 3): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"), filter(tokens(lower(col("text"))), t => t =!= "").as("t"))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"case when size(t) >= $n then transform(sequence(1, size(t) - ${n - 1}), " +
-          s"i -> array_join(slice(t, i, $n), ' ')) else array() end"))).as("gram"))
+    val grams = distinctDocGrams(docs, n)
     val bench = grams.filter(col("doc_id") % benchMod === benchRem)
       .select(col("gram")).distinct()
     grams.filter(col("doc_id") % benchMod =!= benchRem)
       .join(broadcast(bench), "gram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits")) // grams pre-distinct'd per doc
+      .orderBy("doc_id")
+  }
+
+  /** DISTINCT per-doc lowercased whitespace `n`-grams, one row per
+    * (doc_id, gram). `array_distinct` runs BEFORE the explode, so the
+    * shuffle never carries a document's internal repetition — shared by
+    * [[contamination]] and [[boilerplateCoverage]] so "gram" cannot drift
+    * between the two.
+    */
+  private def distinctDocGrams(docs: DataFrame, n: Int): DataFrame = docs
+    .select(col("doc_id"), filter(tokens(lower(col("text"))), t => t =!= "").as("t"))
+    .select(col("doc_id"), explode(array_distinct(expr(
+      s"case when size(t) >= $n then transform(sequence(1, size(t) - ${n - 1}), " +
+        s"i -> array_join(slice(t, i, $n), ' ')) else array() end"))).as("gram"))
+
+  /** Cross-document boilerplate profile: for each document, how much of it
+    * is made of `n`-grams that also appear in >= `minDocs` OTHER-or-same
+    * documents — headers, footers, license blocks, templated spans. The
+    * CCNet/RefinedWeb-style boilerplate signal, at the n-gram level the
+    * fixture's newline-free text supports.
+    *
+    * Shape at 100 TB: per-doc distinct grams (one explode, repetition
+    * removed pre-shuffle), gram→doc-count in one map-side-combined
+    * aggregation, then the per-gram count joins BACK to the gram relation
+    * on the SAME key it was grouped by — both sides arrive hash-partitioned
+    * on `gram`, so the join adds no third shuffle (exchange reuse), and no
+    * broadcast of a data-dependent "frequent grams" set is ever assumed
+    * (unlike x33's eval slice, boilerplate sets grow with the corpus). The
+    * final per-doc reduce is one more bounded shuffle on doc_id.
+    */
+  def boilerplateCoverage(docs: DataFrame, n: Int = 8, minDocs: Int = 3): DataFrame = {
+    val grams = distinctDocGrams(docs, n)
+    val gramDf = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    grams.join(gramDf, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_grams"), 6).as("boiler_frac"))
       .orderBy("doc_id")
   }
 

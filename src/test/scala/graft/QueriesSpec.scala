@@ -291,6 +291,52 @@ class QueriesSpec extends AnyFunSuite {
     assert(half.getAs[Long]("n_kept") > 0 && half.getAs[Long]("n_kept") < 50)
   }
 
+  test("x37 boilerplate: shared 8-gram counted in every carrier, unique grams not") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // "a..h" appears in docs 1-3 (df=3 -> boilerplate at minDocs=3); every
+    // other gram is unique; doc 5 is too short to produce any gram
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x a b c d e f g h"),
+      (3L, "a b c d e f g h y"),
+      (4L, "p q r s t u v w"),
+      (5L, "too short")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.boilerplateCoverage(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_boiler"), r.getAs[Double]("boiler_frac"))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L))
+    assert(rows(1L) == ((1L, 1L, 1.0)))
+    assert(rows(2L) == ((2L, 1L, 0.5)))
+    assert(rows(3L) == ((2L, 1L, 0.5)))
+    assert(rows(4L) == ((1L, 0L, 0.0)))
+  }
+
+  test("x38 packing: offsets/packs/spans by hand; stable under repartitioning") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = Seq(
+      (0L, "s", "t1 t2 t3"), (2L, "s", "u1 u2 u3"), (4L, "s", "v1"),
+      (1L, "s", "w1 w2"), (3L, "s", "")
+    ).toDF("doc_id", "source", "text")
+    val rows = Sampling.sequencePacking(docs, budget = 4, nShards = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("tok_start"), r.getAs[Long]("pack_id"), r.getAs[Long]("packs_spanned"))).toMap
+    // shard 0 = ids (0,2,4): starts 0,3,6; id 2 straddles the 4-token cut
+    assert(rows(0L) == ((0L, 0L, 1L)))
+    assert(rows(2L) == ((3L, 0L, 2L)))
+    assert(rows(4L) == ((6L, 1L, 1L)))
+    // shard 1 = ids (1,3): the empty doc lands at offset 2, spans 1 pack
+    assert(rows(1L) == ((0L, 0L, 1L)))
+    assert(rows(3L) == ((2L, 0L, 1L)))
+    // placement is a pure function of corpus content, not physical layout
+    val re = Sampling.sequencePacking(docs.repartition(7), budget = 4, nShards = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("tok_start"), r.getAs[Long]("pack_id"), r.getAs[Long]("packs_spanned"))).toMap
+    assert(re == rows)
+  }
+
   test("x5 simhash: near-identical docs get near-identical fingerprints") {
     import spark.implicits._
     val docs = Seq(
