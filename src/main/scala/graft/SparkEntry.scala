@@ -151,7 +151,11 @@ object SparkEntry {
     // deterministic concat-and-chunk packing into 256-token sequences,
     // sharded per (source, doc_id % 4) so window partitions stay bounded
     "x38_sequence_packing" -> ((s, d) =>
-      graft.operators.Sampling.sequencePacking(Tables.load(s, d, "documents")))
+      graft.operators.Sampling.sequencePacking(Tables.load(s, d, "documents"))),
+    // stream-stream interval self-join (click->purchase attribution) with
+    // watermark-bounded join state; batch-equivalent, so DuckDB-exact
+    "x39_stream_interval_join" -> ((s, d) =>
+      graft.queries.StreamingQueries.intervalJoin(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as
@@ -767,6 +771,16 @@ object SparkEntry {
         |       tok_start // 256 AS pack_id,
         |       (tok_start + greatest(n_tokens, 1) - 1) // 256 - tok_start // 256 + 1 AS packs_spanned
         |FROM s ORDER BY doc_id""".stripMargin,
+    // the batch definition of the watermarked stream-stream interval join;
+    // chronological replay means no late data, so they agree exactly
+    "x39_stream_interval_join" ->
+      """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+        |       epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |ORDER BY a.user_id, click_id, purchase_id""".stripMargin,
     "x15_length_quantiles" ->
       """SELECT lang,
         |       round(quantile_cont(n_chars, 0.5), 6) AS q50,

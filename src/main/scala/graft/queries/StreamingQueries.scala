@@ -138,6 +138,71 @@ object StreamingQueries {
     } finally deleteRecursively(spool)
   }
 
+  /** Stream-stream interval join — click→purchase attribution: every
+    * (click, purchase) pair of the same user with the purchase inside
+    * [click, click + `windowSec`]. The canonical two-stream join of event
+    * pipelines, here as a SELF-join of one file-stream source filtered two
+    * ways (the production shape when both event kinds ride one ingest).
+    *
+    * Both sides carry a watermark and the join condition carries the time
+    * bound, so Spark derives state-eviction watermarks for BOTH sides —
+    * join state is O(events inside the watermark horizon), not O(stream).
+    * An INNER stream-stream join emits a pair the micro-batch both sides
+    * have arrived, so no flush sentinel is needed (unlike the sessionizer,
+    * nothing waits on watermark advance to EMIT — the watermark only
+    * bounds state). Chronological file replay means nothing arrives
+    * late, so the batch twin — a plain interval join the DuckDB oracle
+    * reproduces — pins the result exactly.
+    */
+  def intervalJoin(spark: SparkSession, dir: String, windowSec: Long = 1800): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+    val spool = Files.createTempDirectory("graft_stream_join")
+    val feedDir = spool.resolve("feed").toString
+    val name = s"graft_stream_join_${runSeq.incrementAndGet()}"
+    try {
+      spoolChronological(events, feedDir, FeedFiles)
+      val stream = spark.readStream
+        .schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feedDir)
+        .withColumn("ts", timestamp_micros(col("us")))
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("us").as("click_us"), col("event_id").as("click_id"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+          col("us").as("p_us"), col("event_id").as("purchase_id"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("p_ts") >= col("click_ts") &&
+          col("p_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val pairs =
+        try {
+          val q = joined
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", spool.resolve("ckpt").toString)
+            .start()
+          try {
+            q.processAllAvailable()
+            spark.table(name).localCheckpoint()
+          } finally q.stop()
+        } finally {
+          spark.catalog.dropTempView(name)
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+      pairs.select(col("user_id"), col("click_id"), col("purchase_id"),
+          (col("p_us") - col("click_us")).as("delta_us"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    } finally deleteRecursively(spool)
+  }
+
   def gapSessions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val events = Tables.load(spark, dir, "events")

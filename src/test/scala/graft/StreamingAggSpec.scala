@@ -148,6 +148,25 @@ class StreamingAggSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("x39 stream-stream interval join equals the batch interval join") {
+    import org.apache.spark.sql.functions.unix_micros
+    val got = SparkEntry.queries("x39_stream_interval_join")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val ev = Tables.load(spark, sf, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+    val want = clicks.join(purchases,
+        col("user_id") === col("pu") && col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("pts")) - unix_micros(col("cts"))).as("delta_us"))
+      .orderBy("user_id", "click_id", "purchase_id")
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("watermarked streaming dropDuplicates removes cross-batch repeats") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
