@@ -56,6 +56,9 @@ object SparkEntry {
     // date-partitioned layout + runtime-derived day dimension: the fact
     // scan prunes via dynamic partition pruning (LayoutSpec pins the plan)
     "q28_dpp_join" -> ((s, d) => graft.sources.PartitionedLayout.q28DppJoin(s, d)),
+    // runtime bloom filter from the selective orders side prunes the
+    // lineitem shuffle (LayoutSpec pins the might_contain plan)
+    "q29_bloom_join" -> ((s, d) => Relational.q29BloomJoin(s, d)),
     // -- LLM-pipeline extensions ------------------------------------------
     "x1_dedup_exact" -> ((s, d) => Dedup.exactDupStats(Tables.load(s, d, "documents"))),
     "x2_dedup_normalized" -> ((s, d) => Dedup.normalizedDupGroups(Tables.load(s, d, "documents"))),
@@ -455,6 +458,16 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS decimal(18,2))) AS double) AS total_value
         |FROM events JOIN top_days ON CAST(ts AS DATE) = top_days.d
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the bloom filter is a physical-plan optimization; the answer is the
+    // plain join-aggregate DuckDB computes directly
+    "q29_bloom_join" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS decimal(18,2))) AS double) AS sum_price,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q26_window_frames" ->
       """SELECT o_custkey, o_orderkey,
         |       CAST(sum(CAST(o_totalprice AS decimal(18,2))) OVER wr AS double) AS run_total,

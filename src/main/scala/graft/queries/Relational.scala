@@ -373,6 +373,48 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Q29: runtime bloom-filter semi-join reduction. A selective dimension
+    * filter (urgent orders, ~1/5) joins the fact table; Spark's
+    * InjectRuntimeFilter builds a bloom filter over the filtered orders'
+    * keys and applies `might_contain(xxhash64(l_orderkey))` on the
+    * lineitem side BEFORE its shuffle — the fact rows that cannot match
+    * never leave the scan stage. At 100 TB this is the difference between
+    * shuffling the whole fact table and shuffling the ~20 % that survives
+    * the filter; locally the fixture is far below the injection
+    * thresholds, so they are scoped to 0/-1 around EAGER physical
+    * planning (the q27 pattern: the planned Dataset keeps its
+    * bloom-filtered plan, no conf drift leaks — LayoutSpec asserts
+    * both the `might_contain` subquery and the restore). Broadcast is
+    * disabled in the same scope: a broadcast join already avoids the fact
+    * shuffle, which would make the demonstration vacuous; sort-merge is
+    * the 100-TB shape where both sides exceed driver memory.
+    */
+  def q29BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val scoped = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
+    scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val urgent = t(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val df = t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+          count(lit(1)).as("n_items"))
+        .orderBy("l_returnflag")
+      df.queryExecution.executedPlan // plan now, under the scoped confs
+      df
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(x => spark.conf.set(k, x))
+    }
+  }
+
   /** Q14: distinct aggregates — distinct parts/suppliers per return flag. */
   def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

@@ -48,6 +48,35 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("q29's shipped plan applies a runtime bloom filter on the fact side; confs restored") {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val before = keys.map(k => spark.conf.getOption(k))
+    // the EXACT code path the driver runs
+    val df = graft.queries.Relational.q29BloomJoin(spark, sf)
+    assert(keys.map(k => spark.conf.getOption(k)) == before,
+      "q29 leaked its scoped confs into the session")
+    // plan: InjectRuntimeFilter put a bloom might_contain on the lineitem
+    // side (visible in the optimized logical plan; the physical filter
+    // rides a scalar subquery that builds the bloom from filtered orders)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("might_contain"),
+      s"no bloom filter injected:\n$optimized")
+    // correctness: the runtime filter must not change the answer
+    val rows = df.collect()
+    val li = Tables.load(spark, sf, "lineitem")
+    val want = li
+      .join(Tables.load(spark, sf, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag").collect()
+    assert(rows.nonEmpty && rows.map(_.toString).toSeq == want.map(_.toString).toSeq)
+  }
+
   test("q27's shipped plan joins the bucketed layout with zero join-side exchange") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val legacyKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
