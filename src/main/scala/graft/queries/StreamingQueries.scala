@@ -154,6 +154,27 @@ object StreamingQueries {
     * late, so the batch twin — a plain interval join the DuckDB oracle
     * reproduces — pins the result exactly.
     */
+  /** The watermarked two-sided join itself, over any streaming frame with
+    * (user_id, us, event_id, event_type) — one definition shared by the
+    * driver-visible query and the checkpoint-restart recovery test, so the
+    * recovered operator IS the shipped operator.
+    */
+  private[graft] def intervalJoinStream(stream: DataFrame, windowSec: Long): DataFrame = {
+    val withTs = stream.withColumn("ts", timestamp_micros(col("us")))
+    val clicks = withTs.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("us").as("click_us"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = withTs.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+        col("us").as("p_us"), col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("p_ts") >= col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+  }
+
   def intervalJoin(spark: SparkSession, dir: String, windowSec: Long = 1800): DataFrame = {
     val events = Tables.load(spark, dir, "events")
       .filter(col("event_type").isin("click", "purchase"))
@@ -168,19 +189,7 @@ object StreamingQueries {
         .schema(events.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feedDir)
-        .withColumn("ts", timestamp_micros(col("us")))
-      val clicks = stream.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts").as("click_ts"),
-          col("us").as("click_us"), col("event_id").as("click_id"))
-        .withWatermark("click_ts", "1 hour")
-      val purchases = stream.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
-          col("us").as("p_us"), col("event_id").as("purchase_id"))
-        .withWatermark("p_ts", "1 hour")
-      val joined = clicks.join(purchases,
-        col("user_id") === col("p_user_id") &&
-          col("p_ts") >= col("click_ts") &&
-          col("p_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      val joined = intervalJoinStream(stream, windowSec)
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       val pairs =

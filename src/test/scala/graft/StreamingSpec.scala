@@ -14,6 +14,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 case class FtEvent(user_id: Long, us: Long, event_id: Long, cents: Long)
 
+/** Event row for the x39 restart feed (top-level for a stable encoder). */
+case class JEvent(user_id: Long, us: Long, event_id: Long, event_type: String)
+
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 
@@ -199,6 +202,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.length == all.distinct.length, "restart duplicated output rows")
     val got = all.filter(_.user_id >= 0).sortBy(s => (s.user_id, s.start_us)).toSeq
     assert(got == expected)
+  }
+
+  test("checkpoint restart: stream-stream join resumes with buffered state") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // The pairs can ONLY come from recovered state: every click is
+    // delivered before the kill, every purchase after the restart — if
+    // the second query lost the buffered click side, the join would emit
+    // nothing (or, with a corrupt offset log, duplicates).
+    implicit val enc: org.apache.spark.sql.Encoder[JEvent] = org.apache.spark.sql.Encoders.product[JEvent]
+    val base = 1700000000L * 1000000L
+    val clicks = (1 to 4).map(u =>
+      JEvent(u.toLong, base + u * 1000000L, 100L + u, "click"))
+    val purchases = (1 to 4).map(u =>
+      JEvent(u.toLong, base + u * 1000000L + 60L * 1000000, 200L + u, "purchase")) :+
+      JEvent(1L, base + 7200L * 1000000, 299L, "purchase") // outside the 30-min window
+
+    val root = Files.createTempDirectory("graft_join_restart")
+    val feed = root.resolve("feed"); Files.createDirectories(feed)
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    val mtimeBase = System.currentTimeMillis() - 1000L * 3600
+    def addFile(idx: Int, evs: Seq[JEvent]): Unit = {
+      val tmp = root.resolve(s"w$idx")
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part = try listing.filter(_.getFileName.toString.startsWith("part-"))
+        .findFirst.get finally listing.close()
+      val dest = feed.resolve(f"file-$idx%03d.parquet")
+      Files.move(part, dest)
+      require(dest.toFile.setLastModified(mtimeBase + idx * 1000L))
+    }
+    def startQuery() = graft.queries.StreamingQueries.intervalJoinStream(
+        spark.readStream.schema(enc.schema).option("maxFilesPerTrigger", "1")
+          .parquet(feed.toString), 1800L)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    // phase 1: clicks only, then KILL
+    addFile(0, clicks)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // phase 2: fresh query, same checkpoint; purchases arrive now
+    addFile(1, purchases)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val all = spark.read.parquet(outDir)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("p_us") - col("click_us")).as("delta_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(all.length == all.distinct.length, "restart duplicated join output")
+    assert(all.sorted == (1 to 4).map(u => (u.toLong, 100L + u, 200L + u, 60L * 1000000)),
+      s"recovered join state did not produce the expected pairs: $all")
   }
 
   test("x36 first touch: adversarial (reversed) arrival order still yields the batch first event") {
