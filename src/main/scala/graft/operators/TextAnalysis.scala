@@ -302,19 +302,19 @@ object TextAnalysis {
     * CCNet/RefinedWeb-style boilerplate signal, at the n-gram level the
     * fixture's newline-free text supports.
     *
-    * Shape at 100 TB: per-doc distinct grams (one explode, repetition
-    * removed pre-shuffle), gram→doc-count in one map-side-combined
-    * aggregation, then the per-gram count joins BACK to the gram relation
-    * on the SAME key it was grouped by — both sides arrive hash-partitioned
-    * on `gram`, so the join adds no third shuffle (exchange reuse), and no
-    * broadcast of a data-dependent "frequent grams" set is ever assumed
-    * (unlike x33's eval slice, boilerplate sets grow with the corpus). The
-    * final per-doc reduce is one more bounded shuffle on doc_id.
+    * Shape at 100 TB: per-doc distinct grams (ONE explode, repetition
+    * removed pre-shuffle), then `df = count over (partition by gram)` as a
+    * WINDOW — not a groupBy + join-back, which (plan-audited) scans and
+    * explodes the corpus twice and lets AQE broadcast the gram→df table, a
+    * data-dependent corpus-scale relation (unlike x33's eval slice,
+    * boilerplate sets grow with the corpus). The window keeps it to one
+    * corpus pass and one exchange on `gram` (plus its clustering sort);
+    * the final per-doc reduce is one more bounded shuffle on doc_id.
     */
   def boilerplateCoverage(docs: DataFrame, n: Int = 8, minDocs: Int = 3): DataFrame = {
     val grams = distinctDocGrams(docs, n)
-    val gramDf = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    grams.join(gramDf, "gram")
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    grams.withColumn("df", count(lit(1)).over(byGram))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
