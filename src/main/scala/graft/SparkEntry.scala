@@ -158,7 +158,11 @@ object SparkEntry {
     // stream-stream interval self-join (click->purchase attribution) with
     // watermark-bounded join state; batch-equivalent, so DuckDB-exact
     "x39_stream_interval_join" -> ((s, d) =>
-      graft.queries.StreamingQueries.intervalJoin(s, d))
+      graft.queries.StreamingQueries.intervalJoin(s, d)),
+    // stream-static broadcast enrichment per micro-batch (stateless join,
+    // append mode); the enriched sink aggregates to a DuckDB-exact summary
+    "x40_stream_enrich" -> ((s, d) =>
+      graft.queries.StreamingQueries.enrichedByNation(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as
@@ -794,6 +798,16 @@ object SparkEntry {
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
         |ORDER BY a.user_id, click_id, purchase_id""".stripMargin,
+    // stream-static enrichment changes WHEN rows are joined, not what they
+    // contain: the batch join is the exact oracle. cents via decimal(18,2)
+    // like the Spark side, summed exactly, one final double division
+    "x40_stream_enrich" ->
+      """SELECT n_name, event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(CAST(value AS decimal(18,2)) * 100 AS bigint)) AS double) / 100 AS total_value
+        |FROM events
+        |JOIN customer ON user_id = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, event_type ORDER BY n_name, event_type""".stripMargin,
     "x15_length_quantiles" ->
       """SELECT lang,
         |       round(quantile_cont(n_chars, 0.5), 6) AS q50,

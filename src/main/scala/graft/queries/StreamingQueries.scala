@@ -212,6 +212,58 @@ object StreamingQueries {
     } finally deleteRecursively(spool)
   }
 
+  /** Stream-static enrichment: the event stream joins a STATIC dimension
+    * (customer → nation) per micro-batch — the ingest-enrich shape that
+    * precedes every warehouse write. The static side is broadcast once
+    * (dimension tables are small next to the stream; the join is
+    * stateless, so no watermark and append mode), and each enriched batch
+    * lands in the sink as it arrives. The driver-visible row is a batch
+    * aggregate OVER the enriched sink — counts/sums per (nation,
+    * event_type) — which a plain DuckDB join reproduces exactly: the
+    * stream only changes WHEN rows are enriched, never what they contain.
+    */
+  def enrichedByNation(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val dim = Tables.load(spark, dir, "customer")
+      .join(Tables.load(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val spool = Files.createTempDirectory("graft_stream_enrich")
+    val feedDir = spool.resolve("feed").toString
+    val name = s"graft_stream_enrich_${runSeq.incrementAndGet()}"
+    try {
+      spoolChronological(events, feedDir, FeedFiles)
+      val stream = spark.readStream
+        .schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feedDir)
+      val enriched = stream.join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("n_name"), col("event_type"), col("cents"))
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val sunk =
+        try {
+          val q = enriched
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", spool.resolve("ckpt").toString)
+            .start()
+          try {
+            q.processAllAvailable()
+            spark.table(name).localCheckpoint()
+          } finally q.stop()
+        } finally {
+          spark.catalog.dropTempView(name)
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+      sunk.groupBy(col("n_name"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(col("cents")).cast("double") / 100).as("total_value"))
+        .orderBy("n_name", "event_type")
+    } finally deleteRecursively(spool)
+  }
+
   def gapSessions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val events = Tables.load(spark, dir, "events")

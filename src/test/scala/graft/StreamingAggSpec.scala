@@ -167,6 +167,22 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("x40 stream-static enrichment equals the batch join aggregate") {
+    val got = SparkEntry.queries("x40_stream_enrich")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val want = Tables.load(spark, sf, "events")
+      .join(Tables.load(spark, sf, "customer"), col("user_id") === col("c_custkey"))
+      .join(Tables.load(spark, sf, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy("n_name", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("cents")).cast("double") / 100).as("total_value"))
+      .orderBy("n_name", "event_type")
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("watermarked streaming dropDuplicates removes cross-batch repeats") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
