@@ -162,7 +162,11 @@ object SparkEntry {
     // stream-static broadcast enrichment per micro-batch (stateless join,
     // append mode); the enriched sink aggregates to a DuckDB-exact summary
     "x40_stream_enrich" -> ((s, d) =>
-      graft.queries.StreamingQueries.enrichedByNation(s, d))
+      graft.queries.StreamingQueries.enrichedByNation(s, d)),
+    // JSONL write -> explicit-schema read -> per-source content
+    // fingerprints; the oracle computes the same over the ORIGINAL parquet,
+    // so the round trip must preserve every row and every text byte
+    "x41_jsonl_roundtrip" -> ((s, d) => graft.sources.Jsonl.roundtripSummary(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as
@@ -808,6 +812,13 @@ object SparkEntry {
         |JOIN customer ON user_id = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name, event_type ORDER BY n_name, event_type""".stripMargin,
+    // the engine side computes these over its JSONL copy; the oracle over
+    // the original parquet — the round trip must be byte-lossless
+    "x41_jsonl_roundtrip" ->
+      """SELECT source, count(*) AS n_docs, bit_xor(doc_id) AS id_xor,
+        |       sum(length(text)) AS sum_chars,
+        |       min(md5(text)) AS md5_min, max(md5(text)) AS md5_max
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "x15_length_quantiles" ->
       """SELECT lang,
         |       round(quantile_cont(n_chars, 0.5), 6) AS q50,

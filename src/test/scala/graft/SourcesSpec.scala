@@ -71,6 +71,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(gotJson.sameElements(want))
   }
 
+  test("x41 jsonl roundtrip is lossless for adversarial content") {
+    import spark.implicits._
+    // newline, tab, quote, backslash, unicode, emoji, empty string, null —
+    // everything a JSON encoder must escape or a sloppy one corrupts
+    val docs = Seq(
+      (1L, "line one\nline two", "en", "s0", 17L),
+      (2L, "tab\there \"quoted\" back\\slash", "en", "s0", 28L),
+      (3L, "héllo 👋 中文", "zh", "s1", 10L),
+      (4L, "", "en", "s1", 0L),
+      (5L, null, "en", "s1", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.sources.Jsonl.withJsonlRoundtrip(docs) { back =>
+      back.orderBy("doc_id").collect().map(_.toString).toSeq
+    }
+    assert(got == docs.orderBy("doc_id").collect().map(_.toString).toSeq)
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     val out = tmp("part-parquet")
     Tables.load(spark, "/root/testdata/sf0.001", "documents")
