@@ -44,6 +44,7 @@ object ScaleStudy {
     // untimed warmup: codegen + JIT of the LSH plan, so the scale-1 row
     // doesn't carry one-time compile cost the larger rows don't pay
     Dedup.minhashLshPairs(docs.localCheckpoint()).count()
+    graft.operators.TextAnalysis.boilerplateCoverage(docs).agg(count(lit(1))).head()
     for (k <- Seq(1, 3, 10)) {
       // materialize the synthetic corpus so timings measure LSH, not synthesis
       val corpus = expand(docs, k).localCheckpoint()
@@ -55,6 +56,17 @@ object ScaleStudy {
       val nVerified = Dedup.minhashLshPairs(corpus).count()
       val tFull = (System.nanoTime() - t1) / 1e9
       println(f"""{"scale":$k,"docs":$nDocs,"candidate_pairs":$nCand,"verified_pairs":$nVerified,"candidates_sec":$tCand%.2f,"full_lsh_sec":$tFull%.2f}""")
+      // x37 rides the same replicas: the gram relation (and the boilerplate
+      // families it contains) must grow linearly with the corpus — each
+      // replica reproduces the original's cross-doc gram structure in a
+      // disjoint gram space, so superlinear time or sublinear boiler counts
+      // would expose a scaling defect in the window-over-gram plan
+      val t2 = System.nanoTime()
+      val boiler = graft.operators.TextAnalysis.boilerplateCoverage(corpus)
+        .agg(count(lit(1)).as("docs"), sum(col("n_grams")).as("grams"),
+          sum(col("n_boiler")).as("boiler")).head()
+      val tBoiler = (System.nanoTime() - t2) / 1e9
+      println(f"""{"op":"boilerplate","scale":$k,"docs":${boiler.getLong(0)},"grams":${boiler.getLong(1)},"boiler_grams":${boiler.getLong(2)},"sec":$tBoiler%.2f}""")
     }
     spark.stop()
   }
