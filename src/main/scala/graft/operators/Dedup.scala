@@ -96,7 +96,7 @@ object Dedup {
     * and several consumers read it. localCheckpoint (not persist) so the
     * blocks auto-clean when the query's RDD is GC'd.
     */
-  private[operators] def shingleFingerprints(docs: DataFrame): DataFrame = docs
+  private[graft] def shingleFingerprints(docs: DataFrame): DataFrame = docs
     .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
     .select(col("doc_id"),
       graft.functions.ArrayExpressions.shingleHashesSorted(col("text"), 3).as("hashes"))
@@ -116,7 +116,7 @@ object Dedup {
     * LSH below AND the persisted band store ([[IncrementalDedup]]), so
     * the two can never band differently.
     */
-  private[operators] def bandSignatures(fingerprints: DataFrame, numPerms: Int,
+  private[graft] def bandSignatures(fingerprints: DataFrame, numPerms: Int,
                                         rowsPerBand: Int): DataFrame = {
     val numBands = numPerms / rowsPerBand
     val sigs = fingerprints.select(col("doc_id"),

@@ -212,6 +212,39 @@ class LayoutSpec extends AnyFunSuite {
       s"incremental path re-reads document text:\n${scanPaths.mkString("\n")}")
   }
 
+  test("band store advance: appending the new batch equals the recomputed whole-corpus store") {
+    import graft.operators.Dedup
+    import graft.sources.Bucketed
+    // the production loop after x31's query: the store is ADVANCED by
+    // appending the new batch's bands (one incremental write), never by
+    // recomputing the corpus — and the appended table must (a) equal the
+    // from-scratch whole-corpus store row-for-row and (b) keep its bucket
+    // layout serving exchange-free bsig operations (multi-file buckets
+    // lose the sort guarantee, not the partitioning)
+    graft.functions.ArrayExpressions.register(spark)
+    val docs = Tables.load(spark, sf, "documents")
+    def bands(d: org.apache.spark.sql.DataFrame) =
+      Dedup.bandSignatures(Dedup.shingleFingerprints(d), 32, 4)
+        .withColumn("bsig", xxhash64(col("band"), col("sig")))
+    val tbl = "bandstore_adv_test"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      Bucketed.writeBucketed(bands(docs.filter(col("doc_id") % 10 =!= 7)), tbl, "bsig", 8)
+      val cols = spark.table(tbl).columns.map(col)
+      bands(docs.filter(col("doc_id") % 10 === 7)).select(cols: _*)
+        .write.mode("append").format("parquet")
+        .bucketBy(8, "bsig").sortBy("bsig").saveAsTable(tbl)
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("bsig"), col("band"), col("sig"), col("doc_id"))
+          .collect().map(_.toString).sorted.toSeq
+      assert(canon(spark.table(tbl)) == canon(bands(docs)),
+        "advanced store diverges from the recomputed whole-corpus store")
+      val agg = spark.table(tbl).groupBy(col("bsig")).agg(count(lit(1)))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "appended store lost its exchange-free bucket layout")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("salted join equals plain join on a skewed key distribution") {
     import spark.implicits._
     // 90% of rows share one hot key — the canonical skew shape.
