@@ -138,22 +138,6 @@ object StreamingQueries {
     } finally deleteRecursively(spool)
   }
 
-  /** Stream-stream interval join — click→purchase attribution: every
-    * (click, purchase) pair of the same user with the purchase inside
-    * [click, click + `windowSec`]. The canonical two-stream join of event
-    * pipelines, here as a SELF-join of one file-stream source filtered two
-    * ways (the production shape when both event kinds ride one ingest).
-    *
-    * Both sides carry a watermark and the join condition carries the time
-    * bound, so Spark derives state-eviction watermarks for BOTH sides —
-    * join state is O(events inside the watermark horizon), not O(stream).
-    * An INNER stream-stream join emits a pair the micro-batch both sides
-    * have arrived, so no flush sentinel is needed (unlike the sessionizer,
-    * nothing waits on watermark advance to EMIT — the watermark only
-    * bounds state). Chronological file replay means nothing arrives
-    * late, so the batch twin — a plain interval join the DuckDB oracle
-    * reproduces — pins the result exactly.
-    */
   /** The watermarked two-sided join itself, over any streaming frame with
     * (user_id, us, event_id, event_type) — one definition shared by the
     * driver-visible query and the checkpoint-restart recovery test, so the
@@ -175,6 +159,23 @@ object StreamingQueries {
         col("p_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
   }
 
+  /** Stream-stream interval join — click→purchase attribution: every
+    * (click, purchase) pair of the same user with the purchase inside
+    * [click, click + `windowSec`]. The canonical two-stream join of event
+    * pipelines, here as a SELF-join of one file-stream source filtered two
+    * ways (the production shape when both event kinds ride one ingest).
+    *
+    * Both sides carry a watermark and the join condition carries the time
+    * bound, so Spark derives state-eviction watermarks for BOTH sides —
+    * join state is O(events inside the watermark horizon), not O(stream).
+    * An INNER stream-stream join emits a pair the micro-batch both sides
+    * have arrived, so no flush sentinel is needed (unlike the sessionizer,
+    * nothing waits on watermark advance to EMIT — the watermark only
+    * bounds state). Chronological file replay means nothing arrives
+    * late, so the batch twin — a plain interval join the DuckDB oracle
+    * reproduces — pins the result exactly. The memory sink holds only the
+    * matched pairs (output-sized, like x26's sessions), not the stream.
+    */
   def intervalJoin(spark: SparkSession, dir: String, windowSec: Long = 1800): DataFrame = {
     val events = Tables.load(spark, dir, "events")
       .filter(col("event_type").isin("click", "purchase"))
@@ -221,6 +222,15 @@ object StreamingQueries {
     * aggregate OVER the enriched sink — counts/sums per (nation,
     * event_type) — which a plain DuckDB join reproduces exactly: the
     * stream only changes WHEN rows are enriched, never what they contain.
+    *
+    * The sink is a FILE sink (parquet in the spool), not the memory sink
+    * the other streaming queries use: their sinks hold output-sized
+    * results (sessions, pairs, per-key state), but an enrichment's output
+    * is INPUT-sized — a memory sink would materialize the whole stream on
+    * the driver, the exact anti-pattern the stream-native feed exists to
+    * avoid. File sink → read back → aggregate keeps every row on
+    * executors; only the tiny aggregate is checkpointed before the spool
+    * is deleted.
     */
   def enrichedByNation(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.load(spark, dir, "events")
@@ -232,7 +242,6 @@ object StreamingQueries {
       .select(col("c_custkey"), col("n_name"))
     val spool = Files.createTempDirectory("graft_stream_enrich")
     val feedDir = spool.resolve("feed").toString
-    val name = s"graft_stream_enrich_${runSeq.incrementAndGet()}"
     try {
       spoolChronological(events, feedDir, FeedFiles)
       val stream = spark.readStream
@@ -241,26 +250,23 @@ object StreamingQueries {
         .parquet(feedDir)
       val enriched = stream.join(broadcast(dim), col("user_id") === col("c_custkey"))
         .select(col("n_name"), col("event_type"), col("cents"))
+      val outDir = spool.resolve("out").toString
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "8")
-      val sunk =
-        try {
-          val q = enriched
-            .writeStream.format("memory").queryName(name).outputMode("append")
-            .option("checkpointLocation", spool.resolve("ckpt").toString)
-            .start()
-          try {
-            q.processAllAvailable()
-            spark.table(name).localCheckpoint()
-          } finally q.stop()
-        } finally {
-          spark.catalog.dropTempView(name)
-          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-        }
-      sunk.groupBy(col("n_name"), col("event_type"))
+      try {
+        val q = enriched
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", spool.resolve("ckpt").toString)
+          .outputMode("append")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.read.parquet(outDir)
+        .groupBy(col("n_name"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           (sum(col("cents")).cast("double") / 100).as("total_value"))
         .orderBy("n_name", "event_type")
+        .localCheckpoint()
     } finally deleteRecursively(spool)
   }
 
