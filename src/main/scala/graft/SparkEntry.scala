@@ -166,7 +166,11 @@ object SparkEntry {
     // JSONL write -> explicit-schema read -> per-source content
     // fingerprints; the oracle computes the same over the ORIGINAL parquet,
     // so the round trip must preserve every row and every text byte
-    "x41_jsonl_roundtrip" -> ((s, d) => graft.sources.Jsonl.roundtripSummary(s, d))
+    "x41_jsonl_roundtrip" -> ((s, d) => graft.sources.Jsonl.roundtripSummary(s, d)),
+    // small-files compaction: 64-file fragmented copy -> one shuffle-free
+    // coalesce write -> 4 files; fingerprints prove content identity, the
+    // booleans prove the fragmentation and the collapse were real
+    "x42_compaction" -> ((s, d) => graft.sources.Compaction.compactionSummary(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as
@@ -818,6 +822,14 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs, bit_xor(doc_id) AS id_xor,
         |       sum(length(text)) AS sum_chars,
         |       min(md5(text)) AS md5_min, max(md5(text)) AS md5_max
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // compaction must not change content: same fingerprints as x41 over
+    // the original table; the file-count contract rides as booleans
+    "x42_compaction" ->
+      """SELECT source, count(*) AS n_docs, bit_xor(doc_id) AS id_xor,
+        |       sum(length(text)) AS sum_chars,
+        |       min(md5(text)) AS md5_min, max(md5(text)) AS md5_max,
+        |       true AS was_fragmented, true AS is_compacted
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "x15_length_quantiles" ->
       """SELECT lang,

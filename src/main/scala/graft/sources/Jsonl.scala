@@ -41,6 +41,20 @@ object Jsonl {
     } finally deleteRecursively(tmp)
   }
 
+  /** Per-source content fingerprints — the shared currency of the
+    * layout-maintenance contracts (x41 round trip, x42 compaction): count
+    * + doc_id xor pin the row set, md5 min/max + re-measured char sum pin
+    * the text bytes.
+    */
+  private[graft] def contentFingerprints(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(doc_id)").as("id_xor"),
+        sum(length(col("text"))).as("sum_chars"),
+        min(md5(col("text"))).as("md5_min"),
+        max(md5(col("text"))).as("md5_max"))
+      .orderBy("source")
+
   /** Per-source content fingerprints computed over the JSONL copy:
     * count + doc_id xor pin the row set, md5 min/max + re-measured char
     * sum pin the text bytes (re-measured — NOT the carried n_chars
@@ -51,13 +65,6 @@ object Jsonl {
     */
   def roundtripSummary(spark: SparkSession, dir: String): DataFrame =
     withJsonlRoundtrip(Tables.load(spark, dir, "documents")) { back =>
-      back.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          expr("bit_xor(doc_id)").as("id_xor"),
-          sum(length(col("text"))).as("sum_chars"),
-          min(md5(col("text"))).as("md5_min"),
-          max(md5(col("text"))).as("md5_max"))
-        .orderBy("source")
-        .localCheckpoint()
+      contentFingerprints(back).localCheckpoint()
     }
 }
