@@ -170,7 +170,11 @@ object SparkEntry {
     // small-files compaction: 64-file fragmented copy -> one shuffle-free
     // coalesce write -> 4 files; fingerprints prove content identity, the
     // booleans prove the fragmentation and the collapse were real
-    "x42_compaction" -> ((s, d) => graft.sources.Compaction.compactionSummary(s, d))
+    "x42_compaction" -> ((s, d) => graft.sources.Compaction.compactionSummary(s, d)),
+    // schema evolution: a late-added column mergeSchema-reads as NULL for
+    // old-wave files; the oracle reproduces exactly which rows carry it
+    "x43_schema_evolution" -> ((s, d) =>
+      graft.sources.Compaction.schemaEvolutionSummary(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as
@@ -830,6 +834,14 @@ object SparkEntry {
         |       sum(length(text)) AS sum_chars,
         |       min(md5(text)) AS md5_min, max(md5(text)) AS md5_max,
         |       true AS was_fragmented, true AS is_compacted
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // quality = n_chars % 7 on the doc_id%10==7 wave only, NULL elsewhere:
+    // the oracle recomputes the merged-schema read from the original table
+    "x43_schema_evolution" ->
+      """SELECT source, count(*) AS n_docs,
+        |       count(CASE WHEN doc_id % 10 = 7 THEN 1 END) AS n_with_quality,
+        |       sum(CASE WHEN doc_id % 10 = 7 THEN n_chars % 7 END) AS sum_quality,
+        |       bit_xor(doc_id) AS id_xor
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "x15_length_quantiles" ->
       """SELECT lang,

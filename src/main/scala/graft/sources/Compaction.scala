@@ -66,4 +66,34 @@ object Compaction {
         .localCheckpoint()
     } finally deleteRecursively(tmp)
   }
+
+  /** x43: schema evolution — a corpus written in waves where LATER waves
+    * carry a column earlier waves never had (here `quality`, arriving with
+    * the doc_id%10==7 "new day" of the x31 narrative). The lake reality
+    * this pins: you do NOT rewrite 100 TB of historical files to add a
+    * column; old files stay as they are, `mergeSchema` unions the file
+    * schemas at read time, and the late column reads as NULL for every
+    * old-wave row. The quality value is a pure function of the row
+    * (n_chars % 7), so the DuckDB oracle reproduces the merged read —
+    * including exactly WHICH rows have it — from the original table.
+    */
+  def schemaEvolutionSummary(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val isNew = col("doc_id") % 10 === 7
+    val tmp = Files.createTempDirectory("graft_evolve")
+    try {
+      val t = tmp.resolve("t").toString
+      docs.filter(!isNew).write.mode("overwrite").parquet(t)
+      docs.filter(isNew).withColumn("quality", col("n_chars") % 7)
+        .write.mode("append").parquet(t)
+      val merged = spark.read.option("mergeSchema", "true").parquet(t)
+      merged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("quality")).as("n_with_quality"),
+          sum(col("quality")).as("sum_quality"),
+          expr("bit_xor(doc_id)").as("id_xor"))
+        .orderBy("source")
+        .localCheckpoint()
+    } finally deleteRecursively(tmp)
+  }
 }
