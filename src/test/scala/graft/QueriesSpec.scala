@@ -337,6 +337,33 @@ class QueriesSpec extends AnyFunSuite {
     assert(re == rows)
   }
 
+  test("x38 packing invariants on a random corpus: gapless prefix sums, exact span arithmetic") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 120L).map { i =>
+      val words = Seq.fill(rnd.nextInt(40))("w" + rnd.nextInt(9)).mkString(" ")
+      (i, "src" + (i % 3), words)
+    }.toDF("doc_id", "source", "text")
+    val B = 16
+    val rows = Sampling.sequencePacking(docs, budget = B, nShards = 4).collect().map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("shard"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("n_tokens"), r.getAs[Long]("tok_start"),
+        r.getAs[Long]("pack_id"), r.getAs[Long]("packs_spanned")))
+    assert(rows.length == 120)
+    rows.groupBy(t => (t._1, t._2)).foreach { case (_, group) =>
+      val inOrder = group.sortBy(_._3)
+      // every doc starts exactly where the previous one ended: the layout
+      // is gapless and contiguous, so it survives any physical partitioning
+      val expectedStarts = inOrder.scanLeft(0L)(_ + _._4).init
+      assert(inOrder.map(_._5).toSeq == expectedStarts.toSeq)
+      inOrder.foreach { case (_, _, _, n, start, pack, span) =>
+        assert(pack == start / B)
+        assert(span == (start + math.max(n, 1) - 1) / B - start / B + 1)
+      }
+    }
+  }
+
   test("x5 simhash: near-identical docs get near-identical fingerprints") {
     import spark.implicits._
     val docs = Seq(
