@@ -174,7 +174,11 @@ object SparkEntry {
     // schema evolution: a late-added column mergeSchema-reads as NULL for
     // old-wave files; the oracle reproduces exactly which rows carry it
     "x43_schema_evolution" -> ((s, d) =>
-      graft.sources.Compaction.schemaEvolutionSummary(s, d))
+      graft.sources.Compaction.schemaEvolutionSummary(s, d)),
+    // the fully-oracled curation funnel: holdout -> PII scrub -> length
+    // gate -> norm-key dedup -> 8-gram decontam -> split, every stage
+    // deterministic so the COMPOSITION sits in the driver's hash gate
+    "x44_curation_funnel" -> ((s, d) => graft.queries.Curation.oracledFunnel(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as
@@ -835,6 +839,58 @@ object SparkEntry {
         |       min(md5(text)) AS md5_min, max(md5(text)) AS md5_max,
         |       true AS was_fragmented, true AS is_compacted
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // the whole composed funnel recomputed stage by stage: holdout -> PII
+    // scrub -> length gate -> norm-key dedup -> 8-gram decontam -> split
+    "x44_curation_funnel" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |         regexp_replace(regexp_replace(regexp_replace(text,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |           '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b', '<PHONE>', 'g') AS clean
+        |  FROM documents),
+        |gated AS (
+        |  SELECT doc_id, source, clean,
+        |         list_filter(regexp_split_to_array(lower(clean), '\s+'), x -> x <> '') AS toks
+        |  FROM base WHERE doc_id % 17 <> 3
+        |    AND len(list_filter(regexp_split_to_array(lower(clean), '\s+'), x -> x <> '')) >= 40),
+        |keepers AS (
+        |  SELECT doc_id, source, toks FROM (
+        |    SELECT doc_id, source, toks,
+        |           row_number() OVER (PARTITION BY md5(substring(clean, 1, 40)) ORDER BY doc_id) AS rk
+        |    FROM gated) WHERE rk = 1),
+        |eg AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |           range(1, greatest(len(list_filter(regexp_split_to_array(lower(clean), '\s+'), x -> x <> '')) - 7, 0) + 1),
+        |           i -> array_to_string(list_slice(list_filter(regexp_split_to_array(lower(clean), '\s+'), x -> x <> ''), i, i + 7), ' ')))) AS gram
+        |  FROM base WHERE doc_id % 17 = 3),
+        |kg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+        |         i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS gram
+        |  FROM keepers),
+        |contaminated AS (SELECT DISTINCT doc_id FROM kg JOIN eg USING (gram)),
+        |survivors AS (
+        |  SELECT k.doc_id, k.source,
+        |         ((k.doc_id % 2147483647) * 1640531527) % 2147483647 % 100 AS bucket
+        |  FROM keepers k WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated))
+        |SELECT d.source,
+        |       count(*) AS n_input,
+        |       count(CASE WHEN d.doc_id % 17 <> 3 THEN 1 END) AS n_corpus,
+        |       coalesce(any_value(g.n_quality), 0) AS n_quality,
+        |       coalesce(any_value(k.n_dedup), 0) AS n_dedup,
+        |       coalesce(any_value(s.n_clean), 0) AS n_clean,
+        |       coalesce(any_value(s.n_train), 0) AS n_train,
+        |       coalesce(any_value(s.n_val), 0) AS n_val,
+        |       coalesce(any_value(s.n_test), 0) AS n_test
+        |FROM documents d
+        |LEFT JOIN (SELECT source, count(*) AS n_quality FROM gated GROUP BY source) g USING (source)
+        |LEFT JOIN (SELECT source, count(*) AS n_dedup FROM keepers GROUP BY source) k USING (source)
+        |LEFT JOIN (SELECT source, count(*) AS n_clean,
+        |                  count(CASE WHEN bucket < 80 THEN 1 END) AS n_train,
+        |                  count(CASE WHEN bucket >= 80 AND bucket < 90 THEN 1 END) AS n_val,
+        |                  count(CASE WHEN bucket >= 90 THEN 1 END) AS n_test
+        |           FROM survivors GROUP BY source) s USING (source)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // quality = n_chars % 7 on the doc_id%10==7 wave only, NULL elsewhere:
     // the oracle recomputes the merged-schema read from the original table
     "x43_schema_evolution" ->

@@ -43,4 +43,82 @@ object Curation {
       .select("source", "n_total", "n_kept", "kept_chars", "avg_quality", "retention")
       .orderBy("source")
   }
+
+  /** x44: the fully-oracled sibling of [[pipeline]] — the same curation
+    * DAG with every stage chosen DETERMINISTIC and SQL-expressible, so the
+    * whole composed funnel (not just each operator) sits in the driver's
+    * hash gate. Stages, in production order:
+    *
+    *  1. eval holdout removal (doc_id % 17 == 3, the x33 benchmark slice);
+    *  2. PII scrub (x32's triple redaction — downstream stages see CLEAN
+    *     text, the order a real pipeline enforces);
+    *  3. quality gate: >= `minTokens` whitespace tokens of clean text (the
+    *     length filter every pipeline runs first; the fixture's salads
+    *     carry no PII/punct signal, so length IS the discriminating gate);
+    *  4. exact near-dup removal: keep the min doc_id per md5 of the first
+    *     40 clean chars (x2's normalized key — deterministic, unlike LSH);
+    *  5. decontamination: drop survivors sharing an 8-token clean-text
+    *     gram with the held-out slice (x33's join, clean-text both sides);
+    *  6. x30's hash split over the survivors.
+    *
+    * Output: one funnel row per source. Every count is recomputable by
+    * DuckDB from the original table, so a regression ANYWHERE in the
+    * composition — regex drift, hash drift, gram drift, stage reorder —
+    * breaks the driver gate, not just a unit test.
+    *
+    * Scale shape: stages 1-4 are one scan + one aggregation on the norm
+    * key + one broadcast-free semi-join structure identical to x2/x32;
+    * stage 5 reuses x33's distinct-gram explode with the bounded eval side
+    * broadcast; stage 6 is a pure projection. No stage materializes, the
+    * whole funnel is one lazy DAG.
+    */
+  def oracledFunnel(spark: SparkSession, dir: String, minTokens: Int = 40): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val clean = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      TextAnalysis.EmailRe, "<EMAIL>"), TextAnalysis.Ipv4Re, "<IP>"),
+      TextAnalysis.PhoneRe, "<PHONE>")
+    val corpus = docs.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"), col("source"), clean.as("clean"))
+    val evalSlice = docs.filter(col("doc_id") % 17 === 3)
+      .select(col("doc_id"), clean.as("clean"))
+
+    val toks = filter(TextAnalysis.tokens(lower(col("clean"))), t => t =!= "")
+    val gated = corpus.filter(size(toks) >= minTokens)
+    val keepers = gated
+      .withColumn("norm_key", md5(substring(col("clean"), 1, 40)))
+      .withColumn("_rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("norm_key")).orderBy(col("doc_id"))))
+      .filter(col("_rk") === 1).drop("_rk", "norm_key")
+
+    def grams(d: DataFrame) = d
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "case when size(t) >= 8 then transform(sequence(1, size(t) - 7), " +
+          "i -> array_join(slice(t, i, 8), ' ')) else array() end"))).as("gram"))
+    val contaminated = grams(keepers)
+      .join(broadcast(grams(evalSlice).select(col("gram")).distinct()), "gram")
+      .select(col("doc_id")).distinct()
+    val survivors = keepers.join(contaminated, Seq("doc_id"), "left_anti")
+
+    val bucket = pmod(graft.operators.Sampling.multHash(col("doc_id")), lit(100L))
+    val funnel = docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_input"),
+        count(when(col("doc_id") % 17 =!= 3, 1)).as("n_corpus"))
+      .join(gated.groupBy(col("source")).agg(count(lit(1)).as("n_quality")), Seq("source"), "left")
+      .join(keepers.groupBy(col("source")).agg(count(lit(1)).as("n_dedup")), Seq("source"), "left")
+      .join(survivors.groupBy(col("source")).agg(
+          count(lit(1)).as("n_clean"),
+          count(when(bucket < 80, 1)).as("n_train"),
+          count(when(bucket >= 80 && bucket < 90, 1)).as("n_val"),
+          count(when(bucket >= 90, 1)).as("n_test")),
+        Seq("source"), "left")
+    funnel.select(col("source"), col("n_input"), col("n_corpus"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+        coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        coalesce(col("n_val"), lit(0L)).as("n_val"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"))
+      .orderBy("source")
+  }
 }

@@ -364,6 +364,22 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x44 funnel: stage counts monotonically decrease and splits partition the survivors") {
+    val rows = SparkEntry.queries("x44_curation_funnel")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(in, corpus, q, dedup, clean, tr, va, te) =
+        Seq("n_input", "n_corpus", "n_quality", "n_dedup", "n_clean",
+          "n_train", "n_val", "n_test").map(r.getAs[Long])
+      assert(in >= corpus && corpus >= q && q >= dedup && dedup >= clean,
+        s"funnel not monotone: $r")
+      assert(tr + va + te == clean, s"splits do not partition survivors: $r")
+    }
+    // the gates actually bite somewhere (a funnel that drops nothing
+    // demonstrates nothing)
+    assert(rows.exists(r => r.getAs[Long]("n_quality") < r.getAs[Long]("n_corpus")))
+  }
+
   test("x5 simhash: near-identical docs get near-identical fingerprints") {
     import spark.implicits._
     val docs = Seq(
