@@ -88,6 +88,35 @@ class SourcesSpec extends AnyFunSuite {
     assert(got == docs.orderBy("doc_id").collect().map(_.toString).toSeq)
   }
 
+  test("malformed jsonl lines drop-don't-fail (the reference's J1-3 contract on the jsonl path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // a real-world jsonl shard: valid rows interleaved with a truncated
+    // record, trailing garbage, and a wrong-typed field
+    val lines = Seq(
+      """{"doc_id": 1, "text": "good one", "source": "s0"}""",
+      """{"doc_id": 2, "text": "truncated""",
+      """not json at all""",
+      """{"doc_id": "NaN", "text": "bad id type", "source": "s0"}""",
+      """{"doc_id": 3, "text": "good two", "source": "s1"}""")
+    val dir = tmp("dirty-jsonl")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-000.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType), StructField("_bad", StringType)))
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(dir)
+    val good = df.filter(col("_bad").isNull && col("doc_id").isNotNull)
+      .select("doc_id", "text").as[(Long, String)].collect().sorted.toSeq
+    assert(good == Seq((1L, "good one"), (3L, "good two")))
+    // every malformed line is visible for quarantine, not silently eaten
+    assert(df.filter(col("_bad").isNotNull || col("doc_id").isNull).count() == 3)
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     val out = tmp("part-parquet")
     Tables.load(spark, "/root/testdata/sf0.001", "documents")
