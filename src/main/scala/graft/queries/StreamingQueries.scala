@@ -42,6 +42,18 @@ object StreamingQueries {
     */
   private val FeedFiles = 3
 
+  /** Shuffle-partition count while a streaming stage runs (scoped per
+    * query, restored after). Each partition opens/commits its state
+    * stores EVERY micro-batch, so locally this is the dominant streaming
+    * cost knob; a real deployment sizes it to key cardinality. Measured on
+    * the heaviest consumer (x39, four state stores per partition): 8 →
+    * ~4.9 s, 4 → ~3.7 s, 2 → ~3.3 s per run at sf0.1. 4 keeps the
+    * fixture's ~150 keys parallel while halving the fixed cost; 2 saves
+    * little more and under-parallelizes the per-batch scan. Overridable
+    * for measurement (-Dgraft.stream.parts=N).
+    */
+  private def streamParts: String = sys.props.getOrElse("graft.stream.parts", "4")
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)
@@ -119,7 +131,7 @@ object StreamingQueries {
         .option("maxFilesPerTrigger", "1")
         .parquet(feedDir)
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", streamParts)
       val finalState =
         try {
           val q = firstTouchAgg(stream)
@@ -192,7 +204,7 @@ object StreamingQueries {
         .parquet(feedDir)
       val joined = intervalJoinStream(stream, windowSec)
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", streamParts)
       val pairs =
         try {
           val q = joined
@@ -252,7 +264,7 @@ object StreamingQueries {
         .select(col("n_name"), col("event_type"), col("cents"))
       val outDir = spool.resolve("out").toString
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", streamParts)
       try {
         val q = enriched
           .writeStream.format("parquet").option("path", outDir)
@@ -309,7 +321,7 @@ object StreamingQueries {
       // key is O(1) either way, and a real deployment sizes this to its
       // key cardinality).
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", streamParts)
       val sessions =
         try {
           val q = StreamingGapSessionize.sessions(spark, stream, 1800L * 1000000L)
