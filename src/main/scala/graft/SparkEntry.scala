@@ -178,7 +178,11 @@ object SparkEntry {
     // the fully-oracled curation funnel: holdout -> PII scrub -> length
     // gate -> norm-key dedup -> 8-gram decontam -> split, every stage
     // deterministic so the COMPOSITION sits in the driver's hash gate
-    "x44_curation_funnel" -> ((s, d) => graft.queries.Curation.oracledFunnel(s, d))
+    "x44_curation_funnel" -> ((s, d) => graft.queries.Curation.oracledFunnel(s, d)),
+    // every feed file delivered twice; watermarked streaming dedup reduces
+    // the stream back to exactly-once, oracled against the UNduplicated table
+    "x45_stream_exactly_once" -> ((s, d) =>
+      graft.queries.StreamingQueries.exactlyOnce(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as
@@ -839,6 +843,13 @@ object SparkEntry {
         |       min(md5(text)) AS md5_min, max(md5(text)) AS md5_max,
         |       true AS was_fragmented, true AS is_compacted
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // the at-least-once duplication is engine-side noise the dedup must
+    // fully cancel: the oracle never sees it
+    "x45_stream_exactly_once" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       CAST(sum(CAST(CAST(value AS decimal(18,2)) * 100 AS bigint)) AS double) / 100 AS total_value,
+        |       bit_xor(event_id) AS event_xor
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the whole composed funnel recomputed stage by stage: holdout -> PII
     // scrub -> length gate -> norm-key dedup -> 8-gram decontam -> split
     "x44_curation_funnel" ->

@@ -282,6 +282,67 @@ object StreamingQueries {
     } finally deleteRecursively(spool)
   }
 
+  /** Exactly-once from at-least-once: every spool file is delivered TWICE
+    * (duplicate file right behind its original, the retry/redelivery shape
+    * of every at-least-once ingest), and a watermarked
+    * `dropDuplicatesWithinWatermark` on event_id reduces the stream back
+    * to exactly-once — the batch oracle over the ORIGINAL, unduplicated
+    * table must match. Duplicates land either as state-store hits (same
+    * watermark window) or as late-beyond-watermark drops (both remove the
+    * copy; originals ascend chronologically so only copies can be late).
+    * File sink: dedup output is input-sized, same reasoning as x40.
+    */
+  def exactlyOnce(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val spool = Files.createTempDirectory("graft_stream_xonce")
+    val feedDir = spool.resolve("feed").toString
+    try {
+      spoolChronological(events, feedDir, FeedFiles)
+      // duplicate every part file, mtime-ordered right behind its original
+      val listing = Files.list(java.nio.file.Paths.get(feedDir))
+      val partFiles =
+        try listing.sorted().toArray.map(_.asInstanceOf[Path])
+          .filter(_.getFileName.toString.startsWith("part-"))
+        finally listing.close()
+      val base = System.currentTimeMillis() - 1000L * 1800
+      partFiles.zipWithIndex.foreach { case (p, i) =>
+        val dup = p.resolveSibling("redelivery-" + p.getFileName.toString)
+        Files.copy(p, dup)
+        require(p.toFile.setLastModified(base + 2L * i * 1000) &&
+          dup.toFile.setLastModified(base + (2L * i + 1) * 1000),
+          s"cannot stamp redelivery mtimes for $p")
+      }
+      val deduped = spark.readStream
+        .schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feedDir)
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .drop("ts")
+      val outDir = spool.resolve("out").toString
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", streamParts)
+      try {
+        val q = deduped
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", spool.resolve("ckpt").toString)
+          .outputMode("append")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.read.parquet(outDir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(col("cents")).cast("double") / 100).as("total_value"),
+          expr("bit_xor(event_id)").as("event_xor"))
+        .orderBy("user_id")
+        .localCheckpoint()
+    } finally deleteRecursively(spool)
+  }
+
   def gapSessions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val events = Tables.load(spark, dir, "events")
