@@ -68,6 +68,25 @@ object ScaleStudy {
       val tBoiler = (System.nanoTime() - t2) / 1e9
       println(f"""{"op":"boilerplate","scale":$k,"docs":${boiler.getLong(0)},"grams":${boiler.getLong(1)},"boiler_grams":${boiler.getLong(2)},"sec":$tBoiler%.2f}""")
     }
+    // x31 incremental dedup: persist the stores once per scale (the
+    // one-time write), then time the per-batch incremental join. The new
+    // batch is doc_id%10==7 of the expanded corpus (so it grows with the
+    // corpus); the claim under test is that the per-NEW-DOC cost stays
+    // flat — the batch join touches O(|new| x bucket), never the corpus
+    for (k <- Seq(1, 3, 10)) {
+      val dirK = java.nio.file.Files.createTempDirectory(s"graft_scale_inc").toString
+      expand(docs, k).write.mode("overwrite").parquet(s"$dirK/documents.parquet")
+      val t0 = System.nanoTime()
+      graft.operators.IncrementalDedup.bandStore(spark, dirK)
+      graft.operators.IncrementalDedup.fingerprintStore(spark, dirK)
+      val tStore = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nPairs = graft.operators.IncrementalDedup.incrementalPairs(spark, dirK).count()
+      val tInc = (System.nanoTime() - t1) / 1e9
+      val nNew = spark.read.parquet(s"$dirK/documents.parquet")
+        .filter(graft.operators.IncrementalDedup.isNewDoc(col("doc_id"))).count()
+      println(f"""{"op":"incremental","scale":$k,"new_docs":$nNew,"pairs":$nPairs,"store_build_sec":$tStore%.2f,"batch_sec":$tInc%.2f}""")
+    }
     spark.stop()
   }
 }
