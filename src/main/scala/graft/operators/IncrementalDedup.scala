@@ -143,13 +143,8 @@ object IncrementalDedup {
         coalesce(col(s"sh_${endpoint}_store"), col(s"sh_${endpoint}_new")))
       .drop(s"sh_${endpoint}_store", s"sh_${endpoint}_new")
 
-    attach(attach(candidates, "doc_a"), "doc_b")
-      .withColumn("n_common",
-        graft.functions.ArrayExpressions.sortedLongIntersectCount(col("sh_doc_a"), col("sh_doc_b")))
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (size(col("sh_doc_a")) + size(col("sh_doc_b")) - col("n_common")))
-      .filter(col("jaccard") >= Threshold)
+    Dedup.verifiedJaccard(attach(attach(candidates, "doc_a"), "doc_b"),
+        "sh_doc_a", "sh_doc_b", Threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
