@@ -182,7 +182,10 @@ object SparkEntry {
     // every feed file delivered twice; watermarked streaming dedup reduces
     // the stream back to exactly-once, oracled against the UNduplicated table
     "x45_stream_exactly_once" -> ((s, d) =>
-      graft.queries.StreamingQueries.exactlyOnce(s, d))
+      graft.queries.StreamingQueries.exactlyOnce(s, d)),
+    // coverage of the corpus's own top-50 vocabulary (x19's exact
+    // definition); LIMIT-k vocab side is broadcast-safe by construction
+    "x46_oov_rate" -> ((s, d) => TextAnalysis.oovRate(Tables.load(s, d, "documents")))
   )
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as
@@ -843,6 +846,20 @@ object SparkEntry {
         |       min(md5(text)) AS md5_min, max(md5(text)) AS md5_max,
         |       true AS was_fragmented, true AS is_compacted
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // same tokenization + vocab definition as x19 (count desc, token asc)
+    "x46_oov_rate" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents),
+        |t AS (SELECT source, token FROM tk WHERE token != ''),
+        |v AS (SELECT token FROM (
+        |  SELECT token, count(*) AS n FROM t GROUP BY token
+        |  ORDER BY n DESC, token LIMIT 50))
+        |SELECT source, count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_in_vocab,
+        |       round(CAST(count(*) - sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS double)
+        |             / count(*), 6) AS oov_rate
+        |FROM t LEFT JOIN v ON t.token = v.token
+        |GROUP BY source ORDER BY source""".stripMargin,
     // the at-least-once duplication is engine-side noise the dedup must
     // fully cancel: the oracle never sees it
     "x45_stream_exactly_once" ->

@@ -127,6 +127,35 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Per-source OOV profile against the corpus's own top-`k` vocabulary
+    * (EXACTLY [[vocabulary]]'s definition — same tokens, same
+    * count-desc/token-asc tie-break — so x19 and x46 can never disagree
+    * about what the vocabulary is): total token occurrences, occurrences
+    * covered by the vocabulary, and the out-of-vocabulary rate — the
+    * coverage analysis that sizes a tokenizer's vocab before training.
+    *
+    * Shape at 100 TB: one token explode feeds both the vocab aggregation
+    * and the coverage join; the vocab side is LIMIT-k and therefore
+    * broadcast-safe BY CONSTRUCTION (bounded at k rows regardless of
+    * corpus size — contrast x37, where the frequent-gram set grows with
+    * the corpus and must not be broadcast). Left join + null check rather
+    * than a semi-join because every token occurrence must be counted
+    * either way.
+    */
+  def oovRate(docs: DataFrame, k: Int = 50): DataFrame = {
+    val toks = docs.select(col("source"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val vocab = vocabulary(docs, k).select(col("token"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab"), 1L).otherwise(0L)).as("n_in_vocab"))
+      .select(col("source"), col("n_tokens"), col("n_in_vocab"),
+        round((col("n_tokens") - col("n_in_vocab")).cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"))
+      .orderBy("source")
+  }
+
   /** Per-language corpus length distribution: exact interpolated
     * percentiles (Spark `percentile` == SQL-standard continuous quantile)
     * plus min/max — the length-filter calibration stats a data-quality
