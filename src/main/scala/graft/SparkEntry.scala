@@ -832,17 +832,21 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name, event_type ORDER BY n_name, event_type""".stripMargin,
     // the engine side computes these over its JSONL copy; the oracle over
-    // the original parquet — the round trip must be byte-lossless
+    // the original parquet — the round trip must be byte-lossless. The sum
+    // MUST be cast: DuckDB's sum(int) is HUGEINT, which reaches the
+    // driver's comparison as float64 and hash-mismatches the engine's
+    // bigint even when every value is identical (the r5 x41/x42 failure —
+    // every other passing sum in this map follows the same convention).
     "x41_jsonl_roundtrip" ->
       """SELECT source, count(*) AS n_docs, bit_xor(doc_id) AS id_xor,
-        |       sum(length(text)) AS sum_chars,
+        |       CAST(sum(length(text)) AS bigint) AS sum_chars,
         |       min(md5(text)) AS md5_min, max(md5(text)) AS md5_max
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // compaction must not change content: same fingerprints as x41 over
     // the original table; the file-count contract rides as booleans
     "x42_compaction" ->
       """SELECT source, count(*) AS n_docs, bit_xor(doc_id) AS id_xor,
-        |       sum(length(text)) AS sum_chars,
+        |       CAST(sum(length(text)) AS bigint) AS sum_chars,
         |       min(md5(text)) AS md5_min, max(md5(text)) AS md5_max,
         |       true AS was_fragmented, true AS is_compacted
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,

@@ -118,13 +118,6 @@ object Dedup {
     .filter(size(col("hashes")) > 0)
     .localCheckpoint()
 
-  /** Banded-LSH candidate pairs from fingerprints. Group each (band,
-    * signature) bucket and emit its member pairs. Oversized buckets
-    * (> maxBucket) are skipped: a signature shared by hundreds of docs
-    * carries no discriminating information, and capping bounds the
-    * per-bucket pair blow-up to O(maxBucket²) — the property that keeps
-    * the shuffle near-linear at 100 TB (measured: ScaleStudy / BASELINE.md).
-    */
   /** (doc_id, band, sig) band signatures from fingerprints — all numPerms
     * permuted minima in ONE fused pass (custom expression), then each
     * band's slice hashed to one 64-bit signature. Shared by the in-query
@@ -146,32 +139,45 @@ object Dedup {
 
   private[graft] def bandedCandidatePairs(fingerprints: DataFrame, numPerms: Int,
                                    rowsPerBand: Int, maxBucket: Int): DataFrame = {
-    bandSignatures(fingerprints, numPerms, rowsPerBand)
+    // Bucket size and hub come from a WINDOW over (band, sig), not from
+    // collecting the membership and inspecting it: collect_list builds its
+    // whole bucket as ONE aggregation-row value that must fit in memory,
+    // so a degenerate signature (empty/near-empty docs, a boilerplate
+    // header shared by millions) is a multi-GB row at 100 TB. WindowExec
+    // buffers each (band, sig) group through a spillable sorter instead —
+    // a mega-bucket costs spilled disk pages, never one unbounded row —
+    // and the only arrays ever materialized are small-bucket memberships,
+    // ≤ maxBucket elements by construction (BucketBoundSpec pins this on
+    // an adversarial all-docs-one-signature fixture).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))
+    val members = bandSignatures(fingerprints, numPerms, rowsPerBand)
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("hub", min(col("doc_id")).over(w))
+      .filter(col("n") >= 2)
+    // Small buckets emit all member pairs (O(bucket²), bounded by the
+    // cap); the groupBy rides the window's (band, sig) partitioning — no
+    // second exchange.
+    val smallPairs = members.filter(col("n") <= maxBucket)
       .groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      // Small buckets emit all member pairs (O(bucket²), bounded by the
-      // cap). OVERSIZED buckets emit STAR edges to the bucket's smallest
-      // doc instead of being skipped: a signature shared by hundreds of
-      // docs is a template/boilerplate family — exactly what a 100-TB
-      // dedup must catch — and round 4's skip-entirely policy silently
-      // dropped EVERY pair inside such families (measured at sf0.1: 57 %
-      // of (doc, band) entries sat in capped buckets; even a J=0.9 pair
-      // was lost). Star edges keep the blow-up linear in bucket size while
-      // preserving cluster CONNECTIVITY through the hub, so the
-      // pair→cluster resolution ([[dupClusters]]) still finds the family;
-      // each hub edge is exact-verified downstream like any candidate.
-      .select(explode(when(size(col("ids")) <= maxBucket, expr(
+      .select(explode(expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> " +
-          "named_struct('doc_a', least(x, y), 'doc_b', greatest(x, y)))))"))
-        .otherwise(expr(
-          // ids is sorted, so the hub is ids[0] and every pair is already
-          // (doc_a < doc_b) ordered
-          "transform(slice(ids, 2, size(ids)), y -> " +
-            "named_struct('doc_a', ids[0], 'doc_b', y))"))).as("pr"))
+          "named_struct('doc_a', least(x, y), 'doc_b', greatest(x, y)))))")).as("pr"))
       .select(col("pr.doc_a"), col("pr.doc_b"))
-      .filter(col("doc_a") =!= col("doc_b"))
-      .distinct()
+    // OVERSIZED buckets emit STAR edges to the bucket's smallest doc
+    // instead of being skipped: a signature shared by hundreds of docs is
+    // a template/boilerplate family — exactly what a 100-TB dedup must
+    // catch — and round 4's skip-entirely policy silently dropped EVERY
+    // pair inside such families (measured at sf0.1: 57 % of (doc, band)
+    // entries sat in capped buckets; even a J=0.9 pair was lost). Star
+    // edges keep the blow-up linear in bucket size while preserving
+    // cluster CONNECTIVITY through the hub, so the pair→cluster
+    // resolution ([[dupClusters]]) still finds the family; each hub edge
+    // is exact-verified downstream like any candidate. Emitted straight
+    // off the member rows — no membership array of any size.
+    val starPairs = members.filter(col("n") > maxBucket && col("doc_id") =!= col("hub"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+    smallPairs.unionByName(starPairs).distinct()
   }
 
   /** The candidate stage alone (no exact verification) — the quantity the

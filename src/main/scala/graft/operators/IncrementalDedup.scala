@@ -61,7 +61,7 @@ object IncrementalDedup {
 
   /** Idempotently persist the corpus band store; returns the table name. */
   def bandStore(spark: SparkSession, dir: String): String =
-    Bucketed.materializedBucketedTable(spark, "bandstore_",
+    Bucketed.materializedBucketedTable(spark, "bandstore_" + DirTag.dirScope(dir) + "_",
       "bandstore_" + DirTag(dir, "documents"), "bsig", StoreBuckets) {
       graft.functions.ArrayExpressions.register(spark)
       Dedup.bandSignatures(
@@ -72,7 +72,7 @@ object IncrementalDedup {
 
   /** Idempotently persist the corpus fingerprint store (verification side). */
   def fingerprintStore(spark: SparkSession, dir: String): String =
-    Bucketed.materializedBucketedTable(spark, "fpstore_",
+    Bucketed.materializedBucketedTable(spark, "fpstore_" + DirTag.dirScope(dir) + "_",
       "fpstore_" + DirTag(dir, "documents"), "doc_id", StoreBuckets) {
       graft.functions.ArrayExpressions.register(spark)
       Dedup.shingleFingerprints(corpusSlice(Tables.load(spark, dir, "documents")))
@@ -107,26 +107,34 @@ object IncrementalDedup {
     // whole-corpus path EXACTLY — all pairs within the [2, maxBucket]
     // cap, STAR edges to the bucket-min hub above it — because the x31
     // contract is restriction EQUALITY, and that test is the no-drift
-    // guard between the two implementations. sort_array orders the
-    // structs by doc_id (first field), so ids[0] is the hub, same hub the
-    // whole-corpus path picks; grouping carries (band, sig) so a
-    // (theoretical) xxhash64 collision cannot merge two buckets
-    // differently than x4 would
-    val candidates = members
+    // guard between the two implementations. Same bounded-state shape as
+    // [[Dedup.bandedCandidatePairs]]: size and hub via a window (the
+    // spillable path), membership arrays only for ≤ MaxBucket buckets.
+    // min(struct(doc_id, is_new)) picks the least doc_id (struct ordering
+    // is field-lexicographic), the same hub the whole-corpus path picks;
+    // grouping carries (band, sig) so a (theoretical) xxhash64 collision
+    // cannot merge two buckets differently than x4 would
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bsig"), col("band"), col("sig"))
+    val sized = members
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("hub", min(struct(col("doc_id"), col("is_new"))).over(w))
+      .filter(col("n") >= 2)
+    val smallPairs = sized.filter(col("n") <= MaxBucket)
       .groupBy(col("bsig"), col("band"), col("sig"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("is_new")))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(when(size(col("ids")) <= MaxBucket, expr(
+      .select(explode(expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> " +
           "named_struct('doc_a', least(x.doc_id, y.doc_id), " +
           "'doc_b', greatest(x.doc_id, y.doc_id), " +
-          "'any_new', x.is_new or y.is_new))))"))
-        .otherwise(expr(
-          "transform(slice(ids, 2, size(ids)), y -> " +
-            "named_struct('doc_a', ids[0].doc_id, 'doc_b', y.doc_id, " +
-            "'any_new', ids[0].is_new or y.is_new))"))).as("pr"))
-      .filter(col("pr.any_new") && col("pr.doc_a") =!= col("pr.doc_b"))
-      .select(col("pr.doc_a"), col("pr.doc_b"))
+          "'any_new', x.is_new or y.is_new))))")).as("pr"))
+      .select(col("pr.doc_a"), col("pr.doc_b"), col("pr.any_new"))
+    val starPairs = sized.filter(col("n") > MaxBucket && col("doc_id") =!= col("hub.doc_id"))
+      .select(col("hub.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+        (col("hub.is_new") || col("is_new")).as("any_new"))
+    val candidates = smallPairs.unionByName(starPairs)
+      .filter(col("any_new") && col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
 
     // exact verification; each endpoint's fingerprints come from the

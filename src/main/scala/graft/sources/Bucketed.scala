@@ -57,7 +57,8 @@ object Bucketed {
     * accumulates orphans.
     */
   private def bucketedTable(spark: SparkSession, dir: String, src: String, key: String): String =
-    materializedBucketedTable(spark, s"${src}_bkt_", src + "_bkt_" + DirTag(dir, src),
+    materializedBucketedTable(spark, s"${src}_bkt_${DirTag.dirScope(dir)}_",
+      src + "_bkt_" + DirTag(dir, src),
       key, Q27Buckets)(Tables.load(spark, dir, src))
 
   /** Idempotent, tag-keyed, cross-JVM bucketed materialization of ANY
@@ -74,23 +75,38 @@ object Bucketed {
                                                tag: String, key: String, numBuckets: Int)
                                               (df: => DataFrame): String = {
     if (!spark.catalog.tableExists(tag)) {
+      // Stderr breadcrumb for every NON-hit: registration is supposed to
+      // happen once per (session, tag) — if a bench log shows this line
+      // per call, the warm path is broken and the timings are measuring
+      // registration, not the query (the r5 q27 regression question).
+      val t0 = System.nanoTime()
       spark.sessionState.catalog.listTables("default", s"$tagPrefix*")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `${t.table}`"))
+      val tSweep = System.nanoTime()
+      var built = false
       val path = LayoutCache.materialize("graft_bucketed", tagPrefix, tag) { tmp =>
         // write under a throwaway catalog name into the temp dir; the
         // drop is metadata-only (external path), leaving the files for
         // the atomic publish
+        built = true
         val writerTable = tag + "_writer"
         writeBucketed(df, writerTable, key, numBuckets, Some(tmp))
         spark.sql(s"DROP TABLE IF EXISTS `$writerTable`")
       }
+      val tMat = System.nanoTime()
       // schema from the published files (footer-only read): evaluating
       // `df` here instead would burn a full compute job on the warm path
       val schemaDdl = spark.read.parquet(path.toString).schema.toDDL
+      val tSchema = System.nanoTime()
       spark.sql(
         s"""CREATE TABLE `$tag` ($schemaDdl) USING parquet
            |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $numBuckets BUCKETS
            |LOCATION '${path.toString}'""".stripMargin)
+      val tEnd = System.nanoTime()
+      def ms(a: Long, b: Long): Long = (b - a) / 1000000L
+      System.err.println(s"[layout] register $tag (${if (built) "BUILD" else "reuse-files"}):" +
+        s" sweep=${ms(t0, tSweep)}ms materialize=${ms(tSweep, tMat)}ms" +
+        s" schema=${ms(tMat, tSchema)}ms create=${ms(tSchema, tEnd)}ms")
     }
     tag
   }

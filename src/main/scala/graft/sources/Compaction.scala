@@ -55,13 +55,18 @@ object Compaction {
     try {
       val smallDir = tmp.resolve("small").toString
       val bigDir = tmp.resolve("compacted").toString
-      docs.repartition(SmallFiles).write.mode("overwrite").parquet(smallDir)
+      // Spark writes no part file for an empty partition, so fragmenting a
+      // fixture smaller than SmallFiles must target the achievable count —
+      // otherwise was_fragmented goes false for a reason unrelated to
+      // compaction (the oracle pins it true).
+      val frag = math.min(SmallFiles.toLong, math.max(docs.count(), 1L)).toInt
+      docs.repartition(frag).write.mode("overwrite").parquet(smallDir)
       val nSmall = countParts(smallDir)
       spark.read.parquet(smallDir).coalesce(TargetFiles)
         .write.mode("overwrite").parquet(bigDir)
       val nBig = countParts(bigDir)
       Jsonl.contentFingerprints(spark.read.parquet(bigDir))
-        .withColumn("was_fragmented", lit(nSmall >= SmallFiles))
+        .withColumn("was_fragmented", lit(nSmall >= frag))
         .withColumn("is_compacted", lit(nBig <= TargetFiles))
         .localCheckpoint()
     } finally deleteRecursively(tmp)

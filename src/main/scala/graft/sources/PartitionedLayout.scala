@@ -42,7 +42,7 @@ object PartitionedLayout {
     // LayoutCache writes to a temp sibling + atomic rename (no partially
     // visible or mid-overwrite directories) and sweeps stale tags.
     val tag = "events_bydate_" + DirTag(dir, "events")
-    LayoutCache.materialize("graft_partitioned", "events_bydate_", tag) { tmp =>
+    LayoutCache.materialize("graft_partitioned", "events_bydate_" + DirTag.dirScope(dir) + "_", tag) { tmp =>
       Tables.load(spark, dir, "events")
         // FLOOR division in integer arithmetic: `/` is double division (a
         // last-microsecond-of-day event sits ~1e-11 below the next
