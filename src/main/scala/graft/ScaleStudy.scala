@@ -74,18 +74,32 @@ object ScaleStudy {
     // corpus); the claim under test is that the per-NEW-DOC cost stays
     // flat — the batch join touches O(|new| x bucket), never the corpus
     for (k <- Seq(1, 3, 10)) {
-      val dirK = java.nio.file.Files.createTempDirectory(s"graft_scale_inc").toString
-      expand(docs, k).write.mode("overwrite").parquet(s"$dirK/documents.parquet")
-      val t0 = System.nanoTime()
-      graft.operators.IncrementalDedup.bandStore(spark, dirK)
-      graft.operators.IncrementalDedup.fingerprintStore(spark, dirK)
-      val tStore = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime()
-      val nPairs = graft.operators.IncrementalDedup.incrementalPairs(spark, dirK).count()
-      val tInc = (System.nanoTime() - t1) / 1e9
-      val nNew = spark.read.parquet(s"$dirK/documents.parquet")
-        .filter(graft.operators.IncrementalDedup.isNewDoc(col("doc_id"))).count()
-      println(f"""{"op":"incremental","scale":$k,"new_docs":$nNew,"pairs":$nPairs,"store_build_sec":$tStore%.2f,"batch_sec":$tInc%.2f}""")
+      val dirKPath = java.nio.file.Files.createTempDirectory(s"graft_scale_inc")
+      val dirK = dirKPath.toString
+      var stores = Seq.empty[String]
+      try {
+        expand(docs, k).write.mode("overwrite").parquet(s"$dirK/documents.parquet")
+        val t0 = System.nanoTime()
+        stores = Seq(graft.operators.IncrementalDedup.bandStore(spark, dirK),
+          graft.operators.IncrementalDedup.fingerprintStore(spark, dirK))
+        val tStore = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val nPairs = graft.operators.IncrementalDedup.incrementalPairs(spark, dirK).count()
+        val tInc = (System.nanoTime() - t1) / 1e9
+        val nNew = spark.read.parquet(s"$dirK/documents.parquet")
+          .filter(graft.operators.IncrementalDedup.isNewDoc(col("doc_id"))).count()
+        println(f"""{"op":"incremental","scale":$k,"new_docs":$nNew,"pairs":$nPairs,"store_build_sec":$tStore%.2f,"batch_sec":$tInc%.2f}""")
+      } finally {
+        // each scale mints a unique temp-dir tag, so nothing ever sweeps
+        // these: drop the catalog entries and delete the store layouts +
+        // fixture copy here or leak three dirs and six tables per run
+        stores.foreach { tbl =>
+          spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+          graft.sources.LayoutCache.deleteTree(java.nio.file.Paths.get(
+            System.getProperty("java.io.tmpdir"), "graft_bucketed", tbl))
+        }
+        graft.sources.LayoutCache.deleteTree(dirKPath)
+      }
     }
     spark.stop()
   }

@@ -9,9 +9,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `queries`: one entry per implemented operator (SURVEY.md §2 inventory:
   * Q1/Q2 = the reference's two programs; Q3-Q10 = the general-relational
   * surface; X-* = the LLM-pipeline extensions).
-  * `oracleSql`: the DuckDB-equivalent SQL for every SQL-expressible query;
-  * non-expressible ones (the FSM, LSH, IVF, decode stub) get rows-only
-  * checks and are instead golden/property-tested in ScalaTest.
+  * `oracleSql`: the DuckDB-equivalent SQL for every SQL-expressible query
+  * (including the simhash kernel, replayed in SQL); the two LSH-derived
+  * pipelines (x17/x18) get rows-only checks and are instead
+  * golden/property-tested in ScalaTest.
   */
 object SparkEntry {
 
@@ -96,8 +97,9 @@ object SparkEntry {
     // zlib ratio VALUES are engine-internal, but their invariants (counts,
     // positivity, bounds, avg ordering) oracle-check as booleans
     "x24_compress_ratio" -> ((s, d) => TextAnalysis.compressionInvariants(Tables.load(s, d, "documents"))),
-    // simhash values are engine-internal (FNV+mix64 token hashes) ->
-    // rows-only; the pigeonhole recall-1 guarantee is pinned in ScalaTest
+    // fully oracled: the FNV+mix64 kernel is replayed bit-for-bit in
+    // DuckDB SQL (SimhashOracleCte) and the oracle is the BRUTE-FORCE
+    // Hamming<=3 pair set — banding must be a pure optimization
     "x25_simhash_pairs" -> ((s, d) => Dedup.simhashNearDupPairs(Tables.load(s, d, "documents"))),
     "x16_embedding_quantize" -> ((s, d) => Similarity.quantizationStats(Tables.load(s, d, "embeddings"))),
     "x17_curation_pipeline" -> ((s, d) => graft.queries.Curation.pipeline(s,
@@ -114,6 +116,9 @@ object SparkEntry {
     // Structured Streaming twin of q8, reshaped to q8's schema — carries
     // q8's oracle, so stream==batch is in the driver's hard signal
     "x26_streaming_sessionize" -> ((s, d) => graft.queries.StreamingQueries.gapSessions(s, d)),
+    // the flagship taxi FSM as a stream, reduced to q2_daily's schema so
+    // the committed golden pins stream==batch for the reference pipeline
+    "x47_streaming_taxi_fsm" -> ((s, _) => graft.queries.StreamingQueries.streamingTaxiDaily(s)),
     // HLL++/approx-percentile next to their exact twins: exact columns
     // oracled, sketch accuracy pinned by tolerance booleans (like x24)
     "x27_sketch_stats" -> ((s, d) => graft.operators.Sketch.sketchStats(Tables.load(s, d, "documents"))),
@@ -190,17 +195,91 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as
     * the Spark result — the driver sorts columns by name and hashes values).
-    * Omitted: x5 (simhash bit tricks), x17/x18 (depend on the LSH candidate
-    * set), x25 (FNV token hashes) — rows-only checks, covered by ScalaTest
-    * goldens/properties instead; the clustering operator itself is
-    * oracle-checked via x20 (exact pairs + recursive-CTE reachability), and
-    * the x4/x8 approximate paths are gated through exact counts + invariant
-    * booleans (their raw pair sets stay ScalaTest-pinned). The q2_* FSM queries
-    * oracle against the committed golden fixtures (the same files the
-    * byte-exact TaxiGoldenSpec pins), so the reference's flagship pipeline
-    * is in the driver's hard signal too.
+    * Omitted: x17/x18 (depend on the LSH candidate set) — rows-only checks,
+    * covered by ScalaTest goldens/properties instead; the clustering
+    * operator itself is oracle-checked via x20 (exact pairs +
+    * recursive-CTE reachability), and the x4/x8 approximate paths are gated
+    * through exact counts + invariant booleans (their raw pair sets stay
+    * ScalaTest-pinned). x5/x25 ARE oracled: [[SimhashOracleCte]] replays the
+    * FNV-1a + mix64 simhash kernel bit-for-bit in DuckDB SQL, so the
+    * fingerprints are value-checked and the banded pair query is checked
+    * against the BRUTE-FORCE Hamming<=3 pair set (pigeonhole: Hamming<=3
+    * with 4 bands guarantees a band match, so banding must be a pure
+    * optimization — the oracle proves it, not just a recall test). The
+    * q2_* FSM queries oracle against the committed golden fixtures (the
+    * same files the byte-exact TaxiGoldenSpec pins), so the reference's
+    * flagship pipeline is in the driver's hard signal too.
     */
+
+  /** DuckDB replica of [[graft.functions.ArrayExpressions.SimHash64]], used
+    * by the x5/x25 oracles: whitespace tokens (fixture text is ASCII with
+    * no edge whitespace, so `unicode` per char IS the UTF-8 byte and
+    * DuckDB's split agrees with Java's), FNV-1a 64 per token, splitmix-style
+    * mix64 finalizer, ±1 votes per bit position, sign vector → fingerprint.
+    * All arithmetic in the unsigned HUGEINT domain mod 2^64; the two mix64
+    * multiplications are split at 2^32 because (2^64-1)·c overflows even
+    * HUGEINT. `fps` ends with (doc_id, fpu) where fpu is the unsigned
+    * fingerprint; `pw(j, p)` is the 2^j table.
+    */
+  private val SimhashOracleCte: String =
+    """WITH RECURSIVE pw(j, p) AS (
+      |  SELECT 0, 1::HUGEINT UNION ALL SELECT j + 1, p * 2 FROM pw WHERE j < 63
+      |),
+      |toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+      |),
+      |fnv AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        list_transform(range(1, length(tok) + 1), i -> unicode(tok[i])::HUGEINT)),
+      |      (acc, c) -> (xor(acc, c) * 1099511628211) % 18446744073709551616
+      |    ) AS v
+      |  FROM toks
+      |),
+      |m1 AS (SELECT doc_id, xor(v, v // 1073741824) AS x FROM fnv),
+      |m2 AS (SELECT doc_id, ((x % 4294967296) * 13787848793156543929
+      |        + (((x // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
+      |        % 18446744073709551616 AS x FROM m1),
+      |m3 AS (SELECT doc_id, xor(x, x // 134217728) AS x FROM m2),
+      |m4 AS (SELECT doc_id, ((x % 4294967296) * 10723151780598845931
+      |        + (((x // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
+      |        % 18446744073709551616 AS x FROM m3),
+      |hashed AS (SELECT doc_id, xor(x, x // 2147483648) AS h FROM m4),
+      |bits AS (
+      |  SELECT doc_id, j, sum(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+      |  FROM hashed CROSS JOIN pw GROUP BY doc_id, j
+      |),
+      |fps AS (
+      |  SELECT doc_id, sum(CASE WHEN cnt > 0 THEN p ELSE 0::HUGEINT END) AS fpu
+      |  FROM bits JOIN pw USING (j) GROUP BY doc_id
+      |)""".stripMargin
+
+  /** Two's-complement BIGINT view of the unsigned fingerprint `e`. */
+  private def signed64(e: String): String =
+    s"CAST(CASE WHEN $e >= 9223372036854775808 THEN $e - 18446744073709551616 ELSE $e END AS BIGINT)"
+
   def oracleSql: Map[String, String] = Map(
+    "x5_dedup_simhash" ->
+      (SimhashOracleCte +
+        s"""
+           |SELECT doc_id, ${signed64("fpu")} AS simhash64,
+           |  CAST((fpu // 281474976710656) % 65536 AS BIGINT) AS band0,
+           |  CAST((fpu // 4294967296) % 65536 AS BIGINT) AS band1,
+           |  CAST((fpu // 65536) % 65536 AS BIGINT) AS band2,
+           |  CAST(fpu % 65536 AS BIGINT) AS band3
+           |FROM fps ORDER BY doc_id""".stripMargin),
+    // banding (4 x 16-bit bands) finds every Hamming<=3 pair by
+    // pigeonhole, so the oracle is the full brute-force pair set — the
+    // banded engine query must EQUAL it, proving the banding pure
+    "x25_simhash_pairs" ->
+      (SimhashOracleCte +
+        s"""
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(bit_count(xor(${signed64("a.fpu")}, ${signed64("b.fpu")})) AS INTEGER) AS hamming
+           |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(${signed64("a.fpu")}, ${signed64("b.fpu")})) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin),
     "q2_airport_trips" ->
       s"""SELECT taxi, start_time, start_lat, start_long, stop_time, stop_lat, stop_long,
          |       dist_km, revenue, date
@@ -218,6 +297,13 @@ object SparkEntry {
       s"""SELECT total_revenue
          |FROM read_csv('${TaxiQueries.FixtureDir}/golden_q2_total.txt', header=false,
          |  columns={'total_revenue':'double'})""".stripMargin,
+    // the streaming FSM twin carries q2_daily's golden: stream==batch in
+    // the driver's hard signal for the flagship pipeline
+    "x47_streaming_taxi_fsm" ->
+      s"""SELECT date, daily_revenue
+         |FROM read_csv('${TaxiQueries.FixtureDir}/golden_q2_daily.txt', delim='\t', header=false,
+         |  columns={'date':'varchar','daily_revenue':'double'})
+         |ORDER BY date""".stripMargin,
     "x14_multimodal_decode" ->
       """WITH s AS (
         |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

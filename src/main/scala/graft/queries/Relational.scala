@@ -389,31 +389,57 @@ object Relational {
     * shuffle, which would make the demonstration vacuous; sort-merge is
     * the 100-TB shape where both sides exceed driver memory.
     */
-  def q29BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+  private def withQ29Confs[T](spark: SparkSession)(body: => T): T = {
     val scoped = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
     val prev = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
     scoped.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      val urgent = t(spark, dir, "orders")
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey"))
-      val df = t(spark, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
-        .join(urgent, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("l_returnflag"))
-        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
-          count(lit(1)).as("n_items"))
-        .orderBy("l_returnflag")
-      df.queryExecution.executedPlan // plan now, under the scoped confs
-      df
-    } finally prev.foreach { case (k, v) =>
+    try body finally prev.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(x => spark.conf.set(k, x))
     }
   }
+
+  private def q29Frame(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Execute q29 fully under the scoped confs and return (rows, optimized
+    * logical plan, FINAL adaptive physical plan). AQE re-optimizes lazily
+    * with the LIVE session conf, so only a plan captured after an
+    * under-scope execution can prove the runtime join stayed sort-merge +
+    * bloom instead of broadcast-converting — LayoutSpec asserts on this.
+    */
+  private[graft] def q29ExecutedUnderScope(
+      spark: SparkSession, dir: String): (Array[org.apache.spark.sql.Row], String, String) =
+    withQ29Confs(spark) {
+      val df = q29Frame(spark, dir)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      val rows = df.collect()
+      (rows, optimized, df.queryExecution.executedPlan.toString)
+    }
+
+  def q29BloomJoin(spark: SparkSession, dir: String): DataFrame =
+    withQ29Confs(spark) {
+      // EXECUTE (not just plan) inside the scope: AQE re-optimizes with
+      // the live conf at execution time, so a lazily-returned frame would
+      // broadcast-convert once the threshold is restored and the "fact
+      // shuffle pruned by the bloom filter" demonstration would be
+      // vacuous at runtime. localCheckpoint materializes the (3-row)
+      // result off the bloom-SMJ execution; later consumers scan that.
+      q29Frame(spark, dir).localCheckpoint()
+    }
 
   /** Q14: distinct aggregates — distinct parts/suppliers per return flag. */
   def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame =

@@ -61,14 +61,15 @@ object StreamingQueries {
       finally s.close()
     }
 
-  /** Spool `events` (schema (user_id, us, ...)) into `n` time-ranged
-    * parquet files with strictly ascending mtimes, so a file-stream source
-    * replays them chronologically as one micro-batch each. Fail-fast mtime
-    * stamping — an un-stamped file could replay out of range order.
+  /** Spool `events` into `n` time-ranged parquet files (ranged on `tsCol`)
+    * with strictly ascending mtimes, so a file-stream source replays them
+    * chronologically as one micro-batch each. Fail-fast mtime stamping —
+    * an un-stamped file could replay out of range order.
     */
-  private def spoolChronological(events: DataFrame, feedDir: String, n: Int): Unit = {
-    events.repartitionByRange(n, col("us"))
-      .sortWithinPartitions("us")
+  private def spoolChronological(events: DataFrame, feedDir: String, n: Int,
+                                 tsCol: String = "us"): Unit = {
+    events.repartitionByRange(n, col(tsCol))
+      .sortWithinPartitions(tsCol)
       .write.mode("overwrite").parquet(feedDir)
     val base = System.currentTimeMillis() - 1000L * 3600
     val listing = Files.list(java.nio.file.Paths.get(feedDir))
@@ -296,6 +297,13 @@ object StreamingQueries {
     val events = Tables.load(spark, dir, "events")
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    // The oracle equivalence ASSUMES event_id is globally unique: a
+    // naturally duplicated id would be collapsed by the engine's dedup but
+    // double-counted (and xor-cancelled) by the oracle over the original
+    // table. Fail loudly instead of silently red-flagging the gate.
+    val u = events.agg(count(lit(1)), count_distinct(col("event_id"))).head()
+    require(u.getLong(0) == u.getLong(1),
+      s"x45 requires globally unique event_id: ${u.getLong(0)} rows, ${u.getLong(1)} distinct")
     val spool = Files.createTempDirectory("graft_stream_xonce")
     val feedDir = spool.resolve("feed").toString
     try {
@@ -420,6 +428,72 @@ object StreamingQueries {
           // equals the batch decimal-sum-cast-double cents-exactly
           (col("total_cents").cast("double") / 100).as("total_value"))
         .orderBy("user_id", "session_id")
+    } finally deleteRecursively(spool)
+  }
+
+  /** x47: the FLAGSHIP taxi-FSM sessionizer run as a stream — the segments
+    * fixture replayed chronologically through the file spool into
+    * [[StreamingSessionize]] (`flatMapGroupsWithState` over the same
+    * [[graft.operators.TaxiFsm.step]] the batch operator drives), then the
+    * emitted trips aggregated to q2_daily's exact schema so the COMMITTED
+    * GOLDEN that checks the batch FSM checks the streaming twin in the
+    * driver's hard signal. x26 gave the gap-sessionizer this treatment;
+    * this row closes the gap for the reference's actual flagship pipeline.
+    *
+    * Flush story: one E-status sentinel per taxi, one hour past the global
+    * max event time, spooled WITH the feed (range partitioning lands them
+    * in the last file). They advance the watermark and close open trips
+    * through the FSM's normal gap transition (gap >> 210 s closes at the
+    * PREVIOUS point; E opens nothing; emitted set identical to the batch
+    * end-of-group flush) — deterministic, with no reliance on the idle
+    * timeout, which a finite replay's watermark never crosses. Building
+    * them takes one fixture-sized driver probe (max ts + taxi list, ~500
+    * values — same documented class as x39's max-ts probe). The memory
+    * sink holds only emitted airport trips: output-sized by construction.
+    */
+  def streamingTaxiDaily(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val positions = TaxiQueries.segmentsToPositions(
+        graft.sources.TaxiText.readSegments(spark, s"${TaxiQueries.FixtureDir}/segments.txt"))
+      .withColumn("ts", graft.functions.Geo.tsToEpoch(col("tsS")))
+      .select(col("taxi"), col("ts"), col("tsS"), col("latS"), col("longS"), col("status"))
+    val maxTs = positions.agg(max(col("ts"))).head.getDouble(0)
+    val taxis = positions.select(col("taxi")).distinct().as[Int].collect().sorted
+    val sentinelTs = maxTs + 3600
+    val sentinelTsS = java.time.LocalDateTime
+      .ofEpochSecond(sentinelTs.toLong, 0, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val sentinels = taxis.toIndexedSeq.map(t =>
+      graft.operators.TaxiPosition(t, sentinelTs, sentinelTsS, "37.70000", "-122.40000", "E"))
+
+    val spool = Files.createTempDirectory("graft_stream_taxi")
+    val feedDir = spool.resolve("feed").toString
+    val name = s"graft_stream_taxi_${runSeq.incrementAndGet()}"
+    try {
+      spoolChronological(positions.unionByName(sentinels.toDF(
+        "taxi", "ts", "tsS", "latS", "longS", "status")), feedDir, FeedFiles, "ts")
+      val stream = spark.readStream
+        .schema(positions.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feedDir)
+        .as[graft.operators.TaxiPosition]
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", streamParts)
+      val trips =
+        try {
+          val q = graft.streaming.StreamingSessionize.trips(spark, stream)
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", spool.resolve("ckpt").toString)
+            .start()
+          try {
+            q.processAllAvailable()
+            spark.table(name).as[graft.operators.TaxiTrip].localCheckpoint()
+          } finally q.stop()
+        } finally {
+          spark.catalog.dropTempView(name)
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+      TaxiQueries.dailyRevenue(trips)
     } finally deleteRecursively(spool)
   }
 }

@@ -53,18 +53,28 @@ class LayoutSpec extends AnyFunSuite {
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
       "spark.sql.autoBroadcastJoinThreshold")
     val before = keys.map(k => spark.conf.getOption(k))
-    // the EXACT code path the driver runs
-    val df = graft.queries.Relational.q29BloomJoin(spark, sf)
+    // execute fully under the scope and capture the FINAL adaptive plan:
+    // AQE re-optimizes with the live conf at execution time, so asserting
+    // only the pre-execution logical plan would let the runtime join
+    // silently broadcast-convert (the r5 ADVICE finding)
+    val (rows, optimized, finalPlan) =
+      graft.queries.Relational.q29ExecutedUnderScope(spark, sf)
     assert(keys.map(k => spark.conf.getOption(k)) == before,
       "q29 leaked its scoped confs into the session")
-    // plan: InjectRuntimeFilter put a bloom might_contain on the lineitem
-    // side (visible in the optimized logical plan; the physical filter
-    // rides a scalar subquery that builds the bloom from filtered orders)
-    val optimized = df.queryExecution.optimizedPlan.toString
+    // logical: InjectRuntimeFilter put a bloom might_contain on the
+    // lineitem side (the physical filter rides a scalar subquery that
+    // builds the bloom from filtered orders)
     assert(optimized.contains("might_contain"),
       s"no bloom filter injected:\n$optimized")
-    // correctness: the runtime filter must not change the answer
-    val rows = df.collect()
+    // physical, POST-execution: the executed join stayed sort-merge with
+    // the bloom applied — the shape whose fact shuffle the filter prunes
+    assert(finalPlan.contains("might_contain"), s"bloom lost at runtime:\n$finalPlan")
+    assert(finalPlan.contains("SortMergeJoin") && !finalPlan.contains("BroadcastHashJoin"),
+      s"runtime join broadcast-converted — demonstration vacuous:\n$finalPlan")
+    // the shipped ledger row executes under the same scope (eager
+    // checkpoint) and must agree
+    val shipped = graft.queries.Relational.q29BloomJoin(spark, sf).collect()
+    assert(shipped.map(_.toString).toSeq == rows.map(_.toString).toSeq)
     val li = Tables.load(spark, sf, "lineitem")
     val want = li
       .join(Tables.load(spark, sf, "orders").filter(col("o_orderpriority") === "1-URGENT"),

@@ -64,6 +64,17 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("x47: file-spool streaming FSM daily revenue equals the batch q2_daily") {
+    // the driver-visible row end to end: spool replay + sentinels +
+    // flatMapGroupsWithState + daily aggregation == the batch trio's result
+    val got = graft.queries.StreamingQueries.streamingTaxiDaily(spark)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val want = TaxiQueries.q2Daily(spark)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got.nonEmpty)
+    assert(got == want, s"stream=$got vs batch=$want")
+  }
+
   test("gap sessionizer: disordered input matches batch; beyond-watermark row drops") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
