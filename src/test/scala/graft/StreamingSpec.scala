@@ -75,6 +75,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"stream=$got vs batch=$want")
   }
 
+  test("checkpoint restart: taxi-FSM streaming sessionizer restores open trips") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // x47's recovery contract: kill the query at a day boundary (open
+    // trips for every active taxi live in the GroupState store), start a
+    // NEW query from the same checkpoint, deliver the rest + sentinels —
+    // the union of outputs must equal the batch truth with no duplicates.
+    val positions = TaxiQueries
+      .segmentsToPositions(TaxiText.readSegments(spark, s"${TaxiQueries.FixtureDir}/segments.txt"))
+      .withColumn("ts", graft.functions.Geo.tsToEpoch(col("tsS")))
+      .select("taxi", "ts", "tsS", "latS", "longS", "status")
+      .as[TaxiPosition]
+      .collect()
+      .sortBy(p => (p.tsS, p.latS, p.longS, p.status))
+    val globalMax = positions.map(_.ts).max
+    val sentinels = positions.map(_.taxi).distinct.map { taxi =>
+      TaxiPosition(taxi, globalMax + 3600, "2008-05-29 00:00:00", "37.70000", "-122.40000", "E")
+    }
+    val expected = (positions ++ sentinels).groupBy(_.taxi).toSeq.flatMap { case (_, ps) =>
+      TaxiFsm.sessionize(ps.sortBy(p => (p.tsS, p.latS, p.longS, p.status)).iterator)
+    }.map(_.toString).sorted
+
+    val (a, b) = positions.partition(_.tsS < "2008-05-26")
+    assert(a.nonEmpty && b.nonEmpty, "cut must straddle the fixture")
+    val root = Files.createTempDirectory("graft_taxi_restart")
+    val feed = root.resolve("feed"); Files.createDirectories(feed)
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    val posSchema = org.apache.spark.sql.Encoders.product[TaxiPosition].schema
+    val mtimeBase = System.currentTimeMillis() - 1000L * 3600
+    def addFile(idx: Int, ps: Seq[TaxiPosition]): Unit = {
+      val tmp = root.resolve(s"w$idx")
+      ps.toDS().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part = try listing.filter(_.getFileName.toString.startsWith("part-"))
+        .findFirst.get finally listing.close()
+      val dest = feed.resolve(f"file-$idx%03d.parquet")
+      Files.move(part, dest)
+      require(dest.toFile.setLastModified(mtimeBase + idx * 1000L))
+    }
+    def startQuery() = StreamingSessionize.trips(spark,
+        spark.readStream.schema(posSchema).option("maxFilesPerTrigger", "1")
+          .parquet(feed.toString).as[TaxiPosition])
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    // phase 1: days 1-2, then KILL — open trips are in the state store
+    addFile(0, a.toIndexedSeq)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // phase 2: fresh query, same checkpoint; rest + flush sentinels
+    addFile(1, b.toIndexedSeq)
+    addFile(2, sentinels.toIndexedSeq)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(outDir).as[graft.operators.TaxiTrip]
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.size == got.distinct.size, "restart duplicated trips")
+    assert(got == expected)
+  }
+
   test("gap sessionizer: disordered input matches batch; beyond-watermark row drops") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
