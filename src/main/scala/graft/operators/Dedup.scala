@@ -156,9 +156,14 @@ object Dedup {
       .filter(col("n") >= 2)
     // Small buckets emit all member pairs (O(bucket²), bounded by the
     // cap); the groupBy rides the window's (band, sig) partitioning — no
-    // second exchange.
+    // second exchange. `hub` rides as a (per-bucket-constant) grouping
+    // column ONLY so both union branches keep the identical window
+    // subtree: without it, column pruning drops `hub` from this branch,
+    // the two exchange subtrees stop canonicalizing equal, and the band
+    // stream (minhash included) is shuffled and computed twice instead of
+    // hitting ReuseExchange.
     val smallPairs = members.filter(col("n") <= maxBucket)
-      .groupBy(col("band"), col("sig"))
+      .groupBy(col("band"), col("sig"), col("hub"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> " +

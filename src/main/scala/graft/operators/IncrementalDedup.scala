@@ -120,8 +120,10 @@ object IncrementalDedup {
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("hub", min(struct(col("doc_id"), col("is_new"))).over(w))
       .filter(col("n") >= 2)
+    // hub as a grouping column for the same ReuseExchange reason as
+    // [[Dedup.bandedCandidatePairs]] (constant per bucket)
     val smallPairs = sized.filter(col("n") <= MaxBucket)
-      .groupBy(col("bsig"), col("band"), col("sig"))
+      .groupBy(col("bsig"), col("band"), col("sig"), col("hub"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("is_new")))).as("ids"))
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> " +

@@ -61,7 +61,19 @@ def main():
         schema_ok = got_cols == want_cols
         rows_ok = len(got_rows) == len(want_rows)
         val_ok = rows_ok and values_match(got_rows, want_rows)
-        status = "OK" if (schema_ok and val_ok) else "MISMATCH"
+        # The driver compares through pandas, where e.g. DuckDB HUGEINT
+        # becomes float64 and hash-mismatches an engine bigint even when
+        # fetchall() values are equal (the r5 x41/x42 failure). Compare
+        # .df() dtypes too, so this replica is no weaker than the driver.
+        got_dt = {c: str(t) for c, t in
+                  con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df().dtypes.items()}
+        want_dt = {c: str(t) for c, t in want_rel.df().dtypes.items()}
+        dtype_ok = got_dt == want_dt
+        if not dtype_ok:
+            print(f"  {name}: DTYPE MISMATCH " +
+                  str({c: (got_dt.get(c), want_dt.get(c))
+                       for c in set(got_dt) | set(want_dt) if got_dt.get(c) != want_dt.get(c)}))
+        status = "OK" if (schema_ok and val_ok and dtype_ok) else "MISMATCH"
         if status == "OK":
             n_ok += 1
         else:
