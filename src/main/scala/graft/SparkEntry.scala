@@ -9,10 +9,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `queries`: one entry per implemented operator (SURVEY.md §2 inventory:
   * Q1/Q2 = the reference's two programs; Q3-Q10 = the general-relational
   * surface; X-* = the LLM-pipeline extensions).
-  * `oracleSql`: the DuckDB-equivalent SQL for every SQL-expressible query
-  * (including the simhash kernel, replayed in SQL); the two LSH-derived
-  * pipelines (x17/x18) get rows-only checks and are instead
-  * golden/property-tested in ScalaTest.
+  * `oracleSql`: the DuckDB-equivalent SQL for EVERY query — including the
+  * hash-family-internal ones: the simhash kernel AND the whole MinHash-LSH
+  * pipeline are replayed bit-for-bit in SQL, so x4/x5/x17/x18/x25 raw
+  * outputs are value-checked rather than rows-only.
   */
 object SparkEntry {
 
@@ -64,10 +64,12 @@ object SparkEntry {
     "x1_dedup_exact" -> ((s, d) => Dedup.exactDupStats(Tables.load(s, d, "documents"))),
     "x2_dedup_normalized" -> ((s, d) => Dedup.normalizedDupGroups(Tables.load(s, d, "documents"))),
     "x3_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"), 10, 0.6)),
-    // the LSH pair SET is hash-family-internal, but its quality contract is
-    // driver-gated: exact-subset pair count (DuckDB recomputes), bounds
-    // verification, and per-pair value equality on the x3 subset
-    "x4_dedup_minhash_lsh" -> ((s, d) => Dedup.lshQualityGate(Tables.load(s, d, "documents"))),
+    // the RAW pair set, fully oracled: [[MinhashLshCte]] replays the
+    // packed-shingle mix64 hash, the (a·h+b) mod p permutation minima,
+    // banding, the maxBucket star-edge policy, and the exact-Jaccard
+    // verification in DuckDB SQL, so every (doc_a, doc_b, jaccard) row is
+    // value-checked against an independent recomputation
+    "x4_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables.load(s, d, "documents"))),
     "x5_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.load(s, d, "documents"))),
     "x6_embedding_neardup" -> ((s, d) => Similarity.nearDupPairs(Tables.load(s, d, "embeddings"), 5, 0.25)),
     "x7_similarity_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"), 10, 5)),
@@ -104,13 +106,16 @@ object SparkEntry {
     "x16_embedding_quantize" -> ((s, d) => Similarity.quantizationStats(Tables.load(s, d, "embeddings"))),
     "x17_curation_pipeline" -> ((s, d) => graft.queries.Curation.pipeline(s,
       Tables.load(s, d, "documents"), Tables.load(s, d, "embeddings"))),
+    // raw LSH cluster labels, fully oracled: [[MinhashLshCte]] replays the
+    // whole LSH pipeline and the x20 recursive CTE resolves its pairs to
+    // min-label components, so every (doc_id, cluster_id) row is checked
     "x18_dup_clusters" -> ((s, d) =>
       Dedup.dupClusters(Dedup.minhashLshPairs(Tables.load(s, d, "documents"), threshold = 0.62))),
     "x19_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(Tables.load(s, d, "documents"), 50)),
     // same clustering operator as x18 but fed EXACT Jaccard pairs on a
-    // deterministic subset — SQL-expressible end to end, so the connected
-    // components get a real DuckDB oracle (recursive-CTE reachability)
-    // instead of a rows-only check.
+    // deterministic subset — SQL-expressible without the LSH replay, so
+    // the connected components are oracle-checked on an independent input
+    // (recursive-CTE reachability).
     "x20_dup_clusters_exact" -> ((s, d) =>
       Dedup.dupClusters(Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"), 10, 0.5))),
     // Structured Streaming twin of q8, reshaped to q8's schema — carries
@@ -195,12 +200,18 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as
     * the Spark result — the driver sorts columns by name and hashes values).
-    * Omitted: x17/x18 (depend on the LSH candidate set) — rows-only checks,
-    * covered by ScalaTest goldens/properties instead; the clustering
-    * operator itself is oracle-checked via x20 (exact pairs +
-    * recursive-CTE reachability), and the x4/x8 approximate paths are gated
-    * through exact counts + invariant booleans (their raw pair sets stay
-    * ScalaTest-pinned). x5/x25 ARE oracled: [[SimhashOracleCte]] replays the
+    * EVERY query has an oracle — including the hash-family-internal ones:
+    * [[MinhashLshCte]] replays the whole MinHash-LSH pipeline (packed-
+    * shingle mix64, coefficient derivation, permutation minima, banding,
+    * star-edge capping, exact-Jaccard verification) bit-for-bit in DuckDB
+    * SQL, so x4's raw pair set, x18's raw cluster labels (pairs resolved
+    * through the x20 recursive CTE), and x17's composed curation funnel
+    * (LSH losers + quality gate + embedding join + retention report) are
+    * all value-checked against independent recomputations, and only x8's
+    * IVF row remains a contract gate (its centroid assignment depends on
+    * float reduction order, which no serial SQL replay can pin; the x7
+    * exact top-k it is gated against IS oracled). x5/x25 likewise:
+    * [[SimhashOracleCte]] replays the
     * FNV-1a + mix64 simhash kernel bit-for-bit in DuckDB SQL, so the
     * fingerprints are value-checked and the banded pair query is checked
     * against the BRUTE-FORCE Hamming<=3 pair set (pigeonhole: Hamming<=3
@@ -258,6 +269,125 @@ object SparkEntry {
   /** Two's-complement BIGINT view of the unsigned fingerprint `e`. */
   private def signed64(e: String): String =
     s"CAST(CASE WHEN $e >= 9223372036854775808 THEN $e - 18446744073709551616 ELSE $e END AS BIGINT)"
+
+  /** DuckDB replica of the WHOLE MinHash-LSH pipeline
+    * ([[graft.operators.Dedup.minhashLshPairs]], numPerms=32 / 4 rows per
+    * band / maxBucket=64), ending in a `pairs(doc_a, doc_b, jaccard)` CTE —
+    * used by the x4/x17/x18 oracles so the raw LSH outputs (pair sets,
+    * cluster labels, dedup-loser filtering) are value-checked against an
+    * independent SQL recomputation, stage for stage:
+    *
+    *  1. `shing`/`packed`/`m1..m4`/`shash`: distinct character trigrams,
+    *     code points packed 21 bits each (`ShingleHashesSorted`'s injective
+    *     packing), then the splitmix64 finalizer — the same mix64 HUGEINT
+    *     chain the x5/x25 simhash oracle uses (multiplications split at
+    *     2^32; all arithmetic mod 2^64);
+    *  2. `seeds`/`c1..c4`/`cm`/`coefs`: the MinHash coefficient derivation
+    *     (`ArrayExpressions.MinHash`: abs(mix64(seed + φ·(i+1))) mod (p−1)
+    *     + 1, seeds 42/4242) replayed so the hash family itself is
+    *     recomputed, not copied in as constants;
+    *  3. `hmod`/`mh`/`bands`: Java-semantics `((h mod p) + p) mod p`, the
+    *     32 permutation minima (a·h+b mod p — products < 2^62, exact in
+    *     BIGINT), grouped into 8 bands of 4. The engine hashes each band
+    *     slice through xxhash64 to ONE signature; the oracle groups by the
+    *     raw slice, which is equal-up-to-xxhash64-collision (~2^-64,
+    *     fixture-checked bit-exact at sf0.001/0.01/0.1);
+    *  4. `mem`/`cand`: bucket membership with the maxBucket=64 star-edge
+    *     policy — ≤64 ⇒ all pairs, >64 ⇒ hub(min doc_id) edges;
+    *  5. `pairs`: exact-Jaccard verification at `threshold` on distinct
+    *     trigram STRING sets (injectivity makes hashed and string
+    *     intersection counts equal by construction), rounded to 6.
+    *
+    * `pairs` is MATERIALIZED: the x18 oracle's recursive reachability
+    * references its edge list every iteration, and DuckDB would otherwise
+    * inline (re-run) the whole LSH pipeline per step.
+    */
+  private def MinhashLshCte(threshold: Double): String =
+    s"""WITH RECURSIVE shing AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(text) - 1),
+       |         i -> substring(text, CAST(i AS int), 3)))) AS sh
+       |  FROM documents WHERE length(text) >= 3
+       |),
+       |packed AS (
+       |  SELECT doc_id,
+       |    (unicode(substring(sh,1,1))::HUGEINT
+       |     + unicode(substring(sh,2,1))::HUGEINT * 2097152
+       |     + unicode(substring(sh,3,1))::HUGEINT * 4398046511104) AS v
+       |  FROM shing
+       |),
+       |m1 AS (SELECT doc_id, xor(v, v // 1073741824) AS x FROM packed),
+       |m2 AS (SELECT doc_id, ((x % 4294967296) * 13787848793156543929
+       |        + (((x // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
+       |        % 18446744073709551616 AS x FROM m1),
+       |m3 AS (SELECT doc_id, xor(x, x // 134217728) AS x FROM m2),
+       |m4 AS (SELECT doc_id, ((x % 4294967296) * 10723151780598845931
+       |        + (((x // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
+       |        % 18446744073709551616 AS x FROM m3),
+       |shash AS (SELECT doc_id, xor(x, x // 2147483648) AS hu FROM m4),
+       |hmod AS (
+       |  SELECT doc_id,
+       |    (((CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616 ELSE hu END)
+       |      % 2147483647) + 2147483647) % 2147483647 AS h
+       |  FROM shash
+       |),
+       |seeds AS (
+       |  SELECT j, which, ((CASE which WHEN 'a' THEN 42 ELSE 4242 END)::HUGEINT
+       |         + 11400714819323198485::HUGEINT * (j + 1)) % 18446744073709551616 AS v
+       |  FROM range(0, 32) t(j), (VALUES ('a'), ('b')) w(which)
+       |),
+       |c1 AS (SELECT j, which, xor(v, v // 1073741824) AS x FROM seeds),
+       |c2 AS (SELECT j, which, ((x % 4294967296) * 13787848793156543929
+       |        + (((x // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
+       |        % 18446744073709551616 AS x FROM c1),
+       |c3 AS (SELECT j, which, xor(x, x // 134217728) AS x FROM c2),
+       |c4 AS (SELECT j, which, ((x % 4294967296) * 10723151780598845931
+       |        + (((x // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
+       |        % 18446744073709551616 AS x FROM c3),
+       |cm AS (SELECT j, which, xor(x, x // 2147483648) AS u FROM c4),
+       |coefs AS (
+       |  SELECT j,
+       |    max(CASE WHEN which='a' THEN abs(CASE WHEN u >= 9223372036854775808
+       |        THEN u - 18446744073709551616 ELSE u END) % 2147483646 + 1 END) AS a,
+       |    max(CASE WHEN which='b' THEN abs(CASE WHEN u >= 9223372036854775808
+       |        THEN u - 18446744073709551616 ELSE u END) % 2147483646 + 1 END) AS b
+       |  FROM cm GROUP BY j
+       |),
+       |mh AS (
+       |  SELECT s.doc_id, c.j, CAST(min((c.a * s.h + c.b) % 2147483647) AS BIGINT) AS mv
+       |  FROM hmod s CROSS JOIN coefs c GROUP BY s.doc_id, c.j
+       |),
+       |bands AS (
+       |  SELECT doc_id, j // 4 AS band, list(mv ORDER BY j) AS sig
+       |  FROM mh GROUP BY doc_id, j // 4
+       |),
+       |mem AS (
+       |  SELECT band, sig, doc_id,
+       |         count(*) OVER (PARTITION BY band, sig) AS n,
+       |         min(doc_id) OVER (PARTITION BY band, sig) AS hub
+       |  FROM bands
+       |),
+       |cand AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM mem a JOIN mem b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |    WHERE a.n <= 64
+       |    UNION ALL
+       |    SELECT hub, doc_id FROM mem WHERE n > 64 AND doc_id <> hub
+       |  )
+       |),
+       |sets AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 1),
+       |         i -> substring(text, CAST(i AS int), 3))) AS s
+       |  FROM documents WHERE length(text) >= 3
+       |),
+       |pairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b,
+       |    round(CAST(len(list_intersect(a.s, b.s)) AS double)
+       |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+       |  FROM cand JOIN sets a ON cand.doc_a = a.doc_id JOIN sets b ON cand.doc_b = b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS double)
+       |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= $threshold
+       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "x5_dedup_simhash" ->
@@ -612,21 +742,11 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS double)
         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
-    // the exact-pair count comes from the same CTE as the x3 oracle, so
-    // DuckDB independently recomputes it; the booleans pin the LSH quality
-    // contract (precision-by-verification + per-value kernel equality on
-    // the subset)
+    // the RAW LSH pair set: the full pipeline replayed in SQL — every
+    // (doc_a, doc_b, jaccard) row independently recomputed by DuckDB
     "x4_dedup_minhash_lsh" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |         list_distinct(list_transform(range(1, length(text) - 1),
-        |                       i -> substring(text, CAST(i AS int), 3))) AS sh
-        |  FROM documents WHERE doc_id % 10 = 0)
-        |SELECT count(*) AS n_exact_pairs, true AS all_verified,
-        |       true AS subset_precision_ok
-        |FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS double)
-        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6""".stripMargin,
+      (MinhashLshCte(0.6) +
+        "\nSELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"),
     // exact-top-k counts recomputed by DuckDB from the x7 oracle query; the
     // IVF recall floor rides as a boolean
     "x8_similarity_ivf" ->
@@ -775,6 +895,50 @@ object SparkEntry {
         |  UNION
         |  SELECT e2.src, reach.r FROM e e2 JOIN reach ON e2.dst = reach.id)
         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // the RAW LSH cluster labels: the replayed pipeline's pairs resolved
+    // to min-label components by the same recursive CTE as x20. The edge
+    // list is MATERIALIZED so the recursion doesn't re-run the LSH replay
+    // per iteration.
+    "x18_dup_clusters" ->
+      (MinhashLshCte(0.62) +
+        """,
+          |e AS MATERIALIZED (
+          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+          |  UNION SELECT doc_b, doc_a FROM pairs),
+          |reach(id, r) AS (
+          |  SELECT src, src FROM e
+          |  UNION
+          |  SELECT e2.src, reach.r FROM e e2 JOIN reach ON e2.dst = reach.id)
+          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+    // the composed curation pipeline, fully oracled: LSH losers from the
+    // replayed pipeline, the x10 quality-score formula, the embeddings
+    // semi-join, and the per-source retention report — every stage
+    // recomputed by DuckDB from the original tables
+    "x17_curation_pipeline" ->
+      (MinhashLshCte(0.6) +
+        """,
+          |q AS (
+          |  SELECT doc_id, source, n_chars,
+          |    round(1.0 / (1.0 + len(regexp_extract_all(text, '[.,!?;:]'))
+          |                     + len(regexp_extract_all(text, '[0-9]')))
+          |      * (1.0 + CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+          |                 t -> list_contains(['the','a','and','of','to','in','is'], t))) AS double)
+          |             / len(regexp_split_to_array(text, '\s+'))), 6) AS qs
+          |  FROM documents),
+          |kept AS (
+          |  SELECT * FROM q
+          |  WHERE qs >= 0.05
+          |    AND doc_id NOT IN (SELECT doc_b FROM pairs)
+          |    AND doc_id IN (SELECT vec_id FROM embeddings)),
+          |tot AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source)
+          |SELECT k.source, t.n_total, count(*) AS n_kept,
+          |       CAST(sum(k.n_chars) AS bigint) AS kept_chars,
+          |       round(CAST(sum(CAST(floor(k.qs * 1000000 + 0.5) AS BIGINT)) AS double)
+          |             / count(*) / 1000000.0, 6) AS avg_quality,
+          |       round(CAST(count(*) AS double) / t.n_total, 6) AS retention
+          |FROM kept k JOIN tot t ON k.source = t.source
+          |GROUP BY k.source, t.n_total
+          |ORDER BY k.source""".stripMargin),
     "x21_multimodal_frames" ->
       """WITH b AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),

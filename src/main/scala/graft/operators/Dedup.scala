@@ -221,48 +221,6 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Driver-gated quality contract for the MinHash-LSH path (the x4 ledger
-    * row): the LSH pair SET is hash-family-internal and can never hash-match
-    * a SQL oracle, but its quality CONTRACT can — the x24/x27/x31
-    * invariant-boolean pattern. One output row:
-    *
-    *  - `n_exact_pairs`: |exact-Jaccard pairs >= threshold| on the
-    *    deterministic doc_id-modulo subset — DuckDB recomputes this number
-    *    independently (same CTE as the x3 oracle), so it is a hard value
-    *    check, not a constant;
-    *  - `all_verified`: every emitted LSH pair's exact Jaccard lies in
-    *    [threshold, 1] (the verification stage did its job);
-    *  - `subset_precision_ok`: every LSH pair that falls inside the subset
-    *    appears in the exact pair set WITH THE SAME Jaccard value — this
-    *    cross-checks the hashed-shingle merge-walk kernel against DuckDB's
-    *    string-set intersection through the driver, row by row.
-    *
-    * Deliberately NO recall boolean: pair-level recall on a modulo subset
-    * is structurally the wrong metric for capped banded LSH (measured in
-    * BASELINE.md — the fixture corpus is one giant marginal-J≈0.6 template
-    * family, so most subset pairs live in capped buckets and the honest
-    * recall unit is the CLUSTER, via star edges + [[dupClusters]]).
-    * Recall is quantified in [[graft.RecallStudy]] instead of faked here.
-    *
-    * All three values reduce to ONE row via broadcast joins of 1-row
-    * aggregates — no driver-side action.
-    */
-  def lshQualityGate(docs: DataFrame, mod: Int = 10, threshold: Double = 0.6): DataFrame = {
-    val lsh = minhashLshPairs(docs, threshold = threshold)
-    val exact = ngramJaccardPairs(docs, mod, threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard").as("j_exact"))
-    val verified = lsh.agg(
-      coalesce(min(col("jaccard").between(threshold, 1.0)), lit(true)).as("all_verified"))
-    val sub = lsh.filter(col("doc_a") % mod === 0 && col("doc_b") % mod === 0)
-      .join(exact, Seq("doc_a", "doc_b"), "left")
-      .agg(
-        coalesce(min(col("j_exact").isNotNull &&
-          abs(col("jaccard") - col("j_exact")) < lit(1e-9)), lit(true)).as("subset_precision_ok"))
-    val nExact = exact.agg(count(lit(1)).as("n_exact_pairs"))
-    nExact.crossJoin(broadcast(verified)).crossJoin(broadcast(sub))
-      .select(col("n_exact_pairs"), col("all_verified"), col("subset_precision_ok"))
-  }
-
   /** Resolve duplicate PAIRS into duplicate CLUSTERS: connected components
     * by min-label propagation WITH label-path compression (pointer
     * doubling): each round every doc adopts min(own label, neighbors'

@@ -34,10 +34,18 @@ object Curation {
       embeddings.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
     // 4. retention report per source
     val total = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+    // avg over micro-quantized scores, not avg(double): quality_score is
+    // already round-6 (qualityScoreOn), so floor(qs·1e6 + 0.5) is its exact
+    // integer form, the sum is exact in Long, and the average no longer
+    // depends on partition-merge order — which makes the whole pipeline
+    // DuckDB-reproducible (a float-sum average over partition-ordered
+    // addition can't reliably hash-match a serial oracle; cf. x14's
+    // dropped avg_channel_mean)
     withEmb.groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"),
         sum(col("n_chars")).as("kept_chars"),
-        round(avg(col("quality_score")), 6).as("avg_quality"))
+        round(sum(floor(col("quality_score") * lit(1000000.0) + lit(0.5)))
+          .cast("double") / count(lit(1)) / lit(1000000.0), 6).as("avg_quality"))
       .join(total, "source")
       .withColumn("retention", round(col("n_kept").cast("double") / col("n_total"), 6))
       .select("source", "n_total", "n_kept", "kept_chars", "avg_quality", "retention")

@@ -205,16 +205,31 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall $recall")
   }
 
-  test("x4/x8 driver gates: every quality boolean holds, counts match the exact baselines") {
-    // These are the rows the driver hash-compares against DuckDB — if a
-    // boolean ever goes false here, the ledger flips red, so pin them at
-    // the test fixture too (the gate floors must hold at EVERY scale).
-    val g4 = queries("x4_dedup_minhash_lsh").head
-    assert(g4.getAs[Boolean]("all_verified"))
-    assert(g4.getAs[Boolean]("subset_precision_ok"))
-    val nExact = graft.operators.Dedup
-      .ngramJaccardPairs(Tables.load(spark, sf, "documents"), 10, 0.6).count()
-    assert(g4.getAs[Long]("n_exact_pairs") == nExact)
+  test("x4 raw LSH pairs: verified bounds + exact-subset consistency") {
+    // The raw pair set is now hash-gated against the full DuckDB replay
+    // (MinhashLshCte); here pin the engine-side invariants at the test
+    // fixture: verification bounds, and LSH∩subset ⊆ exact-subset with
+    // identical jaccard values (the merge-walk kernel vs the all-pairs
+    // baseline).
+    val pairs = queries("x4_dedup_minhash_lsh")
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { r =>
+      val j = r.getAs[Double]("jaccard"); j >= 0.6 && j <= 1.0
+    })
+    val exact = graft.operators.Dedup
+      .ngramJaccardPairs(Tables.load(spark, sf, "documents"), 10, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    val sub = pairs.filter(r => r.getLong(0) % 10 == 0 && r.getLong(1) % 10 == 0)
+    assert(sub.forall { r =>
+      exact.get((r.getLong(0), r.getLong(1)))
+        .exists(j => math.abs(j - r.getAs[Double]("jaccard")) < 1e-9)
+    })
+  }
+
+  test("x8 driver gate: every quality boolean holds, counts match the exact baselines") {
+    // The one remaining contract row (IVF centroids depend on float
+    // reduction order) — if a boolean ever goes false here, the ledger
+    // flips red, so pin it at the test fixture too.
     val g8 = queries("x8_similarity_ivf").head
     assert(g8.getAs[Boolean]("recall_ok"))
     assert(g8.getAs[Long]("n_probes") == 10L)
