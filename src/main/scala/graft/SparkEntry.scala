@@ -91,6 +91,11 @@ object SparkEntry {
     // same result as x7 through the custom bounded-heap aggregate instead
     // of a window sort (map-side partial top-k -> tiny shuffle)
     "x22_topk_aggregate" -> ((s, d) => Similarity.aggTopK(Tables.load(s, d, "embeddings"), 10, 5)),
+    // ANN top-k through the multi-table hyperplane index: the hyperplane
+    // signs are a pure splitmix function of (bit, index), so unlike x8's
+    // float-centroid IVF the whole approximate query — index, candidate
+    // set, ranking — replays in DuckDB SQL and hash-gates end to end
+    "x48_lsh_ann_topk" -> ((s, d) => Similarity.lshTopK(Tables.load(s, d, "embeddings"), 10, 5)),
     // reproducible 5-docs-per-source sample: hash-order sampling is a pure
     // function of the data, so the DuckDB oracle reproduces it exactly
     "x23_sample_per_group" -> ((s, d) =>
@@ -787,6 +792,56 @@ object SparkEntry {
         |  SELECT probe_id, cand_id, list_cosine_similarity(pv, cv) AS rawsim
         |  FROM p JOIN c ON probe_id != cand_id
         |  WHERE NOT isnan(list_cosine_similarity(pv, cv)))
+        |SELECT probe_id, cand_id, round(rawsim, 4) AS sim,
+        |       CAST(row_number() OVER (PARTITION BY probe_id ORDER BY rawsim DESC, cand_id) AS int) AS rank
+        |FROM s
+        |QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY rawsim DESC, cand_id) <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
+    // the hyperplane index replayed in SQL: signs from the same
+    // splitmix-style hash of (bit, 2^20-strided index) the engine's
+    // hyperplane_bucket expression computes (one xor-shift-multiply in
+    // HUGEINT mod 2^64, split at 2^32), projections via list_dot_product
+    // over the vector's own length (matches the engine's left fold —
+    // verified bit-exact on every (vector, bit) sign at sf0.01/sf0.1),
+    // per-table 6-bit buckets in exact integer arithmetic, then x7's
+    // cosine ranking restricted to the colliding candidates
+    "x48_lsh_ann_topk" ->
+      """WITH grid AS (
+        |  SELECT b, unnest(range(0, (SELECT CAST(max(len(embedding)) AS BIGINT) FROM embeddings))) AS i
+        |  FROM range(0, 48) t(b)
+        |),
+        |raw AS (
+        |  SELECT b, i,
+        |    (11400714819323198485::HUGEINT * (b::HUGEINT * 1048576 + i + 1)) % 18446744073709551616 AS x
+        |  FROM grid
+        |),
+        |m AS (SELECT b, i, xor(x, x // 1073741824) AS y FROM raw),
+        |m2 AS (
+        |  SELECT b, i, ((y % 4294967296) * 13787848793156543929
+        |        + (((y // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
+        |        % 18446744073709551616 AS z FROM m
+        |),
+        |sgn AS (SELECT b, i, CASE WHEN xor(z, z // 134217728) % 2 = 0 THEN -1.0 ELSE 1.0 END AS s FROM m2),
+        |signs AS (SELECT b, list(s ORDER BY i) AS sv FROM sgn GROUP BY b),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, CAST(len(embedding) AS INT) AS sz FROM embeddings),
+        |proj AS (
+        |  SELECT e.vec_id, e.sz, s.b, list_dot_product(e.v, s.sv[1:e.sz]) AS p
+        |  FROM e CROSS JOIN signs s
+        |),
+        |tb AS (
+        |  SELECT vec_id, sz, b // 6 AS t,
+        |         sum(CASE WHEN p > 0 THEN (1::BIGINT << CAST(b % 6 AS INT)) ELSE 0::BIGINT END) AS bucket
+        |  FROM proj GROUP BY vec_id, sz, b // 6
+        |),
+        |cand AS (
+        |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+        |  FROM tb p JOIN tb c ON p.t = c.t AND p.bucket = c.bucket AND p.sz = c.sz
+        |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
+        |),
+        |s AS (
+        |  SELECT probe_id, cand_id, list_cosine_similarity(pe.v, ce.v) AS rawsim
+        |  FROM cand JOIN e pe ON cand.probe_id = pe.vec_id JOIN e ce ON cand.cand_id = ce.vec_id
+        |  WHERE NOT isnan(list_cosine_similarity(pe.v, ce.v)))
         |SELECT probe_id, cand_id, round(rawsim, 4) AS sim,
         |       CAST(row_number() OVER (PARTITION BY probe_id ORDER BY rawsim DESC, cand_id) AS int) AS rank
         |FROM s

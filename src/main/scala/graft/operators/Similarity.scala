@@ -138,6 +138,26 @@ object Similarity {
   def hyperplaneBucket(v: Column, dim: Int, nBits: Int): Column =
     when(size(v) === dim, graft.functions.ArrayExpressions.hyperplaneBucket(v, nBits))
 
+  /** The shared multi-table angular-LSH index side: one fused
+    * `nBits·nTables`-bit hyperplane signature per vector, then each table
+    * is a cheap `nBits`-wide slice of it. Signs are computed over the
+    * vector's OWN length (no corpus-dim derivation job); consumers join on
+    * (tb, sz) so vectors of different sizes never pair up. Output:
+    * (vec_id, sz, tb struct(t, bucket)) — one row per (vector, table).
+    */
+  private def tableBuckets(vecs: DataFrame, nBits: Int, nTables: Int): DataFrame = {
+    require(nBits * nTables <= 64, "nBits * nTables must fit in one long")
+    vecs
+      .withColumn("sz", size(col("v")))
+      .withColumn("bucket64",
+        graft.functions.ArrayExpressions.hyperplaneBucket(col("v"), nBits * nTables))
+      .select(col("vec_id"), col("sz"), explode(array((0 until nTables).map { t =>
+        struct(lit(t).as("t"),
+          shiftright(col("bucket64"), t * nBits)
+            .bitwiseAND(lit((1L << nBits) - 1)).as("bucket"))
+      }: _*)).as("tb"))
+  }
+
   /** Multi-table hyperplane-LSH near-duplicate pairs: `nTables`
     * independent `nBits`-bit bucket ids per vector (disjoint slices of one
     * hyperplane family); vectors sharing any (table, bucket) become
@@ -152,21 +172,8 @@ object Similarity {
   def lshNearDupPairs(emb: DataFrame, threshold: Double,
                       nBits: Int = 8, nTables: Int = 8): DataFrame = {
     graft.functions.ArrayExpressions.register(emb.sparkSession)
-    require(nBits * nTables <= 64, "nBits * nTables must fit in one long")
     val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val withBuckets = vecs
-      // all tables' hyperplane signs in ONE fused bucket computation over
-      // the vector's OWN length (no corpus-dim derivation job); vectors of
-      // different sizes never pair up — the join below requires equal size
-      .withColumn("sz", size(col("v")))
-      .withColumn("bucket64",
-        graft.functions.ArrayExpressions.hyperplaneBucket(col("v"), nBits * nTables))
-      // ...then each table is a cheap nBits-wide slice of it
-      .select(col("vec_id"), col("sz"), explode(array((0 until nTables).map { t =>
-        struct(lit(t).as("t"),
-          shiftright(col("bucket64"), t * nBits)
-            .bitwiseAND(lit((1L << nBits) - 1)).as("bucket"))
-      }: _*)).as("tb"))
+    val withBuckets = tableBuckets(vecs, nBits, nTables)
     val a = withBuckets.select(col("tb").as("ta"), col("sz").as("sza"), col("vec_id").as("vec_a"))
     val b = withBuckets.select(col("tb").as("tb2"), col("sz").as("szb"), col("vec_id").as("vec_b"))
     // Dedup CANDIDATE IDS before re-attaching vectors: carrying the wide
@@ -182,6 +189,54 @@ object Similarity {
       .filter(!isnan(col("sim")) && col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** x48: ANN top-k through the hyperplane index — the DETERMINISTIC
+    * approximate path next to x7/x22's exact scans and x8's
+    * float-centroid IVF. For each probe (vec_id < nProbes), candidates
+    * are the vectors sharing ANY (table, bucket) with it in the same
+    * multi-table index [[lshNearDupPairs]] joins on; exact cosine ranks
+    * them with x7's tie-break. Unlike IVF's learned centroids (whose
+    * float-sum reduction order no serial SQL can pin — why x8 ships a
+    * recall gate), the hyperplane signs are a pure splitmix function of
+    * (bit, index), so the INDEX ITSELF replays in DuckDB SQL and the
+    * whole approximate query hash-gates end to end.
+    *
+    * Scale shape: the index build is one scan (the signature expression
+    * is one fused codegen loop); the candidate join ships nProbes·nTables
+    * 16-byte rows broadcast against the index — the corpus is never
+    * all-paired, and per-probe work is O(collisions), the standard
+    * 1-(1-p^nBits)^nTables recall curve (measured against x7 in
+    * QueriesSpec). nBits tunes the recall/cost point: 6 bits ≈ 1/64
+    * per-table collision rate on isotropic data.
+    */
+  def lshTopK(emb: DataFrame, nProbes: Int, k: Int,
+              nBits: Int = 6, nTables: Int = 8): DataFrame = {
+    graft.functions.ArrayExpressions.register(emb.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val index = tableBuckets(vecs, nBits, nTables)
+    val probeIdx = index.filter(col("vec_id") < nProbes)
+      .select(col("tb").as("ptb"), col("sz").as("psz"), col("vec_id").as("probe_id"))
+    // candidate IDS first, vectors re-attached after the distinct — same
+    // reasoning as lshNearDupPairs (never shuffle the wide arrays per
+    // colliding table)
+    val candIds = index.join(broadcast(probeIdx),
+        col("tb") === col("ptb") && col("sz") === col("psz") &&
+          col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id")).distinct()
+    val probes = vecs.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
+    candIds
+      .join(vecs.select(col("vec_id").as("cand_id"), col("v").as("cv")), "cand_id")
+      .join(broadcast(probes), "probe_id")
+      .withColumn("sim", cosine(col("pv"), col("cv")))
+      .filter(!isnan(col("sim"))) // zero-norm vectors: undefined cosine, drop
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("cand_id"), round(col("sim"), 4).as("sim"), col("rank"))
+      .orderBy("probe_id", "rank")
   }
 
   /** Driver-gated recall contract for the IVF path (the x8 ledger row):
