@@ -96,6 +96,11 @@ object SparkEntry {
     // float-centroid IVF the whole approximate query — index, candidate
     // set, ranking — replays in DuckDB SQL and hash-gates end to end
     "x48_lsh_ann_topk" -> ((s, d) => Similarity.lshTopK(Tables.load(s, d, "embeddings"), 10, 5)),
+    // the incremental production shape: new-batch probes against the
+    // PERSISTED corpus bucket + vector stores (x31's pattern for ANN) —
+    // the corpus is never re-read or re-signed; the oracle replays the
+    // same index restricted to new-probe/corpus-candidate pairs
+    "x49_incremental_ann" -> ((s, d) => graft.operators.IncrementalAnn.incrementalTopK(s, d)),
     // reproducible 5-docs-per-source sample: hash-order sampling is a pure
     // function of the data, so the DuckDB oracle reproduces it exactly
     "x23_sample_per_group" -> ((s, d) =>
@@ -393,6 +398,62 @@ object SparkEntry {
        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS double)
        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= $threshold
        |)""".stripMargin
+
+  /** DuckDB replica of the hyperplane index
+    * ([[graft.operators.Similarity.tableBuckets]], 6 bits × 8 tables):
+    * per-bit sign lists from the same splitmix-style hash of (bit,
+    * 2^20-strided index) the engine's `hyperplane_bucket` expression
+    * computes, projections via `list_dot_product` over each vector's own
+    * length (bit-exact vs the engine's fused left fold — verified on
+    * every (vector, bit) sign at sf0.01/sf0.1), per-table buckets
+    * assembled in exact integer arithmetic (`1::BIGINT << b` — a float
+    * `2.0**b` sum would silently lose low bits). Ends at a
+    * `tb(vec_id, sz, t, bucket)` CTE; x48/x49 append their candidate
+    * restriction and [[AnnRankSql]].
+    */
+  private val HyperplaneCte: String =
+    """WITH grid AS (
+      |  SELECT b, unnest(range(0, (SELECT CAST(max(len(embedding)) AS BIGINT) FROM embeddings))) AS i
+      |  FROM range(0, 48) t(b)
+      |),
+      |raw AS (
+      |  SELECT b, i,
+      |    (11400714819323198485::HUGEINT * (b::HUGEINT * 1048576 + i + 1)) % 18446744073709551616 AS x
+      |  FROM grid
+      |),
+      |m AS (SELECT b, i, xor(x, x // 1073741824) AS y FROM raw),
+      |m2 AS (
+      |  SELECT b, i, ((y % 4294967296) * 13787848793156543929
+      |        + (((y // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
+      |        % 18446744073709551616 AS z FROM m
+      |),
+      |sgn AS (SELECT b, i, CASE WHEN xor(z, z // 134217728) % 2 = 0 THEN -1.0 ELSE 1.0 END AS s FROM m2),
+      |signs AS (SELECT b, list(s ORDER BY i) AS sv FROM sgn GROUP BY b),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, CAST(len(embedding) AS INT) AS sz FROM embeddings),
+      |proj AS (
+      |  SELECT e.vec_id, e.sz, s.b, list_dot_product(e.v, s.sv[1:e.sz]) AS p
+      |  FROM e CROSS JOIN signs s
+      |),
+      |tb AS (
+      |  SELECT vec_id, sz, b // 6 AS t,
+      |         sum(CASE WHEN p > 0 THEN (1::BIGINT << CAST(b % 6 AS INT)) ELSE 0::BIGINT END) AS bucket
+      |  FROM proj GROUP BY vec_id, sz, b // 6
+      |)""".stripMargin
+
+  /** x7's exact-cosine ranking over a `cand(probe_id, cand_id)` CTE —
+    * the shared tail of the x48/x49 oracles.
+    */
+  private val AnnRankSql: String =
+    """,
+      |s AS (
+      |  SELECT probe_id, cand_id, list_cosine_similarity(pe.v, ce.v) AS rawsim
+      |  FROM cand JOIN e pe ON cand.probe_id = pe.vec_id JOIN e ce ON cand.cand_id = ce.vec_id
+      |  WHERE NOT isnan(list_cosine_similarity(pe.v, ce.v)))
+      |SELECT probe_id, cand_id, round(rawsim, 4) AS sim,
+      |       CAST(row_number() OVER (PARTITION BY probe_id ORDER BY rawsim DESC, cand_id) AS int) AS rank
+      |FROM s
+      |QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY rawsim DESC, cand_id) <= 5
+      |ORDER BY probe_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "x5_dedup_simhash" ->
@@ -806,47 +867,26 @@ object SparkEntry {
     // per-table 6-bit buckets in exact integer arithmetic, then x7's
     // cosine ranking restricted to the colliding candidates
     "x48_lsh_ann_topk" ->
-      """WITH grid AS (
-        |  SELECT b, unnest(range(0, (SELECT CAST(max(len(embedding)) AS BIGINT) FROM embeddings))) AS i
-        |  FROM range(0, 48) t(b)
-        |),
-        |raw AS (
-        |  SELECT b, i,
-        |    (11400714819323198485::HUGEINT * (b::HUGEINT * 1048576 + i + 1)) % 18446744073709551616 AS x
-        |  FROM grid
-        |),
-        |m AS (SELECT b, i, xor(x, x // 1073741824) AS y FROM raw),
-        |m2 AS (
-        |  SELECT b, i, ((y % 4294967296) * 13787848793156543929
-        |        + (((y // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
-        |        % 18446744073709551616 AS z FROM m
-        |),
-        |sgn AS (SELECT b, i, CASE WHEN xor(z, z // 134217728) % 2 = 0 THEN -1.0 ELSE 1.0 END AS s FROM m2),
-        |signs AS (SELECT b, list(s ORDER BY i) AS sv FROM sgn GROUP BY b),
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, CAST(len(embedding) AS INT) AS sz FROM embeddings),
-        |proj AS (
-        |  SELECT e.vec_id, e.sz, s.b, list_dot_product(e.v, s.sv[1:e.sz]) AS p
-        |  FROM e CROSS JOIN signs s
-        |),
-        |tb AS (
-        |  SELECT vec_id, sz, b // 6 AS t,
-        |         sum(CASE WHEN p > 0 THEN (1::BIGINT << CAST(b % 6 AS INT)) ELSE 0::BIGINT END) AS bucket
-        |  FROM proj GROUP BY vec_id, sz, b // 6
-        |),
-        |cand AS (
-        |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
-        |  FROM tb p JOIN tb c ON p.t = c.t AND p.bucket = c.bucket AND p.sz = c.sz
-        |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
-        |),
-        |s AS (
-        |  SELECT probe_id, cand_id, list_cosine_similarity(pe.v, ce.v) AS rawsim
-        |  FROM cand JOIN e pe ON cand.probe_id = pe.vec_id JOIN e ce ON cand.cand_id = ce.vec_id
-        |  WHERE NOT isnan(list_cosine_similarity(pe.v, ce.v)))
-        |SELECT probe_id, cand_id, round(rawsim, 4) AS sim,
-        |       CAST(row_number() OVER (PARTITION BY probe_id ORDER BY rawsim DESC, cand_id) AS int) AS rank
-        |FROM s
-        |QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY rawsim DESC, cand_id) <= 5
-        |ORDER BY probe_id, rank""".stripMargin,
+      (HyperplaneCte +
+        """,
+          |cand AS (
+          |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+          |  FROM tb p JOIN tb c ON p.t = c.t AND p.bucket = c.bucket AND p.sz = c.sz
+          |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
+          |)""".stripMargin + AnnRankSql),
+    // the incremental form: same replayed index, probes restricted to the
+    // new-batch slice and candidates to the corpus slice — DuckDB
+    // recomputes exactly what the engine reads from its persisted bucket
+    // and vector stores, so staleness or drift in the store machinery
+    // (not just the index math) breaks the hash gate
+    "x49_incremental_ann" ->
+      (HyperplaneCte +
+        """,
+          |cand AS (
+          |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+          |  FROM tb p JOIN tb c ON p.t = c.t AND p.bucket = c.bucket AND p.sz = c.sz
+          |  WHERE p.vec_id % 10 = 7 AND c.vec_id % 10 <> 7
+          |)""".stripMargin + AnnRankSql),
     "x23_sample_per_group" ->
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id,

@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.Tables
+import graft.sources.{Bucketed, DirTag}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental new-batch-vs-corpus ANN search — the production shape of
+  * similarity search at 100 TB, mirroring [[IncrementalDedup]]'s store
+  * pattern for the [[Similarity.lshTopK]] index.
+  *
+  * The whole-corpus x48 path recomputes every vector's hyperplane
+  * signature per run; a real ingestion pipeline embeds a bounded new
+  * batch per cycle and must search it against the accumulated corpus
+  * without re-indexing the corpus. Persisted once:
+  *
+  *  - a **bucket store** `(tbk, t, bucket, sz, vec_id)` — every (table,
+  *    bucket) membership of every corpus vector, bucketed by
+  *    `tbk = xxhash64(t, bucket)` (the candidate-join key);
+  *  - a **vector store** `(vec_id, v)` — the corpus vectors exact-cosine
+  *    ranking needs, bucketed by vec_id so the ranking join is
+  *    exchange-free on the store side.
+  *
+  * Per batch, only the new vectors are signed (one fused scan of the
+  * batch); the tiny distinct set of TOUCHED bucket keys broadcasts
+  * against the bucket store, so the only corpus rows that move are
+  * members of buckets the batch actually hits — O(|new| · bucket), the
+  * corpus never re-read or re-signed. Candidate semantics (shared-bucket
+  * collision on (t, bucket, sz)) and ranking (exact cosine, x7
+  * tie-break) are IDENTICAL to [[Similarity.lshTopK]] restricted to
+  * new-probe/corpus-candidate pairs — the testable contract QueriesSpec
+  * pins — and because the hyperplane signs are a pure splitmix function,
+  * the whole incremental query replays in DuckDB SQL and hash-gates as
+  * x49.
+  *
+  * Reference analog: Job-1 -> Job-2 chaining through materialized output
+  * (`AirportTripsRevenue.java:599-600`) — stages communicating through a
+  * persisted layout instead of recomputation.
+  */
+object IncrementalAnn {
+
+  /** The synthetic "new day": the x31 slice rule, over vec_id. */
+  val NewMod = 10
+  val NewRem = 7
+
+  // same parameters as the whole-corpus x48 path — required for the
+  // restriction-equality contract
+  private val NBits = 6
+  private val NTables = 8
+  private val StoreBuckets = 8
+
+  def isNewVec(id: Column): Column = id % NewMod === NewRem
+
+  private def corpusSlice(emb: DataFrame): DataFrame = emb.filter(!isNewVec(col("vec_id")))
+  private def newSlice(emb: DataFrame): DataFrame = emb.filter(isNewVec(col("vec_id")))
+
+  private def tbk: Column = xxhash64(col("tb.t"), col("tb.bucket"))
+
+  /** Idempotently persist the corpus bucket store; returns the table name. */
+  def bucketStore(spark: SparkSession, dir: String): String =
+    Bucketed.materializedBucketedTable(spark, "annbkt_" + DirTag.dirScope(dir) + "_",
+      "annbkt_" + DirTag(dir, "embeddings"), "tbk", StoreBuckets) {
+      graft.functions.ArrayExpressions.register(spark)
+      Similarity.tableBuckets(
+          Similarity.vecFrame(corpusSlice(Tables.load(spark, dir, "embeddings"))),
+          NBits, NTables)
+        .select(tbk.as("tbk"), col("tb.t").as("t"), col("tb.bucket").as("bucket"),
+          col("sz"), col("vec_id"))
+    }
+
+  /** Idempotently persist the corpus vector store (ranking side). */
+  def vectorStore(spark: SparkSession, dir: String): String =
+    Bucketed.materializedBucketedTable(spark, "annvec_" + DirTag.dirScope(dir) + "_",
+      "annvec_" + DirTag(dir, "embeddings"), "vec_id", StoreBuckets) {
+      Similarity.vecFrame(corpusSlice(Tables.load(spark, dir, "embeddings")))
+    }
+
+  /** Top-k corpus neighbors (probe_id, cand_id, sim, rank) for every
+    * new-batch vector, computed WITHOUT re-reading or re-signing the
+    * corpus: the batch is signed fresh; the corpus side comes entirely
+    * from the two persisted stores.
+    */
+  def incrementalTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.functions.ArrayExpressions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val store = spark.table(bucketStore(spark, dir))
+    val storeVecs = spark.table(vectorStore(spark, dir))
+
+    // the per-batch compute: signatures of the NEW vectors only
+    val probeVecs = Similarity.vecFrame(newSlice(emb))
+    val newIdx = Similarity.tableBuckets(probeVecs, NBits, NTables)
+      .select(tbk.as("tbk"), col("tb.t").as("pt"), col("tb.bucket").as("pbucket"),
+        col("sz").as("psz"), col("vec_id").as("probe_id"))
+
+    // corpus members of TOUCHED buckets only: broadcast the tiny distinct
+    // touched-key set — the bucket store is scanned but never shuffled,
+    // and only colliding members survive into the candidate set. tbk is
+    // a 64-bit hash of (t, bucket); the join still matches on the raw
+    // (t, bucket, sz) so a (theoretical) xxhash64 collision cannot
+    // manufacture a candidate the raw index would not produce.
+    val touched = newIdx.select(col("tbk")).distinct()
+    val candIds = store.join(broadcast(touched), "tbk")
+      .join(broadcast(newIdx),
+        col("t") === col("pt") && col("bucket") === col("pbucket") &&
+          col("sz") === col("psz") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id")).distinct()
+    Similarity.rankCandidates(candIds, probeVecs, storeVecs, k)
+  }
+}

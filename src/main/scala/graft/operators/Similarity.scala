@@ -36,6 +36,12 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** (vec_id, v: array<double>) — the normalized frame every similarity
+    * operator starts from.
+    */
+  private[operators] def vecFrame(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
   /** Exact top-k cosine neighbors for each probe (vec_id < nProbes), over
     * the full candidate set. Probe side is broadcast; top-k via per-probe
     * window. Deterministic tie-break on cand_id.
@@ -145,7 +151,7 @@ object Similarity {
     * (tb, sz) so vectors of different sizes never pair up. Output:
     * (vec_id, sz, tb struct(t, bucket)) — one row per (vector, table).
     */
-  private def tableBuckets(vecs: DataFrame, nBits: Int, nTables: Int): DataFrame = {
+  private[operators] def tableBuckets(vecs: DataFrame, nBits: Int, nTables: Int): DataFrame = {
     require(nBits * nTables <= 64, "nBits * nTables must fit in one long")
     vecs
       .withColumn("sz", size(col("v")))
@@ -213,8 +219,7 @@ object Similarity {
   def lshTopK(emb: DataFrame, nProbes: Int, k: Int,
               nBits: Int = 6, nTables: Int = 8): DataFrame = {
     graft.functions.ArrayExpressions.register(emb.sparkSession)
-    import org.apache.spark.sql.expressions.Window
-    val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val vecs = vecFrame(emb)
     val index = tableBuckets(vecs, nBits, nTables)
     val probeIdx = index.filter(col("vec_id") < nProbes)
       .select(col("tb").as("ptb"), col("sz").as("psz"), col("vec_id").as("probe_id"))
@@ -225,12 +230,22 @@ object Similarity {
         col("tb") === col("ptb") && col("sz") === col("psz") &&
           col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("cand_id")).distinct()
-    val probes = vecs.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    rankCandidates(candIds, vecs.filter(col("vec_id") < nProbes), vecs, k)
+  }
+
+  /** Exact-cosine ranking of a candidate-ID set with x7's tie-break —
+    * the verification half shared by [[lshTopK]] and
+    * [[IncrementalAnn.incrementalTopK]]. Probe vectors broadcast (bounded
+    * by construction); candidate vectors join on cand_id.
+    */
+  private[operators] def rankCandidates(candIds: DataFrame, probeVecs: DataFrame,
+                                        candVecs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
     candIds
-      .join(vecs.select(col("vec_id").as("cand_id"), col("v").as("cv")), "cand_id")
-      .join(broadcast(probes), "probe_id")
+      .join(candVecs.select(col("vec_id").as("cand_id"), col("v").as("cv")), "cand_id")
+      .join(broadcast(probeVecs.select(col("vec_id").as("probe_id"), col("v").as("pv"))),
+        "probe_id")
       .withColumn("sim", cosine(col("pv"), col("cv")))
       .filter(!isnan(col("sim"))) // zero-norm vectors: undefined cosine, drop
       .withColumn("rank", row_number().over(w))

@@ -508,6 +508,44 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.15, s"ANN recall $recall collapsed below the isotropic floor")
   }
 
+  test("x49 incremental ANN == whole-index search restricted to new-probe/corpus-candidate pairs") {
+    // sf0.01 — the driver-gate fixture; the store-backed path must equal
+    // a FRESH (no-store) computation of the same restricted search, so
+    // staleness or key drift in the bucket/vector stores cannot hide
+    val dir = "/root/testdata/sf0.01"
+    graft.functions.ArrayExpressions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val inc = graft.operators.IncrementalAnn.incrementalTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(inc.nonEmpty, "fixture produced no incremental ANN results")
+    // fresh reference: recompute both slices' signatures in the driver
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val sigs = emb.select(col("vec_id"), graft.functions.ArrayExpressions
+        .hyperplaneBucket(col("embedding").cast("array<double>"), 48).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def tables(s: Long): Seq[(Int, Long)] = (0 until 8).map(t => (t, (s >>> (t * 6)) & 63L))
+    val corpusIds = vecs.keySet.filter(_ % 10 != 7)
+    val byBucket = corpusIds.toSeq.flatMap(id => tables(sigs(id)).map(_ -> id))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = vecs.keySet.filter(_ % 10 == 7).toSeq.sorted.flatMap { p =>
+      val cands = tables(sigs(p)).flatMap(tb => byBucket.getOrElse(tb, Set.empty)).toSet
+      cands.toSeq.map(c => (cos(vecs(p), vecs(c)), c))
+        .filterNot(_._1.isNaN).sortBy { case (s, c) => (-s, c) }.take(5)
+        .zipWithIndex.map { case ((s, c), i) => (p, c, s, i + 1) }
+    }
+    assert(inc.length == want.length, s"${inc.length} rows vs ref ${want.length}")
+    inc.zip(want).foreach { case ((p1, c1, s1, r1), (p2, c2, s2, r2)) =>
+      assert(p1 == p2 && c1 == c2 && r1 == r2, s"($p1,$c1,$r1) != ($p2,$c2,$r2)")
+      assert(math.abs(s1 - s2) < 5e-5, s"probe $p1 sim $s1 vs $s2")
+    }
+  }
+
   test("simhash banded pairs == ALL pairs within Hamming 3 (pigeonhole recall is exactly 1)") {
     val docs = Tables.load(spark, sf, "documents")
     val got = graft.operators.Dedup.simhashNearDupPairs(docs, maxHamming = 3)
