@@ -183,6 +183,11 @@ object SparkEntry {
     // append mode); the enriched sink aggregates to a DuckDB-exact summary
     "x40_stream_enrich" -> ((s, d) =>
       graft.queries.StreamingQueries.enrichedByNation(s, d)),
+    // LEFT OUTER stream-stream join: null emission for proven-unmatched
+    // clicks waits on watermark advance (per-side sentinels close every
+    // real window), so the emitted set equals the batch left join
+    "x50_stream_outer_join" -> ((s, d) =>
+      graft.queries.StreamingQueries.intervalJoinOuter(s, d)),
     // JSONL write -> explicit-schema read -> per-source content
     // fingerprints; the oracle computes the same over the ORIGINAL parquet,
     // so the round trip must preserve every row and every text byte
@@ -1164,6 +1169,17 @@ object SparkEntry {
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |ORDER BY a.user_id, click_id, purchase_id""".stripMargin,
+    // the outer join's emitted set equals the batch LEFT join: matched
+    // pairs ride the inner path; a null row appears exactly when the
+    // watermark proved no purchase can still land in the click's window
+    "x50_stream_outer_join" ->
+      """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+        |       epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
         |ORDER BY a.user_id, click_id, purchase_id""".stripMargin,
     // stream-static enrichment changes WHEN rows are joined, not what they

@@ -97,10 +97,14 @@ object IncrementalAnn {
     // and only colliding members survive into the candidate set. tbk is
     // a 64-bit hash of (t, bucket); the join still matches on the raw
     // (t, bucket, sz) so a (theoretical) xxhash64 collision cannot
-    // manufacture a candidate the raw index would not produce.
+    // manufacture a candidate the raw index would not produce. Only
+    // `touched` carries a broadcast HINT (distinct keys — bounded);
+    // newIdx scales with |batch|, so AQE decides that join's strategy
+    // (broadcast when it fits, shuffle of the already-touched-filtered
+    // store side when it doesn't).
     val touched = newIdx.select(col("tbk")).distinct()
     val candIds = store.join(broadcast(touched), "tbk")
-      .join(broadcast(newIdx),
+      .join(newIdx,
         col("t") === col("pt") && col("bucket") === col("pbucket") &&
           col("sz") === col("psz") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("cand_id")).distinct()

@@ -235,8 +235,12 @@ object Similarity {
 
   /** Exact-cosine ranking of a candidate-ID set with x7's tie-break —
     * the verification half shared by [[lshTopK]] and
-    * [[IncrementalAnn.incrementalTopK]]. Probe vectors broadcast (bounded
-    * by construction); candidate vectors join on cand_id.
+    * [[IncrementalAnn.incrementalTopK]]. No forced broadcast of the probe
+    * vectors: x48's probe set is bounded but x49's is a whole ingest
+    * batch, and a forced broadcast of batch×dim doubles is a driver OOM
+    * at production batch sizes — AQE broadcast-converts at runtime when
+    * the side actually fits (it does on every fixture, plan-audited), and
+    * the join degrades to shuffle gracefully when it doesn't.
     */
   private[operators] def rankCandidates(candIds: DataFrame, probeVecs: DataFrame,
                                         candVecs: DataFrame, k: Int): DataFrame = {
@@ -244,7 +248,7 @@ object Similarity {
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
     candIds
       .join(candVecs.select(col("vec_id").as("cand_id"), col("v").as("cv")), "cand_id")
-      .join(broadcast(probeVecs.select(col("vec_id").as("probe_id"), col("v").as("pv"))),
+      .join(probeVecs.select(col("vec_id").as("probe_id"), col("v").as("pv")),
         "probe_id")
       .withColumn("sim", cosine(col("pv"), col("cv")))
       .filter(!isnan(col("sim"))) // zero-norm vectors: undefined cosine, drop

@@ -156,7 +156,8 @@ object StreamingQueries {
     * driver-visible query and the checkpoint-restart recovery test, so the
     * recovered operator IS the shipped operator.
     */
-  private[graft] def intervalJoinStream(stream: DataFrame, windowSec: Long): DataFrame = {
+  private[graft] def intervalJoinStream(stream: DataFrame, windowSec: Long,
+                                        joinType: String = "inner"): DataFrame = {
     val withTs = stream.withColumn("ts", timestamp_micros(col("us")))
     val clicks = withTs.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"),
@@ -169,7 +170,8 @@ object StreamingQueries {
     clicks.join(purchases,
       col("user_id") === col("p_user_id") &&
         col("p_ts") >= col("click_ts") &&
-        col("p_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+        col("p_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+      joinType)
   }
 
   /** Stream-stream interval join — click→purchase attribution: every
@@ -221,6 +223,67 @@ object StreamingQueries {
           spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         }
       pairs.select(col("user_id"), col("click_id"), col("purchase_id"),
+          (col("p_us") - col("click_us")).as("delta_us"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    } finally deleteRecursively(spool)
+  }
+
+  /** x50: the LEFT OUTER stream-stream interval join — the semantics class
+    * x39's inner join does NOT exercise: an unmatched click can only emit
+    * its null-extended row once the watermark PROVES no purchase can still
+    * arrive inside its window, i.e. emission (not just state eviction)
+    * waits on watermark advance. A finite replay's watermark stops at
+    * max(ts) - delay, which never clears the last clicks' windows — so the
+    * feed carries one watermark sentinel per side (distinct negative
+    * user_ids, so the sentinels cannot match each other; negative
+    * event_ids, filtered from the sink) stamped far enough past max(ts)
+    * that every real click's window closes and every unmatched click
+    * flushes through the engine's normal eviction path. Deterministic: the
+    * emitted SET equals the batch left join (matched pairs from the inner
+    * path + null rows for proven-unmatched clicks), which is exactly the
+    * DuckDB oracle. Building the sentinels takes one max-ts probe of the
+    * fixture — the same documented class as x39's spool probe.
+    */
+  def intervalJoinOuter(spark: SparkSession, dir: String, windowSec: Long = 1800): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+    val maxUs = events.agg(max(col("us"))).head.getLong(0)
+    val sentinelUs = maxUs + (windowSec + 2 * 3600) * 1000000L
+    val sentinels = Seq(
+      (-1L, sentinelUs, -1L, "click"),
+      (-2L, sentinelUs, -2L, "purchase"))
+    import spark.implicits._
+    val spool = Files.createTempDirectory("graft_stream_ojoin")
+    val feedDir = spool.resolve("feed").toString
+    val name = s"graft_stream_ojoin_${runSeq.incrementAndGet()}"
+    try {
+      spoolChronological(events.unionByName(
+        sentinels.toDF("user_id", "us", "event_id", "event_type")), feedDir, FeedFiles)
+      val stream = spark.readStream
+        .schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feedDir)
+      val joined = intervalJoinStream(stream, windowSec, "leftOuter")
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", streamParts)
+      val rows =
+        try {
+          val q = joined
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", spool.resolve("ckpt").toString)
+            .start()
+          try {
+            q.processAllAvailable()
+            spark.table(name).localCheckpoint()
+          } finally q.stop()
+        } finally {
+          spark.catalog.dropTempView(name)
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+      rows.filter(col("click_id") >= 0)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
           (col("p_us") - col("click_us")).as("delta_us"))
         .orderBy("user_id", "click_id", "purchase_id")
     } finally deleteRecursively(spool)

@@ -331,6 +331,34 @@ class StreamingSpec extends AnyFunSuite {
       s"recovered join state did not produce the expected pairs: $all")
   }
 
+  test("x50 outer join: streamed set equals the batch left join; unmatched clicks DO emit nulls") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.intervalJoinOuter(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("cus"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("us").as("pus"), col("event_id").as("purchase_id"))
+    val want = clicks.join(purchases,
+        col("user_id") === col("pu") && col("pus") >= col("cus") &&
+          col("pus") <= col("cus") + 1800L * 1000000L, "left")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("pus") - col("cus")).as("delta_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(got == want,
+      s"stream != batch left join: only-stream=${(got -- want).take(3)}, only-batch=${(want -- got).take(3)}")
+    assert(got.exists(_._3.isEmpty), "fixture has no unmatched clicks — outer path untested")
+    assert(got.exists(_._3.nonEmpty), "fixture has no matched clicks — inner path untested")
+  }
+
   test("x36 first touch: adversarial (reversed) arrival order still yields the batch first event") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
