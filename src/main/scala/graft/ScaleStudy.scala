@@ -101,6 +101,51 @@ object ScaleStudy {
         graft.sources.LayoutCache.deleteTree(dirKPath)
       }
     }
+    // x49 incremental ANN: persist the index stores once per scale, time
+    // the per-batch probe. Replica r cyclically ROTATES each vector's
+    // dimensions — an orthogonal transform, so intra-replica geometry
+    // (cosines, norms) is exact while the hyperplane signs re-randomize
+    // per replica: bucket occupancy grows with the corpus at the natural
+    // chance rate, not k× duplicate spikes. NOTE the honest scaling
+    // shape: with nBits FIXED, occupancy per bucket grows linearly with
+    // the corpus, so per-probe candidate sets (and batch cost) grow with
+    // corpus size by design — production sizes nBits ~ log2(corpus) to
+    // hold occupancy constant; what must stay flat here is the per-
+    // CANDIDATE cost (batch_sec / candidates), recorded in BASELINE.md.
+    for (k <- Seq(1, 3, 10)) {
+      val dirKPath = java.nio.file.Files.createTempDirectory("graft_scale_ann")
+      val dirK = dirKPath.toString
+      var stores = Seq.empty[String]
+      try {
+        val emb = Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        (0 until k).map { r =>
+          val rot = r * 7
+          emb.select((col("vec_id") * k + lit(r)).as("vec_id"),
+            (if (r == 0) col("v")
+             else expr(s"concat(slice(v, ${rot + 1}, size(v) - $rot), slice(v, 1, $rot))"))
+              .as("embedding"))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dirK/embeddings.parquet")
+        val t0 = System.nanoTime()
+        stores = Seq(graft.operators.IncrementalAnn.bucketStore(spark, dirK),
+          graft.operators.IncrementalAnn.vectorStore(spark, dirK))
+        val tStore = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val nRows = graft.operators.IncrementalAnn.incrementalTopK(spark, dirK).count()
+        val tInc = (System.nanoTime() - t1) / 1e9
+        val nNew = spark.read.parquet(s"$dirK/embeddings.parquet")
+          .filter(graft.operators.IncrementalAnn.isNewVec(col("vec_id"))).count()
+        println(f"""{"op":"incremental_ann","scale":$k,"new_vecs":$nNew,"topk_rows":$nRows,"store_build_sec":$tStore%.2f,"batch_sec":$tInc%.2f}""")
+      } finally {
+        stores.foreach { tbl =>
+          spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+          graft.sources.LayoutCache.deleteTree(java.nio.file.Paths.get(
+            System.getProperty("java.io.tmpdir"), "graft_bucketed", tbl))
+        }
+        graft.sources.LayoutCache.deleteTree(dirKPath)
+      }
+    }
     spark.stop()
   }
 }
