@@ -508,6 +508,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.15, s"ANN recall $recall collapsed below the isotropic floor")
   }
 
+  test("ANN on ragged embeddings: no crash (ANSI), no cross-dimension pair ever") {
+    import spark.implicits._
+    // mixed 8- and 16-dim vectors plus a zero vector: the index signs
+    // over each vector's OWN length, so nothing aborts under ANSI mode,
+    // and the (tb, sz) join key guarantees different sizes never pair —
+    // the zero vector's NaN cosine is dropped at ranking
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 30L).map { i =>
+      val dim = if (i % 2 == 0) 8 else 16
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    } :+ (30L, Array.fill(8)(0.0f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.lshTopK(emb, 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    val dims = rows.map { case (id, v) => id -> v.length }.toMap
+    got.foreach { case (p, c) =>
+      assert(dims(p) == dims(c), s"cross-dimension pair ($p: ${dims(p)}, $c: ${dims(c)})") }
+    assert(!got.exists(t => t._1 == 30L || t._2 == 30L),
+      "zero vector must never rank (NaN cosine drops at verification)")
+  }
+
   test("x49 incremental ANN == whole-index search restricted to new-probe/corpus-candidate pairs") {
     // sf0.01 — the driver-gate fixture; the store-backed path must equal
     // a FRESH (no-store) computation of the same restricted search, so
