@@ -59,6 +59,47 @@ object PartitionedLayout {
     }.toString
   }
 
+  /** Catalog registration of the date-partitioned layout: resolve the
+    * ~30-directory listing + parquet footer schema ONCE per (JVM, tag)
+    * and serve every later call from catalog metadata. Before this,
+    * q28 re-ran `spark.read.parquet(path)` per invocation — a fresh
+    * directory listing and schema read each time, which is exactly the
+    * per-call layout cost the r6 driver bench paid (q28 0.417 → 1.954 s:
+    * the timed min-of-2 landed on the cold resolution, same fingerprint
+    * as r5's q27). Mirrors [[Bucketed.materializedBucketedTable]]: sweep
+    * older same-dir tags, register over the published files
+    * (metadata-only), emit the `[layout]` breadcrumb on every non-hit so
+    * a recurrence is attributable from the driver log alone.
+    */
+  def partitionedEventsTable(spark: SparkSession, dir: String): String = {
+    val tag = "events_bydate_" + DirTag(dir, "events")
+    if (!spark.catalog.tableExists(tag)) {
+      val t0 = System.nanoTime()
+      spark.sessionState.catalog
+        .listTables("default", s"events_bydate_${DirTag.dirScope(dir)}_*")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `${t.table}`"))
+      val tSweep = System.nanoTime()
+      val path = partitionedEventsPath(spark, dir)
+      val tMat = System.nanoTime()
+      // schema (incl. the discovered `d` DATE partition column) from the
+      // published files — the one footer read this JVM will do for q28
+      val schemaDdl = spark.read.parquet(path).schema.toDDL
+      val tSchema = System.nanoTime()
+      spark.sql(
+        s"""CREATE TABLE `$tag` ($schemaDdl) USING parquet
+           |PARTITIONED BY (`d`) LOCATION '$path'""".stripMargin)
+      // populate catalog partition metadata from the directory names;
+      // later scans prune through the catalog, never re-listing the root
+      spark.sql(s"MSCK REPAIR TABLE `$tag`")
+      val tEnd = System.nanoTime()
+      def ms(a: Long, b: Long): Long = (b - a) / 1000000L
+      System.err.println(s"[layout] register $tag (partitioned):" +
+        s" sweep=${ms(t0, tSweep)}ms materialize=${ms(tSweep, tMat)}ms" +
+        s" schema=${ms(tMat, tSchema)}ms create+repair=${ms(tSchema, tEnd)}ms")
+    }
+    tag
+  }
+
   /** Q28: per-type event counts and value totals restricted to the top 5
     * days by purchase value — the day set is computed at runtime from the
     * same table, so the fact-side scan can only be pruned DYNAMICALLY.
@@ -74,7 +115,7 @@ object PartitionedLayout {
     * answers.
     */
   def q28DppJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = spark.read.parquet(partitionedEventsPath(spark, dir))
+    val ev = spark.table(partitionedEventsTable(spark, dir))
     val topDays = ev.filter(col("event_type") === "purchase")
       .groupBy(col("d"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("pv"))
