@@ -119,8 +119,12 @@ object ScaleStudy {
       try {
         val emb = Tables.load(spark, sfDir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        // rotation must stay inside the vector: r*7 unguarded reaches 63
+        // at k=10 on the 64-dim fixture, and any larger k or smaller dim
+        // would make size(v)-rot non-positive and abort the slice
+        val dim = math.max(emb.select(max(size(col("v")))).head.getInt(0), 1)
         (0 until k).map { r =>
-          val rot = r * 7
+          val rot = (r * 7) % dim
           emb.select((col("vec_id") * k + lit(r)).as("vec_id"),
             (if (r == 0) col("v")
              else expr(s"concat(slice(v, ${rot + 1}, size(v) - $rot), slice(v, 1, $rot))"))

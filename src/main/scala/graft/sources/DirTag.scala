@@ -36,6 +36,17 @@ private[graft] object DirTag {
   def dirScope(dir: String): String =
     hex(scala.util.hashing.MurmurHash3.stringHash(dir))
 
+  /** Drop the memoized stamp for `(dir, src)`. The per-JVM memo
+    * deliberately trades within-JVM self-invalidation for bench-run
+    * stability (see object doc) — so any code path that REWRITES a
+    * fixture at the same path mid-session must either use a fresh temp
+    * dir (what ScaleStudy does, and the default expectation for fixture
+    * writers) or call this first, or later layout reads silently serve
+    * the pre-rewrite files.
+    */
+  def invalidate(dir: String, src: String): Unit =
+    memo.remove((dir, src))
+
   def apply(dir: String, src: String): String =
     memo.computeIfAbsent((dir, src), { key =>
       val (d, s) = key

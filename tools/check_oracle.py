@@ -56,7 +56,13 @@ def main():
         if name not in oracle:
             print(f"  {name}: rows-only ({len(got_rows)} rows)")
             continue
-        want_rel = con.sql(oracle[name])
+        # Materialize the oracle ONCE: a duckdb relation re-executes per
+        # fetch method, so fetchall() + .df() below would run the most
+        # expensive oracles (x18's LSH replay + recursive CTE) twice. A
+        # temp table preserves the result schema (HUGEINT stays HUGEINT),
+        # so the pandas dtype check is unchanged.
+        con.execute(f"CREATE OR REPLACE TEMP TABLE _want AS {oracle[name]}")
+        want_rel = con.sql("SELECT * FROM _want")
         want_rows, want_cols = canon(want_rel.fetchall(), want_rel.columns)
         schema_ok = got_cols == want_cols
         rows_ok = len(got_rows) == len(want_rows)
@@ -67,7 +73,7 @@ def main():
         # .df() dtypes too, so this replica is no weaker than the driver.
         got_dt = {c: str(t) for c, t in
                   con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df().dtypes.items()}
-        want_dt = {c: str(t) for c, t in want_rel.df().dtypes.items()}
+        want_dt = {c: str(t) for c, t in con.sql("SELECT * FROM _want").df().dtypes.items()}
         dtype_ok = got_dt == want_dt
         if not dtype_ok:
             print(f"  {name}: DTYPE MISMATCH " +
