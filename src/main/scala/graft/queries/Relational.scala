@@ -430,16 +430,32 @@ object Relational {
       (rows, optimized, df.queryExecution.executedPlan.toString)
     }
 
-  def q29BloomJoin(spark: SparkSession, dir: String): DataFrame =
+  def q29BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    // Per-phase stderr breadcrumb (the `[layout]` convention): the r7
+    // driver bench clocked this query at 3.7 s where every local probe
+    // holds 0.9-1.0 s steady, and nothing in the scoped execution logged,
+    // so the driver log could not attribute WHICH phase re-entered. One
+    // line per call makes a recurrence attributable from the log alone.
+    val t0 = System.nanoTime()
     withQ29Confs(spark) {
+      val tScope = System.nanoTime()
       // EXECUTE (not just plan) inside the scope: AQE re-optimizes with
       // the live conf at execution time, so a lazily-returned frame would
       // broadcast-convert once the threshold is restored and the "fact
       // shuffle pruned by the bloom filter" demonstration would be
       // vacuous at runtime. localCheckpoint materializes the (3-row)
       // result off the bloom-SMJ execution; later consumers scan that.
-      q29Frame(spark, dir).localCheckpoint()
+      val df = q29Frame(spark, dir)
+      df.queryExecution.executedPlan // force analysis+optimize+physical planning
+      val tPlan = System.nanoTime()
+      val out = df.localCheckpoint()
+      val tExec = System.nanoTime()
+      def ms(a: Long, b: Long): Long = (b - a) / 1000000L
+      System.err.println(s"[q29] scope=${ms(t0, tScope)}ms plan=${ms(tScope, tPlan)}ms" +
+        s" exec+ckpt=${ms(tPlan, tExec)}ms")
+      out
     }
+  }
 
   /** Q14: distinct aggregates — distinct parts/suppliers per return flag. */
   def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame =
