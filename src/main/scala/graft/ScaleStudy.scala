@@ -27,6 +27,29 @@ object ScaleStudy {
 
   private def rot(s: String, r: Int): String = s.drop(r % s.length) + s.take(r % s.length)
 
+  /** k replicas of the embeddings corpus (replica 0 = original). Replica
+    * r cyclically ROTATES each vector's dimensions — an orthogonal
+    * transform, so intra-replica geometry (cosines, norms) is exact while
+    * the hyperplane signs re-randomize per replica: bucket occupancy
+    * grows with the corpus at the natural chance rate, not k× duplicate
+    * spikes. The rotation is bounded by the MINIMUM vector size (a
+    * max-size bound would leave shorter ragged vectors with a negative
+    * slice length — an ANSI abort), and mapped into [1, dim-1] for every
+    * r > 0 (a plain (r·7) % dim yields rot = 0 whenever dim divides r·7
+    * — e.g. any 7-dim corpus — making that replica an exact duplicate of
+    * the base and spiking its buckets k-fold).
+    */
+  def expandEmbeddings(emb: DataFrame, k: Int): DataFrame = {
+    val dim = math.max(emb.select(min(size(col("v")))).head.getInt(0), 1)
+    (0 until k).map { r =>
+      val rot = if (r == 0 || dim < 2) 0 else 1 + ((r * 7 - 1) % (dim - 1))
+      emb.select((col("vec_id") * k + lit(r)).as("vec_id"),
+        (if (rot == 0) col("v")
+         else expr(s"concat(slice(v, ${rot + 1}, size(v) - $rot), slice(v, 1, $rot))"))
+          .as("embedding"))
+    }.reduce(_ unionByName _)
+  }
+
   /** k disjoint-shingle-space replicas of the corpus (replica 0 = original). */
   def expand(docs: DataFrame, k: Int): DataFrame =
     (0 until k).map { r =>
@@ -102,16 +125,13 @@ object ScaleStudy {
       }
     }
     // x49 incremental ANN: persist the index stores once per scale, time
-    // the per-batch probe. Replica r cyclically ROTATES each vector's
-    // dimensions — an orthogonal transform, so intra-replica geometry
-    // (cosines, norms) is exact while the hyperplane signs re-randomize
-    // per replica: bucket occupancy grows with the corpus at the natural
-    // chance rate, not k× duplicate spikes. NOTE the honest scaling
-    // shape: with nBits FIXED, occupancy per bucket grows linearly with
-    // the corpus, so per-probe candidate sets (and batch cost) grow with
-    // corpus size by design — production sizes nBits ~ log2(corpus) to
-    // hold occupancy constant; what must stay flat here is the per-
-    // CANDIDATE cost (batch_sec / candidates), recorded in BASELINE.md.
+    // the per-batch probe. NOTE the honest scaling shape: with nBits
+    // FIXED, occupancy per bucket grows linearly with the corpus, so
+    // per-probe candidate sets (and batch cost) grow with corpus size by
+    // design — what must stay flat here is the per-CANDIDATE cost
+    // (batch_sec / candidates), recorded in BASELINE.md. The
+    // occupancy-constant loop BELOW is the production sizing
+    // (nBits ~ log2(corpus)) that holds candidates/probe flat instead.
     for (k <- Seq(1, 3, 10)) {
       val dirKPath = java.nio.file.Files.createTempDirectory("graft_scale_ann")
       val dirK = dirKPath.toString
@@ -119,17 +139,7 @@ object ScaleStudy {
       try {
         val emb = Tables.load(spark, sfDir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        // rotation must stay inside the vector: r*7 unguarded reaches 63
-        // at k=10 on the 64-dim fixture, and any larger k or smaller dim
-        // would make size(v)-rot non-positive and abort the slice
-        val dim = math.max(emb.select(max(size(col("v")))).head.getInt(0), 1)
-        (0 until k).map { r =>
-          val rot = (r * 7) % dim
-          emb.select((col("vec_id") * k + lit(r)).as("vec_id"),
-            (if (r == 0) col("v")
-             else expr(s"concat(slice(v, ${rot + 1}, size(v) - $rot), slice(v, 1, $rot))"))
-              .as("embedding"))
-        }.reduce(_ unionByName _)
+        expandEmbeddings(emb, k)
           .write.mode("overwrite").parquet(s"$dirK/embeddings.parquet")
         val t0 = System.nanoTime()
         stores = Seq(graft.operators.IncrementalAnn.bucketStore(spark, dirK),
@@ -148,6 +158,91 @@ object ScaleStudy {
             System.getProperty("java.io.tmpdir"), "graft_bucketed", tbl))
         }
         graft.sources.LayoutCache.deleteTree(dirKPath)
+      }
+    }
+    // Occupancy-CONSTANT ANN sizing: the production answer to the
+    // fixed-nBits growth the loop above records. nBits is re-sized per
+    // scale to hold expected per-(table, bucket) occupancy constant
+    // (Similarity.occupancySizedBits: +1 bit per corpus doubling);
+    // nTables drops to 4 so the largest sizing still fits tableBuckets'
+    // one-long signature (nBits · nTables <= 64). Claims under test,
+    // recorded in BASELINE.md:
+    //  - candidates/probe stays FLAT while the corpus grows 10× (the
+    //    fixed-nBits loop grows it ~linearly with the corpus);
+    //  - recall vs the exact restricted top-k stays flat too (the
+    //    recall/cost point is a function of occupancy, not corpus size).
+    {
+      val annK = 5
+      val annTables = 4
+      // anchors scale 1 at the ledger geometry's occupancy: 1800 corpus
+      // vectors / 2^6 buckets ≈ 28 per (table, bucket)
+      val targetOcc = 28
+      for (k <- Seq(1, 3, 10)) {
+        val dirKPath = java.nio.file.Files.createTempDirectory("graft_scale_annocc")
+        val dirK = dirKPath.toString
+        var stores = Seq.empty[String]
+        try {
+          val emb = Tables.load(spark, sfDir, "embeddings")
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          val expanded = expandEmbeddings(emb, k)
+          // Plant one near-dup-grade CORPUS neighbor (cos ≈ 0.95) per
+          // new-slice probe: w = v + 0.3·rot1(v), a deterministic pure-
+          // columnar perturbation (cos = (1+0.3ĉ)/sqrt(1.09+0.6ĉ) ≈
+          // 0.95-0.97 for the fixture's ĉ range). The isotropic fixture
+          // has NO high-sim cross-slice pairs of its own (measured max
+          // top-1 ≈ 0.6), so without planting, near-dup-grade recall —
+          // the production-relevant curve — would be unmeasurable.
+          // Planted ids land far past every expanded id and end in 3
+          // (corpus slice, never probes).
+          val planted = expanded
+            .filter(graft.operators.IncrementalAnn.isNewVec(col("vec_id")))
+            .select(((col("vec_id") + lit(10000000L)) * 10 + 3).as("vec_id"),
+              expr("transform(embedding, (x, i) -> " +
+                "x + 0.3d * element_at(embedding, ((i + 1) % size(embedding)) + 1))")
+                .as("embedding"))
+          expanded.unionByName(planted)
+            .write.mode("overwrite").parquet(s"$dirK/embeddings.parquet")
+          val scaled = spark.read.parquet(s"$dirK/embeddings.parquet")
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          val newP = graft.operators.IncrementalAnn.isNewVec(col("vec_id"))
+          val corpusN = scaled.filter(!newP).count()
+          val nBits = graft.operators.Similarity.occupancySizedBits(
+            corpusN, targetOcc, maxBits = 64 / annTables)
+          stores = Seq(
+            graft.operators.IncrementalAnn.bucketStore(spark, dirK, nBits, annTables),
+            graft.operators.IncrementalAnn.vectorStore(spark, dirK))
+          val t0 = System.nanoTime()
+          val nCand = graft.operators.IncrementalAnn
+            .candidateIds(spark, dirK, nBits, annTables).count()
+          val got = graft.operators.IncrementalAnn
+            .incrementalTopK(spark, dirK, annK, nBits, annTables)
+            .select("probe_id", "cand_id").localCheckpoint()
+          val tInc = (System.nanoTime() - t0) / 1e9
+          val exact = graft.operators.Similarity.topKBetween(
+              scaled.filter(newP), scaled.filter(!newP), annK)
+            .localCheckpoint()
+          val nExact = exact.count()
+          val nHits = exact.join(got, Seq("probe_id", "cand_id"), "left_semi").count()
+          // recall over HIGH-sim exact neighbors only (>= 0.8): the
+          // production-relevant curve. Isotropic random vectors make most
+          // exact top-5 rows mid-sim (~0.3-0.5), where angular collision
+          // p^nBits decays as nBits grows — that drop is a property of
+          // random fixtures, not of the sizing; near-dup-grade neighbors
+          // keep p ≈ 1 - acos(sim)/pi >= 0.8 and survive the re-sizing.
+          val hi = exact.filter(col("sim") >= 0.8).localCheckpoint()
+          val nHi = hi.count()
+          val nHitsHi = hi.join(got, Seq("probe_id", "cand_id"), "left_semi").count()
+          val nProbes = scaled.filter(newP).count()
+          val recallHi = if (nHi > 0) f"${nHitsHi.toDouble / nHi}%.3f" else "null"
+          println(f"""{"op":"ann_occupancy_constant","scale":$k,"corpus":$corpusN,"n_bits":$nBits,"n_tables":$annTables,"probes":$nProbes,"cand_per_probe":${nCand.toDouble / nProbes}%.1f,"recall":${nHits.toDouble / nExact}%.3f,"n_hi":$nHi,"recall_hi":$recallHi,"batch_sec":$tInc%.2f}""")
+        } finally {
+          stores.foreach { tbl =>
+            spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+            graft.sources.LayoutCache.deleteTree(java.nio.file.Paths.get(
+              System.getProperty("java.io.tmpdir"), "graft_bucketed", tbl))
+          }
+          graft.sources.LayoutCache.deleteTree(dirKPath)
+        }
       }
     }
     spark.stop()

@@ -43,10 +43,14 @@ object IncrementalAnn {
   val NewMod = 10
   val NewRem = 7
 
-  // same parameters as the whole-corpus x48 path — required for the
-  // restriction-equality contract
-  private val NBits = 6
-  private val NTables = 8
+  // default parameters = the whole-corpus x48 path's — required for the
+  // restriction-equality contract (and the x49 replayed-SQL oracle, which
+  // pins them). Both are overridable: fixed nBits means per-bucket
+  // occupancy grows linearly with the corpus, so a production deployment
+  // re-sizes nBits ~ log2(corpus) ([[Similarity.occupancySizedBits]]) —
+  // the occupancy-constant scale study drives these overrides.
+  private[graft] val NBits = 6
+  private[graft] val NTables = 8
   private val StoreBuckets = 8
 
   def isNewVec(id: Column): Column = id % NewMod === NewRem
@@ -56,14 +60,21 @@ object IncrementalAnn {
 
   private def tbk: Column = xxhash64(col("tb.t"), col("tb.bucket"))
 
-  /** Idempotently persist the corpus bucket store; returns the table name. */
-  def bucketStore(spark: SparkSession, dir: String): String =
+  /** Idempotently persist the corpus bucket store; returns the table name.
+    * The tag embeds (nBits, nTables): stores of different index geometries
+    * are different physical layouts, and a same-prefix tag mismatch is
+    * exactly what [[Bucketed.materializedBucketedTable]]'s sweep treats as
+    * stale — so re-sizing nBits for a fixture dir retires that dir's old
+    * store instead of leaking it (pre-r8 unsuffixed tags sweep the same way).
+    */
+  def bucketStore(spark: SparkSession, dir: String,
+                  nBits: Int = NBits, nTables: Int = NTables): String =
     Bucketed.materializedBucketedTable(spark, "annbkt_" + DirTag.dirScope(dir) + "_",
-      "annbkt_" + DirTag(dir, "embeddings"), "tbk", StoreBuckets) {
+      "annbkt_" + DirTag(dir, "embeddings") + s"_b${nBits}t$nTables", "tbk", StoreBuckets) {
       graft.functions.ArrayExpressions.register(spark)
       Similarity.tableBuckets(
           Similarity.vecFrame(corpusSlice(Tables.load(spark, dir, "embeddings"))),
-          NBits, NTables)
+          nBits, nTables)
         .select(tbk.as("tbk"), col("tb.t").as("t"), col("tb.bucket").as("bucket"),
           col("sz"), col("vec_id"))
     }
@@ -75,20 +86,19 @@ object IncrementalAnn {
       Similarity.vecFrame(corpusSlice(Tables.load(spark, dir, "embeddings")))
     }
 
-  /** Top-k corpus neighbors (probe_id, cand_id, sim, rank) for every
-    * new-batch vector, computed WITHOUT re-reading or re-signing the
-    * corpus: the batch is signed fresh; the corpus side comes entirely
-    * from the two persisted stores.
+  /** The candidate half of [[incrementalTopK]]: (probe_id, cand_id)
+    * shared-bucket collisions of the new batch against the persisted
+    * corpus index — exposed so the occupancy-constant scale study can
+    * count candidates/probe without ranking them.
     */
-  def incrementalTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  private[graft] def candidateIds(spark: SparkSession, dir: String,
+                                  nBits: Int = NBits, nTables: Int = NTables): DataFrame = {
     graft.functions.ArrayExpressions.register(spark)
-    val emb = Tables.load(spark, dir, "embeddings")
-    val store = spark.table(bucketStore(spark, dir))
-    val storeVecs = spark.table(vectorStore(spark, dir))
+    val store = spark.table(bucketStore(spark, dir, nBits, nTables))
 
     // the per-batch compute: signatures of the NEW vectors only
-    val probeVecs = Similarity.vecFrame(newSlice(emb))
-    val newIdx = Similarity.tableBuckets(probeVecs, NBits, NTables)
+    val probeVecs = Similarity.vecFrame(newSlice(Tables.load(spark, dir, "embeddings")))
+    val newIdx = Similarity.tableBuckets(probeVecs, nBits, nTables)
       .select(tbk.as("tbk"), col("tb.t").as("pt"), col("tb.bucket").as("pbucket"),
         col("sz").as("psz"), col("vec_id").as("probe_id"))
 
@@ -103,11 +113,24 @@ object IncrementalAnn {
     // (broadcast when it fits, shuffle of the already-touched-filtered
     // store side when it doesn't).
     val touched = newIdx.select(col("tbk")).distinct()
-    val candIds = store.join(broadcast(touched), "tbk")
+    store.join(broadcast(touched), "tbk")
       .join(newIdx,
         col("t") === col("pt") && col("bucket") === col("pbucket") &&
           col("sz") === col("psz") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("cand_id")).distinct()
-    Similarity.rankCandidates(candIds, probeVecs, storeVecs, k)
+  }
+
+  /** Top-k corpus neighbors (probe_id, cand_id, sim, rank) for every
+    * new-batch vector, computed WITHOUT re-reading or re-signing the
+    * corpus: the batch is signed fresh; the corpus side comes entirely
+    * from the two persisted stores.
+    */
+  def incrementalTopK(spark: SparkSession, dir: String, k: Int = 5,
+                      nBits: Int = NBits, nTables: Int = NTables): DataFrame = {
+    graft.functions.ArrayExpressions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val probeVecs = Similarity.vecFrame(newSlice(emb))
+    val storeVecs = spark.table(vectorStore(spark, dir))
+    Similarity.rankCandidates(candidateIds(spark, dir, nBits, nTables), probeVecs, storeVecs, k)
   }
 }

@@ -144,6 +144,46 @@ object Similarity {
   def hyperplaneBucket(v: Column, dim: Int, nBits: Int): Column =
     when(size(v) === dim, graft.functions.ArrayExpressions.hyperplaneBucket(v, nBits))
 
+  /** Occupancy-constant LSH sizing: the nBits that holds expected
+    * per-(table, bucket) occupancy at ~`targetOccupancy` for a given
+    * corpus size — `round(log2(corpus / targetOccupancy))`, floored at 1
+    * and capped so a signature slice still fits the caller's table count
+    * (`nBits · nTables ≤ 64`, [[tableBuckets]]'s invariant).
+    *
+    * With nBits FIXED, per-bucket occupancy — and therefore per-probe
+    * candidate sets and batch cost — grows linearly with the corpus (the
+    * x49 scale study records exactly that). Production sizing holds
+    * occupancy (and with it the recall/cost point) constant by growing
+    * the bucket space with the corpus: +1 bit per corpus doubling. The
+    * fixed-parameter x48/x49 ledger oracles deliberately do NOT use this
+    * (their replayed-SQL oracles pin nBits); the occupancy-constant scale
+    * study in [[graft.ScaleStudy]] does.
+    */
+  def occupancySizedBits(corpusSize: Long, targetOccupancy: Int, maxBits: Int = 16): Int = {
+    require(targetOccupancy > 0, "targetOccupancy must be positive")
+    val ratio = math.max(corpusSize.toDouble / targetOccupancy, 1.0)
+    math.min(math.max(math.round(math.log(ratio) / math.log(2.0)).toInt, 1), maxBits)
+  }
+
+  /** Exact top-k of every probe vector against every candidate vector
+    * (two (vec_id, v) frames), with [[bruteForceTopK]]'s scoring and
+    * tie-break — the recall baseline for a RESTRICTED search (x49's
+    * new-batch-vs-corpus shape, the occupancy study's ground truth).
+    * The probe side is broadcast: bounded by construction at the callers.
+    */
+  private[graft] def topKBetween(probeVecs: DataFrame, candVecs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
+    candVecs.select(col("vec_id").as("cand_id"), col("v").as("cv"))
+      .join(broadcast(probeVecs.select(col("vec_id").as("probe_id"), col("v").as("pv"))),
+        col("probe_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("pv"), col("cv")))
+      .filter(!isnan(col("sim")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("cand_id"), round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
   /** The shared multi-table angular-LSH index side: one fused
     * `nBits·nTables`-bit hyperplane signature per vector, then each table
     * is a cheap `nBits`-wide slice of it. Signs are computed over the

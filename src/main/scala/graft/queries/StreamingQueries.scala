@@ -241,26 +241,39 @@ object StreamingQueries {
     * flushes through the engine's normal eviction path. Deterministic: the
     * emitted SET equals the batch left join (matched pairs from the inner
     * path + null rows for proven-unmatched clicks), which is exactly the
-    * DuckDB oracle. Building the sentinels takes one max-ts probe of the
-    * fixture — the same documented class as x39's spool probe.
+    * DuckDB oracle.
+    *
+    * The sentinel rows are DERIVED inside the spool job (a 1-row max/min
+    * aggregate unioned into the feed write — no driver probe), and that
+    * same aggregate carries the sign-convention guard: the sink filter
+    * below silently drops negative click_ids as sentinels, so a fixture
+    * whose REAL ids go negative must abort the spool loudly
+    * (`raise_error`) instead of silently losing rows from the gate.
     */
   def intervalJoinOuter(spark: SparkSession, dir: String, windowSec: Long = 1800): DataFrame = {
     val events = Tables.load(spark, dir, "events")
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_id"), col("event_type"))
-    val maxUs = events.agg(max(col("us"))).head.getLong(0)
-    val sentinelUs = maxUs + (windowSec + 2 * 3600) * 1000000L
-    val sentinels = Seq(
-      (-1L, sentinelUs, -1L, "click"),
-      (-2L, sentinelUs, -2L, "purchase"))
-    import spark.implicits._
+    val sentinels = events
+      .agg(max(col("us")).as("mx"),
+        min(col("user_id")).as("mnu"), min(col("event_id")).as("mne"))
+      .where(col("mx").isNotNull) // empty feed -> no sentinels
+      .select(when(col("mnu") < 0 || col("mne") < 0,
+          raise_error(format_string("x50 sentinel convention requires non-negative " +
+            "user_id/event_id; got min(user_id)=%d, min(event_id)=%d", col("mnu"), col("mne"))))
+        .otherwise(col("mx") + lit((windowSec + 2 * 3600) * 1000000L)).as("us"))
+      .select(explode(array(
+        struct(lit(-1L).as("user_id"), col("us"), lit(-1L).as("event_id"),
+          lit("click").as("event_type")),
+        struct(lit(-2L).as("user_id"), col("us"), lit(-2L).as("event_id"),
+          lit("purchase").as("event_type")))).as("s"))
+      .select(col("s.user_id"), col("s.us"), col("s.event_id"), col("s.event_type"))
     val spool = Files.createTempDirectory("graft_stream_ojoin")
     val feedDir = spool.resolve("feed").toString
     val name = s"graft_stream_ojoin_${runSeq.incrementAndGet()}"
     try {
-      spoolChronological(events.unionByName(
-        sentinels.toDF("user_id", "us", "event_id", "event_type")), feedDir, FeedFiles)
+      spoolChronological(events.unionByName(sentinels), feedDir, FeedFiles)
       val stream = spark.readStream
         .schema(events.schema)
         .option("maxFilesPerTrigger", "1")
@@ -424,10 +437,21 @@ object StreamingQueries {
       // breaks the advertised bit-for-bit stream==batch guarantee
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
-    // One-row read off a single-column max — the sentinel must postdate
-    // every event by more than watermark + gap. (Same bounded driver-read
-    // pattern as ivfTopK's dim probe; NOT a data materialization.)
-    val maxUsRow = events.agg(max(col("us"))).head()
+    // Sentinel frame, derived by a JOB when written (no driver probe):
+    // the sentinel must postdate every event by more than watermark +
+    // gap. The same 1-row aggregate carries the sign-convention guard —
+    // the sink filter below silently drops user_id < 0 as sentinels, so
+    // a fixture whose real users go negative must fail LOUDLY here, not
+    // quietly lose those users from the driver gate.
+    val sentinel = events
+      .agg(max(col("us")).as("mx"), min(col("user_id")).as("mnu"))
+      .where(col("mx").isNotNull) // empty feed -> no sentinel file rows
+      .select(
+        when(col("mnu") < 0, raise_error(format_string(
+          "x26 sentinel convention requires non-negative user_id; got min(user_id)=%d",
+          col("mnu")))).otherwise(lit(-1L)).as("user_id"),
+        (col("mx") + 1000L * 3600 * 1000000).as("us"),
+        lit(0L).as("cents"))
     val spool = Files.createTempDirectory("graft_stream_spool")
     val feedDir = spool.resolve("feed").toString
     val name = s"graft_stream_gap_${runSeq.incrementAndGet()}"
@@ -462,15 +486,12 @@ object StreamingQueries {
             .start()
           try {
             q.processAllAvailable() // all FeedFiles batches, chronologically
-            if (!maxUsRow.isNullAt(0)) {
-              // far-future sentinel (user -1) as one more spooled file: its
-              // event time pushes the watermark past every open session's
-              // timeout, flushing idle sessions — written AFTER the first
-              // drain so it is guaranteed to arrive as its own micro-batch
-              Seq(GapEvent(-1L, maxUsRow.getLong(0) + 1000L * 3600 * 1000000, 0))
-                .toDS().coalesce(1).write.mode("append").parquet(feedDir)
-              q.processAllAvailable()
-            }
+            // far-future sentinel (user -1) as one more spooled file: its
+            // event time pushes the watermark past every open session's
+            // timeout, flushing idle sessions — written AFTER the first
+            // drain so it is guaranteed to arrive as its own micro-batch
+            sentinel.coalesce(1).write.mode("append").parquet(feedDir)
+            q.processAllAvailable()
             // materialize off the memory sink, then drop its temp view —
             // repeated bench/verify invocations must not pin one full
             // result copy per run in driver memory for the session lifetime
@@ -509,10 +530,11 @@ object StreamingQueries {
     * through the FSM's normal gap transition (gap >> 210 s closes at the
     * PREVIOUS point; E opens nothing; emitted set identical to the batch
     * end-of-group flush) — deterministic, with no reliance on the idle
-    * timeout, which a finite replay's watermark never crosses. Building
-    * them takes one fixture-sized driver probe (max ts + taxi list, ~500
-    * values — same documented class as x39's max-ts probe). The memory
-    * sink holds only emitted airport trips: output-sized by construction.
+    * timeout, which a finite replay's watermark never crosses. The
+    * sentinel frame is DERIVED inside the spool job — distinct taxis
+    * crossed with the broadcast 1-row global max — so no taxi list or
+    * max-ts value ever materializes on the driver. The memory sink holds
+    * only emitted airport trips: output-sized by construction.
     */
   def streamingTaxiDaily(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -520,21 +542,23 @@ object StreamingQueries {
         graft.sources.TaxiText.readSegments(spark, s"${TaxiQueries.FixtureDir}/segments.txt"))
       .withColumn("ts", graft.functions.Geo.tsToEpoch(col("tsS")))
       .select(col("taxi"), col("ts"), col("tsS"), col("latS"), col("longS"), col("status"))
-    val maxTs = positions.agg(max(col("ts"))).head.getDouble(0)
-    val taxis = positions.select(col("taxi")).distinct().as[Int].collect().sorted
-    val sentinelTs = maxTs + 3600
-    val sentinelTsS = java.time.LocalDateTime
-      .ofEpochSecond(sentinelTs.toLong, 0, java.time.ZoneOffset.UTC)
-      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
-    val sentinels = taxis.toIndexedSeq.map(t =>
-      graft.operators.TaxiPosition(t, sentinelTs, sentinelTsS, "37.70000", "-122.40000", "E"))
+    // tsS truncates like the ts-double -> epoch-second path always has
+    // (sentinel times are whole hours past a whole-second max in the
+    // fixture, so floor == identity there); session timezone is UTC
+    // everywhere this library runs (BenchHarness/Verify/tests pin it)
+    val bounds = positions.agg(max(col("ts")).as("mts")).where(col("mts").isNotNull)
+    val sentinels = positions.select(col("taxi")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("taxi"), (col("mts") + 3600).as("ts"),
+        date_format(timestamp_seconds(floor(col("mts") + 3600).cast("long")),
+          "yyyy-MM-dd HH:mm:ss").as("tsS"),
+        lit("37.70000").as("latS"), lit("-122.40000").as("longS"), lit("E").as("status"))
 
     val spool = Files.createTempDirectory("graft_stream_taxi")
     val feedDir = spool.resolve("feed").toString
     val name = s"graft_stream_taxi_${runSeq.incrementAndGet()}"
     try {
-      spoolChronological(positions.unionByName(sentinels.toDF(
-        "taxi", "ts", "tsS", "latS", "longS", "status")), feedDir, FeedFiles, "ts")
+      spoolChronological(positions.unionByName(sentinels), feedDir, FeedFiles, "ts")
       val stream = spark.readStream
         .schema(positions.schema)
         .option("maxFilesPerTrigger", "1")

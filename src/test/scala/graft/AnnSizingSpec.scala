@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.{IncrementalAnn, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Occupancy-constant ANN sizing (the x49 scale story): with nBits fixed,
+  * per-bucket occupancy — and so per-probe candidate sets — grows linearly
+  * with the corpus; sizing nBits ~ log2(corpus)
+  * ([[Similarity.occupancySizedBits]]) holds candidates/probe flat. These
+  * tests pin the sizing arithmetic and MEASURE the flatness claim on a 4×
+  * corpus growth (the full 1×/3×/10× study runs in [[ScaleStudy]] and is
+  * recorded in BASELINE.md).
+  */
+class AnnSizingSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("occupancySizedBits: +1 bit per corpus doubling, floor 1, cap maxBits") {
+    // the study anchors: sf0.1's 1800-vector corpus at occupancy ~28 is
+    // the ledger geometry (2^6 buckets); 3x and 10x re-size to 8 and 9
+    assert(Similarity.occupancySizedBits(1800, 28) == 6)
+    assert(Similarity.occupancySizedBits(5400, 28) == 8)
+    assert(Similarity.occupancySizedBits(18000, 28) == 9)
+    // doubling the corpus adds exactly one bit once past the floor
+    assert(Similarity.occupancySizedBits(3600, 28) == 7)
+    // floor: a corpus below the target occupancy still gets 1 bit
+    assert(Similarity.occupancySizedBits(10, 28) == 1)
+    assert(Similarity.occupancySizedBits(0, 28) == 1)
+    // cap: never exceeds what the caller's signature budget allows
+    assert(Similarity.occupancySizedBits(1L << 40, 1, maxBits = 16) == 16)
+    // monotone non-decreasing in corpus size
+    val sizes = Seq(100L, 1000L, 10000L, 100000L, 1000000L)
+      .map(Similarity.occupancySizedBits(_, 28))
+    assert(sizes == sizes.sorted, s"sizing not monotone: $sizes")
+  }
+
+  test("candidates/probe: flat under sized nBits, grows under fixed nBits (4x corpus)") {
+    val nTables = 4
+    val targetOcc = 28
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+    // per scale: (corpus size, probes, candidates at given nBits)
+    def measure(k: Int, nBitsOf: Long => Int): (Long, Double) = {
+      val dirKPath = java.nio.file.Files.createTempDirectory("graft_annsizing")
+      var stores = Seq.empty[String]
+      try {
+        ScaleStudy.expandEmbeddings(emb, k)
+          .write.mode("overwrite").parquet(s"$dirKPath/embeddings.parquet")
+        val scaled = spark.read.parquet(s"$dirKPath/embeddings.parquet")
+        val newP = IncrementalAnn.isNewVec(col("vec_id"))
+        val corpusN = scaled.filter(!newP).count()
+        val nBits = nBitsOf(corpusN)
+        stores = Seq(IncrementalAnn.bucketStore(spark, dirKPath.toString, nBits, nTables),
+          IncrementalAnn.vectorStore(spark, dirKPath.toString))
+        val nCand = IncrementalAnn.candidateIds(spark, dirKPath.toString, nBits, nTables).count()
+        val nProbes = scaled.filter(newP).count()
+        (corpusN, nCand.toDouble / nProbes)
+      } finally {
+        stores.foreach { tbl =>
+          spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+          graft.sources.LayoutCache.deleteTree(java.nio.file.Paths.get(
+            System.getProperty("java.io.tmpdir"), "graft_bucketed", tbl))
+        }
+        graft.sources.LayoutCache.deleteTree(dirKPath)
+      }
+    }
+
+    val sized: Long => Int = Similarity.occupancySizedBits(_, targetOcc, maxBits = 64 / nTables)
+    val (corpus1, basePerProbe) = measure(1, sized)
+    val (corpus4, sizedPerProbe) = measure(4, sized)
+    val (_, fixedPerProbe) = measure(4, _ => sized(corpus1))
+    assert(corpus4 > 3 * corpus1, s"expansion did not grow the corpus: $corpus1 -> $corpus4")
+    // fixed nBits: occupancy (and with it candidates/probe) tracks the
+    // corpus — 4x data must at least double the per-probe candidate load
+    assert(fixedPerProbe >= 2.0 * basePerProbe,
+      s"fixed-nBits candidates/probe did not grow: $basePerProbe -> $fixedPerProbe")
+    // sized nBits: expected occupancy is constant by construction; allow
+    // a 2x band for the chance collisions of a small random fixture
+    assert(sizedPerProbe <= 2.0 * basePerProbe && sizedPerProbe >= basePerProbe / 2.0,
+      s"sized-nBits candidates/probe not flat: $basePerProbe -> $sizedPerProbe")
+    // and the sizing actually engaged: the 4x corpus got more bits
+    assert(sized(corpus4) > sized(corpus1))
+  }
+
+  test("re-sizing nBits for a dir retires its old bucket store (sweep, not leak)") {
+    val dirKPath = java.nio.file.Files.createTempDirectory("graft_annsizing_sweep")
+    var live = Seq.empty[String]
+    try {
+      Tables.load(spark, sf, "embeddings")
+        .write.mode("overwrite").parquet(s"$dirKPath/embeddings.parquet")
+      val s1 = IncrementalAnn.bucketStore(spark, dirKPath.toString, 4, 4)
+      val s2 = IncrementalAnn.bucketStore(spark, dirKPath.toString, 6, 4)
+      live = Seq(s2, IncrementalAnn.vectorStore(spark, dirKPath.toString))
+      assert(s1 != s2, "different geometries must get different store tags")
+      assert(!spark.catalog.tableExists(s1), "old-geometry store table must be swept")
+      assert(spark.catalog.tableExists(s2))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_bucketed", s1)),
+        "old-geometry store files must be swept")
+    } finally {
+      live.foreach { tbl =>
+        spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        graft.sources.LayoutCache.deleteTree(java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_bucketed", tbl))
+      }
+      graft.sources.LayoutCache.deleteTree(dirKPath)
+    }
+  }
+}

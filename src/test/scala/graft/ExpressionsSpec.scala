@@ -325,6 +325,58 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(profile.getAs[Long]("n_chunks") > profile.getAs[Long]("n_unique_chunks"))
   }
 
+  test("every registered function evaluates through SQL TEXT, matching the Column-wrapper path") {
+    // The kernels' correctness is pinned per-function above through the
+    // Column wrappers; what this test pins is the SQL surface itself —
+    // name resolution, argument binding order, and literal-argument
+    // evaluation (intArg) for EVERY registered name, aggregates included.
+    // A builder that swapped two arguments or mis-evaluated a literal
+    // would pass every wrapper test and break every spark.sql caller.
+    ArrayExpressions.register(spark)
+    // scalars: one row through SQL text, the same expressions through the
+    // wrappers — results must be identical field for field
+    val scalarSql =
+      "SELECT cosine_similarity(array(3d, 4d), array(4d, 3d)) AS cos, " +
+        "sorted_long_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS isect, " +
+        "minhash_signature(array(7L, 9L), 4) AS mh, " +
+        "shingle_hashes_sorted('abcdef', 3) AS sh, " +
+        "simhash64(array('a', 'b', 'a')) AS sim, " +
+        "hyperplane_bucket(array(1d, 0d, 0d), 4) AS hb, " +
+        "cdc_chunks('hello world hello chunk', 4, 3, 16) AS ch, " +
+        "doc_fingerprint('abc abc xyz', 2) AS fp, " +
+        "lexicon_hits('the cat and the dog') AS lex, " +
+        "deflate_ratio('aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa') AS dr"
+    val viaSql = spark.sql(scalarSql).collect()(0)
+    val viaWrapper = spark.range(1).select(
+      ArrayExpressions.cosineSim(expr("array(3d, 4d)"), expr("array(4d, 3d)")).as("cos"),
+      ArrayExpressions.sortedLongIntersectCount(
+        expr("array(1L, 2L, 5L)"), expr("array(2L, 3L, 5L)")).as("isect"),
+      ArrayExpressions.minhashSignature(expr("array(7L, 9L)"), 4).as("mh"),
+      ArrayExpressions.shingleHashesSorted(lit("abcdef"), 3).as("sh"),
+      ArrayExpressions.simhash64(expr("array('a', 'b', 'a')")).as("sim"),
+      ArrayExpressions.hyperplaneBucket(expr("array(1d, 0d, 0d)"), 4).as("hb"),
+      ArrayExpressions.cdcChunks(lit("hello world hello chunk"), 4, 3, 16).as("ch"),
+      ArrayExpressions.docFingerprint(lit("abc abc xyz"), 2).as("fp"),
+      ArrayExpressions.lexiconHits(lit("the cat and the dog")).as("lex"),
+      ArrayExpressions.deflateRatio(lit("aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa")).as("dr")
+    ).collect()(0)
+    assert(viaSql.toString == viaWrapper.toString,
+      s"SQL-text path diverged from wrapper path:\n  sql: $viaSql\n  col: $viaWrapper")
+    // spot values so both paths can't be identically wrong on the basics
+    assert(math.abs(viaSql.getAs[Double]("cos") - 24.0 / 25.0) < 1e-12)
+    assert(viaSql.getAs[Int]("isect") == 2)
+
+    // aggregates through SQL text under GROUP BY: top_k_by_score keeps
+    // the top-2 (score desc) and vector_sum adds element-wise
+    val agg = spark.sql(
+      "SELECT k, top_k_by_score(s, id, 2) AS top, vector_sum(v) AS vs FROM VALUES " +
+        "(0, 1d, 10L, array(1d, 2d)), (0, 3d, 11L, array(10d, 20d)), " +
+        "(0, 2d, 12L, array(100d, 200d)) AS t(k, s, id, v) GROUP BY k").collect()(0)
+    assert(agg.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getAs[Double]("score"), r.getAs[Long]("id"))) == Seq((3.0, 11L), (2.0, 12L)))
+    assert(agg.getSeq[Double](2) == Seq(111.0, 222.0))
+  }
+
   test("every functionBuilders entry is registered and SQL-resolvable") {
     ArrayExpressions.register(spark)
     val registry = spark.sessionState.functionRegistry
