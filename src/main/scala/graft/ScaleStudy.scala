@@ -234,7 +234,19 @@ object ScaleStudy {
           val nHitsHi = hi.join(got, Seq("probe_id", "cand_id"), "left_semi").count()
           val nProbes = scaled.filter(newP).count()
           val recallHi = if (nHi > 0) f"${nHitsHi.toDouble / nHi}%.3f" else "null"
-          println(f"""{"op":"ann_occupancy_constant","scale":$k,"corpus":$corpusN,"n_bits":$nBits,"n_tables":$annTables,"probes":$nProbes,"cand_per_probe":${nCand.toDouble / nProbes}%.1f,"recall":${nHits.toDouble / nExact}%.3f,"n_hi":$nHi,"recall_hi":$recallHi,"batch_sec":$tInc%.2f}""")
+          // the multi-probe policy (x51) over the SAME stores: candidates
+          // multiply by ≤ nBits+1 — O(log corpus) per probe under this
+          // sizing — and near-dup recall should saturate ~1 at every scale
+          val t1 = System.nanoTime()
+          val nCandMp = graft.operators.IncrementalAnn
+            .candidateIds(spark, dirK, nBits, annTables, multiProbe = true).count()
+          val gotMp = graft.operators.IncrementalAnn
+            .incrementalTopK(spark, dirK, annK, nBits, annTables, multiProbe = true)
+            .select("probe_id", "cand_id").localCheckpoint()
+          val tMp = (System.nanoTime() - t1) / 1e9
+          val nHitsHiMp = hi.join(gotMp, Seq("probe_id", "cand_id"), "left_semi").count()
+          val recallHiMp = if (nHi > 0) f"${nHitsHiMp.toDouble / nHi}%.3f" else "null"
+          println(f"""{"op":"ann_occupancy_constant","scale":$k,"corpus":$corpusN,"n_bits":$nBits,"n_tables":$annTables,"probes":$nProbes,"cand_per_probe":${nCand.toDouble / nProbes}%.1f,"recall":${nHits.toDouble / nExact}%.3f,"n_hi":$nHi,"recall_hi":$recallHi,"batch_sec":$tInc%.2f,"mp_cand_per_probe":${nCandMp.toDouble / nProbes}%.1f,"mp_recall_hi":$recallHiMp,"mp_batch_sec":$tMp%.2f}""")
         } finally {
           stores.foreach { tbl =>
             spark.sql(s"DROP TABLE IF EXISTS `$tbl`")

@@ -90,15 +90,31 @@ object IncrementalAnn {
     * shared-bucket collisions of the new batch against the persisted
     * corpus index — exposed so the occupancy-constant scale study can
     * count candidates/probe without ranking them.
+    *
+    * `multiProbe` applies [[Similarity.multiProbeTopK]]'s Hamming-1
+    * bucket expansion to the BATCH side only — a query-time policy over
+    * the unchanged persisted store (the probe fan-out multiplies the
+    * tiny batch index by nBits+1; the corpus side never re-signs), so
+    * one index serves both probing policies incrementally too.
     */
   private[graft] def candidateIds(spark: SparkSession, dir: String,
-                                  nBits: Int = NBits, nTables: Int = NTables): DataFrame = {
+                                  nBits: Int = NBits, nTables: Int = NTables,
+                                  multiProbe: Boolean = false): DataFrame = {
     graft.functions.ArrayExpressions.register(spark)
     val store = spark.table(bucketStore(spark, dir, nBits, nTables))
 
     // the per-batch compute: signatures of the NEW vectors only
     val probeVecs = Similarity.vecFrame(newSlice(Tables.load(spark, dir, "embeddings")))
-    val newIdx = Similarity.tableBuckets(probeVecs, nBits, nTables)
+    val baseIdx = Similarity.tableBuckets(probeVecs, nBits, nTables)
+    val probeIdx =
+      if (!multiProbe) baseIdx
+      else baseIdx
+        .withColumn("flip",
+          explode(array((lit(0L) +: (0 until nBits).map(b => lit(1L << b))): _*)))
+        .withColumn("tb", struct(col("tb.t").as("t"),
+          col("tb.bucket").bitwiseXOR(col("flip")).as("bucket")))
+        .drop("flip")
+    val newIdx = probeIdx
       .select(tbk.as("tbk"), col("tb.t").as("pt"), col("tb.bucket").as("pbucket"),
         col("sz").as("psz"), col("vec_id").as("probe_id"))
 
@@ -126,11 +142,13 @@ object IncrementalAnn {
     * from the two persisted stores.
     */
   def incrementalTopK(spark: SparkSession, dir: String, k: Int = 5,
-                      nBits: Int = NBits, nTables: Int = NTables): DataFrame = {
+                      nBits: Int = NBits, nTables: Int = NTables,
+                      multiProbe: Boolean = false): DataFrame = {
     graft.functions.ArrayExpressions.register(spark)
     val emb = Tables.load(spark, dir, "embeddings")
     val probeVecs = Similarity.vecFrame(newSlice(emb))
     val storeVecs = spark.table(vectorStore(spark, dir))
-    Similarity.rankCandidates(candidateIds(spark, dir, nBits, nTables), probeVecs, storeVecs, k)
+    Similarity.rankCandidates(
+      candidateIds(spark, dir, nBits, nTables, multiProbe), probeVecs, storeVecs, k)
   }
 }

@@ -84,6 +84,30 @@ class AnnSizingSpec extends AnyFunSuite {
     assert(sized(corpus4) > sized(corpus1))
   }
 
+  test("incremental multi-probe: candidate superset, top-1 sims never degrade, same stores") {
+    // the x51 policy applied to the persisted-store path: Hamming-1
+    // probe expansion can only ADD candidates (exact bucket = flip 0),
+    // so the candidate set is a strict superset on any non-degenerate
+    // fixture and every probe's best-found neighbor is at least as good
+    val dir = "/root/testdata/sf0.01"
+    val cs = IncrementalAnn.candidateIds(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    val cm = IncrementalAnn.candidateIds(spark, dir, multiProbe = true)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(cs.subsetOf(cm), s"multi-probe dropped candidates: ${(cs -- cm).take(3)}")
+    assert(cm.size > cs.size, "multi-probe added no candidates — flips not engaging")
+    def top1(multiProbe: Boolean): Map[Long, Double] =
+      IncrementalAnn.incrementalTopK(spark, dir, multiProbe = multiProbe)
+        .filter(col("rank") === 1)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val s1 = top1(multiProbe = false)
+    val m1 = top1(multiProbe = true)
+    s1.foreach { case (p, sim) =>
+      assert(m1.getOrElse(p, Double.NegativeInfinity) >= sim - 1e-9,
+        s"probe $p: multi-probe top-1 ${m1.get(p)} below single-probe $sim")
+    }
+  }
+
   test("re-sizing nBits for a dir retires its old bucket store (sweep, not leak)") {
     val dirKPath = java.nio.file.Files.createTempDirectory("graft_annsizing_sweep")
     var live = Seq.empty[String]
