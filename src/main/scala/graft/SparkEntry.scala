@@ -100,6 +100,11 @@ object SparkEntry {
     // neighbor bucket — the recall lever at fixed table count; the flips
     // are integer XORs of the replayed buckets, so this hash-gates too
     "x51_multiprobe_ann" -> ((s, d) => Similarity.multiProbeTopK(Tables.load(s, d, "embeddings"), 10, 5)),
+    // int8 shortlist + float rescore: int8 dot/norm sums are exact
+    // integers, so the quantized ranking is bit-reproducible and the
+    // whole pipeline (quantize -> int8 rank -> shortlist -> rescore)
+    // replays in DuckDB SQL
+    "x52_int8_rescore_ann" -> ((s, d) => Similarity.int8RescoreTopK(Tables.load(s, d, "embeddings"), 10, 5)),
     // the incremental production shape: new-batch probes against the
     // PERSISTED corpus bucket + vector stores (x31's pattern for ANN) —
     // the corpus is never re-read or re-signed; the oracle replays the
@@ -896,6 +901,31 @@ object SparkEntry {
           |  JOIN tb c ON p.t = c.t AND xor(p.bucket, flips.f::BIGINT) = c.bucket AND p.sz = c.sz
           |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
           |)""".stripMargin + AnnRankSql),
+    // x16's quantization replayed (scale = max|v|/127, round = HALF-UP
+    // away from zero in both engines), int8 cosine on EXACT integer
+    // sums, shortlist cut of 15 by (qsim desc, cand_id), float rescore —
+    // the same pipeline the engine runs, stage for stage
+    "x52_int8_rescore_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM e),
+        |q AS (SELECT vec_id, v, list_transform(v, x -> round(x / scale)) AS qv FROM sc WHERE scale > 0),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, qv AS pq FROM q WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, v AS cv, qv AS cq FROM q),
+        |j AS (
+        |  SELECT probe_id, cand_id, pv, cv, list_cosine_similarity(pq, cq) AS qsim
+        |  FROM c JOIN p ON probe_id != cand_id
+        |  WHERE NOT isnan(list_cosine_similarity(pq, cq))),
+        |sl AS (
+        |  SELECT probe_id, cand_id, pv, cv FROM j
+        |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY qsim DESC, cand_id) <= 15),
+        |s AS (
+        |  SELECT probe_id, cand_id, list_cosine_similarity(pv, cv) AS rawsim
+        |  FROM sl WHERE NOT isnan(list_cosine_similarity(pv, cv)))
+        |SELECT probe_id, cand_id, round(rawsim, 4) AS sim,
+        |       CAST(row_number() OVER (PARTITION BY probe_id ORDER BY rawsim DESC, cand_id) AS int) AS rank
+        |FROM s
+        |QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY rawsim DESC, cand_id) <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
     // the incremental form: same replayed index, probes restricted to the
     // new-batch slice and candidates to the corpus slice — DuckDB
     // recomputes exactly what the engine reads from its persisted bucket

@@ -312,6 +312,45 @@ object Similarity {
     rankCandidates(candIds, vecs.filter(col("vec_id") < nProbes), vecs, k)
   }
 
+  /** x52: int8-quantized ANN with float rescore — the memory/bandwidth
+    * production path that x16's calibration sets up. All candidates are
+    * ranked in INT8 space first (x16's exact quantization: per-vector
+    * scale = max|v|/127, HALF-UP rounding; cosine is scale-invariant, so
+    * the per-vector scales cancel and the int8 ranking needs no
+    * dequantization), a `shortlist`-deep prefix survives per probe, and
+    * only that shortlist is rescored with exact float cosine for the
+    * final top-k. The int8 phase ships `array<tinyint>` rows — 8× less
+    * exchange/scan volume than the float64 vectors, which only the
+    * shortlist·nProbes rescore rows ever touch.
+    *
+    * Fully hash-gated: int8 dot/norm sums are EXACT integers (≤ 127²·dim
+    * « 2^53), so the int8 cosine is bit-reproducible in any engine that
+    * divides IEEE doubles — the quantize → int8-rank → shortlist →
+    * float-rescore pipeline replays in DuckDB SQL verbatim. Zero-scale
+    * (all-zero) vectors drop at quantization; they have no cosine to
+    * anything.
+    */
+  def int8RescoreTopK(emb: DataFrame, nProbes: Int, k: Int, shortlist: Int = 15): DataFrame = {
+    graft.functions.ArrayExpressions.register(emb.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val vecs = vecFrame(emb)
+    val q = vecs
+      .withColumn("scale", expr("aggregate(v, 0d, (m, x) -> greatest(m, abs(x))) / 127d"))
+      .filter(col("scale") > 0)
+      .select(col("vec_id"), expr("transform(v, x -> CAST(round(x / scale) AS tinyint))").as("qv"))
+    val probes = q.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pq"))
+    val wq = Window.partitionBy("probe_id").orderBy(col("qsim").desc, col("cand_id"))
+    val shortIds = q.select(col("vec_id").as("cand_id"), col("qv").as("cq"))
+      .join(broadcast(probes), col("probe_id") =!= col("cand_id"))
+      .withColumn("qsim", cosine(col("pq").cast("array<double>"), col("cq").cast("array<double>")))
+      .filter(!isnan(col("qsim")))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= shortlist)
+      .select(col("probe_id"), col("cand_id"))
+    rankCandidates(shortIds, vecs.filter(col("vec_id") < nProbes), vecs, k)
+  }
+
   /** Exact-cosine ranking of a candidate-ID set with x7's tie-break —
     * the verification half shared by [[lshTopK]] and
     * [[IncrementalAnn.incrementalTopK]]. No forced broadcast of the probe

@@ -532,6 +532,36 @@ class QueriesSpec extends AnyFunSuite {
     val rm = multiHits.size.toDouble / exact.size
     assert(rm >= rs, s"multi-probe recall $rm below single-probe $rs")
     System.err.println(f"[x51] recall single=$rs%.3f multi=$rm%.3f (exact top-5 n=${exact.size})")
+    // plan shape: the probe fan-out (nProbes·nTables·(nBits+1) 16-byte
+    // rows) must BROADCAST against the index scan — a shuffled probe
+    // side would mean the bounded side is driving an exchange of the
+    // corpus-scale index at 100 TB
+    val plan = graft.operators.Similarity.multiProbeTopK(emb, 10, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"multi-probe candidate join lost its broadcast probe side:\n$plan")
+  }
+
+  test("x52 int8-rescore ANN: near-exact recall; shortlist phase ships tinyint arrays") {
+    // int8 quantization drifts cosine by ~1e-4 on this fixture (x16's
+    // measured cos_drift), so a 15-deep int8 shortlist should virtually
+    // always contain the true top-5 — losing one needs 11+ candidates
+    // packed within the drift of a true neighbor. The float rescore then
+    // restores exact ordering on whatever survived.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val exact = graft.operators.Similarity.bruteForceTopK(emb, 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = graft.operators.Similarity.int8RescoreTopK(emb, 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"int8-rescore recall $recall — quantized shortlist losing true neighbors")
+    // the bandwidth claim is structural: the shortlist phase must
+    // quantize to tinyint elements (the per-element cast in the plan),
+    // not rank on the float64 originals
+    val analyzed = graft.operators.Similarity.int8RescoreTopK(emb, 10, 5)
+      .queryExecution.analyzed.toString.toLowerCase
+    assert(analyzed.contains("tinyint"),
+      s"int8 shortlist phase is not quantizing to tinyint:\n$analyzed")
   }
 
   test("ANN on ragged embeddings: no crash (ANSI), no cross-dimension pair ever") {
