@@ -332,7 +332,6 @@ object Similarity {
     */
   def int8RescoreTopK(emb: DataFrame, nProbes: Int, k: Int, shortlist: Int = 15): DataFrame = {
     graft.functions.ArrayExpressions.register(emb.sparkSession)
-    import org.apache.spark.sql.expressions.Window
     val vecs = vecFrame(emb)
     val q = vecs
       .withColumn("scale", expr("aggregate(v, 0d, (m, x) -> greatest(m, abs(x))) / 127d"))
@@ -340,14 +339,20 @@ object Similarity {
       .select(col("vec_id"), expr("transform(v, x -> CAST(round(x / scale) AS tinyint))").as("qv"))
     val probes = q.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("qv").as("pq"))
-    val wq = Window.partitionBy("probe_id").orderBy(col("qsim").desc, col("cand_id"))
+    // shortlist via the bounded-heap aggregate (x22's kernel, identical
+    // ordering and tie-break to a window rank): partial aggregation cuts
+    // every map task's slice to `shortlist` rows per probe BEFORE the
+    // exchange, so the shuffle carries shortlist·probes·tasks rows — a
+    // window formulation would shuffle EVERY scored (probe, cand) pair,
+    // which is the nProbes·corpus term that breaks at 100 TB
     val shortIds = q.select(col("vec_id").as("cand_id"), col("qv").as("cq"))
       .join(broadcast(probes), col("probe_id") =!= col("cand_id"))
       .withColumn("qsim", cosine(col("pq").cast("array<double>"), col("cq").cast("array<double>")))
       .filter(!isnan(col("qsim")))
-      .withColumn("qrank", row_number().over(wq))
-      .filter(col("qrank") <= shortlist)
-      .select(col("probe_id"), col("cand_id"))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.ArrayExpressions.topKByScore(col("qsim"), col("cand_id"), shortlist)
+        .as("top"))
+      .select(col("probe_id"), explode(expr("transform(top, t -> t.id)")).as("cand_id"))
     rankCandidates(shortIds, vecs.filter(col("vec_id") < nProbes), vecs, k)
   }
 
