@@ -586,6 +586,36 @@ class QueriesSpec extends AnyFunSuite {
       "zero vector must never rank (NaN cosine drops at verification)")
   }
 
+  test("x51/x52 on ragged + zero vectors: no crash, zero vectors never rank, x51 never cross-dims") {
+    import spark.implicits._
+    // same adversarial fixture as the lshTopK ragged test: mixed 8/16-dim
+    // vectors plus an all-zero vector
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 30L).map { i =>
+      val dim = if (i % 2 == 0) 8 else 16
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    } :+ (30L, Array.fill(8)(0.0f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val dims = rows.map { case (id, v) => id -> v.length }.toMap
+    // x51: the (tb, sz) join key must keep Hamming-1 probing inside one
+    // dimensionality — a flip changes the bucket, never the size
+    val mp = graft.operators.Similarity.multiProbeTopK(emb, 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mp.nonEmpty)
+    mp.foreach { case (p, c) =>
+      assert(dims(p) == dims(c), s"x51 cross-dimension pair ($p: ${dims(p)}, $c: ${dims(c)})") }
+    assert(!mp.exists(t => t._1 == 30L || t._2 == 30L), "zero vector must never rank in x51")
+    // x52: the zero vector quantizes to scale 0 and is dropped outright
+    // (it is neither probe nor candidate); everything else ranks without
+    // an ANSI abort, with x7's prefix-cosine semantics on mixed dims
+    val i8 = graft.operators.Similarity.int8RescoreTopK(emb, 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(i8.nonEmpty)
+    assert(!i8.exists(t => t._1 == 30L || t._2 == 30L), "zero vector must never rank in x52")
+    i8.groupBy(_._1).foreach { case (p, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.size), s"probe $p ranks not contiguous") }
+  }
+
   test("x49 incremental ANN == whole-index search restricted to new-probe/corpus-candidate pairs") {
     // sf0.01 — the driver-gate fixture; the store-backed path must equal
     // a FRESH (no-store) computation of the same restricted search, so
