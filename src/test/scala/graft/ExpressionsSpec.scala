@@ -387,6 +387,45 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("EVERY kernel: interpreted eval == codegen result (factoryMode sweep)") {
+    // each custom Expression carries a hand-written doGenCode next to its
+    // nullSafeEval; Spark only ever exercises one of them per plan, so a
+    // divergence (an index off by one in the generated loop, a missed
+    // null guard) ships silently. Force both paths over one row that
+    // touches every registered scalar kernel and require identical
+    // results. (CODEGEN_ONLY would throw on any aggregate in the row, so
+    // the aggregates get their own two-mode GROUP BY below.)
+    ArrayExpressions.register(spark)
+    val scalarSql =
+      "SELECT cosine_similarity(array(3d, 4d), array(4d, 3d)) AS cos, " +
+        "sorted_long_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS isect, " +
+        "minhash_signature(array(7L, 9L), 4) AS mh, " +
+        "shingle_hashes_sorted('abcdef', 3) AS sh, " +
+        "simhash64(array('a', 'b', 'a')) AS sim, " +
+        "hyperplane_bucket(array(1d, 0d, 0d), 4) AS hb, " +
+        "cdc_chunks('hello world hello chunk', 4, 3, 16) AS ch, " +
+        "doc_fingerprint('abc abc xyz', 2) AS fp, " +
+        "lexicon_hits('the cat and the dog') AS lex, " +
+        "deflate_ratio('aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa') AS dr"
+    val aggSql =
+      "SELECT k, top_k_by_score(s, id, 2) AS top, vector_sum(v) AS vs FROM VALUES " +
+        "(0, 1d, 10L, array(1d, 2d)), (0, 3d, 11L, array(10d, 20d)), " +
+        "(0, 2d, 12L, array(100d, 200d)) AS t(k, s, id, v) GROUP BY k"
+    val confKey = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(confKey)
+    def inMode(mode: String): (String, String) = {
+      spark.conf.set(confKey, mode)
+      try (spark.sql(scalarSql).collect()(0).toString, spark.sql(aggSql).collect()(0).toString)
+      finally prev.fold(spark.conf.unset(confKey))(v => spark.conf.set(confKey, v))
+    }
+    val (scalarCodegen, aggCodegen) = inMode("CODEGEN_ONLY")
+    val (scalarInterp, aggInterp) = inMode("NO_CODEGEN")
+    assert(scalarCodegen == scalarInterp,
+      s"scalar kernels diverge:\n  codegen:     $scalarCodegen\n  interpreted: $scalarInterp")
+    assert(aggCodegen == aggInterp,
+      s"aggregate kernels diverge:\n  codegen:     $aggCodegen\n  interpreted: $aggInterp")
+  }
+
   test("interpreted eval matches codegen result") {
     val e = ArrayExpressions.SortedLongIntersectCount(
       org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1L, 5L, 9L),
