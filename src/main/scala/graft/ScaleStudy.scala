@@ -257,6 +257,60 @@ object ScaleStudy {
         }
       }
     }
+    // Streaming scale: the SHIPPED x39 stream-stream interval join
+    // replayed at 1×/3×/10× the click/purchase feed. Replicas live on
+    // DISJOINT user_id ranges (per-key density constant, so pairs scale
+    // exactly k×); micro-batch count is held at 3, so the per-batch
+    // state-store fixed cost — the dominant local cost — is constant
+    // while rows grow 10×. Claims under test, recorded in BASELINE.md:
+    //  - wall grows SUBLINEARLY in rows (the fixed cost amortizes: a
+    //    production stream is the k→∞ limit of this curve);
+    //  - join state stays watermark-bounded at every scale (max_state
+    //    tracks keys-in-horizon, evictions engage; the PER-KEY bound is
+    //    StreamingHardeningSpec's hot-key measurement).
+    {
+      val events = Tables.load(spark, sfDir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+      val maxUser = events.agg(max(col("user_id"))).head.getLong(0) + 1
+      for (k <- Seq(1, 3, 10)) {
+        val scaled = (0 until k).map { r =>
+          events.select((col("user_id") + lit(r * maxUser)).as("user_id"), col("us"),
+            (col("event_id") * k + lit(r)).as("event_id"), col("event_type"))
+        }.reduce(_ unionByName _)
+        val spool = java.nio.file.Files.createTempDirectory("graft_scale_stream")
+        try {
+          val feedDir = spool.resolve("feed").toString
+          graft.queries.StreamingQueries.spoolChronological(scaled, feedDir, 3)
+          val nRows = spark.read.parquet(feedDir).count()
+          val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          val name = s"scale_stream_$k"
+          val t0 = System.nanoTime()
+          val q = graft.queries.StreamingQueries.intervalJoinStream(
+              spark.readStream.schema(scaled.schema)
+                .option("maxFilesPerTrigger", "1").parquet(feedDir), 1800L)
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", spool.resolve("ckpt").toString)
+            .start()
+          val (nPairs, maxState, removed) =
+            try {
+              q.processAllAvailable()
+              val sts = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+              (spark.table(name).count(),
+                if (sts.nonEmpty) sts.max else 0L,
+                q.recentProgress.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum)
+            } finally {
+              q.stop()
+              spark.catalog.dropTempView(name)
+              spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+            }
+          val wall = (System.nanoTime() - t0) / 1e9
+          println(f"""{"op":"stream_join_scale","scale":$k,"rows":$nRows,"pairs":$nPairs,"max_state":$maxState,"evicted":$removed,"wall_sec":$wall%.2f}""")
+        } finally graft.sources.LayoutCache.deleteTree(spool)
+      }
+    }
     spark.stop()
   }
 }

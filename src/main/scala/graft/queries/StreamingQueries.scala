@@ -66,7 +66,7 @@ object StreamingQueries {
     * chronologically as one micro-batch each. Fail-fast mtime stamping —
     * an un-stamped file could replay out of range order.
     */
-  private def spoolChronological(events: DataFrame, feedDir: String, n: Int,
+  private[graft] def spoolChronological(events: DataFrame, feedDir: String, n: Int,
                                  tsCol: String = "us"): Unit = {
     events.repartitionByRange(n, col(tsCol))
       .sortWithinPartitions(tsCol)
