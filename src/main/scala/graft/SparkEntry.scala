@@ -60,6 +60,9 @@ object SparkEntry {
     // runtime bloom filter from the selective orders side prunes the
     // lineitem shuffle (LayoutSpec pins the might_contain plan)
     "q29_bloom_join" -> ((s, d) => Relational.q29BloomJoin(s, d)),
+    // CDC MERGE/upsert: last-writer-wins changelog apply with delete
+    // tombstones, insert/update/keep provenance per key
+    "q30_merge_upsert" -> ((s, d) => Relational.q30MergeUpsert(s, d)),
     // -- LLM-pipeline extensions ------------------------------------------
     "x1_dedup_exact" -> ((s, d) => Dedup.exactDupStats(Tables.load(s, d, "documents"))),
     "x2_dedup_normalized" -> ((s, d) => Dedup.normalizedDupGroups(Tables.load(s, d, "documents"))),
@@ -791,6 +794,23 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // MERGE INTO as plain SQL: last changelog op per key by (ts,
+    // event_id), full join against the residue-class snapshot, tombstone
+    // filter, provenance CASE — the declarative twin of the engine's plan
+    "q30_merge_upsert" ->
+      """WITH last AS (
+        |  SELECT user_id, event_type AS last_type, value AS last_value
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1),
+        |snap AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 <> 2)
+        |SELECT coalesce(c_custkey, user_id) AS key,
+        |       round(CASE WHEN user_id IS NULL THEN c_acctbal ELSE last_value END, 2) AS acctbal,
+        |       CASE WHEN user_id IS NULL THEN 'keep'
+        |            WHEN c_custkey IS NULL THEN 'insert'
+        |            ELSE 'update' END AS op
+        |FROM snap FULL JOIN last ON c_custkey = user_id
+        |WHERE last_type IS NULL OR last_type <> 'error'
+        |ORDER BY key""".stripMargin,
     "q26_window_frames" ->
       """SELECT o_custkey, o_orderkey,
         |       CAST(sum(CAST(o_totalprice AS decimal(18,2))) OVER wr AS double) AS run_total,

@@ -457,6 +457,54 @@ object Relational {
     }
   }
 
+  /** Q30: CDC MERGE / upsert — apply the events changelog to the customer
+    * snapshot with last-writer-wins semantics, the warehouse ingest
+    * primitive (MERGE INTO target USING changelog):
+    *
+    *  - per key, the changelog's LAST operation wins — last = max by
+    *    (event time, event_id), a deterministic total order;
+    *  - `error` is the delete tombstone: the key leaves the snapshot;
+    *  - any other last event upserts the key with its value — `update`
+    *    when the key existed, `insert` when it did not;
+    *  - untouched snapshot rows pass through as `keep`.
+    *
+    * The snapshot is the fixture's customers minus the ≡2 (mod 3) residue
+    * class — a deterministic stand-in for "keys created after the
+    * snapshot was taken", so all four outcomes occur at every SF (the
+    * fixture's user_ids are a prefix of c_custkey, which would otherwise
+    * never exercise the insert branch).
+    *
+    * Scale shape: ONE shuffle of the (small) changelog for its per-key
+    * window, one key-join against the snapshot. At 100 TB the snapshot is
+    * the big side and arrives bucketed by key (q27's layout), making the
+    * merge exchange-free on it — the changelog-sized window and join are
+    * the only moving parts, which is what lets a daily CDC apply run at
+    * snapshot scale.
+    */
+  def q30MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us").desc, col("event_id").desc)
+    val last = t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_type"), col("value").as("last_value"))
+    val snapshot = t(spark, dir, "customer")
+      .filter(col("c_custkey") % 3 =!= 2)
+      .select(col("c_custkey"), col("c_acctbal"))
+    snapshot.join(last, col("c_custkey") === col("user_id"), "full")
+      .filter(col("last_type").isNull || col("last_type") =!= "error") // tombstones delete
+      .select(
+        coalesce(col("c_custkey"), col("user_id")).as("key"),
+        round(when(col("user_id").isNull, col("c_acctbal")).otherwise(col("last_value")), 2)
+          .as("acctbal"),
+        when(col("user_id").isNull, lit("keep"))
+          .when(col("c_custkey").isNull, lit("insert"))
+          .otherwise(lit("update")).as("op"))
+      .orderBy("key")
+  }
+
   /** Q14: distinct aggregates — distinct parts/suppliers per return flag. */
   def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

@@ -586,6 +586,44 @@ class QueriesSpec extends AnyFunSuite {
       "zero vector must never rank (NaN cosine drops at verification)")
   }
 
+  test("q30 merge-upsert: in-memory replay equality; insert/update/keep/delete all exercised") {
+    val got = graft.queries.Relational.q30MergeUpsert(spark, sf).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getString(2)))
+    // independent replay of the semantics on driver-collected fixtures
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    val last = ev.groupBy(_._1).map { case (u, es) => u -> es.maxBy(e => (e._2, e._3)) }
+    val snap = Tables.load(spark, sf, "customer").filter(col("c_custkey") % 3 =!= 2)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r2(v: Double): Double =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (snap.keySet ++ last.keySet).toSeq.flatMap { k =>
+      last.get(k) match {
+        case Some(l) if l._4 == "error" => None
+        case Some(l) => Some((k, l._5.map(r2), if (snap.contains(k)) "update" else "insert"))
+        case None => Some((k, Some(r2(snap(k))), "keep"))
+      }
+    }.sortBy(_._1)
+    assert(got.length == expected.length,
+      s"${got.length} rows vs expected ${expected.length}")
+    got.zip(expected).foreach { case ((gk, gv, gop), (ek, evv, eop)) =>
+      assert(gk == ek && gop == eop, s"($gk,$gop) != ($ek,$eop)")
+      (gv, evv) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"key $gk: $a vs $b")
+        case (a, b) => assert(a == b, s"key $gk: $a vs $b")
+      }
+    }
+    // the fixture must exercise every outcome, or the test proves less
+    // than it claims
+    assert(got.map(_._3).toSet == Set("keep", "insert", "update"))
+    assert(last.exists { case (u, l) => l._4 == "error" && snap.contains(u) },
+      "fixture exercises no snapshot deletion")
+  }
+
   test("x51/x52 on ragged + zero vectors: no crash, zero vectors never rank, x51 never cross-dims") {
     import spark.implicits._
     // same adversarial fixture as the lshTopK ragged test: mixed 8/16-dim
