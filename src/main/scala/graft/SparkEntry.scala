@@ -63,6 +63,9 @@ object SparkEntry {
     // CDC MERGE/upsert: last-writer-wins changelog apply with delete
     // tombstones, insert/update/keep provenance per key
     "q30_merge_upsert" -> ((s, d) => Relational.q30MergeUpsert(s, d)),
+    // SCD2 history: every state with its validity interval; tombstones
+    // close history without opening a version
+    "q31_scd2_history" -> ((s, d) => Relational.q31Scd2(s, d)),
     // -- LLM-pipeline extensions ------------------------------------------
     "x1_dedup_exact" -> ((s, d) => Dedup.exactDupStats(Tables.load(s, d, "documents"))),
     "x2_dedup_normalized" -> ((s, d) => Dedup.normalizedDupGroups(Tables.load(s, d, "documents"))),
@@ -811,6 +814,17 @@ object SparkEntry {
         |FROM snap FULL JOIN last ON c_custkey = user_id
         |WHERE last_type IS NULL OR last_type <> 'error'
         |ORDER BY key""".stripMargin,
+    // lead() before the tombstone filter, exactly like the engine: an
+    // error row closes the previous version but emits none itself
+    "q31_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type, value,
+        |         lead(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS valid_to_us
+        |  FROM events)
+        |SELECT user_id, event_id, round(value, 2) AS value, us AS valid_from_us, valid_to_us,
+        |       valid_to_us IS NULL AS is_current
+        |FROM e WHERE event_type <> 'error'
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
     "q26_window_frames" ->
       """SELECT o_custkey, o_orderkey,
         |       CAST(sum(CAST(o_totalprice AS decimal(18,2))) OVER wr AS double) AS run_total,

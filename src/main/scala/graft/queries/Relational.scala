@@ -505,6 +505,40 @@ object Relational {
       .orderBy("key")
   }
 
+  /** Q31: SCD2 history build — the other half of the CDC pair ([[q30MergeUpsert]]
+    * keeps only the latest state; this keeps EVERY state with its validity
+    * interval, the slowly-changing-dimension type-2 shape):
+    *
+    *  - each non-tombstone changelog event opens a version row carrying
+    *    its value and `valid_from_us`;
+    *  - `valid_to_us` = the next event's time for the same key (exclusive
+    *    bound via `lead` over (time, event_id) — a deterministic total
+    *    order), NULL while the version is still open;
+    *  - an `error` tombstone emits no version but still CLOSES the
+    *    previous one (lead is computed before the tombstone filter), so a
+    *    deleted key's history ends with a closed interval and no
+    *    `is_current` row — the SCD2 delete;
+    *  - `event_id` rides along as version lineage, which also makes the
+    *    output ordering total.
+    *
+    * Scale shape: ONE shuffle of the changelog by key for the window; no
+    * join at all — history construction is embarrassingly key-parallel,
+    * which is why SCD2 backfills scale to full-history replays.
+    */
+  def q31Scd2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"), col("value"))
+      .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id"), round(col("value"), 2).as("value"),
+        col("us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from_us", "event_id")
+  }
+
   /** Q14: distinct aggregates — distinct parts/suppliers per return flag. */
   def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

@@ -624,6 +624,38 @@ class QueriesSpec extends AnyFunSuite {
       "fixture exercises no snapshot deletion")
   }
 
+  test("q31 SCD2: per-key interval chains are gapless; tombstoned keys end closed, no current row") {
+    // columns: user_id, event_id, value, valid_from_us, valid_to_us, is_current
+    val got = graft.queries.Relational.q31Scd2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))
+    assert(got.nonEmpty)
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    got.groupBy(_._1).foreach { case (u, rows) =>
+      val chain = rows.sortBy(_._2)
+      // every interval's end is the NEXT event of that user (version or
+      // tombstone): intervals chain without gaps or overlaps
+      val userEvents = ev.filter(_._1 == u).map(e => (e._2, e._3)).sorted
+      chain.foreach { case (_, from, to, cur) =>
+        assert(cur == to.isEmpty, s"user $u: is_current disagrees with open interval")
+        to.foreach { t =>
+          assert(t > from, s"user $u: empty/negative interval [$from, $t)")
+          assert(userEvents.exists(_._1 == t), s"user $u: valid_to $t is not an event time")
+        }
+      }
+      assert(chain.count(_._4) <= 1, s"user $u has multiple current versions")
+      // a user whose LAST event is a tombstone must have NO current row
+      val last = ev.filter(_._1 == u).maxBy(e => (e._2, e._3))
+      if (last._4 == "error")
+        assert(!chain.exists(_._4), s"user $u tombstoned but still has a current version")
+    }
+    // fixture must exercise the tombstone-ending case
+    assert(ev.groupBy(_._1).values.exists(_.maxBy(e => (e._2, e._3))._4 == "error"),
+      "fixture has no tombstone-terminated history")
+  }
+
   test("x51/x52 on ragged + zero vectors: no crash, zero vectors never rank, x51 never cross-dims") {
     import spark.implicits._
     // same adversarial fixture as the lshTopK ragged test: mixed 8/16-dim
