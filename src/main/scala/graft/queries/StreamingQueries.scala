@@ -376,14 +376,24 @@ object StreamingQueries {
     // The oracle equivalence ASSUMES event_id is globally unique: a
     // naturally duplicated id would be collapsed by the engine's dedup but
     // double-counted (and xor-cancelled) by the oracle over the original
-    // table. Fail loudly instead of silently red-flagging the gate.
-    val u = events.agg(count(lit(1)), count_distinct(col("event_id"))).head()
-    require(u.getLong(0) == u.getLong(1),
-      s"x45 requires globally unique event_id: ${u.getLong(0)} rows, ${u.getLong(1)} distinct")
+    // table. Fail loudly instead of silently red-flagging the gate — the
+    // guard is a 1-row aggregate broadcast-crossed into the spool input,
+    // consumed through a FILTER (a plain dropped column would be pruned
+    // and the `raise_error` never evaluated), so the check fires inside
+    // the spool write job: eager, loud, and no driver-side read — no
+    // spoolChronological caller reads anything on the driver anymore.
+    val guard = events
+      .agg(count(lit(1)).as("n"), count_distinct(col("event_id")).as("d"))
+      .select(when(col("n") =!= col("d"), raise_error(format_string(
+          "x45 requires globally unique event_id: %d rows, %d distinct",
+          col("n"), col("d"))))
+        .otherwise(lit(1L)).as("ok"))
     val spool = Files.createTempDirectory("graft_stream_xonce")
     val feedDir = spool.resolve("feed").toString
     try {
-      spoolChronological(events, feedDir, FeedFiles)
+      spoolChronological(
+        events.crossJoin(broadcast(guard)).filter(col("ok") === 1L).drop("ok"),
+        feedDir, FeedFiles)
       // duplicate every part file, mtime-ordered right behind its original
       val listing = Files.list(java.nio.file.Paths.get(feedDir))
       val partFiles =

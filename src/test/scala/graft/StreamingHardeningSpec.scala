@@ -67,6 +67,20 @@ class StreamingHardeningSpec extends AnyFunSuite {
     } finally graft.sources.LayoutCache.deleteTree(root)
   }
 
+  test("x45: a fixture with a duplicated event_id fails loudly at spool time") {
+    val root = Files.createTempDirectory("graft_dupid_x45")
+    try {
+      val base = 1700000000L * 1000000000L
+      val dir = writeEvents(root, Seq(
+        (9L, base, 1L, "click", 1.0),
+        (9L, base + 60L * 1000000000L, 2L, "purchase", 2.0))) // same event_id twice
+      val e = intercept[Exception](
+        graft.queries.StreamingQueries.exactlyOnce(spark, dir).collect())
+      assert(messageChain(e).contains("globally unique event_id"),
+        s"expected the x45 guard to fire; got: ${messageChain(e)}")
+    } finally graft.sources.LayoutCache.deleteTree(root)
+  }
+
   test("hot-key stream-stream join: state stays watermark-bounded and output equals batch") {
     import spark.implicits._
     implicit val enc: org.apache.spark.sql.Encoder[JEvent] =
