@@ -207,6 +207,9 @@ object SparkEntry {
     // fingerprints; the oracle computes the same over the ORIGINAL parquet,
     // so the round trip must preserve every row and every text byte
     "x41_jsonl_roundtrip" -> ((s, d) => graft.sources.Jsonl.roundtripSummary(s, d)),
+    // same contract over ORC (Spark-native vectorized read/write): the
+    // columnar interchange sibling of x41, same oracle over the original
+    "x53_orc_roundtrip" -> ((s, d) => graft.sources.Jsonl.orcRoundtripSummary(s, d)),
     // small-files compaction: 64-file fragmented copy -> one shuffle-free
     // coalesce write -> 4 files; fingerprints prove content identity, the
     // booleans prove the fragmentation and the collapse were real
@@ -1280,6 +1283,13 @@ object SparkEntry {
     // bigint even when every value is identical (the r5 x41/x42 failure —
     // every other passing sum in this map follows the same convention).
     "x41_jsonl_roundtrip" ->
+      """SELECT source, count(*) AS n_docs, bit_xor(doc_id) AS id_xor,
+        |       CAST(sum(length(text)) AS bigint) AS sum_chars,
+        |       min(md5(text)) AS md5_min, max(md5(text)) AS md5_max
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // identical contract to x41: the ORC copy must carry the original's
+    // exact content, so the oracle is the original's fingerprints
+    "x53_orc_roundtrip" ->
       """SELECT source, count(*) AS n_docs, bit_xor(doc_id) AS id_xor,
         |       CAST(sum(length(text)) AS bigint) AS sum_chars,
         |       min(md5(text)) AS md5_min, max(md5(text)) AS md5_max

@@ -27,19 +27,25 @@ object Jsonl {
       finally s.close()
     }
 
-  /** Write `df` as JSONL, read it back with the SAME explicit schema, and
-    * hand the round-tripped frame to `f` (whose result must not reference
-    * the temp files — aggregate or collect inside). Shared by the driver
-    * summary and the adversarial-content spec, so they exercise one path.
+  /** Write `df` in `format`, read it back with the SAME explicit schema,
+    * and hand the round-tripped frame to `f` (whose result must not
+    * reference the temp files — aggregate or collect inside). Shared by
+    * the driver summaries (x41 JSONL, x53 ORC) and the
+    * adversarial-content specs, so they exercise one path. The explicit
+    * schema matters on every format: inference over 100 TB means a second
+    * full scan (JSONL) or trusting per-file footers to agree (columnar).
     */
-  private[graft] def withJsonlRoundtrip[T](df: DataFrame)(f: DataFrame => T): T = {
-    val tmp = Files.createTempDirectory("graft_jsonl")
+  private[graft] def withFormatRoundtrip[T](df: DataFrame, format: String)(f: DataFrame => T): T = {
+    val tmp = Files.createTempDirectory(s"graft_rt_$format")
     try {
       val path = tmp.resolve("docs").toString
-      df.write.mode("overwrite").json(path)
-      f(df.sparkSession.read.schema(df.schema).json(path))
+      df.write.mode("overwrite").format(format).save(path)
+      f(df.sparkSession.read.schema(df.schema).format(format).load(path))
     } finally deleteRecursively(tmp)
   }
+
+  private[graft] def withJsonlRoundtrip[T](df: DataFrame)(f: DataFrame => T): T =
+    withFormatRoundtrip(df, "json")(f)
 
   /** Per-source content fingerprints — the shared currency of the
     * layout-maintenance contracts (x41 round trip, x42 compaction): count
@@ -65,6 +71,17 @@ object Jsonl {
     */
   def roundtripSummary(spark: SparkSession, dir: String): DataFrame =
     withJsonlRoundtrip(Tables.load(spark, dir, "documents")) { back =>
+      contentFingerprints(back).localCheckpoint()
+    }
+
+  /** x53: the same round-trip contract over ORC — the other columnar
+    * format a warehouse interchanges with (Spark ships native
+    * vectorized ORC read/write; Hive-era lakes are full of it). Same
+    * fingerprints, same oracle as x41: the ORC copy must preserve every
+    * row and every text byte of the original parquet.
+    */
+  def orcRoundtripSummary(spark: SparkSession, dir: String): DataFrame =
+    withFormatRoundtrip(Tables.load(spark, dir, "documents"), "orc") { back =>
       contentFingerprints(back).localCheckpoint()
     }
 }

@@ -71,6 +71,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(gotJson.sameElements(want))
   }
 
+  test("x53 orc roundtrip is lossless for adversarial content (same fixture as x41)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "line one\nline two", "en", "s0", 17L),
+      (2L, "tab\there \"quoted\" back\\slash", "en", "s0", 28L),
+      (3L, "h\u00e9llo \ud83d\udc4b \u4e2d\u6587", "zh", "s1", 10L),
+      (4L, "", "en", "s1", 0L),
+      (5L, null, "en", "s1", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.sources.Jsonl.withFormatRoundtrip(docs, "orc") { back =>
+      back.orderBy("doc_id").collect().map(_.toString).toSeq
+    }
+    assert(got == docs.orderBy("doc_id").collect().map(_.toString).toSeq)
+  }
+
   test("x41 jsonl roundtrip is lossless for adversarial content") {
     import spark.implicits._
     // newline, tab, quote, backslash, unicode, emoji, empty string, null —
