@@ -61,8 +61,18 @@ def main():
         # expensive oracles (x18's LSH replay + recursive CTE) twice. A
         # temp table preserves the result schema (HUGEINT stays HUGEINT),
         # so the pandas dtype check is unchanged.
-        con.execute(f"CREATE OR REPLACE TEMP TABLE _want AS {oracle[name]}")
-        want_rel = con.sql("SELECT * FROM _want")
+        # ADVICE (r8, low): the temp-table path is stricter than executing
+        # the relation — an oracle yielding duplicate column names, or one
+        # that is not a single SELECT, raises here. Fall back to the direct
+        # relation for that query (paying its double execution) instead of
+        # crashing the whole ledger.
+        try:
+            con.execute(f"CREATE OR REPLACE TEMP TABLE _want AS {oracle[name]}")
+            want_src = "SELECT * FROM _want"
+        except duckdb.Error as e:
+            print(f"  {name}: temp-table materialization failed ({e}); direct-relation fallback")
+            want_src = oracle[name]
+        want_rel = con.sql(want_src)
         want_rows, want_cols = canon(want_rel.fetchall(), want_rel.columns)
         schema_ok = got_cols == want_cols
         rows_ok = len(got_rows) == len(want_rows)
@@ -73,7 +83,7 @@ def main():
         # .df() dtypes too, so this replica is no weaker than the driver.
         got_dt = {c: str(t) for c, t in
                   con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df().dtypes.items()}
-        want_dt = {c: str(t) for c, t in con.sql("SELECT * FROM _want").df().dtypes.items()}
+        want_dt = {c: str(t) for c, t in con.sql(want_src).df().dtypes.items()}
         dtype_ok = got_dt == want_dt
         if not dtype_ok:
             print(f"  {name}: DTYPE MISMATCH " +
