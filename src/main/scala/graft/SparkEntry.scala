@@ -111,6 +111,11 @@ object SparkEntry {
     // whole pipeline (quantize -> int8 rank -> shortlist -> rescore)
     // replays in DuckDB SQL
     "x52_int8_rescore_ann" -> ((s, d) => Similarity.int8RescoreTopK(Tables.load(s, d, "embeddings"), 10, 5)),
+    // embedding-cosine near-dup through the bucketed LSH index (x6's
+    // scale path) on a corpus with deterministically planted twins —
+    // the oracle replays plant + index + collide + verify, so the
+    // approximate pipeline hash-gates end to end
+    "x54_lsh_cosine_neardup" -> ((s, d) => Similarity.lshCosineNearDup(Tables.load(s, d, "embeddings"))),
     // the incremental production shape: new-batch probes against the
     // PERSISTED corpus bucket + vector stores (x31's pattern for ANN) —
     // the corpus is never re-read or re-signed; the oracle replays the
@@ -434,9 +439,16 @@ object SparkEntry {
     * `tb(vec_id, sz, t, bucket)` CTE; x48/x49 append their candidate
     * restriction and [[AnnRankSql]].
     */
-  private val HyperplaneCte: String =
-    """WITH grid AS (
-      |  SELECT b, unnest(range(0, (SELECT CAST(max(len(embedding)) AS BIGINT) FROM embeddings))) AS i
+  private val HyperplaneCte: String = hyperplaneCte("", "embeddings")
+
+  /** [[HyperplaneCte]] generalized: `extraCtes` (trailing comma included
+    * by this builder) lets a caller derive the vector source itself as a
+    * CTE — x54 replays the index over a corpus-with-planted-twins
+    * relation instead of the raw `embeddings` table.
+    */
+  private def hyperplaneCte(extraCtes: String, src: String): String =
+    s"""WITH ${if (extraCtes.isEmpty) "" else extraCtes + ",\n"}grid AS (
+      |  SELECT b, unnest(range(0, (SELECT CAST(max(len(embedding)) AS BIGINT) FROM $src))) AS i
       |  FROM range(0, 48) t(b)
       |),
       |raw AS (
@@ -452,7 +464,7 @@ object SparkEntry {
       |),
       |sgn AS (SELECT b, i, CASE WHEN xor(z, z // 134217728) % 2 = 0 THEN -1.0 ELSE 1.0 END AS s FROM m2),
       |signs AS (SELECT b, list(s ORDER BY i) AS sv FROM sgn GROUP BY b),
-      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, CAST(len(embedding) AS INT) AS sz FROM embeddings),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, CAST(len(embedding) AS INT) AS sz FROM $src),
       |proj AS (
       |  SELECT e.vec_id, e.sz, s.b, list_dot_product(e.v, s.sv[1:e.sz]) AS p
       |  FROM e CROSS JOIN signs s
@@ -938,6 +950,32 @@ object SparkEntry {
           |  JOIN tb c ON p.t = c.t AND xor(p.bucket, flips.f::BIGINT) = c.bucket AND p.sz = c.sz
           |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
           |)""".stripMargin + AnnRankSql),
+    // x54: the planted-twin corpus (w = v + 0.3·rot1(v), same double
+    // arithmetic order as the engine's zip_with) fed through the same
+    // replayed hyperplane index, candidates = id pairs sharing any
+    // (table, bucket, sz), exact cosine >= 0.9 verifies — the whole
+    // approximate near-dup pipeline replayed stage for stage
+    "x54_lsh_cosine_neardup" ->
+      (hyperplaneCte(
+        """e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |emb2 AS (
+          |  SELECT vec_id, v AS embedding FROM e0
+          |  UNION ALL
+          |  SELECT vec_id + 1000000,
+          |         list_transform(range(1, len(v) + 1), i -> v[i] + 0.3 * v[(i % len(v)) + 1])
+          |  FROM e0
+          |)""".stripMargin, "emb2") +
+        """,
+          |cand AS (
+          |  SELECT DISTINCT p.vec_id AS vec_a, c.vec_id AS vec_b
+          |  FROM tb p JOIN tb c ON p.t = c.t AND p.bucket = c.bucket AND p.sz = c.sz
+          |    AND p.vec_id < c.vec_id
+          |)
+          |SELECT vec_a, vec_b, round(list_cosine_similarity(a.v, b.v), 4) AS sim
+          |FROM cand JOIN e a ON cand.vec_a = a.vec_id JOIN e b ON cand.vec_b = b.vec_id
+          |WHERE NOT isnan(list_cosine_similarity(a.v, b.v))
+          |  AND list_cosine_similarity(a.v, b.v) >= 0.9
+          |ORDER BY vec_a, vec_b""".stripMargin),
     // x16's quantization replayed (scale = max|v|/127, round = HALF-UP
     // away from zero in both engines), int8 cosine on EXACT integer
     // sums, shortlist cut of 15 by (qsim desc, cand_id), float rescore —

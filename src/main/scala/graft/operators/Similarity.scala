@@ -237,6 +237,45 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** The deterministic planted-near-duplicate corpus behind x54: the
+    * original vectors plus, for each, a twin `w = v + 0.3·rot1(v)`
+    * (rot1 = cyclic shift by one) at `vec_id + PlantOffset`. The
+    * perturbation is the scale-study probe protocol
+    * ([[graft.ScaleStudy]]): cos(v, w) = (1 + 0.3·c1) / √(1.09 + 0.6·c1)
+    * with c1 = cos(v, rot1(v)) ≈ 0 on isotropic data, so every planted
+    * pair sits at ≈ 0.95–0.97 cosine while unrelated pairs on this
+    * fixture stay below 0.7 — a clean margin on both sides of the 0.9
+    * near-dup threshold. Pure double arithmetic in one deterministic
+    * order, so the corpus (and everything computed from it) replays
+    * bit-exact in DuckDB SQL.
+    */
+  private[graft] val PlantOffset = 1000000L
+  private[graft] def plantedNearDupCorpus(emb: DataFrame): DataFrame = {
+    val vecs = vecFrame(emb)
+    val twins = vecs.select(
+      (col("vec_id") + lit(PlantOffset)).as("vec_id"),
+      expr("zip_with(v, concat(slice(v, 2, size(v) - 1), slice(v, 1, 1)), (x, y) -> x + 0.3d * y)")
+        .as("embedding"))
+    vecs.select(col("vec_id"), col("v").as("embedding")).unionByName(twins)
+  }
+
+  /** x54: embedding-cosine near-duplicate detection through the
+    * multi-table hyperplane index — [[lshNearDupPairs]]'s bucketed scale
+    * path promoted to the ledger, run against [[plantedNearDupCorpus]]
+    * (the raw fixture corpus is isotropic and has NO pairs above 0.7, so
+    * the raw-table query would gate on an empty result; planting gives
+    * the row real recall to defend). 6 bits × 8 tables matches the
+    * x48/x51 replayed index, so the whole pipeline — plant, bucket,
+    * collide, verify — hash-gates end to end in DuckDB with no recall
+    * approximation in the compare: the oracle replays the same LSH, not
+    * the exact all-pairs answer. At the planted similarity (θ ≈ 17°,
+    * p ≈ 0.91) table recall is 1−(1−p⁶)⁸ ≈ 0.998; the candidate join
+    * ships 16-byte id pairs on (table, bucket) — near-linear in corpus
+    * size versus x6's O(n²) subset brute force.
+    */
+  def lshCosineNearDup(emb: DataFrame, threshold: Double = 0.9): DataFrame =
+    lshNearDupPairs(plantedNearDupCorpus(emb), threshold, nBits = 6, nTables = 8)
+
   /** x48: ANN top-k through the hyperplane index — the DETERMINISTIC
     * approximate path next to x7/x22's exact scans and x8's
     * float-centroid IVF. For each probe (vec_id < nProbes), candidates

@@ -463,6 +463,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall below 0.9 (got ${got.size} of ${want.size})")
   }
 
+  test("x54 LSH cosine near-dup: planted twins recovered with perfect precision and high recall") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val nVecs = emb.count()
+    val pairs = graft.operators.Similarity.lshCosineNearDup(emb).collect()
+    val off = graft.operators.Similarity.PlantOffset
+    // precision: every emitted pair is a planted (v, twin-of-v) pair —
+    // unrelated fixture pairs sit below 0.7 cosine, twins at ~0.95-0.97
+    pairs.foreach { r =>
+      assert(r.getLong(1) - r.getLong(0) == off,
+        s"non-planted pair survived the 0.9 verification: $r")
+      val sim = r.getDouble(2)
+      assert(sim >= 0.9 && sim <= 1.0, s"twin sim out of band: $r")
+    }
+    // recall: 6 bits x 8 tables at theta ~17 deg gives ~0.998 expected
+    val recall = pairs.length.toDouble / nVecs
+    assert(recall >= 0.95, s"planted recall $recall (${pairs.length} of $nVecs)")
+  }
+
   test("x48 LSH ANN top-k: exact cosine ranking restricted to shared-bucket candidates; recall above the isotropic floor") {
     // sf0.01 — enough vectors (500) that every probe collects a
     // meaningful candidate set (~40-80 at 6 bits x 8 tables)
