@@ -70,6 +70,10 @@ object SparkEntry {
     "x1_dedup_exact" -> ((s, d) => Dedup.exactDupStats(Tables.load(s, d, "documents"))),
     "x2_dedup_normalized" -> ((s, d) => Dedup.normalizedDupGroups(Tables.load(s, d, "documents"))),
     "x3_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"), 10, 0.6)),
+    // asymmetric containment (overlap coefficient): catches a short doc
+    // quoted wholesale inside a long one, which symmetric Jaccard
+    // dilutes toward 0 — integer intersection counts, exact oracle
+    "x55_ngram_containment" -> ((s, d) => Dedup.ngramContainmentPairs(Tables.load(s, d, "documents"), 5, 0.8)),
     // the RAW pair set, fully oracled: [[MinhashLshCte]] replays the
     // packed-shingle mix64 hash, the (a·h+b) mod p permutation minima,
     // banding, the maxBucket star-edge policy, and the exact-Jaccard
@@ -870,6 +874,22 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS double)
         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // x55: overlap coefficient |A∩B| / min(|A|,|B|) on the same trigram
+    // sets — integer counts + one IEEE division, replayed exactly
+    "x55_ngram_containment" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, length(text) - 1),
+        |                       i -> substring(text, CAST(i AS int), 3))) AS sh
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |f AS (SELECT doc_id, sh FROM d WHERE len(sh) >= 10)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       round(CAST(len(list_intersect(a.sh, b.sh)) AS double)
+        |             / least(len(a.sh), len(b.sh)), 6) AS overlap
+        |FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS double)
+        |      / least(len(a.sh), len(b.sh)) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
     // the RAW LSH pair set: the full pipeline replayed in SQL — every
     // (doc_a, doc_b, jaccard) row independently recomputed by DuckDB

@@ -76,6 +76,41 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** x55: exact n-gram CONTAINMENT pairs — the overlap coefficient
+    * |A∩B| / min(|A|,|B|) (Szymkiewicz–Simpson) on distinct trigram
+    * sets, over the same deterministic doc_id-modulo subset shape as
+    * [[ngramJaccardPairs]]. The metric is the asymmetric complement of
+    * Jaccard: a short document quoted wholesale inside a much longer one
+    * scores overlap 1.0 while its Jaccard tends to 0 — the
+    * quotation/subset duplication a training-data pipeline must catch
+    * that symmetric near-dup misses. `minShingles` drops trivially-
+    * contained tiny documents. All-integer intersection counts + one
+    * IEEE double division, so the oracle replays it exactly. No length
+    * prefilter is possible (any size ratio can reach the gate — that is
+    * the point of the metric), so the bounded subset IS the scale
+    * control, exactly as for x3's all-pairs Jaccard baseline.
+    */
+  def ngramContainmentPairs(docs: DataFrame, mod: Int, threshold: Double,
+                            minShingles: Int = 10): DataFrame = {
+    graft.functions.ArrayExpressions.register(docs.sparkSession)
+    val d = docs
+      .filter(col("doc_id") % mod === 0)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.ArrayExpressions.shingleHashesSorted(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) >= minShingles)
+    val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("n_common",
+        graft.functions.ArrayExpressions.sortedLongIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("overlap",
+        col("n_common").cast("double") / least(size(col("sh_a")), size(col("sh_b"))))
+      .filter(col("overlap") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("overlap"), 6).as("overlap"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exact-Jaccard verification of candidate pairs carrying sorted shingle
     * arrays in `shA`/`shB` — the ONE definition every verification path
     * (x3 all-pairs baseline, x4 LSH, x31 incremental) runs through. A

@@ -219,15 +219,7 @@ object Similarity {
                       nBits: Int = 8, nTables: Int = 8): DataFrame = {
     graft.functions.ArrayExpressions.register(emb.sparkSession)
     val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val withBuckets = tableBuckets(vecs, nBits, nTables)
-    val a = withBuckets.select(col("tb").as("ta"), col("sz").as("sza"), col("vec_id").as("vec_a"))
-    val b = withBuckets.select(col("tb").as("tb2"), col("sz").as("szb"), col("vec_id").as("vec_b"))
-    // Dedup CANDIDATE IDS before re-attaching vectors: carrying the wide
-    // array columns through the multi-table distinct() would shuffle every
-    // vector once per colliding table instead of 16 bytes per pair.
-    val pairs = a.join(b, col("ta") === col("tb2") && col("sza") === col("szb") &&
-        col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b")).distinct()
+    val pairs = lshCandidatePairs(vecs, nBits, nTables)
     pairs
       .join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
       .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
@@ -235,6 +227,22 @@ object Similarity {
       .filter(!isnan(col("sim")) && col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** The distinct (vec_a, vec_b) candidate stage of [[lshNearDupPairs]]:
+    * id pairs sharing any (table, bucket, sz). Dedup happens on CANDIDATE
+    * IDS before vectors are re-attached — carrying the wide array columns
+    * through the multi-table distinct() would shuffle every vector once
+    * per colliding table instead of 16 bytes per pair. Exposed for the
+    * scale study's candidate-count measurement.
+    */
+  private[graft] def lshCandidatePairs(vecs: DataFrame, nBits: Int, nTables: Int): DataFrame = {
+    val withBuckets = tableBuckets(vecs, nBits, nTables)
+    val a = withBuckets.select(col("tb").as("ta"), col("sz").as("sza"), col("vec_id").as("vec_a"))
+    val b = withBuckets.select(col("tb").as("tb2"), col("sz").as("szb"), col("vec_id").as("vec_b"))
+    a.join(b, col("ta") === col("tb2") && col("sza") === col("szb") &&
+        col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
   }
 
   /** The deterministic planted-near-duplicate corpus behind x54: the

@@ -127,6 +127,32 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x55 containment: subset doc scores overlap 1.0 where its jaccard is diluted; fixture rows valid") {
+    import spark.implicits._
+    // doc 0's trigram set is a strict subset of doc 5's (a quote inside
+    // a much longer page): overlap = 1.0, jaccard far below the gate
+    val quote = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val page = ("unrelated preamble text goes here with plenty of extra material " * 4) +
+      quote + (" and then a very long trailing discussion that keeps adding trigrams " * 4)
+    val docs = Seq((0L, quote), (5L, page), (10L, "zzz completely different content zzz"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.ngramContainmentPairs(docs, 5, 0.8).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 5L)),
+      s"expected exactly the quote⊂page pair, got ${got.mkString(",")}")
+    assert(got.head.getAs[Double]("overlap") == 1.0)
+    val jac = graft.operators.Dedup.ngramJaccardPairs(docs, 5, 0.01).collect()
+      .find(r => r.getLong(0) == 0L && r.getLong(1) == 5L).map(_.getAs[Double]("jaccard"))
+    assert(jac.exists(_ < 0.5), s"jaccard should dilute the subset pair, got $jac")
+    // fixture sanity: ordered pairs, overlap within the gate
+    val rows = queries("x55_ngram_containment")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val o = r.getAs[Double]("overlap")
+      assert(o >= 0.8 && o <= 1.0)
+    }
+  }
+
   test("x29 tf-idf: hand-computed scores on a tiny corpus; k rows max per doc, descending") {
     import spark.implicits._
     val docs = Seq(
