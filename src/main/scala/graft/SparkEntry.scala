@@ -152,6 +152,19 @@ object SparkEntry {
     // (recursive-CTE reachability).
     "x20_dup_clusters_exact" -> ((s, d) =>
       Dedup.dupClusters(Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"), 10, 0.5))),
+    // the same clustering operator over the EMBEDDING near-dup graph:
+    // exact cosine pairs (x6's shape, threshold 0.3 where the fixture's
+    // cosine graph has real transitive families) resolved to canonical
+    // min-label clusters — the dedup-decision step of an embedding-based
+    // near-dup pipeline, recursive-CTE oracled on an independent input
+    "x56_cosine_dup_clusters" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Dedup.dupClusters(
+          Similarity.nearDupPairs(Tables.load(s, d, "embeddings"), 5, 0.3)
+            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    }),
     // Structured Streaming twin of q8, reshaped to q8's schema — carries
     // q8's oracle, so stream==batch is in the driver's hard signal
     "x26_streaming_sessionize" -> ((s, d) => graft.queries.StreamingQueries.gapSessions(s, d)),
@@ -1137,6 +1150,24 @@ object SparkEntry {
         |  UNION
         |  SELECT e2.src, reach.r FROM e e2 JOIN reach ON e2.dst = reach.id)
         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // x56: the same reachability oracle over the exact cosine near-dup
+    // graph (x6's pair shape at 0.3) — clustering checked on an input
+    // independent of both the text shingles and the LSH replay
+    "x56_cosine_dup_clusters" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |p AS MATERIALIZED (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+        |  WHERE NOT isnan(list_cosine_similarity(a.v, b.v))
+        |    AND list_cosine_similarity(a.v, b.v) >= 0.3),
+        |e AS (SELECT vec_a AS src, vec_b AS dst FROM p UNION SELECT vec_b, vec_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e2.src, reach.r FROM e e2 JOIN reach ON e2.dst = reach.id)
+        |SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
     // the RAW LSH cluster labels: the replayed pipeline's pairs resolved
     // to min-label components by the same recursive CTE as x20. The edge
     // list is MATERIALIZED so the recursion doesn't re-run the LSH replay

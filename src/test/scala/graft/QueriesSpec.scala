@@ -864,6 +864,27 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x56 cosine dup clusters: labels equal union-find over the engine's own cosine pairs") {
+    val pairs = graft.operators.Similarity
+      .nearDupPairs(Tables.load(spark, sf, "embeddings"), 5, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length > 10, "fixture should have a nontrivial cosine graph at 0.3")
+    // plain union-find reference
+    val par = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = par.getOrElse(x, x); if (p == x) x else { val r = find(p); par(x) = r; r } }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) par(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = nodes.map(n => n -> {
+      val root = find(n)
+      nodes.filter(m => find(m) == root).min
+    }).toMap
+    val got = queries("x56_cosine_dup_clusters")
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == want, s"cluster labels diverge from union-find (got ${got.size}, want ${want.size})")
+  }
+
   test("x14 multimodal decode covers all blobs") {
     val rows = queries("x14_multimodal_decode")
     assert(rows.map(_.getAs[Long]("n_blobs")).sum ==
