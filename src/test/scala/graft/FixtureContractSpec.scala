@@ -36,6 +36,22 @@ class FixtureContractSpec extends AnyFunSuite {
       s"events.ts min=$lo — looks like a unit/precision mix-up in the loader")
   }
 
+  test("oracle-critical column dtypes are pinned (drift here breaks oracles as silently as events.ts did)") {
+    val want = Map(
+      "embeddings" -> Map("vec_id" -> "bigint", "embedding" -> "array<float>"),
+      "documents" -> Map("doc_id" -> "bigint", "text" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+      "orders" -> Map("o_orderkey" -> "bigint", "o_totalprice" -> "double", "o_orderdate" -> "timestamp_ntz"),
+      "lineitem" -> Map("l_quantity" -> "double", "l_discount" -> "double", "l_shipdate" -> "timestamp_ntz"),
+      "events" -> Map("event_id" -> "bigint", "user_id" -> "bigint", "value" -> "double", "props" -> "string"))
+    val drift = for {
+      (t, cols) <- want.toSeq
+      schema = Tables.load(spark, dir, t).schema
+      (c, dt) <- cols
+      got = schema(c).dataType.simpleString if got != dt
+    } yield s"$t.$c: expected $dt, loaded $got"
+    assert(drift.isEmpty, "fixture dtype drift (update oracles + this contract together):\n  " + drift.mkString("\n  "))
+  }
+
   test("registerAll exposes every table to spark.sql") {
     Tables.registerAll(spark, dir)
     Tables.names.foreach { n =>
