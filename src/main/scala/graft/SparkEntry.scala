@@ -137,6 +137,12 @@ object SparkEntry {
     // DuckDB SQL (SimhashOracleCte) and the oracle is the BRUTE-FORCE
     // Hamming<=3 pair set — banding must be a pure optimization
     "x25_simhash_pairs" -> ((s, d) => Dedup.simhashNearDupPairs(Tables.load(s, d, "documents"))),
+    // streaming ingest-dedup: every doc checked against all PRIOR docs
+    // through per-band-bucket state (pigeonhole recall exactly 1 at
+    // Hamming<=3); result is a pure function of the doc set, so the
+    // oracle recomputes it from raw text with no stream semantics
+    "x57_streaming_simhash_dedup" -> ((s, d) =>
+      graft.queries.StreamingQueries.streamingSimhashDedup(s, d)),
     "x16_embedding_quantize" -> ((s, d) => Similarity.quantizationStats(Tables.load(s, d, "embeddings"))),
     "x17_curation_pipeline" -> ((s, d) => graft.queries.Curation.pipeline(s,
       Tables.load(s, d, "documents"), Tables.load(s, d, "embeddings"))),
@@ -528,6 +534,19 @@ object SparkEntry {
            |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(${signed64("a.fpu")}, ${signed64("b.fpu")})) <= 3
            |ORDER BY doc_a, doc_b""".stripMargin),
+    // x57: the streaming dedup is a pure function of the document set
+    // (dup_of = min prior doc within Hamming<=3), so the oracle reduces
+    // the replayed x25 pair relation to each doc's first match
+    "x57_streaming_simhash_dedup" ->
+      (SimhashOracleCte +
+        s"""
+           |SELECT doc_id, dup_of, hamming FROM (
+           |  SELECT b.doc_id AS doc_id, a.doc_id AS dup_of,
+           |    CAST(bit_count(xor(${signed64("a.fpu")}, ${signed64("b.fpu")})) AS INTEGER) AS hamming
+           |  FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(${signed64("a.fpu")}, ${signed64("b.fpu")})) <= 3
+           |  QUALIFY row_number() OVER (PARTITION BY b.doc_id ORDER BY a.doc_id) = 1)
+           |ORDER BY doc_id""".stripMargin),
     "q2_airport_trips" ->
       s"""SELECT taxi, start_time, start_lat, start_long, stop_time, stop_lat, stop_long,
          |       dist_km, revenue, date

@@ -151,6 +151,62 @@ object StreamingQueries {
     } finally deleteRecursively(spool)
   }
 
+  /** x57: streaming simhash near-dup dedup, end to end inside the batch
+    * driver contract — fingerprints computed by the batch `simhash64`
+    * kernel, spooled in doc_id order (the id-ordered arrival contract
+    * [[graft.streaming.StreamingSimhashDedup]] documents), replayed one
+    * micro-batch per file through the per-band-bucket state index, then
+    * reduced across bands with a commutative struct-min (a pair can
+    * collide in up to 4 buckets; min dup_of wins, and hamming is a pure
+    * function of the chosen pair). Result: (doc_id, dup_of, hamming) for
+    * every document with a prior Hamming-≤3 neighbor — the streaming
+    * ingest-dedup decision, exactly equal to the batch x25 pair set
+    * reduced to min-prior-match (the DuckDB oracle recomputes that from
+    * raw text).
+    */
+  def streamingSimhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val fps = graft.operators.Dedup.simhashRaw(docs)
+      .select(col("doc_id"), col("simhash64"),
+        col("band0"), col("band1"), col("band2"), col("band3"))
+    val spool = Files.createTempDirectory("graft_stream_simdedup")
+    val feedDir = spool.resolve("feed").toString
+    val name = s"graft_stream_simdedup_${runSeq.incrementAndGet()}"
+    try {
+      spoolChronological(fps, feedDir, FeedFiles, tsCol = "doc_id")
+      val stream = spark.readStream
+        .schema(fps.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feedDir)
+      val banded = stream.select(
+        explode(array((0 until 4).map(b =>
+          lit(b.toLong * 65536L) + col(s"band$b")): _*)).as("band"),
+        col("doc_id"), col("simhash64")).as[graft.streaming.BandDoc]
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", streamParts)
+      val sink =
+        try {
+          val q = graft.streaming.StreamingSimhashDedup.hits(banded)
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", spool.resolve("ckpt").toString)
+            .start()
+          try {
+            q.processAllAvailable()
+            spark.table(name).localCheckpoint()
+          } finally q.stop()
+        } finally {
+          spark.catalog.dropTempView(name)
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+      sink.groupBy(col("doc_id"))
+        .agg(min(struct(col("dup_of"), col("hamming"))).as("m"))
+        .select(col("doc_id"), col("m.dup_of").as("dup_of"),
+          col("m.hamming").cast("int").as("hamming"))
+        .orderBy("doc_id")
+    } finally deleteRecursively(spool)
+  }
+
   /** The watermarked two-sided join itself, over any streaming frame with
     * (user_id, us, event_id, event_type) — one definition shared by the
     * driver-visible query and the checkpoint-restart recovery test, so the

@@ -407,4 +407,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.head.isAirport && out.head.taxi == 9)
     assert(timedOut.isRemoved)
   }
+
+  test("x57: streaming simhash dedup equals the batch banded-pair set reduced to first match") {
+    val dir = "/root/testdata/sf0.01"
+    val got = graft.queries.StreamingQueries.streamingSimhashDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // batch twin: x25's verified pairs, each doc reduced to its minimum
+    // prior match (hamming is a pure function of the chosen pair)
+    val want = graft.operators.Dedup
+      .simhashNearDupPairs(Tables.load(spark, dir, "documents"))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("hamming")))
+      .groupBy(_._2).map { case (b, rs) =>
+        val best = rs.minBy(_._1); (b, best._1, best._3)
+      }.toSet
+    assert(want.nonEmpty, "fixture should contain Hamming<=3 simhash pairs")
+    assert(got == want, s"stream (${got.size}) != batch reduction (${want.size})")
+  }
+
+  test("x57 group logic: within-batch disorder sorted, min prior id wins, state accumulates") {
+    import graft.streaming.{BandDoc, BucketState, DupHit, SimEntry, StreamingSimhashDedup}
+    val st = TestGroupState.create[BucketState](
+      optionalState = org.apache.spark.api.java.Optional.of(
+        BucketState(Vector(SimEntry(1L, 0x00L), SimEntry(2L, 0xFFL)))),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    // delivered disordered (7, 4, 6); processing must sort to 4, 6, 7:
+    //  - 4 (0x01) matches prior 1 (hamming 1), not 2 (hamming 7)
+    //  - 6 (0xFE) matches prior 2 (hamming 1); 4 is hamming 8 away
+    //  - 7 (0x00) matches 1 exactly — min id 1 wins even though 4 also
+    //    sits at hamming 1
+    val out = StreamingSimhashDedup.dedupGroup(0L,
+      Iterator(BandDoc(0L, 7L, 0x00L), BandDoc(0L, 4L, 0x01L), BandDoc(0L, 6L, 0xFEL)), st).toList
+    assert(out == List(DupHit(4L, 1L, 1), DupHit(6L, 2L, 1), DupHit(7L, 1L, 0)))
+    assert(st.get.docs.map(_.doc_id).sorted == Seq(1L, 2L, 4L, 6L, 7L))
+  }
 }
