@@ -66,4 +66,43 @@ class DirtyInputSpec extends AnyFunSuite {
     assert(trips.head.date == "2008-05-25") // start date, not stop date
     assert(trips.head.stopTime == t0 + 180)
   }
+
+  test("x54/x56: degenerate embedding inputs — empty corpus, zero vectors, ragged twins") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.operators.Similarity.lshCosineNearDup(empty).collect().isEmpty)
+    // zero vectors have no cosine to anything (NaN) and must drop, not abort;
+    // ragged sizes never pair up (the sz join key)
+    val mixed = Seq(
+      (0L, Array(0f, 0f, 0f)),             // zero vector
+      (1L, Array(1f, 2f, 3f)),
+      (2L, Array(1f, 2f)),                 // ragged
+      (3L, Array(0.9f, 2.1f, 3.1f))).toDF("vec_id", "embedding")
+    val pairs = graft.operators.Similarity.lshCosineNearDup(mixed).collect()
+    pairs.foreach(r => assert(!r.getDouble(2).isNaN))
+    // the zero vector (and its zero twin) has no cosine to anything:
+    // neither id may appear in any emitted pair
+    val ids = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(!ids.contains(0L) && !ids.contains(graft.operators.Similarity.PlantOffset))
+    // the full-dim near-identical pair (1, 3) must be found
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 3L))
+  }
+
+  test("x55: short and empty documents fall below minShingles, never divide by zero") {
+    import spark.implicits._
+    val docs = Seq((0L, ""), (5L, "ab"), (10L, "abc"), (15L, "abcd")).toDF("doc_id", "text")
+    // every doc has < 10 distinct trigrams -> no pairs, no ANSI aborts
+    assert(graft.operators.Dedup.ngramContainmentPairs(docs, 5, 0.8).collect().isEmpty)
+  }
+
+  test("x57: empty document stream produces an empty dedup result") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-x57-empty")
+    d.toFile.deleteOnExit()
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(d.resolve("documents.parquet").toString)
+    assert(graft.queries.StreamingQueries.streamingSimhashDedup(spark, d.toString)
+      .collect().isEmpty)
+  }
 }
