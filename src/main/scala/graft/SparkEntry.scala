@@ -51,6 +51,9 @@ object SparkEntry {
     "q24_session_window" -> ((s, d) => Relational.q24SessionWindow(s, d)),
     "q25_correlated_subquery" -> ((s, d) => Relational.q25CorrelatedSubquery(s, d)),
     "q26_window_frames" -> ((s, d) => Relational.q26WindowFrames(s, d)),
+    // window distribution functions (ntile/percent_rank/cume_dist),
+    // partitioned per nation so no global-sort funnel
+    "q32_window_distribution" -> ((s, d) => Relational.q32WindowDistribution(s, d)),
     // q22's aggregation against the BUCKETED layout (co-located merge join,
     // zero join-side Exchange — LayoutSpec pins the plan); same oracle
     "q27_bucketed_join" -> ((s, d) => graft.sources.Bucketed.q27BucketedJoin(s, d)),
@@ -886,6 +889,21 @@ object SparkEntry {
         |       w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // window distribution functions over per-nation customer spend;
+    // percent_rank/cume_dist are exact rationals, so no tolerance needed
+    "q32_window_distribution" ->
+      """WITH s AS (
+        |  SELECT c_nationkey, c_custkey,
+        |         CAST(sum(CAST(o_totalprice AS decimal(18,2))) AS double) AS spend
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_nationkey, c_custkey)
+        |SELECT c_nationkey, c_custkey, spend,
+        |       CAST(ntile(4) OVER w AS int) AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd
+        |FROM s
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY spend DESC, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
     "x1_dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
         |       count(*) - count(DISTINCT md5(text)) AS n_dup_docs

@@ -373,6 +373,31 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Q32: window DISTRIBUTION functions — ntile quartiles, percent_rank,
+    * cume_dist of each customer's total spend WITHIN their nation. The
+    * window partitions by nation (a global spend ranking would funnel
+    * every row through one sort partition — the anti-pattern this query
+    * deliberately avoids at 100 TB); ties break on c_custkey so every
+    * function is deterministic. percent_rank/cume_dist are exact
+    * rationals of rank and partition size, so the oracle matches without
+    * tolerance.
+    */
+  def q32WindowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("spend").desc, col("c_custkey"))
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("c_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("spend_dec"))
+      .withColumn("spend", col("spend_dec").cast("double"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .select(col("c_nationkey"), col("c_custkey"), col("spend"),
+        col("quartile"), col("pr"), col("cd"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
   /** Q29: runtime bloom-filter semi-join reduction. A selective dimension
     * filter (urgent orders, ~1/5) joins the fact table; Spark's
     * InjectRuntimeFilter builds a bloom filter over the filtered orders'

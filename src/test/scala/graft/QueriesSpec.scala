@@ -118,6 +118,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_events")).sum == Tables.load(spark, sf, "events").count())
   }
 
+  test("q32 window distribution: quartiles 1-4, pr/cd in [0,1], top spender per nation at pr 0") {
+    val rows = queries("q32_window_distribution")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, pr, cd) = (r.getAs[Int]("quartile"), r.getAs[Double]("pr"), r.getAs[Double]("cd"))
+      assert(q >= 1 && q <= 4)
+      assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0)
+    }
+    rows.groupBy(_.getAs[Int]("c_nationkey")).foreach { case (_, ns) =>
+      val top = ns.maxBy(r => (r.getAs[Double]("spend"), -r.getAs[Long]("c_custkey")))
+      assert(top.getAs[Double]("pr") == 0.0 && top.getAs[Int]("quartile") == 1)
+    }
+  }
+
   test("x3 exact jaccard values are valid and symmetric-free (a < b)") {
     val rows = queries("x3_dedup_ngram_jaccard")
     rows.foreach { r =>
