@@ -899,8 +899,8 @@ object SparkEntry {
         |  GROUP BY c_nationkey, c_custkey)
         |SELECT c_nationkey, c_custkey, spend,
         |       CAST(ntile(4) OVER w AS int) AS quartile,
-        |       round(percent_rank() OVER w, 6) AS pr,
-        |       round(cume_dist() OVER w, 6) AS cd
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd
         |FROM s
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY spend DESC, c_custkey)
         |ORDER BY c_nationkey, c_custkey""".stripMargin,

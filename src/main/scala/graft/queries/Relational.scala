@@ -378,9 +378,12 @@ object Relational {
     * window partitions by nation (a global spend ranking would funnel
     * every row through one sort partition — the anti-pattern this query
     * deliberately avoids at 100 TB); ties break on c_custkey so every
-    * function is deterministic. percent_rank/cume_dist are exact
-    * rationals of rank and partition size, so the oracle matches without
-    * tolerance.
+    * function is deterministic. percent_rank/cume_dist ship UNROUNDED:
+    * they are exact small-integer divisions, so both engines produce the
+    * same IEEE double and the compare is bit-exact — rounding them
+    * DIVERGES on exact decimal ties (sf0.1 hits cd = 333/640 =
+    * .5203125, where Spark's HALF_UP on the shortest decimal repr says
+    * .520313 and DuckDB says .520312).
     */
   def q32WindowDistribution(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_nationkey"))
@@ -391,8 +394,12 @@ object Relational {
       .agg(sum(dec(col("o_totalprice"))).as("spend_dec"))
       .withColumn("spend", col("spend_dec").cast("double"))
       .withColumn("quartile", ntile(4).over(w))
-      .withColumn("pr", round(percent_rank().over(w), 6))
-      .withColumn("cd", round(cume_dist().over(w), 6))
+      // pr/cd ship UNROUNDED: both engines compute the same exact IEEE
+      // double for these small-integer divisions, while round-to-6 DIVERGES
+      // on exact decimal ties (sf0.1 has cd = 333/640 = .5203125 — Spark
+      // HALF_UP says .520313, DuckDB .520312)
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
       .select(col("c_nationkey"), col("c_custkey"), col("spend"),
         col("quartile"), col("pr"), col("cd"))
       .orderBy("c_nationkey", "c_custkey")
