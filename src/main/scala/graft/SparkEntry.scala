@@ -54,6 +54,12 @@ object SparkEntry {
     // window distribution functions (ntile/percent_rank/cume_dist),
     // partitioned per nation so no global-sort funnel
     "q32_window_distribution" -> ((s, d) => Relational.q32WindowDistribution(s, d)),
+    // arbitrary GROUPING SETS (incl. the empty set) + grouping() flags —
+    // the surface ROLLUP/CUBE don't pin; pre-aggregated before expansion
+    "q33_grouping_sets" -> ((s, d) => Relational.q33GroupingSets(s, d)),
+    // RANGE-frame window aggregate (trailing 30 days per customer) —
+    // q26 covers ROWS frames only; same-date orders are frame peers
+    "q34_range_frame" -> ((s, d) => Relational.q34RangeFrame(s, d)),
     // q22's aggregation against the BUCKETED layout (co-located merge join,
     // zero join-side Exchange — LayoutSpec pins the plan); same oracle
     "q27_bucketed_join" -> ((s, d) => graft.sources.Bucketed.q27BucketedJoin(s, d)),
@@ -904,6 +910,36 @@ object SparkEntry {
         |FROM s
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY spend DESC, c_custkey)
         |ORDER BY c_nationkey, c_custkey""".stripMargin,
+    // arbitrary grouping sets incl. the empty (grand-total) set, same
+    // pre-aggregate-then-expand shape as q11/q20; grouping() flags
+    // disambiguate subtotal-NULL from data-NULL, bigint on both sides
+    "q33_grouping_sets" ->
+      """WITH base AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         sum(CAST(l_quantity AS decimal(18,2))) AS _sq, count(*) AS _n
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        |SELECT l_returnflag, l_linestatus,
+        |       CAST(grouping(l_returnflag) AS bigint) AS g_flag,
+        |       CAST(grouping(l_linestatus) AS bigint) AS g_status,
+        |       CAST(sum(_sq) AS double) AS sum_qty,
+        |       CAST(sum(_n) AS bigint) AS n_items
+        |FROM base
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // numeric RANGE frame (trailing 30 days in epoch-micros) — identical
+    // frame semantics in both engines, decimal sums, peers tie-consistent
+    "q34_range_frame" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS day_us,
+        |         CAST(o_totalprice AS decimal(18,2)) AS p
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, day_us,
+        |       CAST(sum(p) OVER w AS double) AS sum_30d,
+        |       count(*) OVER w AS n_30d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_us
+        |             RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, day_us, o_orderkey""".stripMargin,
     "x1_dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
         |       count(*) - count(DISTINCT md5(text)) AS n_dup_docs
@@ -935,8 +971,8 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 5 = 0),
         |f AS (SELECT doc_id, sh FROM d WHERE len(sh) >= 10)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       round(CAST(len(list_intersect(a.sh, b.sh)) AS double)
-        |             / least(len(a.sh), len(b.sh)), 6) AS overlap
+        |       CAST(len(list_intersect(a.sh, b.sh)) AS double)
+        |             / least(len(a.sh), len(b.sh)) AS overlap
         |FROM f a JOIN f b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS double)
         |      / least(len(a.sh), len(b.sh)) >= 0.8
@@ -1027,7 +1063,8 @@ object SparkEntry {
     // approximate near-dup pipeline replayed stage for stage
     "x54_lsh_cosine_neardup" ->
       (hyperplaneCte(
-        """e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        """e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          |        WHERE len(embedding) > 0),
           |emb2 AS (
           |  SELECT vec_id, v AS embedding FROM e0
           |  UNION ALL
@@ -1129,10 +1166,10 @@ object SparkEntry {
         |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> list_contains(['the','a','and','of','to','in','is'], t))) AS int) AS n_stopwords
         |  FROM documents)
         |SELECT doc_id, n_chars_m, n_tokens, n_punct, n_digits, n_stopwords,
-        |  round(CAST(n_chars_m - (n_tokens - 1) AS double) / n_tokens, 6) AS avg_token_len,
-        |  round(CAST(n_punct AS double) / n_chars_m, 6) AS punct_ratio,
-        |  round(CAST(n_digits AS double) / n_chars_m, 6) AS digit_ratio,
-        |  round(CAST(n_stopwords AS double) / n_tokens, 6) AS stopword_ratio,
+        |  CAST(n_chars_m - (n_tokens - 1) AS double) / n_tokens AS avg_token_len,
+        |  CAST(n_punct AS double) / n_chars_m AS punct_ratio,
+        |  CAST(n_digits AS double) / n_chars_m AS digit_ratio,
+        |  CAST(n_stopwords AS double) / n_tokens AS stopword_ratio,
         |  round(1.0 / (1.0 + n_punct + n_digits) * (1.0 + CAST(n_stopwords AS double) / n_tokens), 6) AS quality_score
         |FROM m ORDER BY doc_id""".stripMargin,
     "x11_token_counts" ->
@@ -1314,7 +1351,7 @@ object SparkEntry {
         |             CAST(sum(n) OVER (PARTITION BY doc_id) AS bigint) AS n_bigrams,
         |             row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bigram) AS rk FROM c)
         |SELECT doc_id, n_bigrams, bigram AS top_bigram, n AS top_n,
-        |       round(CAST(n AS double) / n_bigrams, 6) AS top_frac
+        |       CAST(n AS double) / n_bigrams AS top_frac
         |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     // same multiplicative-hash-with-independent-multiplier as the Spark
     // side; plain % matches pmod on the fixture's non-negative ids (the
@@ -1352,7 +1389,7 @@ object SparkEntry {
         |f AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
         |SELECT doc_id, count(*) AS n_grams,
         |       CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS bigint) AS n_boiler,
-        |       round(CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS double) / count(*), 6) AS boiler_frac
+        |       CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS double) / count(*) AS boiler_frac
         |FROM g JOIN f USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same tokenization as x11/x33; running sum over (source, doc_id % 4)
@@ -1438,8 +1475,8 @@ object SparkEntry {
         |  ORDER BY n DESC, token LIMIT 50))
         |SELECT source, count(*) AS n_tokens,
         |       CAST(sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_in_vocab,
-        |       round(CAST(count(*) - sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS double)
-        |             / count(*), 6) AS oov_rate
+        |       CAST(count(*) - sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS double)
+        |             / count(*) AS oov_rate
         |FROM t LEFT JOIN v ON t.token = v.token
         |GROUP BY source ORDER BY source""".stripMargin,
     // the at-least-once duplication is engine-side noise the dedup must

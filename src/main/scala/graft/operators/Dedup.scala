@@ -107,7 +107,12 @@ object Dedup {
       .withColumn("overlap",
         col("n_common").cast("double") / least(size(col("sh_a")), size(col("sh_b"))))
       .filter(col("overlap") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("overlap"), 6).as("overlap"))
+      // shipped UNROUNDED: overlap is an exact small-integer division, so it
+      // can land on exact decimal ties (x/640 -> .5203125) where Spark's
+      // HALF_UP-on-shortest-repr round and DuckDB's binary-double round
+      // disagree — the q32 cume_dist divergence class (commit f50a86b).
+      // Both engines compute the identical IEEE double; ship that.
+      .select(col("doc_a"), col("doc_b"), col("overlap"))
       .orderBy("doc_a", "doc_b")
   }
 

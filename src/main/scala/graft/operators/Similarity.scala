@@ -259,7 +259,14 @@ object Similarity {
     */
   private[graft] val PlantOffset = 1000000L
   private[graft] def plantedNearDupCorpus(emb: DataFrame): DataFrame = {
-    val vecs = vecFrame(emb)
+    // Empty embeddings are dropped from the planted corpus outright: the
+    // twin expression slices v at length size(v)-1, which Spark's slice
+    // rejects (negative length) for a zero-length array — abort, where the
+    // oracle's range(1, len(v)+1) degrades gracefully. An empty vector has
+    // no cosine to anything (NaN, dropped at verify) so it can never
+    // contribute a pair; drop-don't-fail, mirrored in the oracle's
+    // `WHERE len(v) > 0`.
+    val vecs = vecFrame(emb).filter(size(col("v")) > 0)
     val twins = vecs.select(
       (col("vec_id") + lit(PlantOffset)).as("vec_id"),
       expr("zip_with(v, concat(slice(v, 2, size(v) - 1), slice(v, 1, 1)), (x, y) -> x + 0.3d * y)")

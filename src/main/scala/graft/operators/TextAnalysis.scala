@@ -81,7 +81,12 @@ object TextAnalysis {
   }
 
   /** Per-document quality metrics + a composite score. Ratios are exact
-    * integer-over-integer divisions (deterministic doubles).
+    * integer-over-integer divisions (deterministic doubles) shipped
+    * UNROUNDED — the q32/x55 decimal-tie divergence class: both engines
+    * compute the identical IEEE double, while round-to-6 disagrees on
+    * exact ties like x/640. The composite quality_score stays rounded:
+    * it is a shared GATE definition (x17/x44 compare it to thresholds)
+    * and both engines round the same product-of-divisions double.
     */
   def qualityStats(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
@@ -92,10 +97,10 @@ object TextAnalysis {
         size(expr("regexp_extract_all(text, '[0-9]', 0)")).as("n_digits"),
         hits(t, Lexicons("en")).as("n_stopwords"))
       .withColumn("avg_token_len",
-        round((col("n_chars_m") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"), 6))
-      .withColumn("punct_ratio", round(col("n_punct").cast("double") / col("n_chars_m"), 6))
-      .withColumn("digit_ratio", round(col("n_digits").cast("double") / col("n_chars_m"), 6))
-      .withColumn("stopword_ratio", round(col("n_stopwords").cast("double") / col("n_tokens"), 6))
+        (col("n_chars_m") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars_m"))
+      .withColumn("digit_ratio", col("n_digits").cast("double") / col("n_chars_m"))
+      .withColumn("stopword_ratio", col("n_stopwords").cast("double") / col("n_tokens"))
       .withColumn("quality_score",
         qualityScore(col("n_punct"), col("n_digits"), col("n_stopwords"), col("n_tokens")))
       .orderBy("doc_id")
@@ -151,7 +156,8 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("in_vocab"), 1L).otherwise(0L)).as("n_in_vocab"))
       .select(col("source"), col("n_tokens"), col("n_in_vocab"),
-        round((col("n_tokens") - col("n_in_vocab")).cast("double") / col("n_tokens"), 6)
+        // unrounded: exact int/int division, the q32/x55 tie class
+        ((col("n_tokens") - col("n_in_vocab")).cast("double") / col("n_tokens"))
           .as("oov_rate"))
       .orderBy("source")
   }
@@ -332,23 +338,57 @@ object TextAnalysis {
     * fixture's newline-free text supports.
     *
     * Shape at 100 TB: per-doc distinct grams (ONE explode, repetition
-    * removed pre-shuffle), then `df = count over (partition by gram)` as a
-    * WINDOW — not a groupBy + join-back, which (plan-audited) scans and
-    * explodes the corpus twice and lets AQE broadcast the gram→df table, a
-    * data-dependent corpus-scale relation (unlike x33's eval slice,
-    * boilerplate sets grow with the corpus). The window keeps it to one
-    * corpus pass and one exchange on `gram` (plus its clustering sort);
-    * the final per-doc reduce is one more bounded shuffle on doc_id.
+    * removed pre-shuffle), ONE explicit exchange on `gram` that BOTH the
+    * df aggregate and the join-back consume (ReuseExchange dedupes the
+    * identical subtree, so the corpus is scanned and exploded once —
+    * plan-pinned in SkewSpec), then a hint-forced sort-merge join back.
+    * Three deliberate choices, each a 100-TB survival property:
+    *
+    *  - df via `groupBy(gram)`, NOT `count() over (partition by gram)`:
+    *    the aggregate's map-side combine reduces a mega-gram (site-wide
+    *    boilerplate in EVERY doc) to one partial row per task before the
+    *    exchange, and the final agg is numTasks rows — where the window
+    *    form funnels ALL of that gram's corpus-wide rows into ONE
+    *    unsplittable window partition (spillable, but single-task: the
+    *    r10 verdict's watch-item).
+    *  - join-back instead of window df-attach: a join probe STREAMS (no
+    *    per-partition buffering), and AQE's skew-join split can carve a
+    *    hot gram's probe partition into chunks — a window partition can
+    *    never be split without breaking its semantics.
+    *  - `merge` hint on the df side: gram→df is a DATA-DEPENDENT
+    *    corpus-scale relation (boilerplate vocabularies grow with the
+    *    corpus), so letting AQE broadcast it because the FIXTURE fits is
+    *    exactly the silent 100-TB driver-OOM the round-5 audit killed the
+    *    naive join-back for. Sort-merge keeps the honest shape; both
+    *    sides are already partitioned by gram, so the hint costs two
+    *    in-partition sorts and zero exchanges.
+    *
+    * The final per-doc reduce is one more bounded shuffle on doc_id.
+    * `boiler_frac` ships UNROUNDED (exact small-integer division — the
+    * q32/x55 decimal-tie divergence class).
     */
   def boilerplateCoverage(docs: DataFrame, n: Int = 8, minDocs: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
     val grams = distinctDocGrams(docs, n)
-    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
-    grams.withColumn("df", count(lit(1)).over(byGram))
+      .repartition(spark.sparkContext.defaultParallelism, col("gram"))
+    // count(DISTINCT doc_id) — the literal document-frequency definition
+    // (identical value here: grams are pre-distinct'd per doc), chosen
+    // over count(*) deliberately: it references doc_id in a way the
+    // optimizer cannot fold away (count(doc_id) rewrites to count(1) on a
+    // non-nullable input), so ColumnPruning keeps doc_id below THIS
+    // branch's exchange and both branches hang off canonically identical
+    // subtrees — which is what lets ReuseExchange/stage-reuse run the
+    // scan+explode ONCE (plan-pinned in QueriesSpec's x37 skew test).
+    // No extra exchange: HashPartitioning(gram) satisfies the rewrite's
+    // (gram, doc_id) clustering, and the dedup pass is a no-op on
+    // already-distinct rows.
+    val gramDf = grams.groupBy(col("gram")).agg(countDistinct(col("doc_id")).as("df"))
+    grams.join(gramDf.hint("merge"), "gram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
       .select(col("doc_id"), col("n_grams"), col("n_boiler"),
-        round(col("n_boiler").cast("double") / col("n_grams"), 6).as("boiler_frac"))
+        (col("n_boiler").cast("double") / col("n_grams")).as("boiler_frac"))
       .orderBy("doc_id")
   }
 
@@ -374,7 +414,8 @@ object TextAnalysis {
       .filter(col("_rk") === 1)
       .select(col("doc_id"), col("n_bigrams"), col("bigram").as("top_bigram"),
         col("n").as("top_n"),
-        round(col("n").cast("double") / col("n_bigrams"), 6).as("top_frac"))
+        // unrounded: exact int/int division, the q32/x55 tie class
+        (col("n").cast("double") / col("n_bigrams")).as("top_frac"))
       .orderBy("doc_id")
   }
 

@@ -571,6 +571,70 @@ object Relational {
       .orderBy("user_id", "valid_from_us", "event_id")
   }
 
+  /** Q33: explicit GROUPING SETS + grouping() — the arbitrary-combination
+    * surface ROLLUP (q11) and CUBE (q20) don't pin. The set list is
+    * deliberately NOT a rollup or cube prefix family:
+    * ((returnflag, linestatus), (linestatus), ()) — it includes the empty
+    * (grand-total) set and a single-column set that skips the leading
+    * column, the reporting shape a real user writes weekly. `grouping()`
+    * flags disambiguate subtotal-NULL from data-NULL (the ambiguity q11
+    * documents), shipped as bigint on both sides.
+    *
+    * Same scale posture as q11/q20: pre-aggregate to the FINEST grouping
+    * first, then expand — Spark's Expand replicates each input row once
+    * per set (3× here) BEFORE the aggregate, so the replication runs over
+    * |groups| pre-aggregated rows instead of the 100-TB scan.
+    */
+  def q33GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).as("_sq"), count(lit(1)).as("_n"))
+    base.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")),
+          Seq.empty[org.apache.spark.sql.Column]),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("bigint").as("g_flag"),
+        grouping(col("l_linestatus")).cast("bigint").as("g_status"),
+        sum(col("_sq")).cast("double").as("sum_qty"),
+        sum(col("_n")).as("n_items"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("g_flag"), col("g_status"), col("sum_qty"), col("n_items"))
+      .orderBy(col("g_flag"), col("g_status"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Q34: RANGE-frame window aggregate — per-customer trailing-30-day
+    * spend over order history, the time-based sliding shape q26's ROWS
+    * frames cannot express. Ordering is by epoch-micros (a numeric RANGE
+    * frame — identical semantics in every engine, no interval-type
+    * dependence); customers place multiple orders on the same date, so
+    * same-date orders are frame PEERS: they all see the same trailing sum
+    * including each other — exactly where RANGE ≠ ROWS (pinned in
+    * QueriesSpec). Peer-tied values make the result deterministic without
+    * a tie-break in the frame ordering; the OUTPUT ordering still
+    * tie-breaks on o_orderkey. Frame sums stay decimal until the final
+    * double cast (q26's discipline).
+    *
+    * Scale shape: one shuffle on o_custkey, per-partition sort — the same
+    * single-exchange plan as q26; the frame is evaluated with a sliding
+    * accumulator over the sorted run, never materializing per-row frames.
+    */
+  def q34RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_us"))
+      .rangeBetween(-30L * dayUs, 0L)
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("day_us"),
+        dec(col("o_totalprice")).as("p"))
+      .withColumn("sum_30d", sum(col("p")).over(w).cast("double"))
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("day_us"),
+        col("sum_30d"), col("n_30d"))
+      .orderBy("o_custkey", "day_us", "o_orderkey")
+  }
+
   /** Q14: distinct aggregates — distinct parts/suppliers per return flag. */
   def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

@@ -77,13 +77,16 @@ class DirtyInputSpec extends AnyFunSuite {
       (0L, Array(0f, 0f, 0f)),             // zero vector
       (1L, Array(1f, 2f, 3f)),
       (2L, Array(1f, 2f)),                 // ragged
-      (3L, Array(0.9f, 2.1f, 3.1f))).toDF("vec_id", "embedding")
+      (3L, Array(0.9f, 2.1f, 3.1f)),
+      (4L, Array.empty[Float])).toDF("vec_id", "embedding") // empty: slice(v,2,-1) territory — must drop, not abort
     val pairs = graft.operators.Similarity.lshCosineNearDup(mixed).collect()
     pairs.foreach(r => assert(!r.getDouble(2).isNaN))
     // the zero vector (and its zero twin) has no cosine to anything:
     // neither id may appear in any emitted pair
     val ids = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
     assert(!ids.contains(0L) && !ids.contains(graft.operators.Similarity.PlantOffset))
+    // the empty vector is dropped outright (no twin, no bucket, no pair)
+    assert(!ids.contains(4L) && !ids.contains(4L + graft.operators.Similarity.PlantOffset))
     // the full-dim near-identical pair (1, 3) must be found
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 3L))
   }

@@ -32,8 +32,13 @@ class FixtureContractSpec extends AnyFunSuite {
     // the generator writes events inside the fixture's date range (~2023+).
     val row = events.selectExpr("min(ts) as lo", "max(ts) as hi").head()
     val lo = row.getTimestamp(0).toInstant
+    val hi = row.getTimestamp(1).toInstant
     assert(lo.isAfter(java.time.Instant.parse("2000-01-01T00:00:00Z")),
       s"events.ts min=$lo — looks like a unit/precision mix-up in the loader")
+    // Bound the OTHER direction too: micros read as seconds/millis inflate
+    // instants far into the future and would pass a lower bound silently.
+    assert(hi.isBefore(java.time.Instant.parse("2100-01-01T00:00:00Z")),
+      s"events.ts max=$hi — looks like a unit/precision mix-up in the loader (inflated instants)")
   }
 
   test("oracle-critical column dtypes are pinned (drift here breaks oracles as silently as events.ts did)") {

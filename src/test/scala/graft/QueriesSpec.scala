@@ -132,6 +132,48 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q33 grouping sets: three granularities, grand total present, subtotals consistent") {
+    val rows = queries("q33_grouping_sets")
+    // three distinct (g_flag, g_status) combinations: (0,0) finest,
+    // (1,0) per-linestatus, (1,1) grand total — and NOT (0,1): the set
+    // list skips the per-returnflag set, which is what makes it an
+    // arbitrary grouping-set family rather than a rollup/cube prefix
+    val grains = rows.map(r => (r.getAs[Long]("g_flag"), r.getAs[Long]("g_status"))).toSet
+    assert(grains == Set((0L, 0L), (1L, 0L), (1L, 1L)), s"got grains $grains")
+    val finest = rows.filter(r => r.getAs[Long]("g_flag") == 0L)
+    val perStatus = rows.filter(r => r.getAs[Long]("g_flag") == 1L && r.getAs[Long]("g_status") == 0L)
+    val grand = rows.filter(r => r.getAs[Long]("g_status") == 1L)
+    assert(grand.length == 1)
+    // n_items adds up across every granularity
+    val n = Tables.load(spark, sf, "lineitem").count()
+    assert(finest.map(_.getAs[Long]("n_items")).sum == n)
+    assert(perStatus.map(_.getAs[Long]("n_items")).sum == n)
+    assert(grand.head.getAs[Long]("n_items") == n)
+    // grouping() flags, not value-nulls, are the subtotal markers: every
+    // subtotal row has NULL in its aggregated-away column
+    perStatus.foreach(r => assert(r.isNullAt(r.fieldIndex("l_returnflag"))))
+  }
+
+  test("q34 range frame: trailing-30d window; same-day orders are peers; RANGE != ROWS on ties") {
+    val rows = queries("q34_range_frame")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_30d") >= 1L)
+      assert(r.getAs[Double]("sum_30d") > 0.0)
+    }
+    // same-customer same-day orders are frame PEERS: identical frame values
+    val byPeer = rows.groupBy(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("day_us")))
+    val tied = byPeer.filter(_._2.length > 1)
+    assert(tied.nonEmpty, "fixture has no same-day order pairs — peer semantics untested")
+    tied.foreach { case (_, ps) =>
+      assert(ps.map(_.getAs[Double]("sum_30d")).distinct.length == 1)
+      assert(ps.map(_.getAs[Long]("n_30d")).distinct.length == 1)
+    }
+    // where RANGE != ROWS: a peer group's n_30d counts ALL peers including
+    // later-keyed ones, which a ROWS frame ending at CURRENT ROW cannot
+    assert(tied.exists { case (_, ps) => ps.forall(_.getAs[Long]("n_30d") >= ps.length) })
+  }
+
   test("x3 exact jaccard values are valid and symmetric-free (a < b)") {
     val rows = queries("x3_dedup_ngram_jaccard")
     rows.foreach { r =>
@@ -366,6 +408,39 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows(2L) == ((2L, 1L, 0.5)))
     assert(rows(3L) == ((2L, 1L, 0.5)))
     assert(rows(4L) == ((1L, 0L, 0.0)))
+  }
+
+  test("x37 skew: a gram in EVERY doc — no window funnel, SMJ join-back, one reused gram exchange") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // one 8-gram shared by ALL docs (site-wide boilerplate): under the old
+    // window form all 200 of its rows land in ONE unsplittable window
+    // partition; the aggregate+join-back form reduces it map-side and
+    // leaves only a streamable, AQE-splittable join probe
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = (0L until 200L).map(i => (i, s"$boiler u${i}a u${i}b u${i}c"))
+      .toDF("doc_id", "text")
+    val df = TextAnalysis.boilerplateCoverage(docs)
+    val initial = df.queryExecution.executedPlan.toString
+    assert(!initial.contains("Window"),
+      "x37 must not funnel grams through a window partition")
+    assert(initial.contains("SortMergeJoin"),
+      "df join-back must stay sort-merge (gram->df is data-dependent corpus-scale; no broadcast)")
+    val rows = df.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_boiler"), r.getAs[Double]("boiler_frac")))).toMap
+    // 11 tokens -> 4 sliding 8-grams; gram 1 is the shared boilerplate
+    // (df=200 >= 3), grams 2-4 carry doc-unique tokens (df=1)
+    assert(rows.size == 200)
+    rows.values.foreach(v => assert(v == ((4L, 1L, 0.25))))
+    // ONE gram exchange feeds both the df aggregate and the join-back
+    // (ReuseExchange): the scan+explode must not run twice. Only the
+    // final plan counts — AdaptiveSparkPlan.toString appends the
+    // pre-reuse "== Initial Plan ==" section.
+    val finalPlan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val gramExchanges = finalPlan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(gram") && !l.contains("Reused")).size
+    assert(gramExchanges == 1, s"expected one reused gram exchange, plan:\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange"), s"gram exchange not reused, plan:\n$finalPlan")
   }
 
   test("x38 packing: offsets/packs/spans by hand; stable under repartitioning") {
