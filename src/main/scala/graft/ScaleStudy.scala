@@ -292,7 +292,16 @@ object ScaleStudy {
         val (candF, pairsF, secF) = run(6, 8) // the x54 ledger geometry
         val nBits = graft.operators.Similarity.occupancySizedBits(corpusN, targetOcc, maxBits = 16)
         val (candS, pairsS, secS) = run(nBits, 4)
-        println(f"""{"op":"lsh_cosine_neardup","scale":$k,"corpus":$corpusN,"planted":$nPlanted,"fixed_cand_per_vec":${candF.toDouble / corpusN}%.1f,"fixed_recall":${pairsF.toDouble / nPlanted}%.3f,"fixed_sec":$secF%.2f,"sized_bits":$nBits,"sized_cand_per_vec":${candS.toDouble / corpusN}%.1f,"sized_recall":${pairsS.toDouble / nPlanted}%.3f,"sized_sec":$secS%.2f}""")
+        // the DEFAULT production path (r10 verdict #5): sizedNearDup =
+        // occupancy-sized bits + multi-probe — candidates must stay
+        // near-flat per vector AND recall must hold ~1 at every scale
+        val candD = graft.operators.Similarity
+          .multiProbeCandidatePairs(vecs, nBits, 4).count() // untimed diagnostic
+        val t0 = System.nanoTime()
+        val pairsD = graft.operators.Similarity
+          .sizedNearDup(corpus, 0.9, targetOcc, 4).count()
+        val secD = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"lsh_cosine_neardup","scale":$k,"corpus":$corpusN,"planted":$nPlanted,"fixed_cand_per_vec":${candF.toDouble / corpusN}%.1f,"fixed_recall":${pairsF.toDouble / nPlanted}%.3f,"fixed_sec":$secF%.2f,"sized_bits":$nBits,"sized_cand_per_vec":${candS.toDouble / corpusN}%.1f,"sized_recall":${pairsS.toDouble / nPlanted}%.3f,"sized_sec":$secS%.2f,"default_cand_per_vec":${candD.toDouble / corpusN}%.1f,"default_recall":${pairsD.toDouble / nPlanted}%.3f,"default_sec":$secD%.2f}""")
       }
     }
     // x57 scale: the SHIPPED streaming simhash ingest-dedup replayed at

@@ -200,10 +200,11 @@ object SparkEntry {
     "x30_stratified_split" -> ((s, d) =>
       graft.operators.Sampling.stratifiedSplit(Tables.load(s, d, "documents"))),
     // incremental new-batch-vs-corpus dedup against persisted band +
-    // fingerprint stores; DuckDB-exact batch counts + the
-    // equals-whole-corpus-restriction contract as invariant booleans
+    // fingerprint stores — the BATCH PATH only (the restriction-equality
+    // contract is a QueriesSpec assertion; it is also what makes n_pairs
+    // DuckDB-exact via the whole-pipeline LSH replay)
     "x31_incremental_dedup" -> ((s, d) =>
-      graft.operators.IncrementalDedup.incrementalSummary(s, d)),
+      graft.operators.IncrementalDedup.incrementalBatch(s, d)),
     // PII scrub: counts on the original text + md5 of the redacted text
     "x32_pii_redaction" -> ((s, d) => TextAnalysis.piiRedact(Tables.load(s, d, "documents"))),
     // benchmark decontamination: 8-token-gram overlap vs the doc_id%17==3
@@ -1300,14 +1301,18 @@ object SparkEntry {
         |       (n_sampled - 1) * 256 +
         |       CASE WHEN last_idx = n_frames - 1 THEN n - (n_frames - 1) * 256 ELSE 256 END AS sampled_bytes
         |FROM s ORDER BY doc_id""".stripMargin,
-    // the LSH pair SETS are engine-internal (hash family), but the batch
-    // counts are exact and the restriction-equality contract rides as
-    // booleans — same pattern as x24/x27/x28
+    // batch counts are exact, and n_pairs is DuckDB-exact too: the
+    // restriction-equality contract (QueriesSpec) makes the incremental
+    // pair set equal the whole-pipeline LSH replay restricted to pairs
+    // with a new endpoint, so the oracle counts those
     "x31_incremental_dedup" ->
-      """SELECT count(*) FILTER (WHERE doc_id % 10 = 7) AS n_new,
-        |       count(*) FILTER (WHERE doc_id % 10 <> 7) AS n_corpus,
-        |       true AS incremental_equals_full, true AS all_pairs_verified
-        |FROM documents""".stripMargin,
+      (MinhashLshCte(0.6) +
+        """
+          |SELECT (SELECT count(*) FROM documents WHERE doc_id % 10 = 7) AS n_new,
+          |       (SELECT count(*) FROM documents WHERE doc_id % 10 <> 7) AS n_corpus,
+          |       count(*) FILTER (WHERE doc_a % 10 = 7 OR doc_b % 10 = 7) AS n_pairs,
+          |       true AS all_pairs_verified
+          |FROM pairs""".stripMargin),
     // same regexes as the Spark side (chosen Java/RE2-portable); DuckDB
     // needs the explicit 'g' flag for replace-all
     "x32_pii_redaction" ->

@@ -158,10 +158,35 @@ object IncrementalDedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** x31: the driver-visible contract row. DuckDB-exact batch counts ride
-    * with two engine-computed invariants: the incremental pair set (and
-    * its jaccard values) equals the whole-corpus x4 pairs restricted to
-    * >= 1 new endpoint, and every emitted pair clears the threshold.
+  /** x31: the driver-visible ledger row — the BATCH PATH ONLY. Times the
+    * production cost: spool-warm persisted stores + one incremental batch
+    * (O(|new|·bucket)); the whole-corpus x4 recompute does NOT run here.
+    * Through round 10 the ledger row was [[incrementalSummary]], which
+    * recomputes the full corpus pair set inside the timed call to assert
+    * restriction equality — so the row could never evidence its own
+    * O(|new|) claim (r10 drew 14.2 s against a 2.7-3.2 s batch-cost
+    * band). The equality contract moved to QueriesSpec (where it already
+    * ran on the raw pair sets); the gate keeps a HARD value check — the
+    * restriction equality is exactly what lets DuckDB's whole-pipeline
+    * LSH replay count the incremental pairs (`n_pairs`) bit-exactly.
+    */
+  def incrementalBatch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val flags = incrementalPairs(spark, dir).agg(
+      count(lit(1)).as("n_pairs"),
+      coalesce(bool_and(col("jaccard") >= Threshold), lit(true)).as("all_pairs_verified"))
+    val counts = docs.agg(
+      count(when(isNewDoc(col("doc_id")), lit(1))).as("n_new"),
+      count(when(!isNewDoc(col("doc_id")), lit(1))).as("n_corpus"))
+    counts.crossJoin(flags)
+      .select(col("n_new"), col("n_corpus"), col("n_pairs"), col("all_pairs_verified"))
+  }
+
+  /** The full restriction-equality contract (spec surface, not the timed
+    * ledger row — see [[incrementalBatch]]): DuckDB-exact batch counts
+    * ride with two engine-computed invariants — the incremental pair set
+    * (and its jaccard values) equals the whole-corpus x4 pairs restricted
+    * to >= 1 new endpoint, and every emitted pair clears the threshold.
     */
   def incrementalSummary(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")

@@ -219,7 +219,17 @@ object Similarity {
                       nBits: Int = 8, nTables: Int = 8): DataFrame = {
     graft.functions.ArrayExpressions.register(emb.sparkSession)
     val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val pairs = lshCandidatePairs(vecs, nBits, nTables)
+    verifyCosinePairs(vecs, lshCandidatePairs(vecs, nBits, nTables), threshold)
+  }
+
+  /** The exact-cosine verification stage shared by [[lshNearDupPairs]] and
+    * [[sizedNearDup]] — ONE definition, so the fixed-geometry ledger path
+    * and the production-sized path can never drift on what "verified"
+    * means. Precision is 1 by construction: only candidates that clear the
+    * exact threshold survive.
+    */
+  private def verifyCosinePairs(vecs: DataFrame, pairs: DataFrame,
+                                threshold: Double): DataFrame =
     pairs
       .join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
       .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
@@ -227,6 +237,64 @@ object Similarity {
       .filter(!isnan(col("sim")) && col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
       .orderBy("vec_a", "vec_b")
+
+  /** PRODUCTION cosine near-dup entry point (r10 verdict #5): occupancy-
+    * sized bits + the x51 multi-probe policy, by DEFAULT. The fixed
+    * 6-bit × 8-table geometry the x54 ledger row pins (its SQL replay
+    * requires fixed parameters) is measured quadratic-by-occupancy as the
+    * corpus grows — 455 s at 10× in the BASELINE.md scale study — because
+    * per-bucket occupancy, and so candidates/vector, grows linearly with
+    * the corpus at fixed bits. This entry point is the scale-safe default
+    * a 100-TB near-dup pass should call:
+    *
+    *  - `nBits = occupancySizedBits(corpus)` — +1 bit per corpus
+    *    doubling holds per-bucket occupancy (and candidates/vector)
+    *    constant: the measured near-FLAT curve;
+    *  - multi-probe ([[multiProbeCandidatePairs]]) buys back the recall
+    *    that fewer chance collisions cost: each vector also probes every
+    *    Hamming-1 neighbor bucket, recovering the most likely near-miss
+    *    (one hyperplane disagreement) without more tables — measured
+    *    recall 1.000 at every scale in the x51 study;
+    *  - the corpus count is ONE 1-row driver probe (the documented
+    *    ivfTopK-dim pattern) — sizing needs the cardinality.
+    *
+    * Equivalence at fixture scale (sizedNearDup == exact brute-force pair
+    * set on the planted corpus) is pinned in QueriesSpec.
+    */
+  def sizedNearDup(emb: DataFrame, threshold: Double = 0.9,
+                   targetOccupancy: Int = 32, nTables: Int = 4): DataFrame = {
+    graft.functions.ArrayExpressions.register(emb.sparkSession)
+    val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val nBits = occupancySizedBits(vecs.count(), targetOccupancy, maxBits = 64 / nTables)
+    verifyCosinePairs(vecs, multiProbeCandidatePairs(vecs, nBits, nTables), threshold)
+  }
+
+  /** Multi-probe candidate pairs: [[lshCandidatePairs]] widened by the
+    * x51 policy — one side of the join also probes every Hamming-1
+    * neighbor bucket (single sign-bit XOR; flip 0 = the exact bucket).
+    * A pair whose signatures differ in exactly one of nBits bits — the
+    * most likely near-miss — is recovered when the lower-id side flips
+    * onto the higher's bucket (`vec_a < vec_b` orders ids, not roles, so
+    * one flipped side covers both directions). Cost is explicit: the
+    * flipped side grows by ×(nBits+1) = O(log corpus) under occupancy
+    * sizing, never corpus-quadratic; ids-only rows (16 bytes) shuffle,
+    * vectors re-attach after the distinct, exactly like the exact-bucket
+    * path.
+    */
+  private[graft] def multiProbeCandidatePairs(vecs: DataFrame, nBits: Int,
+                                              nTables: Int): DataFrame = {
+    val withBuckets = tableBuckets(vecs, nBits, nTables)
+    val flips = array((lit(0L) +: (0 until nBits).map(b => lit(1L << b))): _*)
+    val a = withBuckets
+      .select(col("tb.t").as("t"), explode(flips).as("flip"),
+        col("tb.bucket").as("b0"), col("sz").as("sza"), col("vec_id").as("vec_a"))
+      .select(col("t"), col("b0").bitwiseXOR(col("flip")).as("pb"),
+        col("sza"), col("vec_a"))
+    val b = withBuckets.select(col("tb.t").as("t2"), col("tb.bucket").as("bb"),
+      col("sz").as("szb"), col("vec_id").as("vec_b"))
+    a.join(b, col("t") === col("t2") && col("pb") === col("bb") &&
+        col("sza") === col("szb") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
   }
 
   /** The distinct (vec_a, vec_b) candidate stage of [[lshNearDupPairs]]:

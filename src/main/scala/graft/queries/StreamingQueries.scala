@@ -54,6 +54,26 @@ object StreamingQueries {
     */
   private def streamParts: String = sys.props.getOrElse("graft.stream.parts", "4")
 
+  /** Per-phase stderr breadcrumb for every streaming ledger row — the
+    * `[q29]`/`[layout]` convention extended to the streaming band (r10
+    * verdict #2): the r10 driver drew x45 at 17.9 s against a 2.8-3.6 s
+    * local band and NOTHING in the log could attribute which phase
+    * re-entered. One line per run — spool wall, stream wall, per-micro-
+    * batch triggerExecution, and per-batch state-store commit time — lets
+    * a driver outlier name its phase from the log alone.
+    */
+  private def streamCrumb(tag: String, t0: Long, tSpool: Long,
+                          q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val runMs = (System.nanoTime() - tSpool) / 1000000L
+    val spoolMs = (tSpool - t0) / 1000000L
+    val progress = q.recentProgress
+    val trig = progress.map(p =>
+      Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
+    val commit = progress.map(p => p.stateOperators.map(_.commitTimeMs).sum)
+    System.err.println(s"[$tag] spool=${spoolMs}ms run=${runMs}ms " +
+      s"batches=${trig.mkString("+")}ms stateCommit=${commit.mkString("+")}ms")
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)
@@ -126,7 +146,9 @@ object StreamingQueries {
     val feedDir = spool.resolve("feed").toString
     val name = s"graft_stream_touch_${runSeq.incrementAndGet()}"
     try {
+      val t0 = System.nanoTime()
       spoolChronological(events, feedDir, FeedFiles)
+      val tSpool = System.nanoTime()
       val stream = spark.readStream
         .schema(events.schema)
         .option("maxFilesPerTrigger", "1")
@@ -141,6 +163,7 @@ object StreamingQueries {
             .start()
           try {
             q.processAllAvailable()
+            streamCrumb("x36", t0, tSpool, q)
             spark.table(name).localCheckpoint()
           } finally q.stop()
         } finally {
@@ -174,7 +197,9 @@ object StreamingQueries {
     val feedDir = spool.resolve("feed").toString
     val name = s"graft_stream_simdedup_${runSeq.incrementAndGet()}"
     try {
+      val t0 = System.nanoTime()
       spoolChronological(fps, feedDir, FeedFiles, tsCol = "doc_id")
+      val tSpool = System.nanoTime()
       val stream = spark.readStream
         .schema(fps.schema)
         .option("maxFilesPerTrigger", "1")
@@ -193,6 +218,7 @@ object StreamingQueries {
             .start()
           try {
             q.processAllAvailable()
+            streamCrumb("x57", t0, tSpool, q)
             spark.table(name).localCheckpoint()
           } finally q.stop()
         } finally {
@@ -256,7 +282,9 @@ object StreamingQueries {
     val feedDir = spool.resolve("feed").toString
     val name = s"graft_stream_join_${runSeq.incrementAndGet()}"
     try {
+      val t0 = System.nanoTime()
       spoolChronological(events, feedDir, FeedFiles)
+      val tSpool = System.nanoTime()
       val stream = spark.readStream
         .schema(events.schema)
         .option("maxFilesPerTrigger", "1")
@@ -272,6 +300,7 @@ object StreamingQueries {
             .start()
           try {
             q.processAllAvailable()
+            streamCrumb("x39", t0, tSpool, q)
             spark.table(name).localCheckpoint()
           } finally q.stop()
         } finally {
@@ -329,7 +358,9 @@ object StreamingQueries {
     val feedDir = spool.resolve("feed").toString
     val name = s"graft_stream_ojoin_${runSeq.incrementAndGet()}"
     try {
+      val t0 = System.nanoTime()
       spoolChronological(events.unionByName(sentinels), feedDir, FeedFiles)
+      val tSpool = System.nanoTime()
       val stream = spark.readStream
         .schema(events.schema)
         .option("maxFilesPerTrigger", "1")
@@ -345,6 +376,7 @@ object StreamingQueries {
             .start()
           try {
             q.processAllAvailable()
+            streamCrumb("x50", t0, tSpool, q)
             spark.table(name).localCheckpoint()
           } finally q.stop()
         } finally {
@@ -388,7 +420,9 @@ object StreamingQueries {
     val spool = Files.createTempDirectory("graft_stream_enrich")
     val feedDir = spool.resolve("feed").toString
     try {
+      val t0 = System.nanoTime()
       spoolChronological(events, feedDir, FeedFiles)
+      val tSpool = System.nanoTime()
       val stream = spark.readStream
         .schema(events.schema)
         .option("maxFilesPerTrigger", "1")
@@ -404,7 +438,10 @@ object StreamingQueries {
           .option("checkpointLocation", spool.resolve("ckpt").toString)
           .outputMode("append")
           .start()
-        try q.processAllAvailable() finally q.stop()
+        try {
+          q.processAllAvailable()
+          streamCrumb("x40", t0, tSpool, q)
+        } finally q.stop()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.read.parquet(outDir)
         .groupBy(col("n_name"), col("event_type"))
@@ -447,6 +484,7 @@ object StreamingQueries {
     val spool = Files.createTempDirectory("graft_stream_xonce")
     val feedDir = spool.resolve("feed").toString
     try {
+      val t0 = System.nanoTime()
       spoolChronological(
         events.crossJoin(broadcast(guard)).filter(col("ok") === 1L).drop("ok"),
         feedDir, FeedFiles)
@@ -464,6 +502,7 @@ object StreamingQueries {
           dup.toFile.setLastModified(base + (2L * i + 1) * 1000),
           s"cannot stamp redelivery mtimes for $p")
       }
+      val tSpool = System.nanoTime() // spool phase incl. the redelivery copies
       val deduped = spark.readStream
         .schema(events.schema)
         .option("maxFilesPerTrigger", "1")
@@ -481,7 +520,10 @@ object StreamingQueries {
           .option("checkpointLocation", spool.resolve("ckpt").toString)
           .outputMode("append")
           .start()
-        try q.processAllAvailable() finally q.stop()
+        try {
+          q.processAllAvailable()
+          streamCrumb("x45", t0, tSpool, q)
+        } finally q.stop()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.read.parquet(outDir)
         .groupBy(col("user_id"))
@@ -527,7 +569,9 @@ object StreamingQueries {
       // file source replays oldest-mtime-first), so per-user event order
       // across micro-batches is non-decreasing — required for the
       // bit-for-bit batch equivalence of a gap sessionizer.
+      val t0 = System.nanoTime()
       spoolChronological(events, feedDir, FeedFiles)
+      val tSpool = System.nanoTime()
 
       implicit val enc: Encoder[GapEvent] = Encoders.product[GapEvent]
       val stream = spark.readStream
@@ -558,6 +602,7 @@ object StreamingQueries {
             // drain so it is guaranteed to arrive as its own micro-batch
             sentinel.coalesce(1).write.mode("append").parquet(feedDir)
             q.processAllAvailable()
+            streamCrumb("x26", t0, tSpool, q)
             // materialize off the memory sink, then drop its temp view —
             // repeated bench/verify invocations must not pin one full
             // result copy per run in driver memory for the session lifetime
@@ -624,7 +669,9 @@ object StreamingQueries {
     val feedDir = spool.resolve("feed").toString
     val name = s"graft_stream_taxi_${runSeq.incrementAndGet()}"
     try {
+      val t0 = System.nanoTime()
       spoolChronological(positions.unionByName(sentinels), feedDir, FeedFiles, "ts")
+      val tSpool = System.nanoTime()
       val stream = spark.readStream
         .schema(positions.schema)
         .option("maxFilesPerTrigger", "1")
@@ -640,6 +687,7 @@ object StreamingQueries {
             .start()
           try {
             q.processAllAvailable()
+            streamCrumb("x47", t0, tSpool, q)
             spark.table(name).as[graft.operators.TaxiTrip].localCheckpoint()
           } finally q.stop()
         } finally {

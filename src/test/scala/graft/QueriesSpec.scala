@@ -37,11 +37,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(inc.nonEmpty, "fixture produced no cross-batch near-dup pairs — contract untested")
     assert(inc == full,
       s"incremental != restricted full: only-inc=${(inc -- full).take(5)}, only-full=${(full -- inc).take(5)}")
-    // and the driver-visible summary row reports the contract as true
+    // the full contract row reports the equality as true
     val row = IncrementalDedup.incrementalSummary(spark, dir).collect().head
     assert(row.getAs[Boolean]("incremental_equals_full"))
     assert(row.getAs[Boolean]("all_pairs_verified"))
     assert(row.getAs[Long]("n_new") + row.getAs[Long]("n_corpus") == docs.count())
+    // and the ledger row (batch path only — no whole-corpus recompute in
+    // the timed call) reports the same pair count the equality implies
+    val batch = IncrementalDedup.incrementalBatch(spark, dir).collect().head
+    assert(batch.getAs[Long]("n_pairs") == inc.size.toLong)
+    assert(batch.getAs[Boolean]("all_pairs_verified"))
   }
 
   test("oracleSql keys are a subset of queries keys") {
@@ -576,6 +581,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(want.size >= 40, "fixture should contain the twin pairs")
     val recall = got.size.toDouble / want.size
     assert(recall >= 0.9, s"recall $recall below 0.9 (got ${got.size} of ${want.size})")
+    // sizedNearDup — the production default (occupancy-sized bits +
+    // multi-probe, r10 verdict #5) — must EQUAL the exact pair set at
+    // fixture scale: precision 1 by construction, and multi-probe buys
+    // recall to 1 (a single-hyperplane near-miss per table is recovered
+    // by the Hamming-1 flips; residual miss probability is ~(1-p_cover)^4
+    // ≈ 1e-5 at the 0.9 boundary, and the fixture is seed-pinned so the
+    // assertion is deterministic)
+    val sized = graft.operators.Similarity.sizedNearDup(df, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sized == want,
+      s"sizedNearDup != exact: missing=${(want -- sized).take(5)}, extra=${(sized -- want).take(5)}")
   }
 
   test("x54 LSH cosine near-dup: planted twins recovered with perfect precision and high recall") {
