@@ -52,6 +52,13 @@ class SourcesSpec extends AnyFunSuite {
     assert(viaGz == plain)
     // the .gz is a single split — document the physics the reference had
     assert(spark.read.text(gzFile.toString).rdd.getNumPartitions == 1)
+    // and the reader WARNS about it (SURVEY §4: the reference's own gzip
+    // pitfall, report.pdf p.3) — fires for non-splittable codecs on a
+    // parallel session, stays quiet for plain text
+    assert(TaxiText.warnIfNotSplittable(spark, gzFile.toString))
+    assert(TaxiText.warnIfNotSplittable(spark, "any/path/data.zst"))
+    assert(!TaxiText.warnIfNotSplittable(spark, s"$dir/segments.txt"))
+    assert(!TaxiText.warnIfNotSplittable(spark, "data.snappy.parquet"))
   }
 
   test("csv and json sinks round-trip a query result") {
