@@ -60,6 +60,13 @@ object SparkEntry {
     // RANGE-frame window aggregate (trailing 30 days per customer) —
     // q26 covers ROWS frames only; same-date orders are frame peers
     "q34_range_frame" -> ((s, d) => Relational.q34RangeFrame(s, d)),
+    // recursive CTE (Spark 4 UnionLoop): binary-tree subtree aggregates,
+    // frontier equi-join per step — the in-engine twin of x18/x56's
+    // recursive oracles
+    "q35_recursive_cte" -> ((s, d) => Relational.q35RecursiveCte(s, d)),
+    // LATERAL correlated subquery with per-row ORDER BY/LIMIT — top-2
+    // orders per customer, decorrelated to a ranked join
+    "q36_lateral_topn" -> ((s, d) => Relational.q36LateralTopN(s, d)),
     // q22's aggregation against the BUCKETED layout (co-located merge join,
     // zero join-side Exchange — LayoutSpec pins the plan); same oracle
     "q27_bucketed_join" -> ((s, d) => graft.sources.Bucketed.q27BucketedJoin(s, d)),
@@ -941,6 +948,32 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_us
         |             RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, day_us, o_orderkey""".stripMargin,
+    // identical recursion, DuckDB's unnest in place of Spark's explode
+    "q35_recursive_cte" ->
+      """WITH RECURSIVE sub AS (
+        |  SELECT c_custkey AS root, c_custkey AS node,
+        |         CAST(c_acctbal AS decimal(18,2)) AS bal, 0 AS depth
+        |  FROM customer WHERE c_custkey BETWEEN 1 AND 50
+        |  UNION ALL
+        |  SELECT f.root, c.c_custkey, CAST(c.c_acctbal AS decimal(18,2)), f.depth + 1
+        |  FROM (SELECT root, depth, unnest([node * 2, node * 2 + 1]) AS child
+        |        FROM sub) f
+        |  JOIN customer c ON c.c_custkey = f.child
+        |)
+        |SELECT root, count(*) AS n_nodes, CAST(max(depth) AS int) AS max_depth,
+        |       CAST(sum(bal) AS double) AS total_bal
+        |FROM sub GROUP BY root ORDER BY root""".stripMargin,
+    // same lateral shape; epoch micros for the date column
+    "q36_lateral_topn" ->
+      """SELECT c_custkey, t.o_orderkey, t.price, t.o_us
+        |FROM customer,
+        |LATERAL (
+        |  SELECT o_orderkey, CAST(o_totalprice AS double) AS price,
+        |         epoch_us(o_orderdate) AS o_us
+        |  FROM orders WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        |) t
+        |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin,
     "x1_dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
         |       count(*) - count(DISTINCT md5(text)) AS n_dup_docs

@@ -635,6 +635,71 @@ object Relational {
       .orderBy("o_custkey", "day_us", "o_orderkey")
   }
 
+  /** Q35's SQL — one definition for the engine (spark.sql over registered
+    * views, the q25 pattern); the DuckDB oracle differs only in the
+    * child-expansion idiom (`unnest` vs `explode`).
+    */
+  val Q35Sql: String =
+    """WITH RECURSIVE sub AS (
+      |  SELECT c_custkey AS root, c_custkey AS node,
+      |         CAST(c_acctbal AS decimal(18,2)) AS bal, 0 AS depth
+      |  FROM customer WHERE c_custkey BETWEEN 1 AND 50
+      |  UNION ALL
+      |  SELECT f.root, c.c_custkey, CAST(c.c_acctbal AS decimal(18,2)), f.depth + 1
+      |  FROM (SELECT root, depth, explode(array(node * 2, node * 2 + 1)) AS child
+      |        FROM sub) f
+      |  JOIN customer c ON c.c_custkey = f.child
+      |)
+      |SELECT root, count(*) AS n_nodes, max(depth) AS max_depth,
+      |       CAST(sum(bal) AS double) AS total_bal
+      |FROM sub GROUP BY root ORDER BY root""".stripMargin
+
+  /** Q35: RECURSIVE CTE — iterative fixpoint traversal through the SQL
+    * surface (Spark 4's `UnionLoop`), the operator class x18/x56 could
+    * only ORACLE with recursive SQL while the engine ran hand-rolled
+    * pointer-doubling loops. The query walks the implicit binary tree
+    * over custkeys (children of k are 2k and 2k+1 — deterministic,
+    * present at every SF, terminating because keys are bounded) from
+    * roots 1-50 (custkey 0 is excluded: its children are {0, 1}, a
+    * self-loop that would recurse forever; for k >= 1 children are
+    * strictly greater than k, so the walk must exhaust) and aggregates
+    * each subtree: node count, max depth,
+    * decimal-exact balance total. Each recursion step is a bounded
+    * frontier JOIN against customer — the real recursive-join shape
+    * (frontier grows then empties; ~log2(|customer|) iterations, far
+    * under the 100-level default limit). The child expansion is an
+    * explode to keep the step an EQUI-join — an `IN (2k, 2k+1)` predicate
+    * would plan a nested loop.
+    */
+  def q35RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(Q35Sql)
+  }
+
+  /** Q36: LATERAL correlated subquery — top-2 orders per customer through
+    * the decorrelated lateral-join surface (each customer's subquery has
+    * its own ORDER BY ... LIMIT). Catalyst rewrites the per-row subquery into
+    * a window-ranked join, NOT a per-customer re-scan; the shape every
+    * reporting layer writes for "best N per key" when it doesn't want to
+    * hand-write the window.
+    */
+  val Q36Sql: String =
+    """SELECT c_custkey, t.o_orderkey, t.price, t.o_us
+      |FROM customer,
+      |LATERAL (
+      |  SELECT o_orderkey, CAST(o_totalprice AS double) AS price,
+      |         unix_micros(CAST(o_orderdate AS timestamp)) AS o_us
+      |  FROM orders WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+      |) t
+      |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin
+
+  def q36LateralTopN(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("customer")
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(Q36Sql)
+  }
+
   /** Q14: distinct aggregates — distinct parts/suppliers per return flag. */
   def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

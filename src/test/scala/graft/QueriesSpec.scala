@@ -179,6 +179,51 @@ class QueriesSpec extends AnyFunSuite {
     assert(tied.exists { case (_, ps) => ps.forall(_.getAs[Long]("n_30d") >= ps.length) })
   }
 
+  test("q35 recursive CTE: subtree recurrence n(k) = 1 + n(2k) + n(2k+1) holds exactly") {
+    val rows = queries("q35_recursive_cte")
+    assert(rows.length == 50)
+    val n = rows.map(r => r.getAs[Long]("root") -> r.getAs[Long]("n_nodes")).toMap
+    val bal = rows.map(r => r.getAs[Long]("root") -> r.getAs[Double]("total_bal")).toMap
+    // every root whose two children are also roots must satisfy the
+    // exact subtree recurrence — for counts AND decimal-exact balances
+    val ownBal = Tables.load(spark, sf, "customer")
+      .filter(col("c_custkey").between(1, 24))
+      .select(col("c_custkey"), col("c_acctbal").cast("decimal(18,2)").cast("double"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (1L to 24L).foreach { k =>
+      assert(n(k) == 1 + n(2 * k) + n(2 * k + 1), s"count recurrence broken at root $k")
+      assert(math.abs(bal(k) - (ownBal(k) + bal(2 * k) + bal(2 * k + 1))) < 1e-6,
+        s"balance recurrence broken at root $k")
+    }
+    // depth grows toward the shallow roots: root 1 reaches the deepest
+    assert(rows.map(_.getAs[Int]("max_depth")).max == rows.find(_.getAs[Long]("root") == 1L)
+      .get.getAs[Int]("max_depth"))
+  }
+
+  test("q36 lateral top-n: per-customer top-2 equals the window formulation; no nested loop") {
+    import org.apache.spark.sql.expressions.Window
+    // decorrelation check: the per-row subquery must rewrite to a ranked
+    // join, not a per-customer re-scan (BroadcastNestedLoopJoin)
+    val plan = graft.SparkEntry.queries("q36_lateral_topn")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"lateral not decorrelated:\n$plan")
+    val rows = queries("q36_lateral_topn")
+    val byCust = rows.groupBy(_.getAs[Long]("c_custkey"))
+    byCust.values.foreach { rs =>
+      assert(rs.length <= 2)
+      assert(rs.map(_.getAs[Double]("price")).sorted.reverse.toSeq ==
+        rs.map(_.getAs[Double]("price")).toSeq) // emitted in rank order per customer
+    }
+    // equivalence with the hand-written window top-2
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val want = Tables.load(spark, sf, "orders")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("o_orderkey"))).toSet
+    assert(got == want, s"lateral != window: diff=${(got -- want) ++ (want -- got)}")
+  }
+
   test("x3 exact jaccard values are valid and symmetric-free (a < b)") {
     val rows = queries("x3_dedup_ngram_jaccard")
     rows.foreach { r =>
