@@ -248,6 +248,14 @@ object SparkEntry {
     // real window), so the emitted set equals the batch left join
     "x50_stream_outer_join" -> ((s, d) =>
       graft.queries.StreamingQueries.intervalJoinOuter(s, d)),
+    // the FULL OUTER stream-stream interval join: null emission waits on
+    // watermark proof in BOTH directions — completes the x39/x50 matrix
+    "x58_stream_full_join" -> ((s, d) =>
+      graft.queries.StreamingQueries.intervalJoinFull(s, d)),
+    // deterministic global shuffle + shard manifest (pure function of
+    // doc_id, third independent multiplier) — the loader-prep step
+    "x59_shuffle_shards" -> ((s, d) =>
+      graft.operators.Sampling.shuffleShards(Tables.load(s, d, "documents"))),
     // JSONL write -> explicit-schema read -> per-source content
     // fingerprints; the oracle computes the same over the ORIGINAL parquet,
     // so the round trip must preserve every row and every text byte
@@ -1467,6 +1475,31 @@ object SparkEntry {
         |  ON a.user_id = b.user_id
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
         |ORDER BY a.user_id, click_id, purchase_id""".stripMargin,
+    // the batch FULL interval join is the exact oracle for x58 (same
+    // argument as x50: chronological replay means the emitted set equals
+    // the batch join; null sides for proven-unmatched rows)
+    "x58_stream_full_join" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS click_us, event_id AS click_id
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user_id, epoch_us(ts) AS p_us, event_id AS purchase_id
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT coalesce(c.user_id, p.p_user_id) AS user_id, c.click_id, p.purchase_id,
+        |       p.p_us - c.click_us AS delta_us
+        |FROM c FULL JOIN p
+        |  ON c.user_id = p.p_user_id
+        | AND p.p_us >= c.click_us AND p.p_us <= c.click_us + 1800000000
+        |ORDER BY user_id, click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
+    // the shuffle hash is plain integer arithmetic (% == pmod on the
+    // fixture's non-negative ids — the x23/x30 precedent), so the oracle
+    // reproduces the manifest row for row
+    "x59_shuffle_shards" ->
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |         ((doc_id % 2147483647) * 741103597) % 2147483647 AS h
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(h % 8 AS bigint) AS shard,
+        |       row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+        |FROM m ORDER BY shard, pos""".stripMargin,
     // stream-static enrichment changes WHEN rows are joined, not what they
     // contain: the batch join is the exact oracle. cents via decimal(18,2)
     // like the Spark side, summed exactly, one final double division

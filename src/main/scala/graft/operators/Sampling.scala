@@ -122,6 +122,50 @@ object Sampling {
       .orderBy("source", "split")
   }
 
+  /** Third independent multiplier (odd, < 2^31 — same ANSI-overflow
+    * argument as [[A]]/[[A2]]): the training-shuffle order must correlate
+    * with neither the split hash nor the mixture hash, or one split's
+    * documents would cluster inside shards.
+    */
+  val A3 = 741103597L
+
+  /** Multiplicative hash for the global training shuffle, independent of
+    * [[multHash]] and [[mixHash]].
+    */
+  def shuffleHash(id: Column): Column =
+    pmod(pmod(id, lit(P)) * lit(A3), lit(P))
+
+  /** x59: deterministic global shuffle + shard manifest — the step between
+    * a curated corpus and a data loader. Training wants documents in a
+    * pseudo-random order (no source runs, no curriculum accidents) split
+    * into `nShards` loader files; `df.sample`/`repartition`-style
+    * randomness is irreproducible across engines, retries, and
+    * partitionings, so the shuffle here is a pure function of doc_id: the
+    * shard is `shuffleHash(doc_id) mod nShards` and the within-shard
+    * position is the rank by (hash, doc_id). Every engine — including the
+    * DuckDB oracle — reproduces the exact manifest row for row, which is
+    * what makes a training run auditable and resumable.
+    *
+    * Scale shape: one exchange on the shard key, one per-shard sort of
+    * |corpus|/nShards rows (spillable; a manifest REQUIRES a total order
+    * within each shard — this is the unavoidable sort, paid once at
+    * manifest build). Output is the manifest itself (input-sized, written
+    * to storage by a real pipeline — the loader's index, not a driver
+    * result). Interleaving is a consequence of hash independence:
+    * consecutive positions within a shard mix sources (spec-pinned).
+    */
+  def shuffleShards(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    require(nShards > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"), shuffleHash(col("doc_id")).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      .select(col("doc_id"), col("source"), col("shard"),
+        row_number().over(w).cast("bigint").as("pos"))
+      .orderBy("shard", "pos")
+  }
+
   /** Deterministic concat-and-chunk sequence packing: documents are laid
     * end-to-end in doc_id order and cut into fixed `budget`-token training
     * sequences — the packing step between a curated corpus and a trainer's

@@ -335,7 +335,42 @@ object StreamingQueries {
     * whose REAL ids go negative must abort the spool loudly
     * (`raise_error`) instead of silently losing rows from the gate.
     */
-  def intervalJoinOuter(spark: SparkSession, dir: String, windowSec: Long = 1800): DataFrame = {
+  def intervalJoinOuter(spark: SparkSession, dir: String, windowSec: Long = 1800): DataFrame =
+    runOuterIntervalJoin(spark, dir, windowSec, "leftOuter", "x50")
+      .filter(col("click_id") >= 0)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("p_us") - col("click_us")).as("delta_us"))
+      .orderBy("user_id", "click_id", "purchase_id")
+
+  /** x58: the FULL OUTER stream-stream interval join — completes the
+    * join-type matrix (inner x39, left outer x50): here BOTH sides' null
+    * emissions wait on watermark proof — an unmatched click needs the
+    * purchase watermark past its window, an unmatched purchase needs the
+    * click watermark past its instant. The same per-side sentinels close
+    * both directions (each sentinel is itself unmatched and emits a
+    * null-extended row, filtered by sign below). Emitted set equals the
+    * batch FULL join — the DuckDB oracle.
+    */
+  def intervalJoinFull(spark: SparkSession, dir: String, windowSec: Long = 1800): DataFrame =
+    runOuterIntervalJoin(spark, dir, windowSec, "fullOuter", "x58")
+      // sign filter drops the sentinels' OWN null-extended rows; real rows
+      // keep null sides (that is the point of the full join)
+      .filter((col("click_id").isNull || col("click_id") >= 0) &&
+        (col("purchase_id").isNull || col("purchase_id") >= 0))
+      .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        col("click_id"), col("purchase_id"),
+        (col("p_us") - col("click_us")).as("delta_us"))
+      .orderBy(col("user_id"), col("click_id").asc_nulls_first,
+        col("purchase_id").asc_nulls_first)
+
+  /** Shared spool-replay-drain machinery for the outer interval joins
+    * (x50 left, x58 full): sentinel derivation, chronological replay,
+    * scoped shuffle partitions, breadcrumb, sink materialization. Returns
+    * the RAW sink rows — sentinel filtering and projection are the
+    * caller's (they differ per join type).
+    */
+  private def runOuterIntervalJoin(spark: SparkSession, dir: String, windowSec: Long,
+                                   joinType: String, tag: String): DataFrame = {
     val events = Tables.load(spark, dir, "events")
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
@@ -345,7 +380,7 @@ object StreamingQueries {
         min(col("user_id")).as("mnu"), min(col("event_id")).as("mne"))
       .where(col("mx").isNotNull) // empty feed -> no sentinels
       .select(when(col("mnu") < 0 || col("mne") < 0,
-          raise_error(format_string("x50 sentinel convention requires non-negative " +
+          raise_error(format_string("x50/x58 sentinel convention requires non-negative " +
             "user_id/event_id; got min(user_id)=%d, min(event_id)=%d", col("mnu"), col("mne"))))
         .otherwise(col("mx") + lit((windowSec + 2 * 3600) * 1000000L)).as("us"))
       .select(explode(array(
@@ -365,28 +400,23 @@ object StreamingQueries {
         .schema(events.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feedDir)
-      val joined = intervalJoinStream(stream, windowSec, "leftOuter")
+      val joined = intervalJoinStream(stream, windowSec, joinType)
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", streamParts)
-      val rows =
+      try {
+        val q = joined
+          .writeStream.format("memory").queryName(name).outputMode("append")
+          .option("checkpointLocation", spool.resolve("ckpt").toString)
+          .start()
         try {
-          val q = joined
-            .writeStream.format("memory").queryName(name).outputMode("append")
-            .option("checkpointLocation", spool.resolve("ckpt").toString)
-            .start()
-          try {
-            q.processAllAvailable()
-            streamCrumb("x50", t0, tSpool, q)
-            spark.table(name).localCheckpoint()
-          } finally q.stop()
-        } finally {
-          spark.catalog.dropTempView(name)
-          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-        }
-      rows.filter(col("click_id") >= 0)
-        .select(col("user_id"), col("click_id"), col("purchase_id"),
-          (col("p_us") - col("click_us")).as("delta_us"))
-        .orderBy("user_id", "click_id", "purchase_id")
+          q.processAllAvailable()
+          streamCrumb(tag, t0, tSpool, q)
+          spark.table(name).localCheckpoint()
+        } finally q.stop()
+      } finally {
+        spark.catalog.dropTempView(name)
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
     } finally deleteRecursively(spool)
   }
 

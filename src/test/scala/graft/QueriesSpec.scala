@@ -493,6 +493,44 @@ class QueriesSpec extends AnyFunSuite {
     assert(finalPlan.contains("ReusedExchange"), s"gram exchange not reused, plan:\n$finalPlan")
   }
 
+  test("x58 full stream join: inner ⊆ full, left ⊆ full, and unmatched purchases gain null rows") {
+    val full = queries("x58_stream_full_join")
+    val inner = queries("x39_stream_interval_join")
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))).toSet
+    val leftNulls = queries("x50_stream_outer_join")
+      .filter(_.isNullAt(2)).map(_.getAs[Long]("click_id")).toSet
+    val fullPairs = full.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))).toSet
+    assert(fullPairs == inner, "full join's matched pairs must equal the inner join")
+    val fullClickNulls = full.filter(r => !r.isNullAt(1) && r.isNullAt(2))
+      .map(_.getAs[Long]("click_id")).toSet
+    assert(fullClickNulls == leftNulls, "full join's unmatched clicks must equal the left join's")
+    // the genuinely new rows: purchases no click window covers
+    val orphanPurchases = full.filter(_.isNullAt(1))
+    assert(orphanPurchases.nonEmpty, "fixture has no unmatched purchases — full-side untested")
+    orphanPurchases.foreach(r => assert(r.isNullAt(r.fieldIndex("delta_us"))))
+  }
+
+  test("x59 shuffle shards: contiguous positions, all docs once, sources interleave, repartition-stable") {
+    import graft.operators.Sampling
+    val rows = queries("x59_shuffle_shards")
+    val docs = Tables.load(spark, sf, "documents")
+    assert(rows.length == docs.count())
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet.size == rows.length) // each doc once
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      // positions are exactly 1..count within each shard
+      assert(rs.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to rs.length).toSeq)
+      // shuffle quality: the first 10 positions of a shard mix sources
+      // (hash independence — a sorted-by-source order would fail this)
+      val head = rs.sortBy(_.getAs[Long]("pos")).take(10).map(_.getAs[String]("source")).toSet
+      assert(head.size > 1, s"no interleaving in shard head: $head")
+    }
+    // a pure function of doc_id: identical manifest from a repartitioned input
+    val re = Sampling.shuffleShards(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(re == rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("pos"))).toSet)
+  }
+
   test("x38 packing: offsets/packs/spans by hand; stable under repartitioning") {
     import spark.implicits._
     import graft.operators.Sampling
