@@ -67,6 +67,9 @@ object SparkEntry {
     // LATERAL correlated subquery with per-row ORDER BY/LIMIT — top-2
     // orders per customer, decorrelated to a ranked join
     "q36_lateral_topn" -> ((s, d) => Relational.q36LateralTopN(s, d)),
+    // IGNORE NULLS window navigation: LOCF gap-fill over real JSON-payload
+    // nulls + age of the carried observation
+    "q37_locf_window" -> ((s, d) => Relational.q37LocfWindow(s, d)),
     // q22's aggregation against the BUCKETED layout (co-located merge join,
     // zero join-side Exchange — LayoutSpec pins the plan); same oracle
     "q27_bucketed_join" -> ((s, d) => graft.sources.Bucketed.q27BucketedJoin(s, d)),
@@ -956,6 +959,23 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_us
         |             RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, day_us, o_orderkey""".stripMargin,
+    // LOCF via last_value IGNORE NULLS over the same try_cast'd JSON key;
+    // k_obs_us (the carried observation's own timestamp) via the same
+    // when-guarded column
+    "q37_locf_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         CASE WHEN event_id % 4 <> 0
+        |              THEN TRY_CAST(json_extract_string(props, '$.k') AS bigint) END AS k
+        |  FROM events)
+        |SELECT user_id, event_id, us, k,
+        |       last_value(k IGNORE NULLS) OVER w AS k_filled,
+        |       us - last_value(CASE WHEN k IS NOT NULL THEN us END IGNORE NULLS) OVER w
+        |         AS locf_age_us
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, us, event_id""".stripMargin,
     // identical recursion, DuckDB's unnest in place of Spark's explode
     "q35_recursive_cte" ->
       """WITH RECURSIVE sub AS (

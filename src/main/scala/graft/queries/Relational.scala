@@ -700,6 +700,36 @@ object Relational {
     spark.sql(Q36Sql)
   }
 
+  /** Q37: IGNORE NULLS window navigation — last-observation-carried-
+    * forward (LOCF) gap filling, the canonical time-series repair: per
+    * user, each event carries the most recent non-null sensor reading at
+    * or before it. The reading is the q10 JSON extraction (`try_cast` of
+    * the payload key); the fixture's props ALWAYS carries a numeric `k`,
+    * so missing observations are simulated by a deterministic dropout —
+    * event_id ≡ 0 (mod 4) reads as absent — the q30 residue-class
+    * pattern for making every branch occur at every SF. `last(col, ignore
+    * Nulls = true)` over ROWS UNBOUNDED PRECEDING..CURRENT is the one
+    * window-navigation semantics q6 (rank/lag) and q26/q34 (frame
+    * aggregates) don't pin; `locf_age_us` (time since that observation)
+    * rides along via the same trick on the timestamp. Deterministic:
+    * ordering tie-breaks on event_id. Same single-exchange shape as every
+    * per-key window here.
+    */
+  def q37LocfWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        when(col("event_id") % 4 =!= 0,
+          expr("try_cast(get_json_object(props, '$.k') AS bigint)")).as("k"))
+      .withColumn("k_filled", last(col("k"), ignoreNulls = true).over(w))
+      .withColumn("k_obs_us",
+        last(when(col("k").isNotNull, col("us")), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("event_id"), col("us"), col("k"), col("k_filled"),
+        (col("us") - col("k_obs_us")).as("locf_age_us"))
+      .orderBy("user_id", "us", "event_id")
+  }
+
   /** Q14: distinct aggregates — distinct parts/suppliers per return flag. */
   def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

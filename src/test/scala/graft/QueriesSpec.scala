@@ -224,6 +224,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == want, s"lateral != window: diff=${(got -- want) ++ (want -- got)}")
   }
 
+  test("q37 LOCF: observed rows fill themselves, gaps carry the prior value with positive age") {
+    val rows = queries("q37_locf_window")
+    val observed = rows.filter(!_.isNullAt(3))
+    assert(observed.nonEmpty)
+    observed.foreach { r =>
+      assert(r.getAs[Long]("k_filled") == r.getAs[Long]("k"))
+      assert(r.getAs[Long]("locf_age_us") == 0L)
+    }
+    // the fixture must actually exercise the carry: null k filled from an
+    // EARLIER observation, strictly positive age
+    val carried = rows.filter(r => r.isNullAt(3) && !r.isNullAt(4))
+    assert(carried.nonEmpty, "fixture has no gap-filled rows — LOCF untested")
+    carried.foreach(r => assert(r.getAs[Long]("locf_age_us") > 0L))
+    // leading nulls (no prior observation) stay null, age included
+    rows.filter(r => r.isNullAt(4)).foreach { r =>
+      assert(r.isNullAt(3) && r.isNullAt(r.fieldIndex("locf_age_us")))
+    }
+  }
+
   test("x3 exact jaccard values are valid and symmetric-free (a < b)") {
     val rows = queries("x3_dedup_ngram_jaccard")
     rows.foreach { r =>
