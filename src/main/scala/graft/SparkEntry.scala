@@ -259,6 +259,10 @@ object SparkEntry {
     // doc_id, third independent multiplier) — the loader-prep step
     "x59_shuffle_shards" -> ((s, d) =>
       graft.operators.Sampling.shuffleShards(Tables.load(s, d, "documents"))),
+    // media container sniff + header parse (PNG/BMP/WAV, BE and LE ints)
+    // as pure columnar byte expressions over planted real-format headers
+    "x60_media_sniff" -> ((s, d) =>
+      graft.operators.Multimodal.sniffMedia(Tables.load(s, d, "documents"))),
     // JSONL write -> explicit-schema read -> per-source content
     // fingerprints; the oracle computes the same over the ORIGINAL parquet,
     // so the round trip must preserve every row and every text byte
@@ -1509,6 +1513,19 @@ object SparkEntry {
         |  ON c.user_id = p.p_user_id
         | AND p.p_us >= c.click_us AND p.p_us <= c.click_us + 1800000000
         |ORDER BY user_id, click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
+    // every parsed field recomputed from the plant formula, so a parse
+    // reading the wrong offset/endianness hash-mismatches; header sizes
+    // are the formats' real ones (png 29 parsed bytes, bmp 26, wav 28)
+    "x60_media_sniff" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS int) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
+        |  CAST(octet_length(encode(text)) +
+        |       CASE CAST(doc_id % 3 AS int) WHEN 0 THEN 29 WHEN 1 THEN 26 ELSE 28 END AS bigint) AS n_bytes,
+        |  CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(16 + doc_id % 509 AS bigint) END AS width,
+        |  CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(16 + (doc_id * 7) % 509 AS bigint) END AS height,
+        |  CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + (doc_id % 8) * 4000 AS bigint) END AS sample_rate,
+        |  CASE WHEN doc_id % 3 = 2 THEN CAST(1 + doc_id % 2 AS bigint) END AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the shuffle hash is plain integer arithmetic (% == pmod on the
     // fixture's non-negative ids — the x23/x30 precedent), so the oracle
     // reproduces the manifest row for row

@@ -132,6 +132,102 @@ object Multimodal {
         sum(length(col("frame"))).cast("bigint").as("sampled_bytes"))
       .orderBy("doc_id")
 
+  import org.apache.spark.sql.Column
+
+  /** 32-bit big-endian byte encoding of an integral column (PNG's int
+    * layout): hex → zero-pad to 8 nibbles → bytes.
+    */
+  private def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+
+  /** 32/16-bit LITTLE-endian byte encodings (BMP/WAV's int layout):
+    * the zero-padded hex with its byte pairs reversed.
+    */
+  private def le32(c: Column): Column = {
+    val h = lpad(hex(c), 8, "0")
+    unhex(concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2)))
+  }
+  private def le16(c: Column): Column = {
+    val h = lpad(hex(c), 4, "0")
+    unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+  }
+
+  /** Parse a big-endian u32 out of a binary column at 1-based `off`. */
+  private def beU32At(payload: Column, off: Int): Column =
+    conv(hex(substring(payload, off, 4)), 16, 10).cast("bigint")
+
+  /** Parse little-endian u32/u16 at 1-based `off` (reverse the hex pairs). */
+  private def leU32At(payload: Column, off: Int): Column = {
+    val h = hex(substring(payload, off, 4))
+    conv(concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2)),
+      16, 10).cast("bigint")
+  }
+  private def leU16At(payload: Column, off: Int): Column = {
+    val h = hex(substring(payload, off, 2))
+    conv(concat(substring(h, 3, 2), substring(h, 1, 2)), 16, 10).cast("bigint")
+  }
+
+  /** x60 corpus: each document's text re-framed as a REAL media container
+    * — a PNG, BMP, or WAV header (by doc_id mod 3) with deterministic
+    * planted dimensions/audio params, followed by the text bytes as body.
+    * The headers follow the actual formats byte for byte over the parsed
+    * region (every real PNG opens sig+IHDR-len+IHDR+w+h exactly like
+    * this; BMP's BITMAPINFOHEADER puts LE width/height at offsets 19/23;
+    * WAV's canonical fmt chunk puts LE channels/sample-rate at 23/25), so
+    * [[sniffMedia]] is a genuine format parser, not a toy — CRCs and
+    * trailing chunk structure are the (documented) stub boundary.
+    */
+  private[graft] def plantedMediaCorpus(docs: DataFrame): DataFrame = {
+    val w = (lit(16) + col("doc_id") % 509).cast("int")
+    val h = (lit(16) + (col("doc_id") * 7) % 509).cast("int")
+    val sr = (lit(8000) + (col("doc_id") % 8) * 4000).cast("int")
+    val ch = (lit(1) + col("doc_id") % 2).cast("int")
+    val body = encode(col("text"), "UTF-8")
+    val png = concat(unhex(lit("89504E470D0A1A0A")), unhex(lit("0000000D")),
+      encode(lit("IHDR"), "UTF-8"), be32(w), be32(h), unhex(lit("0806000000")), body)
+    val bmp = concat(encode(lit("BM"), "UTF-8"), unhex(lit("000000000000000000000000")),
+      le32(lit(40)), le32(w), le32(h), body)
+    val wav = concat(encode(lit("RIFF"), "UTF-8"), unhex(lit("00000000")),
+      encode(lit("WAVEfmt "), "UTF-8"), le32(lit(16)), le16(lit(1)), le16(ch), le32(sr), body)
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, png)
+        .when(col("doc_id") % 3 === 1, bmp)
+        .otherwise(wav).as("payload"))
+  }
+
+  /** x60: media container sniffing + header parsing as PURE columnar byte
+    * expressions — magic-byte format detection, then the format's own
+    * dimension/audio fields decoded from the payload (PNG big-endian,
+    * BMP/WAV little-endian), no UDF and no codec library. This is the
+    * metadata-extraction pass a multimodal ingest runs on billions of
+    * blobs BEFORE any decode: cheap (a few header bytes per record,
+    * whole-stage codegen), schema-typed, and wrong-format-safe (unknown
+    * magics yield nulls, not errors). The oracle recomputes every parsed
+    * field from the plant formula, so a parse that read the wrong offset
+    * or endianness hash-mismatches; ExpressionsSpec pins the parser
+    * against REAL file bytes (a genuine 1×1 PNG, a real BMP/WAV header).
+    */
+  def sniffMedia(docs: DataFrame): DataFrame =
+    sniffPayloads(plantedMediaCorpus(docs))
+
+  /** The parse itself, over any (doc_id, payload binary) frame — split
+    * from [[sniffMedia]] so ExpressionsSpec can feed REAL file bytes.
+    */
+  private[graft] def sniffPayloads(blobs: DataFrame): DataFrame = {
+    val p = col("payload")
+    val fmt = when(hex(substring(p, 1, 8)) === "89504E470D0A1A0A", "png")
+      .when(hex(substring(p, 1, 2)) === "424D", "bmp")
+      .when(hex(substring(p, 1, 4)) === "52494646" &&
+        hex(substring(p, 9, 4)) === "57415645", "wav")
+      .otherwise("unknown")
+    blobs.select(col("doc_id"), fmt.as("format"),
+        length(p).cast("bigint").as("n_bytes"),
+        when(fmt === "png", beU32At(p, 17)).when(fmt === "bmp", leU32At(p, 19)).as("width"),
+        when(fmt === "png", beU32At(p, 21)).when(fmt === "bmp", leU32At(p, 23)).as("height"),
+        when(fmt === "wav", leU32At(p, 25)).as("sample_rate"),
+        when(fmt === "wav", leU16At(p, 23)).as("channels"))
+      .orderBy("doc_id")
+  }
+
   /** Metadata-only pass (no decode): byte length + content hash per blob —
     * pure columnar, oracle-checkable.
     */

@@ -426,6 +426,30 @@ class ExpressionsSpec extends AnyFunSuite {
       s"aggregate kernels diverge:\n  codegen:     $aggCodegen\n  interpreted: $aggInterp")
   }
 
+  test("x60 media sniff parses REAL file bytes: 1x1 PNG, 3x2 BMP, 44.1kHz stereo WAV") {
+    import spark.implicits._
+    // genuine headers (PNG incl. its CRC; BMP file+info header; canonical
+    // 44-byte WAV header) — ground truth for the columnar parser, so the
+    // plant-and-verify x60 oracle can't hide a compensating offset error
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val png = bytes("89504e470d0a1a0a0000000d494844520000000100000001080600000090" +
+      "7753de") // full IHDR chunk incl. real CRC
+    val bmp = bytes("424d460000000000000036000000280000000300000002000000010018000000" +
+      "00001000000013" + "0b0000130b00000000000000000000")
+    val wav = bytes("524946462400000057415645666d7420100000000100020044ac000010b10200" +
+      "0400100064617461" + "00000000")
+    val junk = "not a media file".getBytes("UTF-8")
+    val df = Seq((0L, png), (1L, bmp), (2L, wav), (3L, junk)).toDF("doc_id", "payload")
+    val got = graft.operators.Multimodal.sniffPayloads(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getString(1) == "png" && got(0L).getLong(3) == 1L && got(0L).getLong(4) == 1L)
+    assert(got(1L).getString(1) == "bmp" && got(1L).getLong(3) == 3L && got(1L).getLong(4) == 2L)
+    assert(got(2L).getString(1) == "wav" &&
+      got(2L).getLong(5) == 44100L && got(2L).getLong(6) == 2L)
+    assert(got(3L).getString(1) == "unknown" && got(3L).isNullAt(3) && got(3L).isNullAt(5))
+  }
+
   test("interpreted eval matches codegen result") {
     val e = ArrayExpressions.SortedLongIntersectCount(
       org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1L, 5L, 9L),
