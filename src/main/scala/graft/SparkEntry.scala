@@ -255,6 +255,10 @@ object SparkEntry {
     // watermark proof in BOTH directions — completes the x39/x50 matrix
     "x58_stream_full_join" -> ((s, d) =>
       graft.queries.StreamingQueries.intervalJoinFull(s, d)),
+    // q30's CDC MERGE run continuously: commutative max-struct streaming
+    // state + the SAME batch merge step — shares q30's oracle verbatim
+    "x61_stream_cdc_upsert" -> ((s, d) =>
+      graft.queries.StreamingQueries.streamingCdcUpsert(s, d)),
     // deterministic global shuffle + shard manifest (pure function of
     // doc_id, third independent multiplier) — the loader-prep step
     "x59_shuffle_shards" -> ((s, d) =>
@@ -495,6 +499,25 @@ object SparkEntry {
     * restriction and [[AnnRankSql]].
     */
   private val HyperplaneCte: String = hyperplaneCte("", "embeddings")
+
+  /** The CDC merge/upsert oracle — shared verbatim by q30 (batch) and
+    * x61 (streaming), because the streaming apply's contract is equality
+    * with the batch merge, not approximation.
+    */
+  private val CdcUpsertOracleSql: String =
+    """WITH last AS (
+      |  SELECT user_id, event_type AS last_type, value AS last_value
+      |  FROM events
+      |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1),
+      |snap AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 <> 2)
+      |SELECT coalesce(c_custkey, user_id) AS key,
+      |       round(CASE WHEN user_id IS NULL THEN c_acctbal ELSE last_value END, 2) AS acctbal,
+      |       CASE WHEN user_id IS NULL THEN 'keep'
+      |            WHEN c_custkey IS NULL THEN 'insert'
+      |            ELSE 'update' END AS op
+      |FROM snap FULL JOIN last ON c_custkey = user_id
+      |WHERE last_type IS NULL OR last_type <> 'error'
+      |ORDER BY key""".stripMargin
 
   /** [[HyperplaneCte]] generalized: `extraCtes` (trailing comma included
     * by this builder) lets a caller derive the vector source itself as a
@@ -883,20 +906,10 @@ object SparkEntry {
     // MERGE INTO as plain SQL: last changelog op per key by (ts,
     // event_id), full join against the residue-class snapshot, tombstone
     // filter, provenance CASE — the declarative twin of the engine's plan
-    "q30_merge_upsert" ->
-      """WITH last AS (
-        |  SELECT user_id, event_type AS last_type, value AS last_value
-        |  FROM events
-        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1),
-        |snap AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 <> 2)
-        |SELECT coalesce(c_custkey, user_id) AS key,
-        |       round(CASE WHEN user_id IS NULL THEN c_acctbal ELSE last_value END, 2) AS acctbal,
-        |       CASE WHEN user_id IS NULL THEN 'keep'
-        |            WHEN c_custkey IS NULL THEN 'insert'
-        |            ELSE 'update' END AS op
-        |FROM snap FULL JOIN last ON c_custkey = user_id
-        |WHERE last_type IS NULL OR last_type <> 'error'
-        |ORDER BY key""".stripMargin,
+    "q30_merge_upsert" -> CdcUpsertOracleSql,
+    // the streaming CDC apply must produce EXACTLY the batch merge's
+    // result — same oracle, not a twin
+    "x61_stream_cdc_upsert" -> CdcUpsertOracleSql,
     // lead() before the tombstone filter, exactly like the engine: an
     // error row closes the previous version but emits none itself
     "q31_scd2_history" ->

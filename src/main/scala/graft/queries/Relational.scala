@@ -522,6 +522,17 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("event_type").as("last_type"), col("value").as("last_value"))
+    cdcMergeWithSnapshot(spark, dir, last)
+  }
+
+  /** The MERGE step of [[q30MergeUpsert]] against the residue-class
+    * snapshot — ONE definition shared with the streaming CDC apply
+    * (x61, [[graft.queries.StreamingQueries.streamingCdcUpsert]]), so
+    * batch and streaming ingests cannot drift on merge semantics.
+    * `last`: one row per changed key — (user_id, last_type, last_value).
+    */
+  private[queries] def cdcMergeWithSnapshot(spark: SparkSession, dir: String,
+                                            last: DataFrame): DataFrame = {
     val snapshot = t(spark, dir, "customer")
       .filter(col("c_custkey") % 3 =!= 2)
       .select(col("c_custkey"), col("c_acctbal"))

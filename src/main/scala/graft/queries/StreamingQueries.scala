@@ -174,6 +174,63 @@ object StreamingQueries {
     } finally deleteRecursively(spool)
   }
 
+  /** x61: STREAMING CDC apply — the q30 warehouse ingest primitive run
+    * continuously. The changelog replays through the file spool; per-key
+    * last-writer-wins state is a streaming `max(struct(us, event_id,
+    * event_type, value))` aggregation (COMMUTATIVE, so the result is
+    * arrival-order- and batch-boundary-independent — the x36 first-touch
+    * argument with max in place of min; (us, event_id) is a total order,
+    * so the struct max picks exactly the row q30's rn=1 window picks);
+    * the sink's state snapshots reduce with the same max, and the final
+    * state merges against the snapshot through THE SAME
+    * [[Relational.cdcMergeWithSnapshot]] the batch query uses — upsert /
+    * tombstone-delete / keep semantics shared by construction, result
+    * equal to q30's and checked by the same oracle. This is how a daily
+    * CDC batch becomes a continuous one: only the "last state per key"
+    * moves from a window to streaming state; the merge is untouched.
+    */
+  def streamingCdcUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"), col("value"))
+    val spool = Files.createTempDirectory("graft_stream_cdc")
+    val feedDir = spool.resolve("feed").toString
+    val name = s"graft_stream_cdc_${runSeq.incrementAndGet()}"
+    try {
+      val t0 = System.nanoTime()
+      spoolChronological(events, feedDir, FeedFiles)
+      val tSpool = System.nanoTime()
+      val stream = spark.readStream
+        .schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feedDir)
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", streamParts)
+      val finalState =
+        try {
+          val q = stream.groupBy(col("user_id"))
+            .agg(max(struct(col("us"), col("event_id"), col("event_type"), col("value")))
+              .as("last"))
+            .writeStream.format("memory").queryName(name).outputMode("update")
+            .option("checkpointLocation", spool.resolve("ckpt").toString)
+            .start()
+          try {
+            q.processAllAvailable()
+            streamCrumb("x61", t0, tSpool, q)
+            spark.table(name).localCheckpoint()
+          } finally q.stop()
+        } finally {
+          spark.catalog.dropTempView(name)
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+      val last = finalState.groupBy(col("user_id"))
+        .agg(max(col("last")).as("last"))
+        .select(col("user_id"), col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"))
+      Relational.cdcMergeWithSnapshot(spark, dir, last)
+    } finally deleteRecursively(spool)
+  }
+
   /** x57: streaming simhash near-dup dedup, end to end inside the batch
     * driver contract — fingerprints computed by the batch `simhash64`
     * kernel, spooled in doc_id order (the id-ordered arrival contract

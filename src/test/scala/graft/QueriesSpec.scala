@@ -512,6 +512,13 @@ class QueriesSpec extends AnyFunSuite {
     assert(finalPlan.contains("ReusedExchange"), s"gram exchange not reused, plan:\n$finalPlan")
   }
 
+  test("x61 streaming CDC apply equals the batch q30 merge row for row") {
+    val batch = queries("q30_merge_upsert").map(_.toString).toSeq
+    val stream = queries("x61_stream_cdc_upsert").map(_.toString).toSeq
+    assert(batch.nonEmpty && stream == batch,
+      s"stream != batch: ${stream.diff(batch).take(3)} vs ${batch.diff(stream).take(3)}")
+  }
+
   test("x58 full stream join: inner ⊆ full, left ⊆ full, and unmatched purchases gain null rows") {
     val full = queries("x58_stream_full_join")
     val inner = queries("x39_stream_interval_join")
