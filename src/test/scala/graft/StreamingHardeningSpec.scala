@@ -62,8 +62,8 @@ class StreamingHardeningSpec extends AnyFunSuite {
         (2L, base + 60L * 1000000000L, 1L, "purchase", 2.0)))
       val e = intercept[Exception](
         graft.queries.StreamingQueries.intervalJoinOuter(spark, dir).collect())
-      assert(messageChain(e).contains("x50 sentinel convention"),
-        s"expected the x50 guard to fire; got: ${messageChain(e)}")
+      assert(messageChain(e).contains("x50/x58 sentinel convention"),
+        s"expected the x50/x58 guard to fire; got: ${messageChain(e)}")
     } finally graft.sources.LayoutCache.deleteTree(root)
   }
 
