@@ -70,6 +70,15 @@ object SparkEntry {
     // IGNORE NULLS window navigation: LOCF gap-fill over real JSON-payload
     // nulls + age of the carried observation
     "q37_locf_window" -> ((s, d) => Relational.q37LocfWindow(s, d)),
+    // UNPIVOT/melt — the wide→long reshape (inverse of q21's pivot);
+    // pure Expand, no new exchange
+    "q38_unpivot" -> ((s, d) => Relational.q38Unpivot(s, d)),
+    // nested to_json/from_json round-trip (array<struct> per order) —
+    // the API-payload shape q10's scalar extraction doesn't pin
+    "q39_json_roundtrip" -> ((s, d) => Relational.q39JsonRoundtrip(s, d)),
+    // exact grouped percentile_disc (inverse CDF on actual data values) —
+    // the value-exact counterpart of x15/x27's approximate quantiles
+    "q40_percentiles" -> ((s, d) => Relational.q40Percentiles(s, d)),
     // q22's aggregation against the BUCKETED layout (co-located merge join,
     // zero join-side Exchange — LayoutSpec pins the plan); same oracle
     "q27_bucketed_join" -> ((s, d) => graft.sources.Bucketed.q27BucketedJoin(s, d)),
@@ -234,6 +243,10 @@ object SparkEntry {
     // >= 3 documents; gram->df join reuses the grouping exchange
     "x37_boilerplate_ngrams" -> ((s, d) =>
       TextAnalysis.boilerplateCoverage(Tables.load(s, d, "documents"))),
+    // the remediation step to x37's diagnostic: REMOVE the tokens covered
+    // by cross-doc-shared 8-grams, rebuilt text pinned by md5
+    "x62_boilerplate_removal" -> ((s, d) =>
+      TextAnalysis.boilerplateRemove(Tables.load(s, d, "documents"))),
     // deterministic concat-and-chunk packing into 256-token sequences,
     // sharded per (source, doc_id % 4) so window partitions stay bounded
     "x38_sequence_packing" -> ((s, d) =>
@@ -259,6 +272,11 @@ object SparkEntry {
     // state + the SAME batch merge step — shares q30's oracle verbatim
     "x61_stream_cdc_upsert" -> ((s, d) =>
       graft.queries.StreamingQueries.streamingCdcUpsert(s, d)),
+    // SLIDING-window trending top-3 (1 h window / 15 min slide — the
+    // first overlapping-window surface): watermarked append-mode counts,
+    // shared batch top-k step, integer window arithmetic the oracle replays
+    "x63_stream_trending" -> ((s, d) =>
+      graft.queries.StreamingQueries.streamingTrending(s, d)),
     // deterministic global shuffle + shard manifest (pure function of
     // doc_id, third independent multiplier) — the loader-prep step
     "x59_shuffle_shards" -> ((s, d) =>
@@ -267,6 +285,11 @@ object SparkEntry {
     // as pure columnar byte expressions over planted real-format headers
     "x60_media_sniff" -> ((s, d) =>
       graft.operators.Multimodal.sniffMedia(Tables.load(s, d, "documents"))),
+    // perceptual-hash (aHash) image dedup over binary payloads: fused
+    // codegen thumbnail-mean fingerprint + banded Hamming pairs over a
+    // planted perturbed-twin corpus — integer-exact, replayed in SQL
+    "x64_ahash_neardup" -> ((s, d) =>
+      graft.operators.Multimodal.ahashNearDupPairs(Tables.load(s, d, "documents"))),
     // JSONL write -> explicit-schema read -> per-source content
     // fingerprints; the oracle computes the same over the ORIGINAL parquet,
     // so the round trip must preserve every row and every text byte
@@ -910,6 +933,24 @@ object SparkEntry {
     // the streaming CDC apply must produce EXACTLY the batch merge's
     // result — same oracle, not a twin
     "x61_stream_cdc_upsert" -> CdcUpsertOracleSql,
+    // each event lands in exactly 4 sliding windows (starts
+    // floor15(t) - k·15min, k = 0..3, epoch-aligned like Spark's
+    // window()); counts are integers, rank tie-breaks on event_type
+    "x63_stream_trending" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |w AS (
+        |  SELECT event_type,
+        |         (us - us % 900000000) - k.k * 900000000 AS w_start_us
+        |  FROM e, (SELECT unnest(range(0, 4)) AS k) k),
+        |c AS (SELECT w_start_us, event_type, count(*) AS n FROM w GROUP BY 1, 2),
+        |r AS (
+        |  SELECT w_start_us, w_start_us + 3600000000 AS w_end_us, event_type, n,
+        |         row_number() OVER (PARTITION BY w_start_us
+        |                            ORDER BY n DESC, event_type) AS rnk
+        |  FROM c)
+        |SELECT w_start_us, w_end_us, event_type, n, CAST(rnk AS int) AS rnk
+        |FROM r WHERE rnk <= 3
+        |ORDER BY w_start_us, rnk""".stripMargin,
     // lead() before the tombstone filter, exactly like the engine: an
     // error row closes the previous version but emits none itself
     "q31_scd2_history" ->
@@ -1019,6 +1060,77 @@ object SparkEntry {
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
         |) t
         |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin,
+    // UNION ALL melt — the portable spelling of UNPIVOT; metric names
+    // match Spark's unpivot variable values (the source column names)
+    "q38_unpivot" ->
+      """WITH base AS (
+        |  SELECT n_name,
+        |         CAST(sum(CAST(c_acctbal AS decimal(18,2))) AS double) AS sum_bal,
+        |         min(c_acctbal) AS min_bal,
+        |         max(c_acctbal) AS max_bal,
+        |         CAST(count(*) AS double) AS n_customers
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name, metric, value FROM (
+        |  SELECT n_name, 'sum_bal' AS metric, sum_bal AS value FROM base
+        |  UNION ALL SELECT n_name, 'min_bal', min_bal FROM base
+        |  UNION ALL SELECT n_name, 'max_bal', max_bal FROM base
+        |  UNION ALL SELECT n_name, 'n_customers', n_customers FROM base)
+        |ORDER BY n_name, metric""".stripMargin,
+    // the SAME round-trip in DuckDB's JSON type: build the ordered
+    // array<struct> payload, serialize, cast back, unnest, re-aggregate —
+    // a parse divergence on either side cannot cancel out
+    "q39_json_roundtrip" ->
+      """WITH larr AS (
+        |  SELECT l_orderkey, list(struct_pack(ln := l_linenumber, qty := l_quantity,
+        |             price := l_extendedprice, rf := l_returnflag)
+        |           ORDER BY l_linenumber) AS lines
+        |  FROM lineitem GROUP BY l_orderkey),
+        |js AS (SELECT to_json(struct_pack(ok := l_orderkey, lines := lines)) AS js FROM larr),
+        |parsed AS (
+        |  SELECT CAST(js->>'$.ok' AS bigint) AS ok,
+        |         unnest(CAST(js->'$.lines'
+        |           AS struct(ln int, qty double, price double, rf varchar)[])) AS l
+        |  FROM js)
+        |SELECT ok AS l_orderkey, count(*) AS n_lines,
+        |       CAST(sum(CAST(l.qty AS decimal(18,2))) AS double) AS sum_qty,
+        |       max(l.price) AS max_price, min(l.rf) AS min_rf,
+        |       CAST(sum(l.ln) AS bigint) AS ln_sum
+        |FROM parsed GROUP BY ok ORDER BY ok""".stripMargin,
+    // percentile_disc pinned by DEFINITION (smallest value with
+    // cume_dist >= q) via integer-exact rank comparisons — no engine's
+    // built-in quantile indexing convention is trusted on either side
+    "q40_percentiles" ->
+      """WITH qty AS (
+        |  SELECT l_returnflag, l_quantity AS v, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |qc AS (
+        |  SELECT l_returnflag, v,
+        |         sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+        |         sum(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM qty),
+        |p1 AS (
+        |  SELECT l_returnflag,
+        |         min(v) FILTER (WHERE cum * 4 >= n) AS q25_qty,
+        |         min(v) FILTER (WHERE cum * 2 >= n) AS med_qty,
+        |         min(v) FILTER (WHERE cum * 4 >= 3 * n) AS q75_qty,
+        |         CAST(max(n) AS bigint) AS n_items
+        |  FROM qc GROUP BY l_returnflag),
+        |pr AS (
+        |  SELECT l_returnflag, l_extendedprice AS v, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |prc AS (
+        |  SELECT l_returnflag, v,
+        |         sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+        |         sum(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM pr),
+        |p2 AS (
+        |  SELECT l_returnflag,
+        |         min(v) FILTER (WHERE cum * 100 >= 95 * n) AS p95_price
+        |  FROM prc GROUP BY l_returnflag)
+        |SELECT p1.l_returnflag, q25_qty, med_qty, q75_qty, p95_price, n_items
+        |FROM p1 JOIN p2 USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
     "x1_dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
         |       count(*) - count(DISTINCT md5(text)) AS n_dup_docs
@@ -1475,6 +1587,33 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS double) / count(*) AS boiler_frac
         |FROM g JOIN f USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same gram definition as x37; coverage = any shared gram starting in
+    // [pos-7, pos]; rebuilt text md5-pinned byte-for-byte (the coalesce
+    // keeps a fully-covered doc at md5('') on both sides — DuckDB's
+    // array_to_string([]) is NULL, not '')
+    "x62_boilerplate_removal" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+        |         i -> struct_pack(start := i, gram := array_to_string(list_slice(toks, i, i + 7), ' ')))) AS g
+        |  FROM t),
+        |s2 AS (SELECT doc_id, g.start AS start, g.gram AS gram FROM sg),
+        |f AS (SELECT gram FROM s2 GROUP BY gram HAVING count(DISTINCT doc_id) >= 3),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, unnest(range(start, start + 8)) AS pos
+        |  FROM s2 JOIN f USING (gram)),
+        |tk AS (
+        |  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
+        |k AS (
+        |  SELECT tk.doc_id, tk.pos, tk.tok, cov.pos IS NOT NULL AS covered
+        |  FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN NOT covered THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+        |       CAST(sum(CASE WHEN NOT covered THEN 1 ELSE 0 END) AS double) / count(*) AS kept_frac,
+        |       md5(coalesce(array_to_string(list(tok ORDER BY pos) FILTER (WHERE NOT covered), ' '), '')) AS clean_md5
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same tokenization as x11/x33; running sum over (source, doc_id % 4)
     // shards in doc_id order, integer pack arithmetic
     "x38_sequence_packing" ->
@@ -1560,6 +1699,40 @@ object SparkEntry {
         |JOIN customer ON user_id = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name, event_type ORDER BY n_name, event_type""".stripMargin,
+    // the whole aHash pipeline replayed: plant twins → 64 strided byte
+    // samples (ord == byte value; the engine guards single-byte text) →
+    // thumbnail-mean threshold → 4×16-bit bands → bucket join →
+    // xor/popcount Hamming — all integer arithmetic
+    "x64_ahash_neardup" ->
+      """WITH src AS (SELECT doc_id, text FROM documents),
+        |tw AS (
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         substr(text, 1, len(text) - greatest(1, len(text) // 16))
+        |           || repeat('z', greatest(1, len(text) // 16)) AS text
+        |  FROM src WHERE doc_id % 5 = 0),
+        |corpus AS (SELECT * FROM src UNION ALL SELECT * FROM tw),
+        |b AS (SELECT doc_id, text, len(text) AS n FROM corpus),
+        |v AS (SELECT doc_id, list_transform(range(0, 64),
+        |         i -> ord(substr(text, CAST(i * n // 64 AS int) + 1, 1))) AS v FROM b),
+        |h AS (SELECT doc_id, v, list_aggregate(v, 'sum') AS sm FROM v),
+        |bands AS (
+        |  SELECT doc_id, k.k AS band_idx,
+        |         list_aggregate(list_transform(range(0, 16),
+        |           j -> CASE WHEN v[16 * k.k + j + 1] * 64 > sm THEN (1 << (15 - j)) ELSE 0 END),
+        |           'sum') AS band_val
+        |  FROM h, (SELECT unnest(range(0, 4)) AS k) k),
+        |b4 AS (SELECT doc_id, list(band_val ORDER BY band_idx) AS bv FROM bands GROUP BY doc_id),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM bands a JOIN bands c
+        |    ON a.band_idx = c.band_idx AND a.band_val = c.band_val AND a.doc_id < c.doc_id),
+        |ham AS (
+        |  SELECT doc_a, doc_b,
+        |         CAST(list_aggregate(list_transform(range(0, 4),
+        |           k -> bit_count(xor(x.bv[k + 1], y.bv[k + 1]))), 'sum') AS int) AS hamming
+        |  FROM cand JOIN b4 x ON x.doc_id = doc_a JOIN b4 y ON y.doc_id = doc_b)
+        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // the engine side computes these over its JSONL copy; the oracle over
     // the original parquet — the round trip must be byte-lossless. The sum
     // MUST be cast: DuckDB's sum(int) is HUGEINT, which reaches the

@@ -317,6 +317,58 @@ object ArrayExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** 64-bit perceptual average-hash (aHash) of a binary payload — the
+    * image-dedup fingerprint, computed the way a real pipeline does after
+    * decode-to-grayscale: a 64-sample strided "thumbnail" of the bytes
+    * (sample i reads byte ⌊i·n/64⌋ — [[graft.operators.Multimodal.resizeStub]]'s
+    * stride arithmetic), thresholded at the thumbnail mean (bit i set iff
+    * 64·v_i > Σv, strict — integer-exact, so the whole hash replays in
+    * SQL), packed MSB-first. ONE pass over the payload in whole-stage
+    * codegen; on real media the byte stream would be the decoded
+    * luminance plane and nothing else changes. Empty payload → 0L.
+    */
+  case class AHash64(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "ahash64"
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case BinaryType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects binary, got ${other.simpleString}")
+      }
+
+    def compute(bytes: Array[Byte]): Long = {
+      val n = bytes.length
+      if (n == 0) return 0L
+      val v = new Array[Int](64)
+      var sum = 0L
+      var i = 0
+      while (i < 64) {
+        // long index arithmetic: i*n overflows int for multi-GB payloads
+        v(i) = bytes(((i.toLong * n) / 64).toInt) & 0xff
+        sum += v(i)
+        i += 1
+      }
+      var fp = 0L
+      i = 0
+      while (i < 64) {
+        if (v(i) * 64L > sum) fp |= 1L << (63 - i)
+        i += 1
+      }
+      fp
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("ahasher", this, classOf[AHash64].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** nBits-bit random-hyperplane bucket of a double vector (sign SimHash):
     * bit b is set iff Σ_i v[i]·sign(b,i) > 0, with sign(b,i) ∈ {−1,+1}
     * derived from a splitmix-style hash of (b,i). ONE expression node
@@ -689,6 +741,7 @@ object ArrayExpressions {
       es => TopKByScore(es.head, es(1), intArg(es(2)))),
     entry("deflate_ratio", classOf[DeflateRatio].getName, 1)(es => DeflateRatio(es.head)),
     entry("simhash64", classOf[SimHash64].getName, 1)(es => SimHash64(es.head)),
+    entry("ahash64", classOf[AHash64].getName, 1)(es => AHash64(es.head)),
     entry("hyperplane_bucket", classOf[HyperplaneBucket].getName, 2)(
       es => HyperplaneBucket(es.head, intArg(es(1)))),
     entry("vector_sum", classOf[VectorSum].getName, 1)(es => VectorSum(es.head)),
@@ -730,6 +783,8 @@ object ArrayExpressions {
   def deflateRatio(text: Column): Column = call_function("deflate_ratio", text)
 
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  def ahash64(payload: Column): Column = call_function("ahash64", payload)
 
   def hyperplaneBucket(v: Column, nBits: Int): Column =
     call_function("hyperplane_bucket", v, org.apache.spark.sql.functions.lit(nBits))

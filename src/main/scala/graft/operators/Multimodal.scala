@@ -255,4 +255,62 @@ object Multimodal {
         round(avg(col("channel_mean")), 6).as("avg_channel_mean"))
       .orderBy("media_type")
   }
+
+  /** x64 corpus: every doc's payload, plus a PLANTED perturbed twin for
+    * every 5th doc (id + 100000) whose trailing ~1/16 of bytes are
+    * rewritten — the x54 planted-probe protocol applied to media: the raw
+    * corpus has no truly near (not identical) payloads, so the twins make
+    * the near-dup path carry real recall, and the plant is deterministic
+    * text arithmetic the oracle replays character-for-character. The
+    * byte/char equivalence that replay depends on is GUARDED, not
+    * assumed: a non-single-byte character would make the engine's byte
+    * sampling diverge from the oracle's char sampling, so it aborts
+    * loudly instead.
+    */
+  private[graft] def plantedAhashCorpus(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"),
+      when(octet_length(col("text")) =!= length(col("text")),
+          raise_error(lit("x64 requires single-byte (ASCII) text — " +
+            "byte sampling and the oracle's char replay would diverge")))
+        .otherwise(col("text")).as("text"))
+    val twins = src.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        expr("concat(substr(text, 1, length(text) - greatest(1, length(text) div 16)), " +
+          "repeat('z', greatest(1, length(text) div 16)))").as("text"))
+    src.unionByName(twins)
+  }
+
+  /** x64: perceptual-hash (aHash) near-duplicate pairs over BINARY media
+    * payloads — image dedup as a pipeline operator. Fingerprint = the
+    * fused [[graft.functions.ArrayExpressions.AHash64]] kernel over the
+    * payload bytes (on real media: the decoded luminance plane); pair
+    * generation is the Manku-style banded Hamming join the simhash
+    * operators use — 4×16-bit bands guarantee recall 1 at Hamming ≤ 3,
+    * candidates are bounded by band-bucket occupancy (never all-pairs),
+    * and the Hamming check runs INSIDE the join condition so failing
+    * candidates never leave the probe loop. Integer-exact end to end:
+    * sample → mean-threshold → band → xor/popcount all replay in DuckDB.
+    */
+  def ahashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 bands guarantee recall 1 only up to Hamming distance 3")
+    val spark = docs.sparkSession
+    graft.functions.ArrayExpressions.register(spark)
+    val hashed = plantedAhashCorpus(docs)
+      .select(col("doc_id"),
+        graft.functions.ArrayExpressions.ahash64(encode(col("text"), "UTF-8")).as("ahash64"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("ahash64"),
+        explode(array((0 until 4).map(b =>
+          lit(b.toLong * 65536L) +
+            expr(s"shiftright(ahash64, ${48 - 16 * b}) & 65535")): _*)).as("band"))
+      .localCheckpoint()
+    val a = hashed.select(col("band").as("ba"), col("doc_id").as("doc_a"), col("ahash64").as("ha"))
+    val b = hashed.select(col("band").as("bb"), col("doc_id").as("doc_b"), col("ahash64").as("hb"))
+    a.join(b, col("ba") === col("bb") && col("doc_a") < col("doc_b") &&
+        bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -392,6 +392,71 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Cross-document boilerplate REMOVAL — the remediation step to x37's
+    * diagnostic score: rewrite each document dropping every token covered
+    * by an `n`-gram that appears in >= `minDocs` documents (the
+    * RefinedWeb/CCNet line-removal pass, at the token-span level the
+    * fixture's newline-free text supports). A token at position j is
+    * covered iff ANY shared gram starts in [j-n+1, j]; the rebuilt text
+    * is pinned by md5 so the oracle checks the exact post-removal bytes,
+    * not just counts. `kept_frac` ships unrounded (exact int/int — the
+    * q32/x55 decimal-tie class).
+    *
+    * Scale shape (same survival properties as x37, which this shares its
+    * gram definition with): ONE scan+tokenize feeds both branches — the
+    * per-start gram relation is explicitly repartitioned on `gram`, and
+    * the df aggregate deliberately references every column of that
+    * relation (`countDistinct(doc_id)` + a consumed-then-dropped
+    * `max(start)`) so ColumnPruning cannot diverge the two subtrees and
+    * ReuseExchange runs the explode ONCE; the df side joins back under a
+    * `merge` hint (gram→df is corpus-scale and data-dependent — no
+    * AQE-fits-the-fixture broadcast), coverage expansion is a bounded ×n
+    * explode of SHARED starts only, and the final rebuild is one
+    * (doc_id, pos)-keyed join + one doc_id aggregate. A mega-df gram
+    * costs O(its starts), never an unsplittable window partition.
+    */
+  def boilerplateRemove(docs: DataFrame, n: Int = 8, minDocs: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val tokArr = docs.select(col("doc_id"),
+      filter(tokens(lower(col("text"))), t => t =!= "").as("t"))
+    // (doc_id, start, gram): one row per gram START (1-based), positions
+    // aligned with the token index space used below
+    val startGrams = tokArr
+      .select(col("doc_id"), explode(expr(
+        s"case when size(t) >= $n then transform(sequence(1, size(t) - ${n - 1}), " +
+          s"i -> struct(i as start, array_join(slice(t, i, $n), ' ') as gram)) " +
+          "else array() end")).as("g"))
+      .select(col("doc_id"), col("g.start").as("start"), col("g.gram").as("gram"))
+      .repartition(spark.sparkContext.defaultParallelism, col("gram"))
+    // document frequency over the SAME subtree (max(start) is consumed
+    // then dropped purely so both branches keep identical column sets —
+    // that is what lets ReuseExchange dedupe the scan+explode)
+    // `_mx >= 1` is a data-dependent tautology (starts are 1-based) whose
+    // only job is to keep max(start) ALIVE through ColumnPruning — an
+    // unreferenced aggregate gets eliminated, which prunes `start` from
+    // this branch's subtree and breaks the exchange reuse
+    val gramDf = startGrams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"), max(col("start")).as("_mx"))
+      .filter(col("df") >= minDocs && col("_mx") >= 1)
+      .select(col("gram"))
+    val coveredPos = startGrams.join(gramDf.hint("merge"), "gram")
+      .select(col("doc_id"), explode(expr(s"sequence(start, start + ${n - 1})")).as("pos"))
+      .distinct()
+    val toks = tokArr.select(col("doc_id"), posexplode(col("t")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    toks.join(coveredPos.withColumn("cov", lit(true)), Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cov").isNull, 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("cov").isNull, struct(col("pos"), col("tok"))))),
+          x => x.getField("tok")), " ")).as("clean_md5"))
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_tokens")).as("kept_frac"),
+        col("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style repetition profile: each document's dominant token
     * bigram and the fraction of bigram slots it occupies — the
     * "most-common-n-gram coverage" rule used to drop boilerplate and

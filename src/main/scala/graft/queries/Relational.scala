@@ -741,6 +741,87 @@ object Relational {
       .orderBy("user_id", "us", "event_id")
   }
 
+  /** Q38: UNPIVOT/melt — the wide→long reshape (the exact inverse of
+    * q21's pivot, which only went long→wide). A per-nation metrics block
+    * (four typed aggregate columns) melts into (n_name, metric, value)
+    * rows via the native `Dataset.unpivot` (an Expand node — one
+    * projection per value column, NO shuffle or join: the reshape itself
+    * is free at any scale; the only exchange is the upstream aggregate's).
+    * Metrics share a common double type (unpivot requires it); sums ride
+    * decimal until the final cast so the melted values are order-exact.
+    */
+  def q38Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        count(lit(1)).cast("double").as("n_customers"))
+    base.unpivot(
+        Array(col("n_name")),
+        Array(col("sum_bal"), col("min_bal"), col("max_bal"), col("n_customers")),
+        "metric", "value")
+      .orderBy("n_name", "metric")
+  }
+
+  /** Q39: nested JSON round-trip — each order's lines serialized as ONE
+    * JSON payload (`to_json` of a struct holding an array<struct>), then
+    * parsed back with `from_json` and re-aggregated from the PARSED side
+    * only. q10 pins scalar `get_json_object`; this pins nested
+    * array-of-struct construction AND schema-directed parsing — the
+    * API-payload ingest/export shape. Determinism: the line array is
+    * sorted (`array_sort`; l_linenumber is unique per order so struct
+    * order == line order), and the 2-decimal money doubles round-trip
+    * exactly through JSON's shortest-round-trip float repr. The oracle
+    * replays the SAME round-trip in DuckDB's own JSON type (build →
+    * serialize → cast back to struct[] → unnest), so a parse divergence
+    * on either side cannot cancel out. Scale shape: one shuffle for the
+    * per-order array build, then per-row JSON work inside codegen, then
+    * the explode folds back to the same per-order partitioning.
+    */
+  def q39JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val payload = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        struct(col("l_linenumber").as("ln"), col("l_quantity").as("qty"),
+          col("l_extendedprice").as("price"), col("l_returnflag").as("rf")).as("line"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(col("line"))).as("lines"))
+      .select(to_json(struct(col("l_orderkey").as("ok"), col("lines"))).as("js"))
+    payload
+      .select(from_json(col("js"),
+        "ok BIGINT, lines ARRAY<STRUCT<ln: INT, qty: DOUBLE, price: DOUBLE, rf: STRING>>",
+        Map.empty[String, String]).as("p"))
+      .select(col("p.ok").as("l_orderkey"), explode(col("p.lines")).as("l"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec(col("l.qty"))).cast("double").as("sum_qty"),
+        max(col("l.price")).as("max_price"),
+        min(col("l.rf")).as("min_rf"),
+        sum(col("l.ln").cast("bigint")).as("ln_sum"))
+      .orderBy("l_orderkey")
+  }
+
+  /** Q40: exact grouped percentiles — `percentile_disc` WITHIN GROUP, the
+    * inverse-CDF surface x15's approx quantiles and x27's sketches don't
+    * pin (those carry tolerance booleans; this is value-exact). DISC, not
+    * CONT: the result is always an actual data value, so there is no
+    * interpolation arithmetic to diverge between engines — the oracle
+    * pins the definition itself (smallest value with cume_dist >= q) via
+    * integer-exact rank comparisons. Scale: one hash-partial + sort-based
+    * final aggregate per group, no global sort.
+    */
+  def q40Percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("q25_qty"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("med_qty"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)").as("q75_qty"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("p95_price"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
+
   /** Q14: distinct aggregates — distinct parts/suppliers per return flag. */
   def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

@@ -784,4 +784,95 @@ object StreamingQueries {
       TaxiQueries.dailyRevenue(trips)
     } finally deleteRecursively(spool)
   }
+
+  /** x63: streaming SLIDING-window trending — top-3 event types per
+    * overlapping 1-hour window sliding every 15 minutes, the "what's
+    * trending right now" dashboard aggregate. This is the engine's first
+    * OVERLAPPING-window surface (q9/x26 pin tumbling and session windows):
+    * each event lands in exactly four windows, and the streaming state
+    * holds ~4× the per-window key sets, evicted as the watermark passes
+    * each window end. The windowed counts run as a watermarked streaming
+    * aggregation in APPEND mode (a window's count emits exactly once, on
+    * close — no retraction churn at the sink); one far-future sentinel
+    * event advances the watermark past every real window end so the final
+    * windows flush through the engine's normal eviction (its own windows
+    * never close, so it cannot appear at the sink; the spool aggregate
+    * aborts loudly if a real event_type ever collides with the sentinel
+    * type). The top-k ranking is a shared batch step applied AFTER window
+    * finalization ([[trendingTopK]], also used by the batch twin and the
+    * stream≡batch spec), so ranking semantics cannot drift between modes.
+    * Deterministic: counts are integers, rank tie-breaks on event_type,
+    * and window starts are epoch-aligned integer arithmetic the DuckDB
+    * oracle reproduces exactly.
+    */
+  private val TrendingSentinelType = "__x63_sentinel__"
+
+  /** The windowed-count stage, identical in batch and streaming (the
+    * watermark node is eliminated by the analyzer on a batch input).
+    */
+  private[graft] def trendingCounts(feed: DataFrame): DataFrame =
+    feed.select(timestamp_micros(col("us")).as("ts"), col("event_type"))
+      .withWatermark("ts", "1 second")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .count()
+
+  /** Shared finalized-counts → top-k step (rank per window by count desc,
+    * event_type tie-break).
+    */
+  private[graft] def trendingTopK(counts: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w_start_us")).orderBy(col("n").desc, col("event_type"))
+    counts.select(unix_micros(col("window.start")).as("w_start_us"),
+        unix_micros(col("window.end")).as("w_end_us"),
+        col("event_type"), col("count").as("n"))
+      .filter(col("event_type") =!= TrendingSentinelType)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy("w_start_us", "rnk")
+  }
+
+  def streamingTrending(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .select(unix_micros(col("ts")).as("us"), col("event_type"))
+    // derived in-plan (no driver probe); collision with the sentinel type
+    // aborts the spool instead of silently dropping rows at the sink
+    val sentinels = events
+      .agg(max(col("us")).as("mx"),
+        sum(when(col("event_type") === TrendingSentinelType, 1L).otherwise(0L)).as("bad"))
+      .where(col("mx").isNotNull)
+      .select(when(col("bad") > 0,
+          raise_error(lit("x63 sentinel event_type collides with a real event_type")))
+        .otherwise(col("mx") + lit(2L * 3600 * 1000000)).as("us"),
+        lit(TrendingSentinelType).as("event_type"))
+    val spool = Files.createTempDirectory("graft_stream_trend")
+    val feedDir = spool.resolve("feed").toString
+    val name = s"graft_stream_trend_${runSeq.incrementAndGet()}"
+    try {
+      val t0 = System.nanoTime()
+      spoolChronological(events.unionByName(sentinels), feedDir, FeedFiles)
+      val tSpool = System.nanoTime()
+      val stream = spark.readStream
+        .schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feedDir)
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", streamParts)
+      val finalized =
+        try {
+          val q = trendingCounts(stream)
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", spool.resolve("ckpt").toString)
+            .start()
+          try {
+            q.processAllAvailable()
+            streamCrumb("x63", t0, tSpool, q)
+            spark.table(name).localCheckpoint()
+          } finally q.stop()
+        } finally {
+          spark.catalog.dropTempView(name)
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+      trendingTopK(finalized)
+    } finally deleteRecursively(spool)
+  }
 }

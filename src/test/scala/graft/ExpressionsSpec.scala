@@ -450,6 +450,45 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got(3L).getString(1) == "unknown" && got(3L).isNullAt(3) && got(3L).isNullAt(5))
   }
 
+  test("ahash64: strided thumbnail mean-threshold hash, hand-computed") {
+    // bytes 0..63: sample i reads byte i; mean = 31.5, so bits set for
+    // v > 31.5 (strict 64·v > Σ) — samples 32..63, packed MSB-first
+    val ramp = Array.tabulate[Byte](64)(_.toByte)
+    assert(ArrayExpressions.AHash64(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(ramp,
+        org.apache.spark.sql.types.BinaryType)).eval(null) == 0x00000000FFFFFFFFL)
+    // constant payload: no byte exceeds the mean strictly -> 0
+    val const = Array.fill[Byte](100)(42)
+    assert(ArrayExpressions.AHash64(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(const,
+        org.apache.spark.sql.types.BinaryType)).eval(null) == 0L)
+    // empty payload -> 0, and the SQL registration round-trips
+    assert(ArrayExpressions.AHash64(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array.empty[Byte],
+        org.apache.spark.sql.types.BinaryType)).eval(null) == 0L)
+    ArrayExpressions.register(spark)
+    val viaSql = spark.sql("SELECT ahash64(encode('abcabc', 'UTF-8')) AS h").collect()(0).getLong(0)
+    val viaWrapper = spark.range(1)
+      .select(ArrayExpressions.ahash64(expr("encode('abcabc', 'UTF-8')")).as("h"))
+      .collect()(0).getLong(0)
+    assert(viaSql == viaWrapper)
+  }
+
+  test("x64: planted twins collide within Hamming 3; identical payloads at distance 0") {
+    import spark.implicits._
+    // ten long pseudo-random-ish distinct docs + the operator's own plant
+    val docs = (0L until 10L)
+      .map(i => (i, (0 until 40).map(j => s"w${(i * 7 + j * j) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Multimodal.ahashNearDupPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // docs 0 and 5 get twins (doc_id % 5 == 0); each twin must be found
+    val twinPairs = pairs.filter { case (a, b, _) => b == a + 100000L }
+    assert(twinPairs.map(_._1).toSet == Set(0L, 5L),
+      s"expected both planted twins within Hamming 3, got ${pairs.mkString(", ")}")
+    pairs.foreach { case (_, _, h) => assert(h >= 0 && h <= 3) }
+  }
+
   test("interpreted eval matches codegen result") {
     val e = ArrayExpressions.SortedLongIntersectCount(
       org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1L, 5L, 9L),

@@ -1337,5 +1337,142 @@ class QueriesSpec extends AnyFunSuite {
     assert(math.abs(am - em) <= 1.0, s"approx median $am vs exact $em")
   }
 
+  test("q38 unpivot: 4 metrics per nation, values equal the wide aggregate") {
+    val rows = queries("q38_unpivot")
+    val nNations = Tables.load(spark, sf, "nation").count()
+    assert(rows.length == 4 * nNations)
+    val byNation = rows.groupBy(_.getAs[String]("n_name"))
+    assert(byNation.size == nNations)
+    byNation.values.foreach { rs =>
+      assert(rs.map(_.getAs[String]("metric")).toSet ==
+        Set("sum_bal", "min_bal", "max_bal", "n_customers"))
+    }
+    // melted values equal the wide form recomputed directly
+    val wide = Tables.load(spark, sf, "customer")
+      .join(Tables.load(spark, sf, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"),
+        count(lit(1)).cast("double").as("n_customers"))
+      .collect().map(r => r.getAs[String]("n_name") ->
+        (r.getAs[Double]("sum_bal"), r.getAs[Double]("n_customers"))).toMap
+    byNation.foreach { case (nat, rs) =>
+      val m = rs.map(r => r.getAs[String]("metric") -> r.getAs[Double]("value")).toMap
+      assert(m("sum_bal") == wide(nat)._1 && m("n_customers") == wide(nat)._2)
+    }
+  }
+
+  test("q39 JSON round-trip: parsed-side aggregates equal the direct (no-JSON) computation") {
+    val got = queries("q39_json_roundtrip")
+    val direct = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        max(col("l_extendedprice")).as("max_price"),
+        min(col("l_returnflag")).as("min_rf"),
+        sum(col("l_linenumber").cast("bigint")).as("ln_sum"))
+      .orderBy("l_orderkey").collect()
+    assert(got.length == direct.length)
+    got.zip(direct).foreach { case (g, d) => assert(g == d) }
+  }
+
+  test("q40 percentile_disc follows the SQL-standard definition (smallest value with cume_dist >= q)") {
+    import spark.implicits._
+    // 4 values: cume_dist(10)=0.25 exactly, so q=0.25 must return 10 (not 20)
+    val four = Seq(10.0, 20.0, 30.0, 40.0).toDF("v")
+    val r4 = four.agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)")).collect().head
+    assert((r4.getDouble(0), r4.getDouble(1), r4.getDouble(2)) == ((10.0, 20.0, 30.0)))
+    // 5 values: cume_dist(10)=0.2 < 0.25, so q=0.25 returns the second value
+    val five = Seq(10.0, 20.0, 30.0, 40.0, 50.0).toDF("v")
+    val r5 = five.agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)"),
+      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY v)")).collect().head
+    assert((r5.getDouble(0), r5.getDouble(1)) == ((20.0, 50.0)))
+    // the ledger row returns actual data values (DISC, never interpolated)
+    val qty = Tables.load(spark, sf, "lineitem").select(col("l_quantity"))
+      .distinct().collect().map(_.getDouble(0)).toSet
+    queries("q40_percentiles").foreach { r =>
+      assert(qty.contains(r.getAs[Double]("q25_qty")))
+      assert(qty.contains(r.getAs[Double]("med_qty")))
+      assert(qty.contains(r.getAs[Double]("q75_qty")))
+    }
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("x62 removal: shared 8-gram spans removed exactly, rebuilt text md5-pinned") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // "a..h" shared by docs 1-3 (df=3); doc 1 IS the gram -> fully removed;
+    // docs 2/3 keep only their unique token; docs 4/5 untouched
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x a b c d e f g h"),
+      (3L, "a b c d e f g h y"),
+      (4L, "p q r s t u v w"),
+      (5L, "too short")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.boilerplateRemove(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_kept"), r.getAs[String]("clean_md5")))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(rows(1L) == ((8L, 0L, md5hex(""))))
+    assert(rows(2L) == ((9L, 1L, md5hex("x"))))
+    assert(rows(3L) == ((9L, 1L, md5hex("y"))))
+    assert(rows(4L) == ((8L, 8L, md5hex("p q r s t u v w"))))
+    assert(rows(5L) == ((2L, 2L, md5hex("too short"))))
+  }
+
+  test("x62 skew: a gram in EVERY doc — no window funnel, SMJ join-back, one reused gram exchange") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = (0L until 200L).map(i => (i, s"$boiler u${i}a u${i}b u${i}c"))
+      .toDF("doc_id", "text")
+    val df = TextAnalysis.boilerplateRemove(docs)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "x62 must not funnel grams through a window partition")
+    assert(plan.contains("SortMergeJoin"),
+      "df join-back must stay sort-merge (gram->df is data-dependent corpus-scale; no broadcast)")
+    val rows = df.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("n_kept"), r.getAs[String]("clean_md5")))).toMap
+    assert(rows.size == 200)
+    // the shared prefix is removed everywhere; each doc keeps its 3 unique tokens
+    rows.foreach { case (i, (kept, m)) =>
+      assert(kept == 3L && m == md5hex(s"u${i}a u${i}b u${i}c"))
+    }
+    // only the POST-execution plan shows AQE's stage reuse
+    val finalPlan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val gramExchanges = finalPlan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(gram") && !l.contains("Reused")).size
+    assert(gramExchanges == 1, s"expected one reused gram exchange, plan:\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange"), s"gram exchange not reused, plan:\n$finalPlan")
+  }
+
+  test("x63 trending: stream equals batch; every event lands in exactly 4 sliding windows") {
+    import graft.queries.StreamingQueries
+    val events = Tables.load(spark, sf, "events")
+      .select(unix_micros(col("ts")).as("us"), col("event_type"))
+    val batchCounts = StreamingQueries.trendingCounts(events)
+    // 4 overlapping windows per event (1 h window / 15 min slide)
+    val total = batchCounts.agg(sum(col("count"))).collect().head.getLong(0)
+    assert(total == 4L * events.count())
+    val batch = StreamingQueries.trendingTopK(batchCounts).collect()
+    val stream = SparkEntry.queries("x63_stream_trending")(spark, sf).collect()
+    assert(batch.length == stream.length)
+    batch.zip(stream).foreach { case (b, s2) => assert(b == s2) }
+    // ranks are 1..k and counts non-increasing within a window
+    stream.groupBy(_.getAs[Long]("w_start_us")).values.foreach { ws =>
+      val sorted = ws.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to sorted.length))
+      val ns = sorted.map(_.getAs[Long]("n"))
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
