@@ -79,6 +79,12 @@ object SparkEntry {
     // exact grouped percentile_disc (inverse CDF on actual data values) —
     // the value-exact counterpart of x15/x27's approximate quantiles
     "q40_percentiles" -> ((s, d) => Relational.q40Percentiles(s, d)),
+    // Spark 4 VARIANT: parse_json once, typed try_variant_get reads —
+    // the one-parse-many-reads replacement for q10's per-field re-parse
+    "q41_variant" -> ((s, d) => Relational.q41Variant(s, d)),
+    // null-safe equality (<=>) join over derived nullable keys on BOTH
+    // sides — null matches null, next to the count a plain '=' would give
+    "q42_nullsafe_join" -> ((s, d) => Relational.q42NullSafeJoin(s, d)),
     // q22's aggregation against the BUCKETED layout (co-located merge join,
     // zero join-side Exchange — LayoutSpec pins the plan); same oracle
     "q27_bucketed_join" -> ((s, d) => graft.sources.Bucketed.q27BucketedJoin(s, d)),
@@ -199,6 +205,11 @@ object SparkEntry {
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
         .orderBy("vec_id")
     }),
+    // the dedup pipeline's FINAL decision: per duplicate cluster keep the
+    // highest-quality member (x10's shared gate), mark the rest dropped —
+    // detect (x3) → cluster (x20) → keeper → drop list
+    "x65_dedup_keeper" -> ((s, d) =>
+      Dedup.keeperSelection(Tables.load(s, d, "documents"))),
     // Structured Streaming twin of q8, reshaped to q8's schema — carries
     // q8's oracle, so stream==batch is in the driver's hard signal
     "x26_streaming_sessionize" -> ((s, d) => graft.queries.StreamingQueries.gapSessions(s, d)),
@@ -1097,6 +1108,30 @@ object SparkEntry {
         |       max(l.price) AS max_price, min(l.rf) AS min_rf,
         |       CAST(sum(l.ln) AS bigint) AS ln_sum
         |FROM parsed GROUP BY ok ORDER BY ok""".stripMargin,
+    // the variant reads reduce to typed JSON extraction; DuckDB sum of
+    // bigint is HUGEINT — cast back (the x41 convention)
+    "q41_variant" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS bigint)) AS bigint) AS sum_k,
+        |       count(TRY_CAST(json_extract_string(props, '$.k') AS bigint)) AS n_k,
+        |       count(TRY_CAST(json_extract_string(props, '$.missing') AS bigint)) AS n_missing_hits
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // <=> spelled IS NOT DISTINCT FROM; same residue-class null derivation
+    "q42_nullsafe_join" ->
+      """WITH e AS (
+        |  SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS bigint) AS k
+        |  FROM events),
+        |a AS (
+        |  SELECT CASE WHEN event_id % 4 <> 0 THEN k END AS ka, event_id AS ea
+        |  FROM e WHERE event_id % 2 = 0 AND event_id < 400),
+        |b AS (
+        |  SELECT CASE WHEN event_id % 3 <> 0 THEN k END AS kb, event_id AS eb
+        |  FROM e WHERE event_id % 2 = 1)
+        |SELECT ka, count(*) AS n_pairs,
+        |       CAST(sum(CASE WHEN ka IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_equi_pairs,
+        |       min(eb) AS min_eb, max(eb) AS max_eb
+        |FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
+        |GROUP BY ka ORDER BY ka NULLS FIRST""".stripMargin,
     // percentile_disc pinned by DEFINITION (smallest value with
     // cume_dist >= q) via integer-exact rank comparisons — no engine's
     // built-in quantile indexing convention is trusted on either side
@@ -1415,6 +1450,43 @@ object SparkEntry {
         |  UNION
         |  SELECT e2.src, reach.r FROM e e2 JOIN reach ON e2.dst = reach.id)
         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // x65: x20's reachability clusters + x10's rounded quality gate +
+    // window argmax (quality desc, doc_id asc) — the keeper decision
+    // replayed end to end
+    "x65_dedup_keeper" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, length(text) - 1),
+        |                       i -> substring(text, CAST(i AS int), 3))) AS sh
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS double)
+        |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e2.src, reach.r FROM e e2 JOIN reach ON e2.dst = reach.id),
+        |c AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |q AS (
+        |  SELECT doc_id,
+        |         round(1.0 / (1.0 + len(regexp_extract_all(text, '[.,!?;:]'))
+        |                          + len(regexp_extract_all(text, '[0-9]')))
+        |           * (1.0 + CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                 t -> list_contains(['the','a','and','of','to','in','is'], t))) AS double)
+        |               / len(regexp_split_to_array(text, '\s+'))), 6) AS quality_score
+        |  FROM documents),
+        |j AS (SELECT c.doc_id, c.cluster_id, q.quality_score FROM c JOIN q USING (doc_id)),
+        |k AS (
+        |  SELECT cluster_id, doc_id AS keeper FROM (
+        |    SELECT cluster_id, doc_id,
+        |           row_number() OVER (PARTITION BY cluster_id
+        |                              ORDER BY quality_score DESC, doc_id) AS rn
+        |    FROM j) WHERE rn = 1)
+        |SELECT j.doc_id, j.cluster_id, j.quality_score, j.doc_id = k.keeper AS is_keeper
+        |FROM j JOIN k USING (cluster_id) ORDER BY j.doc_id""".stripMargin,
     // x56: the same reachability oracle over the exact cosine near-dup
     // graph (x6's pair shape at 0.3) — clustering checked on an input
     // independent of both the text shingles and the LSH replay

@@ -410,4 +410,36 @@ object Dedup {
 
   def simhash(docs: DataFrame): DataFrame =
     simhashRaw(docs).orderBy("doc_id")
+
+  /** x65: KEEPER SELECTION — the final decision of a dedup pipeline:
+    * given duplicate clusters (x20's exact-Jaccard graph resolved by
+    * [[dupClusters]]) and the shared quality gate
+    * ([[graft.operators.TextAnalysis.qualityScoreOn]] — x10/x17/x44's
+    * exact definition), keep the highest-quality member of each cluster
+    * (doc_id ascending tie-break) and mark every other member dropped.
+    * Detect (x3) → cluster (x20) → SELECT KEEPER → drop list: this is the
+    * row-level output a curation run actually applies.
+    *
+    * Scale shape: the per-cluster argmax is an AGGREGATE
+    * (`max(struct(quality, -doc_id))` — map-side combinable, one row per
+    * cluster after partial aggregation), NOT a window: an adversarial
+    * mega-cluster (everything identical) costs one combinable group, never
+    * an unsplittable window partition. The keeper join-back is
+    * one-row-per-cluster — broadcastable at any corpus size because its
+    * cardinality is bounded by the number of CLUSTERS, but left to AQE
+    * since cluster counts are data-dependent.
+    */
+  def keeperSelection(docs: DataFrame): DataFrame = {
+    val members = dupClusters(ngramJaccardPairs(docs, 10, 0.5))
+      .join(docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.qualityScoreOn(col("text")).as("quality_score")), "doc_id")
+    // argmax by (quality desc, doc_id asc): max over (quality, -doc_id)
+    val keepers = members.groupBy(col("cluster_id"))
+      .agg(max(struct(col("quality_score"), (-col("doc_id")).as("neg"))).as("k"))
+      .select(col("cluster_id"), (-col("k.neg")).as("keeper_doc_id"))
+    members.join(keepers, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+        (col("doc_id") === col("keeper_doc_id")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
 }

@@ -822,6 +822,58 @@ object Relational {
         count(lit(1)).as("n_items"))
       .orderBy("l_returnflag")
 
+  /** Q41: VARIANT ingestion — Spark 4's semi-structured type: `props`
+    * parsed ONCE with `parse_json` into a variant value, fields extracted
+    * with `try_variant_get` (typed, null on missing/mistyped — the
+    * schema-on-read contract), plus `is_variant_null` / `schema_of_variant`
+    * checks riding as grouped counts. This is the modern replacement for
+    * q10's per-field `get_json_object` string re-parsing: one parse, many
+    * typed reads — at scale the parse cost is paid once per row, not once
+    * per extracted field.
+    */
+  def q41Variant(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("try_variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("try_variant_get(v, '$.missing', 'bigint')").as("m"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        count(col("k")).as("n_k"),
+        count(col("m")).as("n_missing_hits"))
+      .orderBy("event_type")
+
+  /** Q42: NULL-equality semantics — the `<=>` (null-safe equal) join and
+    * IS DISTINCT FROM filtering, over genuinely nullable derived keys
+    * (q30's residue-class pattern: event_id % 4 == 0 nulls the key). A
+    * plain `=` join silently drops every null-keyed row from both sides;
+    * the null-safe join matches null to null — the semantics that decide
+    * whether a changelog's "unknown" keys correlate or vanish. The
+    * aggregate pins both: matches per key INCLUDING the null key, and the
+    * count a plain equi-join would have produced next to it.
+    */
+  def q42NullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("event_id"),
+        expr("try_cast(get_json_object(props, '$.k') AS bigint)").as("k"))
+    // probe side: a SMALL even-id slice (a changelog sample being
+    // correlated against the firehose — the bounded-side shape that keeps
+    // the many-to-many key match from exploding); nulls on %4
+    val a = e.filter(col("event_id") % 2 === 0 && col("event_id") < 400)
+      .select(when(col("event_id") % 4 =!= 0, col("k")).as("ka"), col("event_id").as("ea"))
+    // build side: odd ids, nulls on %3 — DIFFERENT residue class, so both
+    // sides genuinely carry nulls (a %4-null on odd ids would be empty)
+    val b = e.filter(col("event_id") % 2 === 1)
+      .select(when(col("event_id") % 3 =!= 0, col("k")).as("kb"), col("event_id").as("eb"))
+    a.join(b, col("ka") <=> col("kb"))
+      .groupBy(col("ka"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("ka").isNotNull, 1L).otherwise(0L)).as("n_equi_pairs"),
+        min(col("eb")).as("min_eb"), max(col("eb")).as("max_eb"))
+      .orderBy(col("ka").asc_nulls_first)
+  }
+
   /** Q14: distinct aggregates — distinct parts/suppliers per return flag. */
   def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

@@ -1453,6 +1453,43 @@ class QueriesSpec extends AnyFunSuite {
     assert(finalPlan.contains("ReusedExchange"), s"gram exchange not reused, plan:\n$finalPlan")
   }
 
+  test("q41 variant: typed reads — every row yields k, the missing path yields null") {
+    val rows = queries("q41_variant")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_k") == r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("n_missing_hits") == 0L)
+      assert(r.getAs[Long]("sum_k") >= 0L)
+    }
+    // totals cover the whole table
+    assert(rows.map(_.getAs[Long]("n_events")).sum == Tables.load(spark, sf, "events").count())
+  }
+
+  test("q42 null-safe join: null matches null; plain '=' would have dropped that group") {
+    val rows = queries("q42_nullsafe_join")
+    val nullRow = rows.filter(_.isNullAt(0))
+    assert(nullRow.length == 1, "the null<=>null group must exist")
+    assert(nullRow.head.getAs[Long]("n_pairs") > 0L)
+    assert(nullRow.head.getAs[Long]("n_equi_pairs") == 0L)
+    rows.filterNot(_.isNullAt(0)).foreach { r =>
+      assert(r.getAs[Long]("n_pairs") == r.getAs[Long]("n_equi_pairs"))
+    }
+  }
+
+  test("x65 keeper: one keeper per cluster, argmax by (quality desc, doc_id asc)") {
+    val rows = queries("x65_dedup_keeper")
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Double]("quality_score"), r.getAs[Boolean]("is_keeper")))
+    assert(rows.nonEmpty, "fixture produced no duplicate clusters — keeper selection untested")
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.length >= 2, "a cluster needs >= 2 members (it came from a pair)")
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1)
+      val expected = members.minBy { case (id, _, q, _) => (-q, id) }
+      assert(keepers.head._1 == expected._1)
+    }
+  }
+
   test("x63 trending: stream equals batch; every event lands in exactly 4 sliding windows") {
     import graft.queries.StreamingQueries
     val events = Tables.load(spark, sf, "events")
