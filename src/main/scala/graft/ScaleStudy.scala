@@ -68,6 +68,8 @@ object ScaleStudy {
     // doesn't carry one-time compile cost the larger rows don't pay
     Dedup.minhashLshPairs(docs.localCheckpoint()).count()
     graft.operators.TextAnalysis.boilerplateCoverage(docs).agg(count(lit(1))).head()
+    graft.operators.TextAnalysis.boilerplateRemove(docs).agg(count(lit(1))).head()
+    graft.operators.Multimodal.ahashNearDupPairs(docs).count()
     for (k <- Seq(1, 3, 10)) {
       // materialize the synthetic corpus so timings measure LSH, not synthesis
       val corpus = expand(docs, k).localCheckpoint()
@@ -90,6 +92,24 @@ object ScaleStudy {
           sum(col("n_boiler")).as("boiler")).head()
       val tBoiler = (System.nanoTime() - t2) / 1e9
       println(f"""{"op":"boilerplate","scale":$k,"docs":${boiler.getLong(0)},"grams":${boiler.getLong(1)},"boiler_grams":${boiler.getLong(2)},"sec":$tBoiler%.2f}""")
+      // x62 rides the same replicas: the removal pass shares x37's single
+      // reused gram exchange, adds the bounded ×8 coverage explode and one
+      // (doc_id, pos) join — cost must track the gram relation linearly,
+      // and each replica must reproduce the original's removal fractions
+      // (disjoint gram spaces: kept/total is scale-invariant by design)
+      val t3 = System.nanoTime()
+      val rem = graft.operators.TextAnalysis.boilerplateRemove(corpus)
+        .agg(sum(col("n_tokens")).as("toks"), sum(col("n_kept")).as("kept")).head()
+      val tRem = (System.nanoTime() - t3) / 1e9
+      println(f"""{"op":"boiler_remove","scale":$k,"tokens":${rem.getLong(0)},"kept":${rem.getLong(1)},"sec":$tRem%.2f}""")
+      // x64: banded aHash pairs — candidate volume is Σ band-bucket²;
+      // each cipher replica re-randomizes payload bytes (hence hashes),
+      // so buckets grow at the chance rate plus one planted twin family
+      // per replica — the same near-linearity claim as the LSH row above
+      val t4 = System.nanoTime()
+      val nAhash = graft.operators.Multimodal.ahashNearDupPairs(corpus).count()
+      val tAhash = (System.nanoTime() - t4) / 1e9
+      println(f"""{"op":"ahash_pairs","scale":$k,"pairs":$nAhash,"sec":$tAhash%.2f}""")
     }
     // x31 incremental dedup: persist the stores once per scale (the
     // one-time write), then time the per-batch incremental join. The new

@@ -258,6 +258,10 @@ object SparkEntry {
     // by cross-doc-shared 8-grams, rebuilt text pinned by md5
     "x62_boilerplate_removal" -> ((s, d) =>
       TextAnalysis.boilerplateRemove(Tables.load(s, d, "documents"))),
+    // char-trigram novelty (perplexity-free gibberish gate): rare-trigram
+    // fraction against the corpus's own bounded |alphabet|^3 freq table
+    "x66_trigram_novelty" -> ((s, d) =>
+      TextAnalysis.charTrigramNovelty(Tables.load(s, d, "documents"))),
     // deterministic concat-and-chunk packing into 256-token sequences,
     // sharded per (source, doc_id % 4) so window partitions stay bounded
     "x38_sequence_packing" -> ((s, d) =>
@@ -1686,6 +1690,20 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN NOT covered THEN 1 ELSE 0 END) AS double) / count(*) AS kept_frac,
         |       md5(coalesce(array_to_string(list(tok ORDER BY pos) FILTER (WHERE NOT covered), ' '), '')) AS clean_md5
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // every trigram occurrence keeps its multiplicity (no per-doc
+    // distinct) — novelty counts occurrences, unlike x37's distinct grams
+    "x66_trigram_novelty" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS tx FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(length(tx) - 2, 0) + 1),
+        |         i -> substring(tx, CAST(i AS int), 3))) AS tri
+        |  FROM t WHERE length(tx) >= 3),
+        |c AS (SELECT tri, count(*) AS n FROM g GROUP BY tri)
+        |SELECT doc_id, count(*) AS n_tri,
+        |       CAST(sum(CASE WHEN c.n < 50 THEN 1 ELSE 0 END) AS bigint) AS n_rare,
+        |       CAST(sum(CASE WHEN c.n < 50 THEN 1 ELSE 0 END) AS double) / count(*) AS rare_frac
+        |FROM g JOIN c USING (tri)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same tokenization as x11/x33; running sum over (source, doc_id % 4)
     // shards in doc_id order, integer pack arithmetic
     "x38_sequence_packing" ->

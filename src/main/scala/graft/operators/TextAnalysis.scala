@@ -457,6 +457,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** x66: character-trigram NOVELTY score — the fraction of a document's
+    * char-trigram occurrences whose corpus-wide frequency is below
+    * `rareMax`: the language-model-free stand-in for perplexity-based
+    * quality gating (gibberish, encoding noise, and foreign-script spans
+    * are made of trigrams the corpus has rarely seen; natural text sits
+    * on the high-frequency head). Integer-exact end to end, `rare_frac`
+    * unrounded (the q32/x55 class).
+    *
+    * Scale shape — the deliberate CONTRAST to x37's join-back: the
+    * trigram frequency table is bounded by |alphabet|³ — a
+    * data-INdependent bound that holds at any corpus size — so
+    * broadcasting it is safe BY CONSTRUCTION, where x37's token-gram
+    * space grows with the corpus and must stay sort-merge. Cost: one
+    * map-side-combined exchange to build the (tiny) table, a broadcast
+    * join that never shuffles the exploded occurrence stream, and one
+    * doc_id aggregate.
+    */
+  def charTrigramNovelty(docs: DataFrame, rareMax: Int = 50): DataFrame = {
+    val tris = docs
+      .select(col("doc_id"), lower(col("text")).as("tx"))
+      .select(col("doc_id"), explode(expr(
+        "case when length(tx) >= 3 then transform(sequence(1, length(tx) - 2), " +
+          "i -> substring(tx, i, 3)) else array() end")).as("tri"))
+    val freq = tris.groupBy(col("tri")).agg(count(lit(1)).as("n"))
+    tris.join(broadcast(freq), "tri")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("n") < rareMax, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_tri"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_tri")).as("rare_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style repetition profile: each document's dominant token
     * bigram and the fraction of bigram slots it occupies — the
     * "most-common-n-gram coverage" rule used to drop boilerplate and

@@ -1490,6 +1490,24 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x66 trigram novelty: frequent-head trigrams are not rare; gibberish scores 1.0") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // "ab"*60: trigrams aba/bab ~59x each -> both >= 50 (common);
+    // "xyzq": 2 trigrams, each unique -> rare_frac = 1
+    val docs = Seq((1L, "ab" * 60), (2L, "xyzq"), (3L, "ab")).toDF("doc_id", "text")
+    val rows = TextAnalysis.charTrigramNovelty(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tri"), r.getAs[Long]("n_rare"), r.getAs[Double]("rare_frac")))).toMap
+    assert(rows.keySet == Set(1L, 2L), "a <3-char doc has no trigrams and must be absent")
+    assert(rows(1L) == ((118L, 0L, 0.0)))
+    assert(rows(2L) == ((2L, 2L, 1.0)))
+    // the trigram table side must be broadcast (bounded |alphabet|^3 key
+    // space — the deliberate contrast to x37's sort-merge join-back)
+    val plan = TextAnalysis.charTrigramNovelty(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"freq table must broadcast:\n$plan")
+  }
+
   test("x63 trending: stream equals batch; every event lands in exactly 4 sliding windows") {
     import graft.queries.StreamingQueries
     val events = Tables.load(spark, sf, "events")
