@@ -85,6 +85,12 @@ object SparkEntry {
     // null-safe equality (<=>) join over derived nullable keys on BOTH
     // sides — null matches null, next to the count a plain '=' would give
     "q42_nullsafe_join" -> ((s, d) => Relational.q42NullSafeJoin(s, d)),
+    // ordered-set + argmax aggregates: listagg WITHIN GROUP, deterministic
+    // mode, struct-keyed max_by/min_by (price ties break on orderkey)
+    "q43_ordered_agg" -> ((s, d) => Relational.q43OrderedAgg(s, d)),
+    // map-typed columns end-to-end: build/read/transform with map HOFs,
+    // shipped as sorted entry arrays (the only hashable map contract)
+    "q44_map_funcs" -> ((s, d) => Relational.q44MapFuncs(s, d)),
     // q22's aggregation against the BUCKETED layout (co-located merge join,
     // zero join-side Exchange — LayoutSpec pins the plan); same oracle
     "q27_bucketed_join" -> ((s, d) => graft.sources.Bucketed.q27BucketedJoin(s, d)),
@@ -262,6 +268,18 @@ object SparkEntry {
     // fraction against the corpus's own bounded |alphabet|^3 freq table
     "x66_trigram_novelty" -> ((s, d) =>
       TextAnalysis.charTrigramNovelty(Tables.load(s, d, "documents"))),
+    // per-doc character diversity (Simpson index, top-char fraction) from
+    // the one-pass char_diversity kernel — zero exchanges
+    "x67_char_diversity" -> ((s, d) =>
+      TextAnalysis.charDiversityStats(Tables.load(s, d, "documents"))),
+    // edit-distance near-dup: simhash band-0 blocking + thresholded
+    // levenshtein on 64-char prefixes (integer-exact pair relation)
+    "x68_editdist_neardup" -> ((s, d) =>
+      Dedup.editDistanceNearDupPairs(Tables.load(s, d, "documents"))),
+    // Unicode normalization audit: derived decomposed text -> NFC fuse ->
+    // accent strip round-trip, all per-row codegen kernels
+    "x69_unicode_normalize" -> ((s, d) =>
+      TextAnalysis.unicodeNormalizeAudit(Tables.load(s, d, "documents"))),
     // deterministic concat-and-chunk packing into 256-token sequences,
     // sharded per (source, doc_id % 4) so window partitions stay bounded
     "x38_sequence_packing" -> ((s, d) =>
@@ -1136,6 +1154,49 @@ object SparkEntry {
         |       min(eb) AS min_eb, max(eb) AS max_eb
         |FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
         |GROUP BY ka ORDER BY ka NULLS FIRST""".stripMargin,
+    // mode replayed by definition (min value among max-count ties — the
+    // deterministic-mode contract), argmax via rank windows with the same
+    // struct tie-break, listagg via string_agg DISTINCT ORDER BY
+    "q43_ordered_agg" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice, o_orderpriority
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |best AS (
+        |  SELECT c_mktsegment, o_orderkey AS best_order FROM j
+        |  QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY o_totalprice DESC, o_orderkey DESC) = 1),
+        |worst AS (
+        |  SELECT c_mktsegment, o_orderkey AS worst_order FROM j
+        |  QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC) = 1),
+        |md AS (
+        |  SELECT c_mktsegment, min(k) AS mode_prio FROM (
+        |    SELECT c_mktsegment, o_orderpriority AS k, count(*) AS cnt,
+        |           max(count(*)) OVER (PARTITION BY c_mktsegment) AS mx
+        |    FROM j GROUP BY 1, 2) WHERE cnt = mx GROUP BY 1),
+        |base AS (
+        |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |         string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prio_csv
+        |  FROM j GROUP BY 1)
+        |SELECT b.c_mktsegment, n_orders, best_order, worst_order, mode_prio, prio_csv
+        |FROM base b JOIN best USING (c_mktsegment) JOIN worst USING (c_mktsegment)
+        |  JOIN md USING (c_mktsegment)
+        |ORDER BY c_mktsegment""".stripMargin,
+    // the map never exists in the oracle — it replays the ENTRY-ARRAY
+    // contract directly (sorted lists of (key, value) structs), which is
+    // exactly what the engine ships after map_entries
+    "q44_map_funcs" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, o_orderpriority AS k, CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_custkey,
+        |  CAST(count(*) AS INT) AS n_prios,
+        |  max(CASE WHEN k = '1-URGENT' THEN c END) AS n_urgent,
+        |  coalesce(list(struct_pack(key := k, value := c) ORDER BY k) FILTER (WHERE c >= 2),
+        |           CAST([] AS STRUCT(key VARCHAR, value BIGINT)[])) AS repeat_entries,
+        |  list(struct_pack(key := k, value := c*10 + length(k)) ORDER BY k) AS scored_entries,
+        |  CAST(sum(c) AS BIGINT) AS n_orders
+        |FROM pc GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // percentile_disc pinned by DEFINITION (smallest value with
     // cume_dist >= q) via integer-exact rank comparisons — no engine's
     // built-in quantile indexing convention is trusted on either side
@@ -1704,6 +1765,51 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN c.n < 50 THEN 1 ELSE 0 END) AS double) / count(*) AS rare_frac
         |FROM g JOIN c USING (tri)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // counts replayed by exploding characters (the form the kernel exists
+    // to avoid); both double scores are single divisions of exact ints
+    "x67_char_diversity" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(text)+1), i -> text[i])) AS ch
+        |  FROM documents),
+        |cc AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+        |st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+        |              CAST(count(*) AS BIGINT) AS n_distinct,
+        |              CAST(max(c) AS BIGINT) AS maxc, CAST(sum(c*c) AS BIGINT) AS sumc2
+        |       FROM cc GROUP BY 1)
+        |SELECT doc_id, n_chars, n_distinct,
+        |       CASE WHEN n_chars > 0
+        |         THEN CAST(maxc AS double)/CAST(n_chars AS double) END AS top_char_frac,
+        |       CASE WHEN n_chars > 0
+        |         THEN 1.0 - CAST(sumc2 AS double)/CAST(n_chars*n_chars AS double) END AS simpson
+        |FROM st ORDER BY doc_id""".stripMargin,
+    // the simhash band-0 blocking replayed through the full fingerprint
+    // CTE (x5/x25's), then unbanded levenshtein <= the engine's threshold
+    "x68_editdist_neardup" ->
+      (SimhashOracleCte +
+        """,
+          |sig AS (
+          |  SELECT f.doc_id, CAST((fpu // 281474976710656) % 65536 AS BIGINT) AS band0,
+          |         substr(d.text, 1, 64) AS pfx
+          |  FROM fps f JOIN documents d ON f.doc_id = d.doc_id)
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |       CAST(levenshtein(a.pfx, b.pfx) AS INT) AS lev
+          |FROM sig a JOIN sig b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+          |WHERE levenshtein(a.pfx, b.pfx) <= 20
+          |ORDER BY doc_a, doc_b""".stripMargin),
+    // both engines DERIVE the decomposed text (e -> e + U+0301), so the
+    // normalize/strip round-trip is pinned end-to-end: nfc_normalize and
+    // strip_accents are DuckDB built-ins, the engine side is the
+    // unicode_normalize/strip_accents codegen kernels
+    "x69_unicode_normalize" ->
+      """WITH s AS (SELECT doc_id, substr(text, 1, 40) AS seg FROM documents),
+        |d AS (SELECT doc_id, seg,
+        |             regexp_replace(seg, 'e', 'e' || chr(769), 'g') AS decs FROM s),
+        |n AS (SELECT doc_id, seg, decs, nfc_normalize(decs) AS nfc FROM d)
+        |SELECT doc_id, CAST(length(seg) AS INT) AS n_raw, CAST(length(decs) AS INT) AS n_dec,
+        |       CAST(length(nfc) AS INT) AS n_nfc,
+        |       nfc <> decs AS composed,
+        |       strip_accents(nfc) = seg AS restored_ok
+        |FROM n ORDER BY doc_id""".stripMargin,
     // same tokenization as x11/x33; running sum over (source, doc_id % 4)
     // shards in doc_id order, integer pack arithmetic
     "x38_sequence_packing" ->

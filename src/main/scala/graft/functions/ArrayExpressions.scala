@@ -686,6 +686,145 @@ object ArrayExpressions {
         new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED))
   }
 
+  /** Single-pass per-document character statistics for quality scoring:
+    * code-point count, distinct code points, the highest single-character
+    * count, and the collision sum Σc² — the exact-integer ingredients of
+    * Simpson diversity (1 − Σc²/n²) and top-character fraction, returned
+    * as `array<long>` `[n, distinct, max_count, collision_sum]`. The
+    * derived double scores are then SINGLE IEEE divisions of exact
+    * integers — bit-identical in any engine — unlike a Shannon-entropy
+    * term, whose `log` is not bit-specified across math libraries and
+    * could never hash-match a foreign oracle. Replaces the naive
+    * `explode(chars) + groupBy(doc_id, char)` form, which shuffles one
+    * row PER CHARACTER (a ~5000× row blow-up at corpus scale): this is a
+    * per-row kernel — one pass over the scan, zero exchanges.
+    */
+  case class CharDiversity(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "char_diversity"
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a string argument, got ${other.simpleString}")
+      }
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val str = s.toString
+      val counts = new java.util.HashMap[Integer, Array[Long]]()
+      var n = 0L
+      var i = 0
+      val len = str.length
+      while (i < len) {
+        val cp = str.codePointAt(i)
+        i += Character.charCount(cp)
+        n += 1
+        val slot = counts.get(Integer.valueOf(cp))
+        if (slot == null) counts.put(Integer.valueOf(cp), Array(1L)) else slot(0) += 1
+      }
+      var maxc = 0L
+      var sumSq = 0L
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next()(0)
+        if (c > maxc) maxc = c
+        sumSq += c * c
+      }
+      ArrayData.toArrayData(Array(n, counts.size().toLong, maxc, sumSq))
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("charDiversity", this, classOf[CharDiversity].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Unicode normalization (`java.text.Normalizer`) as a codegen scalar:
+    * NFC/NFD/NFKC/NFKD selected by a literal form name, validated at
+    * plan time (an unknown form is an analysis error, not a per-row
+    * throw). The canonical ingest step before any byte-equality dedup —
+    * `"é"` precomposed and `"e"+U+0301` decomposed are the SAME text but
+    * different bytes, so un-normalized corpora silently miss duplicates.
+    */
+  case class UnicodeNormalize(child: Expression, form: String)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(form),
+      s"unicode_normalize form must be one of NFC/NFD/NFKC/NFKD, got $form")
+    @transient private lazy val normForm = java.text.Normalizer.Form.valueOf(form)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "unicode_normalize"
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a string argument, got ${other.simpleString}")
+      }
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+      val str = s.toString
+      // fast path: Normalizer.isNormalized is a cheap scan, and real
+      // corpora are overwhelmingly already-NFC — skip the rewrite
+      if (java.text.Normalizer.isNormalized(str, normForm)) s
+      else org.apache.spark.unsafe.types.UTF8String.fromString(
+        java.text.Normalizer.normalize(str, normForm))
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("normalizer", this, classOf[UnicodeNormalize].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Accent stripping: NFD-decompose, drop combining marks (Unicode
+    * category Mn), NFC-recompose — `"é" → "e"`, the transliteration step
+    * search/dedup pipelines run before comparing text across sources.
+    */
+  case class StripAccents(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "strip_accents"
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a string argument, got ${other.simpleString}")
+      }
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+      val nfd = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFD)
+      val sb = new java.lang.StringBuilder(nfd.length)
+      var i = 0
+      while (i < nfd.length) {
+        val cp = nfd.codePointAt(i)
+        if (Character.getType(cp) != Character.NON_SPACING_MARK) sb.appendCodePoint(cp)
+        i += Character.charCount(cp)
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        java.text.Normalizer.normalize(sb, java.text.Normalizer.Form.NFC))
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("stripper", this, classOf[StripAccents].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Shared deterministic coefficient scheme for MinHash permutations. */
   object MinHash {
     /** 2^31−1 (Mersenne prime): a·h+b stays within Long under ANSI. */
@@ -701,6 +840,8 @@ object ArrayExpressions {
     * invoke this on every construction; short-circuits per session.
     */
   private def intArg(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
+
+  private def strArg(e: Expression): String = e.eval().toString
 
   /** The ONE list of (name, implementing class, builder) triples — both
     * registration paths ([[register]] temp functions and
@@ -752,7 +893,13 @@ object ArrayExpressions {
     entry("lexicon_hits", classOf[LexiconHits].getName, 1)(
       es => LexiconHits(es.head,
         graft.operators.TextAnalysis.LexiconOrder.map(
-          graft.operators.TextAnalysis.Lexicons))))
+          graft.operators.TextAnalysis.Lexicons))),
+    entry("char_diversity", classOf[CharDiversity].getName, 1)(
+      es => CharDiversity(es.head)),
+    entry("unicode_normalize", classOf[UnicodeNormalize].getName, 2)(
+      es => UnicodeNormalize(es.head, strArg(es(1)))),
+    entry("strip_accents", classOf[StripAccents].getName, 1)(
+      es => StripAccents(es.head)))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -805,4 +952,12 @@ object ArrayExpressions {
     * [[graft.operators.TextAnalysis.LexiconOrder]] order, as array<int>.
     */
   def lexiconHits(text: Column): Column = call_function("lexicon_hits", text)
+
+  /** `array<long> [n_chars, distinct_chars, max_char_count, Σc²]` per row. */
+  def charDiversity(text: Column): Column = call_function("char_diversity", text)
+
+  def unicodeNormalize(text: Column, form: String): Column =
+    call_function("unicode_normalize", text, org.apache.spark.sql.functions.lit(form))
+
+  def stripAccents(text: Column): Column = call_function("strip_accents", text)
 }

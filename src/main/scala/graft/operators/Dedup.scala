@@ -411,6 +411,36 @@ object Dedup {
   def simhash(docs: DataFrame): DataFrame =
     simhashRaw(docs).orderBy("doc_id")
 
+  /** x68: EDIT-DISTANCE near-dup — fuzzy duplicate detection by
+    * Levenshtein distance on document prefixes, with simhash band-0 (top
+    * 16 fingerprint bits) as the blocking key. The composite every
+    * title/snippet dedup runs: LSH-style blocking bounds the candidate
+    * set (Σ per-bucket n² over 65536 buckets — the x25 band machinery,
+    * so near-identical token streams land together), then the THRESHOLD
+    * form `levenshtein(a, b, maxDist)` scores only in-bucket pairs,
+    * banding the DP cost to O(maxDist·prefixLen) per pair and returning
+    * -1 early for anything beyond the threshold instead of filling the
+    * full matrix. Edit distance is integer-exact, so the pair relation
+    * hash-matches a foreign oracle with no float discipline needed.
+    */
+  def editDistanceNearDupPairs(docs: DataFrame, prefixLen: Int = 64, maxDist: Int = 20): DataFrame = {
+    graft.functions.ArrayExpressions.register(docs.sparkSession)
+    val sig = docs.select(col("doc_id"),
+        substring(col("text"), 1, prefixLen).as("pfx"),
+        graft.functions.ArrayExpressions.simhash64(
+          split(col("text"), "\\s+")).as("sh"))
+      .select(col("doc_id"), col("pfx"),
+        expr("shiftright(sh, 48) & 65535").as("band0"))
+    val a = sig.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a"), col("band0"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b"), col("band0"))
+    a.join(b, Seq("band0"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pfx_a"), col("pfx_b"), maxDist).as("lev"))
+      .filter(col("lev") >= 0)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** x65: KEEPER SELECTION — the final decision of a dedup pipeline:
     * given duplicate clusters (x20's exact-Jaccard graph resolved by
     * [[dupClusters]]) and the shared quality gate

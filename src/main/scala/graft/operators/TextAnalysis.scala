@@ -517,6 +517,69 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** x67: per-document character-diversity profile — total/distinct code
+    * points, top-character fraction, Simpson diversity 1 − Σc²/n². The
+    * cheap gibberish/degeneracy detector a quality gate runs besides the
+    * token-level scores: natural prose sits near Simpson ≈ 0.92-0.95 with
+    * no character above ~20%, while `"aaaa…"` spam collapses to 0 and
+    * base64/noise blobs push diversity ABOVE prose with a flat profile.
+    * All counting happens in the
+    * [[graft.functions.ArrayExpressions.CharDiversity]] kernel — one pass
+    * per row inside whole-stage codegen, ZERO exchanges (the naive
+    * explode-chars + groupBy form shuffles one row per character — a
+    * ~5000× blow-up that dies first at corpus scale). The two double
+    * scores are single IEEE divisions of exact integers, so they replay
+    * bit-exact in any engine; an entropy variant (transcendental per
+    * term) could not be pinned cross-engine and was rejected for the
+    * gate on purpose.
+    */
+  def charDiversityStats(docs: DataFrame): DataFrame = {
+    graft.functions.ArrayExpressions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+        graft.functions.ArrayExpressions.charDiversity(col("text")).as("s"))
+      .select(col("doc_id"),
+        col("s").getItem(0).as("n_chars"),
+        col("s").getItem(1).as("n_distinct"),
+        when(col("s").getItem(0) > 0,
+          col("s").getItem(2).cast("double") / col("s").getItem(0).cast("double"))
+          .as("top_char_frac"),
+        when(col("s").getItem(0) > 0,
+          lit(1.0d) - col("s").getItem(3).cast("double") /
+            (col("s").getItem(0) * col("s").getItem(0)).cast("double"))
+          .as("simpson"))
+      .orderBy("doc_id")
+  }
+
+  /** x69: Unicode normalization audit — the ingest step that decides
+    * whether byte-equality dedup (x1) sees through encoding variance.
+    * The fixture corpus is pure ASCII, so the decomposed input is
+    * DERIVED in-plan (every `e` gains a combining acute, U+0301 — both
+    * engines build the identical string), then round-tripped:
+    * NFC-compose ([[graft.functions.ArrayExpressions.UnicodeNormalize]]
+    * fuses each `e`+mark pair to a precomposed `é`, shrinking the
+    * length back to the original), accent-strip
+    * ([[graft.functions.ArrayExpressions.StripAccents]]) and compare to
+    * the raw segment — `restored_ok` proves normalize∘strip is the
+    * identity on this plane. Per-row codegen kernels, zero exchanges;
+    * the NFC kernel's `isNormalized` fast path makes the common case
+    * (already-NFC corpus) a read-only scan.
+    */
+  def unicodeNormalizeAudit(docs: DataFrame): DataFrame = {
+    graft.functions.ArrayExpressions.register(docs.sparkSession)
+    docs.select(col("doc_id"), substring(col("text"), 1, 40).as("seg"))
+      .withColumn("decomposed", regexp_replace(col("seg"), "e", "e\u0301"))
+      .withColumn("nfc",
+        graft.functions.ArrayExpressions.unicodeNormalize(col("decomposed"), "NFC"))
+      .select(col("doc_id"),
+        length(col("seg")).as("n_raw"),
+        length(col("decomposed")).as("n_dec"),
+        length(col("nfc")).as("n_nfc"),
+        (col("nfc") =!= col("decomposed")).as("composed"),
+        (graft.functions.ArrayExpressions.stripAccents(col("nfc")) === col("seg"))
+          .as("restored_ok"))
+      .orderBy("doc_id")
+  }
+
   /** Content fingerprint: md5 over the sorted distinct 4-gram shingle set —
     * stable under shingle reordering, the key for fingerprint-based dedup.
     * Fused kernel ([[graft.functions.ArrayExpressions.DocFingerprint]]):

@@ -874,6 +874,64 @@ object Relational {
       .orderBy(col("ka").asc_nulls_first)
   }
 
+  /** Q43: ordered-set and argmax aggregates — the reporting surface
+    * q5/q14 don't pin: `listagg(DISTINCT …) WITHIN GROUP (ORDER BY …)`
+    * (Spark 4's ordered string aggregation), deterministic `mode(…,
+    * true)` (lowest value on frequency ties — the ONLY mode form an
+    * oracle can gate; the default is explicitly nondeterministic), and
+    * `max_by`/`min_by` with a STRUCT ordering key so price ties break on
+    * orderkey instead of leaving the winner engine-dependent. All are
+    * hash aggregates with map-side partials; listagg's state is bounded
+    * here by DISTINCT over the 5-value priority domain (an unbounded
+    * listagg over row-unique strings would concentrate a group's full
+    * payload in one aggregation buffer — the same reason x22 caps its
+    * collect with a bounded heap). The customer join shuffles on custkey
+    * and is left to AQE: both sides scale with the corpus, so neither is
+    * broadcast-safe by construction.
+    */
+  def q43OrderedAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").as("best_order"),
+        expr("min_by(o_orderkey, struct(o_totalprice, o_orderkey))").as("worst_order"),
+        expr("mode(o_orderpriority, true)").as("mode_prio"),
+        expr("listagg(DISTINCT o_orderpriority, ',') WITHIN GROUP (ORDER BY o_orderpriority)")
+          .as("prio_csv"))
+      .orderBy("c_mktsegment")
+
+  /** Q44: MAP-typed columns end-to-end — build (`map_from_entries` over a
+    * sorted entry array, so map order is deterministic), read
+    * (`try_element_at` — the null-on-missing form; plain `element_at`
+    * THROWS under ANSI), and transform with the map higher-order
+    * functions (`map_filter`, `transform_values`, `aggregate` over
+    * `map_values`). Maps leave the query as SORTED entry arrays: map
+    * column equality is order-sensitive in parquet while map semantics
+    * are not, so entries-sorted-by-key is the only hashable contract an
+    * engine-independent oracle can pin. Two exchanges by construction
+    * (custkey×priority partial counts, then per-custkey map assembly),
+    * both map-side combined; per-map state is bounded by the 5-value
+    * priority domain.
+    */
+  def q44MapFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("o_custkey"))
+      .agg(map_from_entries(array_sort(collect_list(struct(
+        col("o_orderpriority").as("key"), col("c").as("value"))))).as("m"))
+      .select(col("o_custkey"),
+        size(col("m")).as("n_prios"),
+        expr("try_element_at(m, '1-URGENT')").as("n_urgent"),
+        expr("map_entries(map_filter(m, (k, v) -> v >= 2))").as("repeat_entries"),
+        expr("map_entries(transform_values(m, (k, v) -> v * 10 + length(k)))")
+          .as("scored_entries"),
+        expr("aggregate(map_values(m), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+          .as("n_orders"))
+      .orderBy("o_custkey")
+
   /** Q14: distinct aggregates — distinct parts/suppliers per return flag. */
   def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

@@ -98,6 +98,41 @@ class DirtyInputSpec extends AnyFunSuite {
     assert(graft.operators.Dedup.ngramContainmentPairs(docs, 5, 0.8).collect().isEmpty)
   }
 
+  test("x67/x69: empty and degenerate documents — null scores, no ANSI aborts") {
+    import spark.implicits._
+    val docs = Seq((0L, ""), (1L, "a"), (2L, "zzzz"), (3L, "no vowl txt"))
+      .toDF("doc_id", "text")
+    val div = graft.operators.TextAnalysis.charDiversityStats(docs).collect()
+    // empty doc: zero counts, NULL ratios (never 0/0)
+    val empty = div.find(_.getLong(0) == 0L).get
+    assert(empty.getLong(1) == 0L && empty.isNullAt(3) && empty.isNullAt(4))
+    // single-char doc: top fraction 1.0, Simpson 0.0 exactly
+    val single = div.find(_.getLong(0) == 1L).get
+    assert(single.getDouble(3) == 1.0 && single.getDouble(4) == 0.0)
+    val rep = div.find(_.getLong(0) == 2L).get
+    assert(rep.getLong(2) == 1L && rep.getDouble(4) == 0.0)
+    // x69 with no 'e' anywhere: decomposition is a no-op, lengths agree,
+    // composed=false, restored_ok=true
+    val norm = graft.operators.TextAnalysis.unicodeNormalizeAudit(docs).collect()
+    norm.foreach { r =>
+      // no 'e' in any row: decomposition is the identity end-to-end
+      assert(r.getInt(1) == r.getInt(2) && r.getInt(2) == r.getInt(3))
+      assert(!r.getBoolean(4) && r.getBoolean(5))
+    }
+  }
+
+  test("x68: empty docs and empty prefixes never abort; self-pairs excluded") {
+    import spark.implicits._
+    val docs = Seq((0L, ""), (1L, ""), (2L, "w1 w2 w3"), (3L, "w1 w2 w3"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.editDistanceNearDupPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // identical docs share every band and have distance 0; empty docs
+    // hash identically too (simhash of [""]), distance 0 on empty prefixes
+    assert(pairs.contains((2L, 3L, 0)) && pairs.contains((0L, 1L, 0)))
+    pairs.foreach { case (a, b, l) => assert(a < b && l >= 0 && l <= 20) }
+  }
+
   test("x57: empty document stream produces an empty dedup result") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-x57-empty")

@@ -497,4 +497,65 @@ class ExpressionsSpec extends AnyFunSuite {
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
     assert(e.eval(null) == 2)
   }
+
+  test("char_diversity matches a code-point reference, incl. astral chars and empty string") {
+    import spark.implicits._
+    ArrayExpressions.register(spark)
+    val rnd = new Random(7)
+    // astral chars (musical G clef) count as ONE code point, where a
+    // naive split("")/UTF-16 walk would see two surrogate halves
+    val strings = Seq("", "a", "aaaa", "ab", "𝄞𝄞x", "héllo wörld") ++
+      Seq.fill(20)(lowerAlpha(rnd, rnd.nextInt(80) + 1))
+    val got = strings.toDF("s")
+      .select(ArrayExpressions.charDiversity(col("s")).as("d"))
+      .collect().map(_.getSeq[Long](0))
+    strings.zip(got).foreach { case (s, d) =>
+      val cps = s.codePoints().toArray.toSeq
+      val counts = cps.groupBy(identity).map(_._2.size.toLong)
+      val want = Seq(cps.size.toLong,
+        counts.size.toLong,
+        if (counts.isEmpty) 0L else counts.max,
+        counts.map(c => c * c).sum)
+      assert(d == want, s"for '$s'")
+    }
+  }
+
+  test("unicode_normalize: NFC fuses combining marks, NFD round-trips, bad form rejected") {
+    import spark.implicits._
+    ArrayExpressions.register(spark)
+    val decomposed = "éléphant" // e + COMBINING ACUTE, twice
+    val precomposed = "éléphant"
+    val r = Seq(decomposed).toDF("s")
+      .select(
+        ArrayExpressions.unicodeNormalize(col("s"), "NFC").as("nfc"),
+        ArrayExpressions.unicodeNormalize(
+          ArrayExpressions.unicodeNormalize(col("s"), "NFC"), "NFD").as("roundtrip"),
+        length(col("s")).as("n_dec"))
+      .collect()(0)
+    assert(r.getString(0) == precomposed)
+    assert(r.getString(1) == decomposed)
+    assert(r.getInt(2) == precomposed.length + 2)
+    // the byte-dedup motivation: distinct bytes, same text, equal after NFC
+    assert(decomposed != precomposed)
+    intercept[IllegalArgumentException] {
+      ArrayExpressions.UnicodeNormalize(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), "NFX")
+    }
+  }
+
+  test("strip_accents removes marks from composed AND decomposed forms, keeps base letters") {
+    import spark.implicits._
+    ArrayExpressions.register(spark)
+    val rows = Seq(
+      ("éléphant", "elephant"), // precomposed é
+      ("éléphant", "elephant"), // decomposed e + U+0301
+      ("héllo wörld", "hello world"),
+      ("øre", "øre"), // ø is NOT a combining accent: unchanged
+      ("plain ascii 123", "plain ascii 123"),
+      ("", ""))
+    val got = rows.map(_._1).toDF("s")
+      .select(ArrayExpressions.stripAccents(col("s")).as("t"))
+      .collect().map(_.getString(0))
+    rows.map(_._2).zip(got).foreach { case (want, t) => assert(t == want) }
+  }
 }
