@@ -91,6 +91,12 @@ object SparkEntry {
     // map-typed columns end-to-end: build/read/transform with map HOFs,
     // shipped as sorted entry arrays (the only hashable map contract)
     "q44_map_funcs" -> ((s, d) => Relational.q44MapFuncs(s, d)),
+    // FILTER (WHERE) on count/sum/max, count_if, every/any — conditional
+    // aggregation without the sum(CASE...) idiom; one combinable aggregate
+    "q45_filtered_agg" -> ((s, d) => Relational.q45FilteredAgg(s, d)),
+    // slope/intercept/corr from EXACT decimal sufficient statistics — the
+    // partition-order-independent (reproducible) form of corr/regr_slope
+    "q46_regression_stats" -> ((s, d) => Relational.q46RegressionStats(s, d)),
     // q22's aggregation against the BUCKETED layout (co-located merge join,
     // zero join-side Exchange — LayoutSpec pins the plan); same oracle
     "q27_bucketed_join" -> ((s, d) => graft.sources.Bucketed.q27BucketedJoin(s, d)),
@@ -1197,6 +1203,47 @@ object SparkEntry {
         |  list(struct_pack(key := k, value := c*10 + length(k)) ORDER BY k) AS scored_entries,
         |  CAST(sum(c) AS BIGINT) AS n_orders
         |FROM pc GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // FILTER replayed natively (DuckDB spells every/any as
+    // bool_and/bool_or); timestamps cross as epoch micros
+    "q45_filtered_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_heavy,
+        |  CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F')
+        |    AS DOUBLE) AS finished_revenue,
+        |  bool_and(l_quantity <= 50) AS qty_bounded,
+        |  bool_or(l_tax = 0) AS has_zero_tax,
+        |  epoch_us(max(l_shipdate) FILTER (WHERE l_discount = 0)) AS last_full_price_ship_us
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the SAME double expression tree over the SAME exact decimal sums —
+    // the whole point of q46 is that this replays bit-identically
+    "q46_regression_stats" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n_items,
+        |  (CAST(n_items AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / (CAST(n_items AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        |  (CAST(sy AS DOUBLE) - (CAST(n_items AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / (CAST(n_items AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |   * CAST(sx AS DOUBLE)) / CAST(n_items AS DOUBLE) AS intercept,
+        |  (CAST(n_items AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / (sqrt(CAST(n_items AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |   * sqrt(CAST(n_items AS DOUBLE) * CAST(syy AS DOUBLE)
+        |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     // percentile_disc pinned by DEFINITION (smallest value with
     // cume_dist >= q) via integer-exact rank comparisons — no engine's
     // built-in quantile indexing convention is trusted on either side

@@ -932,6 +932,78 @@ object Relational {
           .as("n_orders"))
       .orderBy("o_custkey")
 
+  /** Q45: conditional aggregation — the `FILTER (WHERE …)` clause on
+    * count/sum/max, `count_if`, and the boolean aggregates
+    * `every`/`any` — the surface that replaces the
+    * `sum(CASE WHEN … THEN 1 END)` idiom. One hash aggregate, all
+    * partials map-side combinable (a FILTER clause never becomes a
+    * second scan or a join; it's a per-row predicate on the aggregate
+    * input). Timestamps leave as unix micros (the engine-boundary
+    * convention); the filtered decimal sum rides exact and casts to
+    * double once.
+    */
+  def q45FilteredAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        expr("count(*) FILTER (WHERE l_quantity > 25)").as("n_heavy"),
+        expr("count_if(l_discount > 0.05)").as("n_discounted"),
+        expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) " +
+          "FILTER (WHERE l_linestatus = 'F') AS DOUBLE)").as("finished_revenue"),
+        expr("every(l_quantity <= 50)").as("qty_bounded"),
+        expr("any(l_tax = 0)").as("has_zero_tax"),
+        // l_shipdate loads as TIMESTAMP_NTZ; the session runs UTC, so the
+        // cast pins the same instant the oracle's epoch_us reads
+        expr("unix_micros(CAST(max(l_shipdate) FILTER (WHERE l_discount = 0) AS TIMESTAMP))")
+          .as("last_full_price_ship_us"))
+      .orderBy("l_returnflag")
+
+  /** Q46: regression/correlation statistics the REPRODUCIBLE way: the
+    * five sufficient statistics (Σx, Σx², Σy, Σy², Σxy) accumulate as
+    * EXACT decimals (the inputs are 2-decimal money and integer-valued
+    * quantities, so every partial is exact and order-independent), and
+    * slope/intercept/r are derived afterwards in ONE fixed double
+    * expression tree. Spark's own `corr`/`regr_slope` stream doubles
+    * through Welford-style updates whose result depends on partition
+    * boundaries — on a 1000-executor cluster the same query gives a
+    * different last bit every run, which can never hash-match an oracle
+    * and (worse) makes regression metrics unreproducible run-to-run.
+    * QueriesSpec pins the built-ins to ≈ these exact values at fixture
+    * scale; the ledger gates the exact form. Decimal partials make the
+    * aggregate fully map-side combinable — reproducibility here is
+    * FREE at scale, not a tradeoff.
+    */
+  def q46RegressionStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec(col("l_quantity"))).as("sx"),
+        sum(dec(col("l_quantity")) * dec(col("l_quantity"))).as("sxx"),
+        sum(dec(col("l_extendedprice"))).as("sy"),
+        sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).as("syy"),
+        sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).as("sxy"))
+      .select(col("l_returnflag"), col("n_items"),
+        // the SAME double expression tree as the oracle, evaluated over
+        // identical exact inputs -> bit-identical IEEE results
+        expr("""(CAST(n_items AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n_items AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))""").as("slope"),
+        expr("""(CAST(sy AS DOUBLE) - (CAST(n_items AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n_items AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * CAST(sx AS DOUBLE)) / CAST(n_items AS DOUBLE)""").as("intercept"),
+        expr("""(CAST(n_items AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n_items AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * sqrt(CAST(n_items AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""").as("corr_xy"))
+      .orderBy("l_returnflag")
+
   /** Q14: distinct aggregates — distinct parts/suppliers per return flag. */
   def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

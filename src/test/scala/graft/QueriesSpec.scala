@@ -1529,5 +1529,47 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q46: exact decimal-sum regression equals Spark's corr/regr_slope within 1e-9") {
+    // the built-ins stream doubles (partition-order-dependent last bits);
+    // q46's decimal sufficient statistics are the reproducible form —
+    // they must agree to far beyond any plausible accumulation error
+    val exact = SparkEntry.queries("q46_regression_stats")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val builtin = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("regr_slope(l_extendedprice, l_quantity)").as("slope"),
+        expr("regr_intercept(l_extendedprice, l_quantity)").as("icpt"),
+        corr(col("l_extendedprice"), col("l_quantity")).as("r"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(exact.keySet == builtin.keySet)
+    for (k <- exact.keys) {
+      val (s1, i1, r1) = exact(k); val (s2, i2, r2) = builtin(k)
+      assert(math.abs(s1 - s2) <= 1e-9 * math.max(1.0, math.abs(s1)), s"slope $k: $s1 vs $s2")
+      assert(math.abs(i1 - i2) <= 1e-9 * math.max(1.0, math.abs(i1)), s"intercept $k: $i1 vs $i2")
+      assert(math.abs(r1 - r2) <= 1e-9, s"corr $k: $r1 vs $r2")
+    }
+  }
+
+  test("q45: FILTER-clause aggregates equal their sum(CASE) equivalents") {
+    val got = SparkEntry.queries("q45_filtered_agg")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val want = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("n_heavy"),
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_disc"),
+        max(col("l_quantity")).as("max_qty"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == want.keySet)
+    for (k <- got.keys) {
+      assert(got(k).getLong(2) == want(k).getLong(1), s"n_heavy $k")
+      assert(got(k).getLong(3) == want(k).getLong(2), s"n_discounted $k")
+      // every(l_quantity <= 50) must reflect the actual max
+      assert(got(k).getBoolean(5) == (want(k).getDouble(3) <= 50.0), s"qty_bounded $k")
+    }
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
