@@ -64,12 +64,20 @@ object ScaleStudy {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = BenchHarness.session("graft-scale-study")
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    // optional section selection (builder-side iteration: re-run ONE
+    // study without paying for the full sweep): sections are
+    // pairs / incremental / ann / annocc / x54 / simdedup / stream;
+    // no args = the full sweep (what BASELINE.md records)
+    val only = args.toSet
+    def want(s: String): Boolean = only.isEmpty || only.contains(s)
     // untimed warmup: codegen + JIT of the LSH plan, so the scale-1 row
     // doesn't carry one-time compile cost the larger rows don't pay
+    if (want("pairs")) {
     Dedup.minhashLshPairs(docs.localCheckpoint()).count()
     graft.operators.TextAnalysis.boilerplateCoverage(docs).agg(count(lit(1))).head()
     graft.operators.TextAnalysis.boilerplateRemove(docs).agg(count(lit(1))).head()
     graft.operators.Multimodal.ahashNearDupPairs(docs).count()
+    Dedup.editDistanceNearDupPairs(docs).count()
     for (k <- Seq(1, 3, 10)) {
       // materialize the synthetic corpus so timings measure LSH, not synthesis
       val corpus = expand(docs, k).localCheckpoint()
@@ -110,13 +118,23 @@ object ScaleStudy {
       val nAhash = graft.operators.Multimodal.ahashNearDupPairs(corpus).count()
       val tAhash = (System.nanoTime() - t4) / 1e9
       println(f"""{"op":"ahash_pairs","scale":$k,"pairs":$nAhash,"sec":$tAhash%.2f}""")
+      // x68 rides the same replicas: band-0 candidate volume is Σ bucket²
+      // over 65536 simhash-band buckets, and each rotation replica hashes
+      // into its own fingerprint region, so pairs and wall must stay
+      // near-linear in k; the thresholded levenshtein bands per-pair DP
+      // cost at O(maxDist·prefixLen) regardless of corpus size
+      val t5 = System.nanoTime()
+      val nEdit = Dedup.editDistanceNearDupPairs(corpus).count()
+      val tEdit = (System.nanoTime() - t5) / 1e9
+      println(f"""{"op":"editdist_pairs","scale":$k,"pairs":$nEdit,"sec":$tEdit%.2f}""")
+    }
     }
     // x31 incremental dedup: persist the stores once per scale (the
     // one-time write), then time the per-batch incremental join. The new
     // batch is doc_id%10==7 of the expanded corpus (so it grows with the
     // corpus); the claim under test is that the per-NEW-DOC cost stays
     // flat — the batch join touches O(|new| x bucket), never the corpus
-    for (k <- Seq(1, 3, 10)) {
+    if (want("incremental")) for (k <- Seq(1, 3, 10)) {
       val dirKPath = java.nio.file.Files.createTempDirectory(s"graft_scale_inc")
       val dirK = dirKPath.toString
       var stores = Seq.empty[String]
@@ -152,7 +170,7 @@ object ScaleStudy {
     // (batch_sec / candidates), recorded in BASELINE.md. The
     // occupancy-constant loop BELOW is the production sizing
     // (nBits ~ log2(corpus)) that holds candidates/probe flat instead.
-    for (k <- Seq(1, 3, 10)) {
+    if (want("ann")) for (k <- Seq(1, 3, 10)) {
       val dirKPath = java.nio.file.Files.createTempDirectory("graft_scale_ann")
       val dirK = dirKPath.toString
       var stores = Seq.empty[String]
@@ -191,7 +209,7 @@ object ScaleStudy {
     //    fixed-nBits loop grows it ~linearly with the corpus);
     //  - recall vs the exact restricted top-k stays flat too (the
     //    recall/cost point is a function of occupancy, not corpus size).
-    {
+    if (want("annocc")) {
       val annK = 5
       val annTables = 4
       // anchors scale 1 at the ledger geometry's occupancy: 1800 corpus
@@ -291,7 +309,7 @@ object ScaleStudy {
     //    candidates per vector stay near-FLAT — the production scale
     //    path — at a measured recall cost that x51's multi-probe policy
     //    is the documented buy-back for.
-    {
+    if (want("x54")) {
       val targetOcc = 62 // anchors scale 1 at the ledger row's occupancy: 4,000 corpus vectors / 2^6 buckets
       for (k <- Seq(1, 3, 10)) {
         val emb = Tables.load(spark, sfDir, "embeddings")
@@ -338,7 +356,7 @@ object ScaleStudy {
     // hit linearity but wall flatness: per-micro-batch state-store fixed
     // cost (batch count held at FeedFiles) dominates while docs grow
     // 10×, and per-band-bucket occupancy stays ~corpus/65536.
-    for (k <- Seq(1, 3, 10)) {
+    if (want("simdedup")) for (k <- Seq(1, 3, 10)) {
       val dirKPath = java.nio.file.Files.createTempDirectory("graft_scale_simdedup")
       val dirK = dirKPath.toString
       try {
@@ -362,7 +380,7 @@ object ScaleStudy {
     //  - join state stays watermark-bounded at every scale (max_state
     //    tracks keys-in-horizon, evictions engage; the PER-KEY bound is
     //    StreamingHardeningSpec's hot-key measurement).
-    {
+    if (want("stream")) {
       val events = Tables.load(spark, sfDir, "events")
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("user_id"), unix_micros(col("ts")).as("us"),

@@ -97,6 +97,9 @@ object SparkEntry {
     // slope/intercept/corr from EXACT decimal sufficient statistics — the
     // partition-order-independent (reproducible) form of corr/regr_slope
     "q46_regression_stats" -> ((s, d) => Relational.q46RegressionStats(s, d)),
+    // convert_timezone into NY/Tokyo + ISO weekday/week + last_day — the
+    // reporting-calendar surface; JVM tzdata vs DuckDB ICU must agree
+    "q47_timezone_calendar" -> ((s, d) => Relational.q47TimezoneCalendar(s, d)),
     // q22's aggregation against the BUCKETED layout (co-located merge join,
     // zero join-side Exchange — LayoutSpec pins the plan); same oracle
     "q27_bucketed_join" -> ((s, d) => graft.sources.Bucketed.q27BucketedJoin(s, d)),
@@ -286,6 +289,10 @@ object SparkEntry {
     // accent strip round-trip, all per-row codegen kernels
     "x69_unicode_normalize" -> ((s, d) =>
       TextAnalysis.unicodeNormalizeAudit(Tables.load(s, d, "documents"))),
+    // Luhn-checksum-validated card redaction: shape match -> luhn_check
+    // gate -> fold-based replace; only validated candidates are masked
+    "x70_luhn_redaction" -> ((s, d) =>
+      TextAnalysis.luhnRedact(Tables.load(s, d, "documents"))),
     // deterministic concat-and-chunk packing into 256-token sequences,
     // sharded per (source, doc_id % 4) so window partitions stay bounded
     "x38_sequence_packing" -> ((s, d) =>
@@ -1244,6 +1251,68 @@ object SparkEntry {
         |   * sqrt(CAST(n_items AS DOUBLE) * CAST(syy AS DOUBLE)
         |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    // naive ts AT UTC -> instant -> wall time in the target zone; isodow
+    // is already ISO 1=Monday (Spark weekday+1 matches)
+    "q47_timezone_calendar" ->
+      """WITH o AS (
+        |  SELECT timezone('America/New_York', timezone('UTC', o_orderdate)) AS ny,
+        |         timezone('Asia/Tokyo', timezone('UTC', o_orderdate)) AS tokyo
+        |  FROM orders),
+        |g AS (
+        |  SELECT CAST(ny AS DATE) AS ny_date,
+        |         CAST(count(*) AS BIGINT) AS n_orders,
+        |         CAST(count(DISTINCT CAST(tokyo AS DATE)) AS BIGINT) AS n_tokyo_dates,
+        |         CAST(min(extract(hour FROM ny)) AS INT) AS min_ny_hour
+        |  FROM o GROUP BY 1)
+        |SELECT ny_date, CAST(isodow(ny_date) AS INT) AS dow_iso,
+        |       CAST(weekofyear(ny_date) AS INT) AS iso_week,
+        |       last_day(ny_date) AS month_end,
+        |       n_orders, n_tokyo_dates, min_ny_hour
+        |FROM g ORDER BY ny_date""".stripMargin,
+    // Luhn replayed by ARITHMETIC (doubled-from-the-right digit sum) on
+    // the regex-extracted candidates — the engine's luhn_check builtin
+    // is not taken on faith; same fold-based redaction via list_reduce
+    "x70_luhn_redaction" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    '4' || lpad(CAST(doc_id * 37 % 100000000000000 AS VARCHAR), 14, '0') AS base
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, text, base,
+        |    CAST((10 - list_sum(list_transform(range(0, length(base || '0')), k ->
+        |      CASE WHEN k % 2 = 1
+        |        THEN CASE WHEN 2 * CAST((base || '0')[length(base || '0')-k] AS INT) > 9
+        |             THEN 2 * CAST((base || '0')[length(base || '0')-k] AS INT) - 9
+        |             ELSE 2 * CAST((base || '0')[length(base || '0')-k] AS INT) END
+        |        ELSE CAST((base || '0')[length(base || '0')-k] AS INT) END)) % 10) % 10
+        |      AS BIGINT) AS good
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id,
+        |    text || ' card=' || base ||
+        |      CAST(CASE WHEN doc_id % 3 = 0 THEN good ELSE (good + 5) % 10 END AS VARCHAR)
+        |      AS seeded
+        |  FROM g),
+        |m AS (
+        |  SELECT doc_id, seeded,
+        |    regexp_extract_all(seeded, '\b\d{13,19}\b') AS matches
+        |  FROM s),
+        |v AS (
+        |  SELECT doc_id, seeded, matches,
+        |    list_filter(matches, c ->
+        |      list_sum(list_transform(range(0, length(c)), k ->
+        |        CASE WHEN k % 2 = 1
+        |          THEN CASE WHEN 2 * CAST(c[length(c)-k] AS INT) > 9
+        |               THEN 2 * CAST(c[length(c)-k] AS INT) - 9
+        |               ELSE 2 * CAST(c[length(c)-k] AS INT) END
+        |          ELSE CAST(c[length(c)-k] AS INT) END)) % 10 = 0) AS valid
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(len(matches) AS INT) AS n_candidates,
+        |  CAST(len(valid) AS INT) AS n_valid,
+        |  md5(list_reduce(list_prepend(seeded, valid),
+        |    (acc, c) -> replace(acc, c, repeat('X', length(c))))) AS redacted_md5
+        |FROM v ORDER BY doc_id""".stripMargin,
     // percentile_disc pinned by DEFINITION (smallest value with
     // cume_dist >= q) via integer-exact rank comparisons — no engine's
     // built-in quantile indexing convention is trusted on either side

@@ -431,6 +431,12 @@ object Dedup {
           split(col("text"), "\\s+")).as("sh"))
       .select(col("doc_id"), col("pfx"),
         expr("shiftright(sh, 48) & 65535").as("band0"))
+      // both self-join sides consume this — fingerprint ONCE (the x25
+      // pattern: without it each join side re-tokenizes and re-hashes the
+      // whole corpus); pre-spread so AQE can't coalesce the CPU-heavy
+      // small-bytes stage to one partition
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .localCheckpoint()
     val a = sig.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a"), col("band0"))
     val b = sig.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b"), col("band0"))
     a.join(b, Seq("band0"))

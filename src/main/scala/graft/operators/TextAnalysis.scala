@@ -292,6 +292,43 @@ object TextAnalysis {
       .withColumn("n_pii", col("n_emails") + col("n_ips") + col("n_phones"))
       .orderBy("doc_id")
 
+  /** x70: CHECKSUM-VALIDATED PII redaction — the Luhn upgrade to x32's
+    * shape-only scrub: a 13-19 digit run is only redacted if its Luhn
+    * checksum validates (`luhn_check`), the filter that keeps card
+    * scrubbing from destroying order ids, tracking numbers and other
+    * benign digit runs (at 100 TB the false-positive mass of shape-only
+    * matching is enormous). The ASCII fixture carries no card numbers,
+    * so candidates are DERIVED in-plan, identically in both engines: a
+    * 15-digit base from doc_id gets its correct Luhn check digit on
+    * `doc_id % 3 == 0` and an always-wrong one (+5 mod 10) otherwise —
+    * about a third of the shape-matched candidates validate, and the
+    * redaction must fire ONLY on those. Redaction itself is a fold over
+    * the validated matches (`aggregate` with string `replace`), the form
+    * that extends to any number of hits per document. Pure per-row
+    * projection — scan-dominated, zero exchanges before the output sort.
+    */
+  def luhnRedact(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("base",
+        expr("concat('4', lpad(CAST(doc_id * 37 % 100000000000000 AS STRING), 14, '0'))"))
+      // exactly one of the ten digits completes a valid Luhn number
+      .withColumn("good",
+        expr("element_at(filter(sequence(0, 9), " +
+          "d -> luhn_check(concat(base, CAST(d AS STRING)))), 1)"))
+      .withColumn("cand",
+        expr("concat(base, CAST(CASE WHEN doc_id % 3 = 0 THEN good " +
+          "ELSE (good + 5) % 10 END AS STRING))"))
+      .withColumn("seeded", expr("concat(text, ' card=', cand)"))
+      .withColumn("matches",
+        expr("regexp_extract_all(seeded, '\\\\b\\\\d{13,19}\\\\b', 0)"))
+      .withColumn("valid", expr("filter(matches, c -> luhn_check(c))"))
+      .select(col("doc_id"),
+        size(col("matches")).as("n_candidates"),
+        size(col("valid")).as("n_valid"),
+        expr("md5(aggregate(valid, seeded, " +
+          "(acc, c) -> replace(acc, c, repeat('X', length(c)))))").as("redacted_md5"))
+      .orderBy("doc_id")
+
   /** Benchmark decontamination: flags corpus documents sharing any
     * `n`-token run with a held-out benchmark set (here the deterministic
     * doc_id % benchMod == benchRem slice — in production, the eval sets).

@@ -1004,6 +1004,35 @@ object Relational {
                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""").as("corr_xy"))
       .orderBy("l_returnflag")
 
+  /** Q47: timezone + calendar arithmetic — `convert_timezone` into two
+    * zones (New York crosses the date line backwards at these midnight-
+    * UTC timestamps, Tokyo forwards), ISO weekday/week numbering,
+    * month-end (`last_day`) — the reporting-calendar surface q16's
+    * year/quarter grouping doesn't touch. Engine-parity traps pinned on
+    * purpose: Spark `weekday` is 0=Monday where DuckDB `isodow` is
+    * 1=Monday (normalized to ISO 1..7 here), both engines' `weekofyear`
+    * are ISO, and the 1995-2001 US DST rules must agree between the
+    * JVM's tzdata and DuckDB's ICU. One hash aggregate on the derived
+    * local date; the calendar columns are functions of the GROUP key.
+    */
+  def q47TimezoneCalendar(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      // o_orderdate loads as TIMESTAMP_NTZ; its wall time IS the UTC
+      // instant (the fixture contract), so source zone is pinned to UTC
+      .select(col("o_orderkey"),
+        expr("convert_timezone('UTC', 'America/New_York', o_orderdate)").as("ny"),
+        expr("convert_timezone('UTC', 'Asia/Tokyo', o_orderdate)").as("tokyo"))
+      .groupBy(to_date(col("ny")).as("ny_date"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(to_date(col("tokyo"))).as("n_tokyo_dates"),
+        min(hour(col("ny"))).as("min_ny_hour"))
+      .select(col("ny_date"),
+        expr("weekday(ny_date) + 1").as("dow_iso"),
+        weekofyear(col("ny_date")).as("iso_week"),
+        last_day(col("ny_date")).as("month_end"),
+        col("n_orders"), col("n_tokyo_dates"), col("min_ny_hour"))
+      .orderBy("ny_date")
+
   /** Q14: distinct aggregates — distinct parts/suppliers per return flag. */
   def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

@@ -1571,5 +1571,38 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x70: exactly the planted-valid third redacts; shapes alone never fire") {
+    val rows = SparkEntry.queries("x70_luhn_redaction")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, nc, nv) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      assert(nc == 1, s"doc $id: expected the one planted candidate, got $nc")
+      assert(nv == (if (id % 3 == 0) 1 else 0),
+        s"doc $id: Luhn gate fired on ${nv} of $nc (planted ${id % 3 == 0})")
+    }
+    // engine builtin agrees with the arithmetic on the canonical vectors
+    import spark.implicits._
+    val checks = Seq("79927398713" -> true, "79927398710" -> false,
+      "4111111111111111" -> true, "4111111111111112" -> false)
+    val got = checks.map(_._1).toDF("s")
+      .selectExpr("s", "luhn_check(s) AS ok").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    checks.foreach { case (s, want) => assert(got(s) == want, s) }
+  }
+
+  test("q47: NY hour is 19/20 (EST vs EDT), ISO weekday matches the date, 1 Tokyo date per NY date") {
+    val rows = SparkEntry.queries("q47_timezone_calendar")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      assert(r.getInt(1) == d.getDayOfWeek.getValue, s"dow_iso at $d")
+      assert(r.getLong(5) == 1L, s"n_tokyo_dates at $d")
+      // midnight UTC is 19:00 EST or 20:00 EDT the previous day — both
+      // rules must be exercised across the fixture's year span
+      assert(Set(19, 20).contains(r.getInt(6)), s"min_ny_hour at $d")
+    }
+    assert(rows.map(_.getInt(6)).toSet == Set(19, 20), "fixture must cross a DST boundary")
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
