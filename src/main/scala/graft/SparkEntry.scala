@@ -293,6 +293,10 @@ object SparkEntry {
     // gate -> fold-based replace; only validated candidates are masked
     "x70_luhn_redaction" -> ((s, d) =>
       TextAnalysis.luhnRedact(Tables.load(s, d, "documents"))),
+    // Z-order clustering: bit-interleaved 2-D sort key + per-z-bucket
+    // min/max stats — the data-skipping layout; spec measures the pruning
+    "x71_zorder_layout" -> ((s, d) =>
+      graft.sources.ZOrder.zOrderLayout(Tables.load(s, d, "lineitem"))),
     // deterministic concat-and-chunk packing into 256-token sequences,
     // sharded per (source, doc_id % 4) so window partitions stay bounded
     "x38_sequence_packing" -> ((s, d) =>
@@ -1313,6 +1317,23 @@ object SparkEntry {
         |  md5(list_reduce(list_prepend(seeded, valid),
         |    (acc, c) -> replace(acc, c, repeat('X', length(c))))) AS redacted_md5
         |FROM v ORDER BY doc_id""".stripMargin,
+    // identical bit-interleave arithmetic; every column integer-exact
+    "x71_zorder_layout" ->
+      """WITH d AS (
+        |  SELECT CAST(l_partkey % 1024 AS INT) AS da,
+        |         CAST(l_orderkey % 1024 AS INT) AS db
+        |  FROM lineitem),
+        |z AS (
+        |  SELECT da, db,
+        |    list_sum(list_transform(range(0, 10), i ->
+        |      ((da >> i) & 1) * (1::BIGINT << (2*i))
+        |      + ((db >> i) & 1) * (1::BIGINT << (2*i+1)))) AS z
+        |  FROM d)
+        |SELECT CAST(z // 16384 AS BIGINT) AS zbucket,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(min(da) AS INT) AS a_lo, CAST(max(da) AS INT) AS a_hi,
+        |       CAST(min(db) AS INT) AS b_lo, CAST(max(db) AS INT) AS b_hi
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     // percentile_disc pinned by DEFINITION (smallest value with
     // cume_dist >= q) via integer-exact rank comparisons — no engine's
     // built-in quantile indexing convention is trusted on either side

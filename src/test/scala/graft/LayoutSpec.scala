@@ -324,4 +324,35 @@ class LayoutSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(again == spread)
   }
+
+  test("x71: z-layout buckets bound BOTH dims; a db-only box prunes z-buckets, not a (da,db) sort") {
+    // sf0.01: both bucketed dims cover the full 0..1023 domain there
+    val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    val z = graft.sources.ZOrder.zOrderLayout(li).collect()
+    val nBuckets = z.length
+    assert(nBuckets > 16, s"expected a populated z-space, got $nBuckets buckets")
+    // the z property: every bucket's span in EACH dim is a bounded box —
+    // far below the 1024 domain (16384-wide z ranges interleave to
+    // ≈128×128 boxes; ≤1/4 of the domain is a loose, fixture-proof bound)
+    z.foreach { r =>
+      assert(r.getInt(3) - r.getInt(2) <= 256, s"a-span at bucket ${r.getLong(0)}")
+      assert(r.getInt(5) - r.getInt(4) <= 256, s"b-span at bucket ${r.getLong(0)}")
+    }
+    // db-only box query [256, 383]: z-layout touches only buckets whose
+    // db box intersects — at most half the buckets (expect ~1/8)
+    val zTouched = z.count(r => r.getInt(4) <= 383 && r.getInt(5) >= 256)
+    assert(zTouched * 2 < nBuckets, s"z pruning: $zTouched of $nBuckets touched")
+    // the lexicographic (da, db) layout cannot prune on db: slice the
+    // SAME data into equal-count buckets by (da, db) rank — every bucket
+    // spans the full db domain, so the same box touches every one
+    val linear = graft.sources.ZOrder.zClustered(li, 10, 16384L)
+      .withColumn("lk", expr("CAST(da AS BIGINT) * 1024 + db"))
+      .withColumn("lbucket", expr(s"CAST(lk DIV 16384 AS BIGINT)"))
+      .groupBy("lbucket")
+      .agg(min(col("db")).as("b_lo"), max(col("db")).as("b_hi"))
+      .collect()
+    val linTouched = linear.count(r => r.getInt(1) <= 383 && r.getInt(2) >= 256)
+    assert(linTouched == linear.length,
+      s"leading-column layout must touch every bucket: $linTouched of ${linear.length}")
+  }
 }
