@@ -13,21 +13,34 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.props.getOrElse("graft.profile.reps", "5").toInt
-    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    // --explain: dump each query's formatted physical plan instead of
+    // timing it — the plan-audit loop (pushdown reached the scan?
+    // exchanges where expected? codegen spans wide?). An arg, not a
+    // -D flag: sbt runMain forks, so sbt-side system properties never
+    // reach this JVM.
+    val explainFlag = args.contains("--explain")
+    val qArgs = args.toSeq.filterNot(_ == "--explain")
+    val names = if (qArgs.nonEmpty) qArgs else SparkEntry.queries.keys.toSeq.sorted
     val unknown = names.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty,
       s"unknown queries: ${unknown.mkString(", ")}; valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
 
     val spark = BenchHarness.session("graft-profile")
     BenchHarness.warmup(spark)
+    val explain = explainFlag
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        BenchHarness.consume(fn(spark, sfDir))
-        (System.nanoTime() - t0) / 1e9
+      if (explain) {
+        println(s"===== $name =====")
+        fn(spark, sfDir).explain("formatted")
+      } else {
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          BenchHarness.consume(fn(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[profile] $name%-24s ${times.map(t => f"$t%.3f").mkString(" ")}")
       }
-      println(f"[profile] $name%-24s ${times.map(t => f"$t%.3f").mkString(" ")}")
     }
     spark.stop()
   }
