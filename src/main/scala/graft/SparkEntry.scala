@@ -100,6 +100,9 @@ object SparkEntry {
     // convert_timezone into NY/Tokyo + ISO weekday/week + last_day — the
     // reporting-calendar surface; JVM tzdata vs DuckDB ICU must agree
     "q47_timezone_calendar" -> ((s, d) => Relational.q47TimezoneCalendar(s, d)),
+    // try_divide/try_multiply/try_cast/try_to_timestamp under ANSI: the
+    // null-on-failure contract, every channel derived so it provably fires
+    "q48_try_arithmetic" -> ((s, d) => Relational.q48TryArithmetic(s, d)),
     // q22's aggregation against the BUCKETED layout (co-located merge join,
     // zero join-side Exchange — LayoutSpec pins the plan); same oracle
     "q27_bucketed_join" -> ((s, d) => graft.sources.Bucketed.q27BucketedJoin(s, d)),
@@ -297,6 +300,10 @@ object SparkEntry {
     // min/max stats — the data-skipping layout; spec measures the pruning
     "x71_zorder_layout" -> ((s, d) =>
       graft.sources.ZOrder.zOrderLayout(Tables.load(s, d, "lineitem"))),
+    // BM25 top-10 for a fixed term set — index-free search, term filter
+    // pushed BEFORE the tf aggregate so the shuffle carries only matches
+    "x72_bm25_retrieval" -> ((s, d) =>
+      TextAnalysis.bm25Retrieval(Tables.load(s, d, "documents"))),
     // deterministic concat-and-chunk packing into 256-token sequences,
     // sharded per (source, doc_id % 4) so window partitions stay bounded
     "x38_sequence_packing" -> ((s, d) =>
@@ -1317,6 +1324,42 @@ object SparkEntry {
         |  md5(list_reduce(list_prepend(seeded, valid),
         |    (acc, c) -> replace(acc, c, repeat('X', length(c))))) AS redacted_md5
         |FROM v ORDER BY doc_id""".stripMargin,
+    // the try_* SEMANTICS replayed with CASE guards: DuckDB's own double
+    // division yields inf on zero and its bigint overflow ERRORS, so the
+    // null-production conditions are spelled out — which is the contract
+    // under test, not shared syntax
+    "q48_try_arithmetic" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN CAST(l_quantity AS INT) % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_div_null,
+        |  CAST(sum(CASE WHEN CAST(l_quantity AS INT) % 3 <> 0
+        |    THEN CAST(l_extendedprice / (CAST(l_quantity AS INT) % 3) AS DECIMAL(18,3))
+        |    END) AS DOUBLE) AS sum_div,
+        |  CAST(sum(CASE WHEN l_orderkey >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
+        |  CAST(sum(CASE WHEN l_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_cast,
+        |  CAST(sum(CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_ts
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // BM25 with the x29 ln discipline (round-6, both libms agree well
+    // past that); term filter sits BEFORE the tf aggregate
+    "x72_bm25_retrieval" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM toks
+        |       WHERE token IN ('spark', 'join', 'window') GROUP BY 1, 2),
+        |dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS sc
+        |  FROM tf JOIN dfc USING (token) JOIN lens USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit, round(sum(sc), 6) AS bm25
+        |FROM s GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
     // identical bit-interleave arithmetic; every column integer-exact
     "x71_zorder_layout" ->
       """WITH d AS (

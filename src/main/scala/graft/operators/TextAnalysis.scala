@@ -235,6 +235,50 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
   }
 
+  /** x72: BM25 retrieval — the index-free search pass over a corpus for
+    * a fixed term set (the relevance scoring an eval harness or a
+    * targeted-curation query runs; k1 = 1.2, b = 0.75, the standard
+    * Robertson parameters). The decisive scale property is the TERM
+    * FILTER POSITION: tokens are filtered to the query terms BEFORE the
+    * (doc_id, token) aggregate, so the only shuffle carries matching
+    * occurrences — for a handful of terms that is a vanishing fraction
+    * of the corpus, where a build-the-full-index-first form would
+    * shuffle every token. Document length and corpus stats ride as
+    * broadcast one-row/`|terms|`-row aggregates. idf uses the smoothed
+    * `ln(1 + (N − df + ½)/(df + ½))` form (positive for df ≤ N); scores
+    * round to 6 like x29's tf-idf (the ln precedent: both engines' libm
+    * agree well past 6 decimals, and exact ties are measure-zero for
+    * irrational scores).
+    */
+  def bm25Retrieval(docs: DataFrame,
+      terms: Seq[String] = Seq("spark", "join", "window"),
+      k: Int = 10): DataFrame = {
+    // literals the ORACLE spells identically (2.2 / 0.25 as source
+    // literals, not Scala-side k1+1 arithmetic — both engines' parsers
+    // bind the same doubles, where computed constants might not)
+    val k1 = 1.2
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = lens.agg(countDistinct(col("doc_id")).as("n_docs"),
+      (sum(col("dl")).cast("double") / countDistinct(col("doc_id"))).as("avgdl"))
+    val tf = toks.filter(col("token").isin(terms.map(lit): _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfc), "token")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("_s", col("_idf") * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(k1) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), round(sum(col("_s")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Driver-oracle form of [[compressionProfile]]: the zlib ratio VALUES
     * are engine-internal (they depend on the JVM's deflate), but the
     * per-source doc counts and the bound/ordering invariants of the ratios

@@ -1033,6 +1033,40 @@ object Relational {
         col("n_orders"), col("n_tokyo_dates"), col("min_ny_hour"))
       .orderBy("ny_date")
 
+  /** Q48: the `try_*` arithmetic surface — ANSI mode's dirty-data escape
+    * hatches. Spark 4 runs ANSI ON, so plain division by zero, numeric
+    * overflow and malformed casts ABORT the job; `try_divide` /
+    * `try_multiply` / `try_cast` / `try_to_timestamp` return NULL
+    * instead — the row-level drop-don't-fail posture the taxi parsers
+    * implement by hand (DirtyInputSpec), here as the declarative
+    * arithmetic contract. Divisors/overflows/garbage are DERIVED from
+    * row keys so every code path provably fires at any scale; the
+    * aggregate counts each null-production channel separately, and the
+    * successful-division sum rides a 3-decimal cast (halving a 2-decimal
+    * price is exact) so it stays order-independent. The oracle replays
+    * the SEMANTICS with CASE guards — DuckDB's own double division would
+    * give inf on zero, its integer overflow would error — which is the
+    * point: the query pins Spark's null-on-failure contract, not shared
+    * syntax.
+    */
+  def q48TryArithmetic(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("try_divide(l_extendedprice, CAST(l_quantity AS INT) % 3)").as("div"),
+        expr("try_multiply(l_orderkey, 9223372036854775807)").as("mul"),
+        expr("try_cast(CASE WHEN l_orderkey % 5 = 0 THEN 'x' " +
+          "ELSE CAST(l_quantity AS STRING) END AS DOUBLE)").as("cst"),
+        expr("try_to_timestamp(CASE WHEN l_linenumber % 2 = 0 THEN 'not-a-time' " +
+          "ELSE '2024-01-01 00:00:00' END)").as("ts"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("div").isNull, 1L).otherwise(0L)).as("n_div_null"),
+        sum(col("div").cast("decimal(18,3)")).cast("double").as("sum_div"),
+        sum(when(col("mul").isNull, 1L).otherwise(0L)).as("n_overflow"),
+        sum(when(col("cst").isNull, 1L).otherwise(0L)).as("n_bad_cast"),
+        sum(when(col("ts").isNull, 1L).otherwise(0L)).as("n_bad_ts"))
+      .orderBy("l_returnflag")
+
   /** Q14: distinct aggregates — distinct parts/suppliers per return flag. */
   def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

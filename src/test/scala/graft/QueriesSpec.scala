@@ -1604,5 +1604,38 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_.getInt(6)).toSet == Set(19, 20), "fixture must cross a DST boundary")
   }
 
+  test("q48: every try_* null channel both fires and passes somewhere") {
+    val rows = SparkEntry.queries("q48_try_arithmetic")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getLong(1)).sum
+    val (divN, overN, castN, tsN) = (rows.map(_.getLong(2)).sum,
+      rows.map(_.getLong(4)).sum, rows.map(_.getLong(5)).sum, rows.map(_.getLong(6)).sum)
+    // each channel must produce SOME nulls (the failure path is real)
+    // and SOME successes (orderkeys 0/1 multiply by Long.MaxValue
+    // without overflow — exactly the rows the oracle's >= 2 guard spares)
+    assert(divN > 0 && divN < n, s"div nulls $divN of $n")
+    assert(castN > 0 && castN < n, s"cast nulls $castN of $n")
+    assert(tsN > 0 && tsN < n, s"ts nulls $tsN of $n")
+    val expectedOver = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_orderkey") >= 2).count()
+    assert(overN == expectedOver && overN > 0, s"overflow nulls $overN vs $expectedOver")
+    rows.foreach(r => assert(!r.isNullAt(3) && r.getDouble(3) > 0, "sum_div"))
+  }
+
+  test("x72: BM25 ranking is positive, descending, and every hit really contains a query term") {
+    val rows = SparkEntry.queries("x72_bm25_retrieval")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.forall(_ > 0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "descending")
+    rows.foreach(r => assert(r.getLong(1) >= 1 && r.getLong(1) <= 3, "terms hit in [1,3]"))
+    val ids = rows.map(_.getLong(0)).toSet
+    val hits = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .filter(lower(col("text")).rlike("(^|\\s)(spark|join|window)(\\s|$)"))
+      .count()
+    assert(hits == ids.size, s"every returned doc must contain a query term: $hits of ${ids.size}")
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
