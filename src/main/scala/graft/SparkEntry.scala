@@ -103,6 +103,12 @@ object SparkEntry {
     // try_divide/try_multiply/try_cast/try_to_timestamp under ANSI: the
     // null-on-failure contract, every channel derived so it provably fires
     "q48_try_arithmetic" -> ((s, d) => Relational.q48TryArithmetic(s, d)),
+    // NOT IN vs a NULL-bearing subquery: the three-valued-logic trap (0
+    // rows) pinned beside the two correct forms, which must agree
+    "q49_not_in_nulls" -> ((s, d) => Relational.q49NotInNulls(s, d)),
+    // view->click->purchase funnel via chained prefix-min windows: one
+    // shuffle, no self-joins; counts/rates/latencies all exact
+    "q50_funnel" -> ((s, d) => Relational.q50Funnel(s, d)),
     // q22's aggregation against the BUCKETED layout (co-located merge join,
     // zero join-side Exchange — LayoutSpec pins the plan); same oracle
     "q27_bucketed_join" -> ((s, d) => graft.sources.Bucketed.q27BucketedJoin(s, d)),
@@ -1324,6 +1330,56 @@ object SparkEntry {
         |  md5(list_reduce(list_prepend(seeded, valid),
         |    (acc, c) -> replace(acc, c, repeat('X', length(c))))) AS redacted_md5
         |FROM v ORDER BY doc_id""".stripMargin,
+    // DuckDB implements the same standard three-valued logic, so the SAME
+    // SQL replays: the trap row must be 0 and the two fixes must agree
+    "q49_not_in_nulls" ->
+      """WITH k AS (
+        |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS k
+        |  FROM orders WHERE o_custkey < 500 AND o_custkey % 3 = 0)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT k FROM k)) AS n_not_in_with_nulls,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT k FROM k WHERE k IS NOT NULL))
+        |    AS n_not_in_filtered,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer c
+        |   WHERE NOT EXISTS (SELECT 1 FROM k WHERE k.k = c.c_custkey))
+        |    AS n_not_exists""".stripMargin,
+    // the same three chained prefix-min windows, spelled as stacked CTEs
+    "q50_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+        |  WHERE event_id % 8 = 0),
+        |s1 AS (
+        |  SELECT user_id, us, event_id, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN us END) OVER
+        |      (PARTITION BY user_id ORDER BY us, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_run
+        |  FROM e),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND us > v_run THEN us END) OVER
+        |      (PARTITION BY user_id ORDER BY us, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_run
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND us > c_run THEN us END) OVER
+        |      (PARTITION BY user_id ORDER BY us, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_run
+        |  FROM s2),
+        |u AS (
+        |  SELECT user_id, min(v_run) AS v, min(c_run) AS c, min(p_run) AS p
+        |  FROM s3 GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(count(v) AS BIGINT) AS n_view,
+        |  CAST(count(c) AS BIGINT) AS n_click,
+        |  CAST(count(p) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN c IS NOT NULL THEN c - v END) AS DOUBLE) / count(c)
+        |    AS avg_v2c_us,
+        |  CAST(sum(CASE WHEN p IS NOT NULL THEN p - c END) AS DOUBLE) / count(p)
+        |    AS avg_c2p_us,
+        |  CAST(count(c) AS DOUBLE) / count(v) AS v2c_rate,
+        |  CAST(count(p) AS DOUBLE) / count(c) AS c2p_rate
+        |FROM u""".stripMargin,
     // the try_* SEMANTICS replayed with CASE guards: DuckDB's own double
     // division yields inf on zero and its bigint overflow ERRORS, so the
     // null-production conditions are spelled out — which is the contract

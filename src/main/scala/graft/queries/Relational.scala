@@ -1067,6 +1067,81 @@ object Relational {
         sum(when(col("ts").isNull, 1L).otherwise(0L)).as("n_bad_ts"))
       .orderBy("l_returnflag")
 
+  /** Q49: `NOT IN` three-valued-logic trap — the most common silent-
+    * wrong-answer in SQL: a NULL anywhere in the subquery makes
+    * `x NOT IN (…)` UNKNOWN for every non-matching x, so the query
+    * returns ZERO rows instead of the complement. Pinned side by side
+    * with the two correct forms (NULL-filtered NOT IN, and NOT EXISTS —
+    * which ignores NULLs by construction): one row proving the trap
+    * yields 0 while both fixes agree. Spark plans the trap as a
+    * null-aware anti join (a broadcast of the key set — the reason
+    * NOT IN is also a SCALE hazard next to NOT EXISTS's ordinary anti
+    * join). NULL keys derive from order keys so the set genuinely
+    * contains them at any scale.
+    */
+  def q49NotInNulls(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("customer")
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(Q49Sql)
+  }
+
+  private[graft] val Q49Sql: String =
+    """WITH k AS (
+      |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS k
+      |  FROM orders WHERE o_custkey < 500 AND o_custkey % 3 = 0)
+      |SELECT
+      |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT k FROM k))
+      |    AS n_not_in_with_nulls,
+      |  (SELECT count(*) FROM customer
+      |   WHERE c_custkey NOT IN (SELECT k FROM k WHERE k IS NOT NULL))
+      |    AS n_not_in_filtered,
+      |  (SELECT count(*) FROM customer c
+      |   WHERE NOT EXISTS (SELECT 1 FROM k WHERE k.k = c.c_custkey))
+      |    AS n_not_exists""".stripMargin
+
+  /** Q50: FUNNEL analysis — ordered event-sequence conversion
+    * (view → click → purchase, each step strictly after the previous):
+    * per-step reached-user counts, conversion rates and mean step
+    * latencies. The product-analytics query MATCH_RECOGNIZE engines
+    * special-case, expressed with running-window state instead: one
+    * shuffle on user_id, then three chained prefix-min windows over the
+    * SAME sort (each step's "first valid time so far" conditions on the
+    * previous step's running value — no self-joins, no per-stage
+    * re-scan), then an ordinary aggregate. Latencies are exact micro
+    * differences of exact ints; rates are exact int/int divisions —
+    * everything unrounded under the q32 discipline.
+    */
+  def q50Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val staged = t(spark, dir, "events")
+      // sparse slice: with the full stream every user completes every
+      // step (rates pin 1.0 and discriminate nothing); 1-in-8 leaves
+      // users stranded at each stage so the rates genuinely measure
+      .filter(col("event_id") % 8 === 0)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("v_run",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("c_run",
+        min(when(col("event_type") === "click" && col("us") > col("v_run"), col("us"))).over(w))
+      .withColumn("p_run",
+        min(when(col("event_type") === "purchase" && col("us") > col("c_run"), col("us"))).over(w))
+    staged.groupBy(col("user_id"))
+      .agg(min(col("v_run")).as("v"), min(col("c_run")).as("c"), min(col("p_run")).as("p"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("v")).as("n_view"),
+        count(col("c")).as("n_click"),
+        count(col("p")).as("n_purchase"),
+        (sum(when(col("c").isNotNull, col("c") - col("v"))).cast("double") /
+          count(col("c"))).as("avg_v2c_us"),
+        (sum(when(col("p").isNotNull, col("p") - col("c"))).cast("double") /
+          count(col("p"))).as("avg_c2p_us"),
+        (count(col("c")).cast("double") / count(col("v"))).as("v2c_rate"),
+        (count(col("p")).cast("double") / count(col("c"))).as("c2p_rate"))
+  }
+
   /** Q14: distinct aggregates — distinct parts/suppliers per return flag. */
   def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

@@ -1637,5 +1637,33 @@ class QueriesSpec extends AnyFunSuite {
     assert(hits == ids.size, s"every returned doc must contain a query term: $hits of ${ids.size}")
   }
 
+  test("q49: NOT IN vs NULL subquery returns zero; the two correct forms agree") {
+    val r = SparkEntry.queries("q49_not_in_nulls")(spark, sf).collect()(0)
+    assert(r.getLong(0) == 0L, "the three-valued-logic trap must yield zero rows")
+    assert(r.getLong(1) == r.getLong(2) && r.getLong(1) > 0,
+      s"NULL-filtered NOT IN (${r.getLong(1)}) must equal NOT EXISTS (${r.getLong(2)})")
+  }
+
+  test("q50: funnel stages are monotone and each conversion is ordered") {
+    val r = SparkEntry.queries("q50_funnel")(spark, sf).collect()(0)
+    val (users, v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(users >= v && v >= c && c >= p && p >= 0, s"monotone: $users >= $v >= $c >= $p")
+    assert(v > 0 && c > 0, "fixture must drive at least two funnel stages")
+    // strict ordering means positive mean latencies
+    assert(r.getDouble(4) > 0 && (p == 0 || r.getDouble(5) > 0))
+    // cross-check the windowed form against an independent 3-pass
+    // aggregate-join derivation of the same funnel
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(spark, sf, "events")
+      .filter(col("event_id") % 8 === 0)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+    val vf = e.filter(col("event_type") === "view").groupBy("user_id").agg(min(col("us")).as("v"))
+    val cf = e.filter(col("event_type") === "click").join(vf, "user_id")
+      .filter(col("us") > col("v")).groupBy("user_id").agg(min(col("us")).as("c"))
+    val pf = e.filter(col("event_type") === "purchase").join(cf, "user_id")
+      .filter(col("us") > col("c")).groupBy("user_id").agg(min(col("us")).as("p"))
+    assert(vf.count() == v && cf.count() == c && pf.count() == p)
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
