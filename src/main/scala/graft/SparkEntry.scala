@@ -109,6 +109,10 @@ object SparkEntry {
     // view->click->purchase funnel via chained prefix-min windows: one
     // shuffle, no self-joins; counts/rates/latencies all exact
     "q50_funnel" -> ((s, d) => Relational.q50Funnel(s, d)),
+    // q50 run continuously: per-user O(1) funnel FSM in
+    // flatMapGroupsWithState emitting a changelog per completed stage
+    "x73_stream_funnel" -> ((s, d) =>
+      graft.queries.StreamingQueries.streamingFunnel(s, d)),
     // q22's aggregation against the BUCKETED layout (co-located merge join,
     // zero join-side Exchange — LayoutSpec pins the plan); same oracle
     "q27_bucketed_join" -> ((s, d) => graft.sources.Bucketed.q27BucketedJoin(s, d)),
@@ -310,6 +314,10 @@ object SparkEntry {
     // pushed BEFORE the tf aggregate so the shuffle carries only matches
     "x72_bm25_retrieval" -> ((s, d) =>
       TextAnalysis.bm25Retrieval(Tables.load(s, d, "documents"))),
+    // top-20 drifting tokens between source slices 0-9 and 10-19: exact
+    // per-token frequency deltas, no cross-token float sum anywhere
+    "x74_token_drift" -> ((s, d) =>
+      TextAnalysis.tokenDrift(Tables.load(s, d, "documents"))),
     // deterministic concat-and-chunk packing into 256-token sequences,
     // sharded per (source, doc_id % 4) so window partitions stay bounded
     "x38_sequence_packing" -> ((s, d) =>
@@ -1380,6 +1388,30 @@ object SparkEntry {
         |  CAST(count(c) AS DOUBLE) / count(v) AS v2c_rate,
         |  CAST(count(p) AS DOUBLE) / count(c) AS c2p_rate
         |FROM u""".stripMargin,
+    // the stream's per-user pivot equals q50's window stage row-for-row
+    "x73_stream_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+        |  WHERE event_id % 8 = 0),
+        |s1 AS (
+        |  SELECT user_id, us, event_id, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN us END) OVER
+        |      (PARTITION BY user_id ORDER BY us, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_run
+        |  FROM e),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND us > v_run THEN us END) OVER
+        |      (PARTITION BY user_id ORDER BY us, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_run
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND us > c_run THEN us END) OVER
+        |      (PARTITION BY user_id ORDER BY us, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_run
+        |  FROM s2)
+        |SELECT user_id, min(v_run) AS v_us, min(c_run) AS c_us, min(p_run) AS p_us
+        |FROM s3 GROUP BY 1 HAVING min(v_run) IS NOT NULL
+        |ORDER BY user_id""".stripMargin,
     // the try_* SEMANTICS replayed with CASE guards: DuckDB's own double
     // division yields inf on zero and its bigint overflow ERRORS, so the
     // null-production conditions are spelled out — which is the contract
@@ -1416,6 +1448,25 @@ object SparkEntry {
         |  FROM tf JOIN dfc USING (token) JOIN lens USING (doc_id) CROSS JOIN stats)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit, round(sum(sc), 6) AS bm25
         |FROM s GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+    // same exact-division drift arithmetic, same (drift desc, token) cut
+    "x74_token_drift" ->
+      """WITH toks AS (
+        |  SELECT CAST(substring(source, 4) AS INT) < 10 AS in_a,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (
+        |  SELECT token,
+        |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+        |  FROM toks GROUP BY 1),
+        |t AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a, CAST(sum(c_b) AS BIGINT) AS n_b FROM c)
+        |SELECT token, c_a, c_b,
+        |  CAST(c_a AS DOUBLE) / n_a AS fa,
+        |  CAST(c_b AS DOUBLE) / n_b AS fb,
+        |  abs(CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b) AS drift
+        |FROM c CROSS JOIN t
+        |WHERE c_a + c_b >= 20
+        |ORDER BY drift DESC, token LIMIT 20""".stripMargin,
     // identical bit-interleave arithmetic; every column integer-exact
     "x71_zorder_layout" ->
       """WITH d AS (

@@ -279,6 +279,38 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** x74: token-distribution DRIFT between two corpus slices — the
+    * monitoring pass a data pipeline runs when a new crawl lands: which
+    * tokens' relative frequencies moved most between the reference
+    * corpus (sources 0-9) and the candidate slice (sources 10-19)?
+    * Per-token drift is |c_a/n_a − c_b/n_b| — every term an EXACT
+    * integer division, every comparison between two deterministic
+    * doubles, NO cross-token float sum anywhere (the KL/χ² forms were
+    * rejected on exactly that ground: their Σ over tokens is
+    * reduction-order-dependent and cannot hash-match an oracle). One
+    * token-count shuffle with map-side combine; totals ride as a
+    * broadcast 1-row aggregate; a min-support filter keeps rare-token
+    * noise out of the ranking.
+    */
+  def tokenDrift(docs: DataFrame, k: Int = 20, minSupport: Int = 20): DataFrame = {
+    val toks = docs
+      .select((expr("CAST(substring(source, 4) AS INT)") < 10).as("in_a"),
+        explode(tokens(lower(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+    val counts = toks.groupBy(col("token")).agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("c_a"),
+      sum(when(!col("in_a"), 1L).otherwise(0L)).as("c_b"))
+    val totals = counts.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    counts.filter(col("c_a") + col("c_b") >= minSupport)
+      .crossJoin(broadcast(totals))
+      .withColumn("fa", col("c_a").cast("double") / col("n_a"))
+      .withColumn("fb", col("c_b").cast("double") / col("n_b"))
+      .withColumn("drift", abs(col("fa") - col("fb")))
+      .orderBy(col("drift").desc, col("token"))
+      .limit(k)
+      .select(col("token"), col("c_a"), col("c_b"), col("fa"), col("fb"), col("drift"))
+  }
+
   /** Driver-oracle form of [[compressionProfile]]: the zlib ratio VALUES
     * are engine-internal (they depend on the JVM's deflate), but the
     * per-source doc counts and the bound/ordering invariants of the ratios

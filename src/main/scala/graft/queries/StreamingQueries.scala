@@ -231,6 +231,63 @@ object StreamingQueries {
     } finally deleteRecursively(spool)
   }
 
+  /** x73: STREAMING FUNNEL — q50's conversion analysis run continuously.
+    * The sparse event slice replays chronologically through the file
+    * spool into [[graft.streaming.StreamingFunnel]] (a three-field
+    * per-user state machine in `flatMapGroupsWithState`; q50's three
+    * chained prefix-min windows collapse to O(1) state per user), which
+    * emits one changelog record per completed stage. The sink pivots
+    * back to one row per converting user — (first view, first valid
+    * click, first valid purchase) — the EXACT per-user relation q50's
+    * window stage computes, so the DuckDB oracle replays the batch
+    * windows and compares row-for-row. Each stage emits exactly once
+    * (the FSM guards on unset), so the pivot's min() is a formality, not
+    * a dedup.
+    */
+  def streamingFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.load(spark, dir, "events")
+      .filter(col("event_id") % 8 === 0) // q50's sparse slice, shared
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+    val spool = Files.createTempDirectory("graft_stream_funnel")
+    val feedDir = spool.resolve("feed").toString
+    val name = s"graft_stream_funnel_${runSeq.incrementAndGet()}"
+    try {
+      val t0 = System.nanoTime()
+      spoolChronological(events, feedDir, FeedFiles)
+      val tSpool = System.nanoTime()
+      val stream = spark.readStream
+        .schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feedDir)
+        .as[graft.streaming.FunnelEvent]
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", streamParts)
+      val sink =
+        try {
+          val q = graft.streaming.StreamingFunnel.steps(spark, stream)
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", spool.resolve("ckpt").toString)
+            .start()
+          try {
+            q.processAllAvailable()
+            streamCrumb("x73", t0, tSpool, q)
+            spark.table(name).localCheckpoint()
+          } finally q.stop()
+        } finally {
+          spark.catalog.dropTempView(name)
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+      sink.groupBy(col("user_id"))
+        .agg(
+          min(when(col("stage") === "view", col("us"))).as("v_us"),
+          min(when(col("stage") === "click", col("us"))).as("c_us"),
+          min(when(col("stage") === "purchase", col("us"))).as("p_us"))
+        .orderBy("user_id")
+    } finally deleteRecursively(spool)
+  }
+
   /** x57: streaming simhash near-dup dedup, end to end inside the batch
     * driver contract — fingerprints computed by the batch `simhash64`
     * kernel, spooled in doc_id order (the id-ordered arrival contract

@@ -1665,5 +1665,42 @@ class QueriesSpec extends AnyFunSuite {
     assert(vf.count() == v && cf.count() == c && pf.count() == p)
   }
 
+  test("x73: streaming funnel equals the batch windows; stages emit once and in order") {
+    import org.apache.spark.sql.expressions.Window
+    val stream = SparkEntry.queries("x73_stream_funnel")(spark, sf).collect()
+    // batch twin: q50's window stage, per user
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val batch = Tables.load(spark, sf, "events")
+      .filter(col("event_id") % 8 === 0)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+      .withColumn("v_run", min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("c_run", min(when(col("event_type") === "click" && col("us") > col("v_run"), col("us"))).over(w))
+      .withColumn("p_run", min(when(col("event_type") === "purchase" && col("us") > col("c_run"), col("us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("v_run")).as("v"), min(col("c_run")).as("c"), min(col("p_run")).as("p"))
+      .filter(col("v").isNotNull)
+      .orderBy("user_id")
+      .collect()
+    assert(stream.length == batch.length)
+    stream.zip(batch).foreach { case (s2, b) => assert(s2 == b, s"stream $s2 != batch $b") }
+    // ordering invariant inside each row: v < c < p where present
+    stream.foreach { r =>
+      if (!r.isNullAt(2)) assert(r.getLong(1) < r.getLong(2))
+      if (!r.isNullAt(3)) assert(r.getLong(2) < r.getLong(3))
+    }
+  }
+
+  test("x74: drift rows are ranked, supported, and frequencies are exact count ratios") {
+    val rows = SparkEntry.queries("x74_token_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val drifts = rows.map(_.getDouble(5))
+    assert(drifts.zip(drifts.tail).forall { case (a, b) => a >= b }, "descending drift")
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) >= 20, "min support")
+      assert(r.getDouble(5) == math.abs(r.getDouble(3) - r.getDouble(4)), "drift = |fa-fb|")
+    }
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
