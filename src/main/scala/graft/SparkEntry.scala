@@ -318,6 +318,10 @@ object SparkEntry {
     // per-token frequency deltas, no cross-token float sum anywhere
     "x74_token_drift" -> ((s, d) =>
       TextAnalysis.tokenDrift(Tables.load(s, d, "documents"))),
+    // integer-scaled fixed-point PageRank on the part co-purchase graph:
+    // bit-reproducible under any partitioning, 10 Pregel iterations
+    "x75_pagerank" -> ((s, d) =>
+      graft.operators.PageRank.topRanks(Tables.load(s, d, "lineitem"))),
     // deterministic concat-and-chunk packing into 256-token sequences,
     // sharded per (source, doc_id % 4) so window partitions stay bounded
     "x38_sequence_packing" -> ((s, d) =>
@@ -662,7 +666,37 @@ object SparkEntry {
       |QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY rawsim DESC, cand_id) <= 5
       |ORDER BY probe_id, rank""".stripMargin
 
+  /** The x75 oracle: all ten fixed-point iterations UNROLLED as stacked
+    * CTEs (generated, one c/r pair per iteration) — pure integer
+    * arithmetic end to end, so the replay is exact, not approximate.
+    */
+  private val PageRankOracle: String = {
+    // every CTE MATERIALIZED: DuckDB inlines plain CTEs, and r(i) refers
+    // to r(i-1) twice, so un-materialized nesting re-evaluates the whole
+    // chain 2^10 times (measured: minutes, vs ~1 s materialized)
+    val base =
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS MATERIALIZED (SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS w
+        |      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+        |e AS MATERIALIZED (SELECT pa AS src, pb AS dst, w FROM p UNION ALL SELECT pb, pa, w FROM p),
+        |ow AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY 1),
+        |r0 AS MATERIALIZED (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM ow)""".stripMargin
+    val iters = (1 to 10).map { i =>
+      s""",
+         |c$i AS MATERIALIZED (SELECT e.dst, CAST(sum(r${i - 1}.r * e.w // ow.wout) AS BIGINT) AS s
+         |       FROM e JOIN ow USING (src) JOIN r${i - 1} ON r${i - 1}.node = e.src
+         |       GROUP BY 1),
+         |r$i AS MATERIALIZED (SELECT r${i - 1}.node,
+         |         CAST(150000 + 85 * coalesce(c$i.s, 0) // 100 AS BIGINT) AS r
+         |       FROM r${i - 1} LEFT JOIN c$i ON c$i.dst = r${i - 1}.node)""".stripMargin
+    }.mkString
+    base + iters +
+      "\nSELECT node AS l_partkey, r AS rank_scaled FROM r10 ORDER BY r DESC, node LIMIT 20"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // ten unrolled integer fixed-point iterations — exact, not approximate
+    "x75_pagerank" -> PageRankOracle,
     "x5_dedup_simhash" ->
       (SimhashOracleCte +
         s"""

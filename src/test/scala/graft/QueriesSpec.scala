@@ -1702,5 +1702,23 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x75: integer PageRank ranks a star hub first; symmetric pair is a fixed point at SCALE") {
+    import spark.implicits._
+    // star: hub part 100 shares an order with each spoke 1..6
+    val star = (1 to 6).flatMap(i => Seq((i.toLong, 100L), (i.toLong, i.toLong)))
+      .toDF("l_orderkey", "l_partkey")
+    val ranked = graft.operators.PageRank.topRanks(star, 10, 10).collect()
+    assert(ranked.head.getLong(0) == 100L, "hub must rank first")
+    // all six spokes are symmetric: identical ranks below the hub
+    val spokes = ranked.tail.map(_.getLong(1)).toSet
+    assert(spokes.size == 1 && ranked.head.getLong(1) > spokes.head)
+    // a symmetric 2-node graph sits at the fixed point r = SCALE exactly
+    // (r' = 150000 + 85 * r / 100 has fixed point 10^6 in this integer
+    // arithmetic), proving no mass leaks through the floor operations
+    val pair = Seq((1L, 1L), (1L, 2L)).toDF("l_orderkey", "l_partkey")
+    val two = graft.operators.PageRank.topRanks(pair, 10, 2).collect()
+    two.foreach(r => assert(r.getLong(1) == graft.operators.PageRank.Scale, r.toString))
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
