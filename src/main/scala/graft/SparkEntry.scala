@@ -1458,9 +1458,10 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN CAST(l_quantity AS INT) % 3 <> 0
         |    THEN CAST(l_extendedprice / (CAST(l_quantity AS INT) % 3) AS DECIMAL(18,3))
         |    END) AS DOUBLE) AS sum_div,
-        |  CAST(sum(CASE WHEN l_orderkey >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
-        |  CAST(sum(CASE WHEN l_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_cast,
-        |  CAST(sum(CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_ts
+        |  CAST(sum(CASE WHEN l_orderkey % 777 = 0 AND l_orderkey >= 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_overflow,
+        |  CAST(sum(CASE WHEN l_orderkey % 500 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_cast,
+        |  CAST(sum(CASE WHEN l_orderkey % 1000 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_ts
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // BM25 with the x29 ln discipline (round-6, both libms agree well
     // past that); term filter sits BEFORE the tf aggregate

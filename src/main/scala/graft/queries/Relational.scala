@@ -1048,15 +1048,26 @@ object Relational {
     * give inf on zero, its integer overflow would error — which is the
     * point: the query pins Spark's null-on-failure contract, not shared
     * syntax.
+    *
+    * COST lesson, measured: every try_* FAILURE is an internal Java
+    * exception (overflow = Math.multiplyExact's ArithmeticException,
+    * casts/parses = their own throw+catch, ~10-25 µs each). A first cut
+    * overflowed on ~every row and failed 20-50% of the cast/parse
+    * channels — 13-16 s at sf0.1, pure exception cost. Dirty data is
+    * RARE dirt (per-mille, not per-half); every failure channel here
+    * fires at 0.1-0.2% (still provably non-zero at every fixture
+    * scale), and the row runs at scan speed. try_divide's zero path is
+    * the one exception-free channel (null arithmetic) and stays dense.
     */
   def q48TryArithmetic(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .select(col("l_returnflag"),
         expr("try_divide(l_extendedprice, CAST(l_quantity AS INT) % 3)").as("div"),
-        expr("try_multiply(l_orderkey, 9223372036854775807)").as("mul"),
-        expr("try_cast(CASE WHEN l_orderkey % 5 = 0 THEN 'x' " +
+        expr("try_multiply(l_orderkey, CASE WHEN l_orderkey % 777 = 0 " +
+          "THEN 9223372036854775807 ELSE 2 END)").as("mul"),
+        expr("try_cast(CASE WHEN l_orderkey % 500 = 0 THEN 'x' " +
           "ELSE CAST(l_quantity AS STRING) END AS DOUBLE)").as("cst"),
-        expr("try_to_timestamp(CASE WHEN l_linenumber % 2 = 0 THEN 'not-a-time' " +
+        expr("try_to_timestamp(CASE WHEN l_orderkey % 1000 = 0 THEN 'not-a-time' " +
           "ELSE '2024-01-01 00:00:00' END)").as("ts"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),

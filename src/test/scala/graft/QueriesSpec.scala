@@ -1617,8 +1617,9 @@ class QueriesSpec extends AnyFunSuite {
     assert(castN > 0 && castN < n, s"cast nulls $castN of $n")
     assert(tsN > 0 && tsN < n, s"ts nulls $tsN of $n")
     val expectedOver = Tables.load(spark, sf, "lineitem")
-      .filter(col("l_orderkey") >= 2).count()
+      .filter(col("l_orderkey") % 777 === 0 && col("l_orderkey") >= 2).count()
     assert(overN == expectedOver && overN > 0, s"overflow nulls $overN vs $expectedOver")
+    assert(overN < n, s"overflow must also succeed somewhere: $overN of $n")
     rows.foreach(r => assert(!r.isNullAt(3) && r.getDouble(3) > 0, "sum_div"))
   }
 
