@@ -322,6 +322,10 @@ object SparkEntry {
     // bit-reproducible under any partitioning, 10 Pregel iterations
     "x75_pagerank" -> ((s, d) =>
       graft.operators.PageRank.topRanks(Tables.load(s, d, "lineitem"))),
+    // exact top-10 token frequencies + Count-Min estimates: the frequency
+    // sketch completing x27's family; est >= exact is deterministic
+    "x76_heavy_hitters" -> ((s, d) =>
+      graft.operators.Sketch.heavyHitters(Tables.load(s, d, "documents"))),
     // deterministic concat-and-chunk packing into 256-token sequences,
     // sharded per (source, doc_id % 4) so window partitions stay bounded
     "x38_sequence_packing" -> ((s, d) =>
@@ -697,6 +701,16 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // ten unrolled integer fixed-point iterations — exact, not approximate
     "x75_pagerank" -> PageRankOracle,
+    // exact counts replayed; the CMS bound booleans are constants under
+    // the 100-eps slack (the x27 invariant-boolean pattern)
+    "x76_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '')) AS token
+        |  FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS c_exact, true AS cms_ok
+        |FROM toks GROUP BY token
+        |ORDER BY c_exact DESC, token LIMIT 10""".stripMargin,
     "x5_dedup_simhash" ->
       (SimhashOracleCte +
         s"""

@@ -71,4 +71,49 @@ object Sketch {
         within(col("_p50_approx"), col("p50_exact"), 0.10, 8.0).as("p50_sketch_ok"))
       .orderBy("source")
   }
+
+  /** x76: HEAVY HITTERS — exact top-`k` token frequencies next to their
+    * Count-Min sketch estimates, completing the sketch family (x27 pins
+    * distinct-count + quantile sketches; this pins the frequency
+    * sketch). The CMS is the fixed-memory streaming path (depth·width
+    * counters regardless of vocabulary — at 100 TB the exact token
+    * aggregate shuffles the whole vocabulary, the sketch ships ~KBs and
+    * merges associatively); the exact aggregate is the truth the
+    * invariant booleans pin: a CMS NEVER under-counts (`est >= exact`
+    * deterministically — the sketch only adds collisions) and with
+    * eps = 10^-4 the over-count stays inside a 100·eps·N slack
+    * (probability of violating that margin across depth-5 rows is
+    * ~(100e)^-5 per token — astronomically safe as a gate, unlike the
+    * 1-delta single-eps bound, which flips ~1% of rows by design). The
+    * sketch query is a documented 1-row driver probe (the q29/x8 class):
+    * Spark exposes the CMS as an opaque binary aggregate with no SQL
+    * read side, so the top-k estimates are read once from the collected
+    * sketch and rejoined as a broadcast literal relation.
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("c_exact"))
+    val total = toks.count()
+    val top = exact.orderBy(col("c_exact").desc, col("token")).limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // ONE collected row: the serialized sketch (eps=1e-4, conf=0.99 ->
+    // width 27183 x depth 5 counters, fixed memory at any corpus size)
+    val skBytes = toks
+      .agg(expr("count_min_sketch(token, CAST(0.0001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)")
+        .as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val slack = math.max(1L, (100.0 * 0.0001 * total).toLong)
+    top.map { case (tok, cExact) =>
+      val est = sketch.estimateCount(
+        org.apache.spark.unsafe.types.UTF8String.fromString(tok).getBytes)
+      (tok, cExact, est >= cExact && est <= cExact + slack)
+    }.toSeq.toDF("token", "c_exact", "cms_ok")
+      .orderBy(col("c_exact").desc, col("token"))
+  }
 }
