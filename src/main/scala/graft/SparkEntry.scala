@@ -326,6 +326,10 @@ object SparkEntry {
     // sketch completing x27's family; est >= exact is deterministic
     "x76_heavy_hitters" -> ((s, d) =>
       graft.operators.Sketch.heavyHitters(Tables.load(s, d, "documents"))),
+    // parse_url component extraction over in-plan derived URLs, rolled up
+    // per host — the per-domain quota view of a web-corpus ingest
+    "x77_url_parse" -> ((s, d) =>
+      TextAnalysis.urlParse(Tables.load(s, d, "documents"))),
     // deterministic concat-and-chunk packing into 256-token sequences,
     // sharded per (source, doc_id % 4) so window partitions stay bounded
     "x38_sequence_packing" -> ((s, d) =>
@@ -701,6 +705,22 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // ten unrolled integer fixed-point iterations — exact, not approximate
     "x75_pagerank" -> PageRankOracle,
+    // components rebuilt by CONSTRUCTION: what the URL builder put in is
+    // exactly what parse_url must extract back out
+    "x77_url_parse" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'w' || CAST(doc_id % 50 AS VARCHAR) || '.example' ||
+        |      (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '.com'
+        |        WHEN 1 THEN '.org' ELSE '.net' END) AS host,
+        |    '/p/' || CAST(doc_id AS VARCHAR) AS path,
+        |    regexp_replace(substring(text, 1, 8), '[^a-z]', '', 'g') AS q_param
+        |  FROM documents)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS min_doc,
+        |       CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+        |       CAST(max(length(q_param)) AS INT) AS max_q_len
+        |FROM u GROUP BY host ORDER BY host""".stripMargin,
     // exact counts replayed; the CMS bound booleans are constants under
     // the 100-eps slack (the x27 invariant-boolean pattern)
     "x76_heavy_hitters" ->

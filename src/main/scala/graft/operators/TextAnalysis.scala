@@ -311,6 +311,37 @@ object TextAnalysis {
       .select(col("token"), col("c_a"), col("c_b"), col("fa"), col("fb"), col("drift"))
   }
 
+  /** x77: URL parsing — the component extraction a web-corpus ingest
+    * runs on every record (host for per-domain quotas and robots
+    * policy, path/query for dedup keys and tracking-param stripping).
+    * The fixture carries no URLs, so each doc derives one in-plan
+    * (host from doc_id mod classes, a query param from its own text —
+    * both engines build the identical string), then Spark's `parse_url`
+    * extracts HOST / PATH / QUERY / the named parameter, and the rows
+    * aggregate per host: the per-domain quota view. The oracle rebuilds
+    * the components by CONSTRUCTION — what the builder put in is
+    * exactly what parse_url must get back out — so a parser that
+    * mangles any component fails the hash. Pure projection + one
+    * aggregate; parse_url is codegen'd, no UDF.
+    */
+  def urlParse(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("tld", expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '.com' " +
+        "WHEN 1 THEN '.org' ELSE '.net' END"))
+      .withColumn("qtok", expr("regexp_replace(substring(text, 1, 8), '[^a-z]', '')"))
+      .withColumn("url", expr("concat('https://w', CAST(doc_id % 50 AS STRING), " +
+        "'.example', tld, '/p/', CAST(doc_id AS STRING), '?q=', qtok)"))
+      .select(col("doc_id"), col("url"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY', 'q')").as("q_param"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"),
+        countDistinct(col("path")).as("n_paths"),
+        max(length(col("q_param"))).as("max_q_len"))
+      .orderBy("host")
+
   /** Driver-oracle form of [[compressionProfile]]: the zlib ratio VALUES
     * are engine-internal (they depend on the JVM's deflate), but the
     * per-source doc counts and the bound/ordering invariants of the ratios
