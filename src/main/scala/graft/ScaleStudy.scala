@@ -66,7 +66,7 @@ object ScaleStudy {
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
     // optional section selection (builder-side iteration: re-run ONE
     // study without paying for the full sweep): sections are
-    // pairs / incremental / ann / annocc / x54 / simdedup / stream;
+    // pairs / incremental / ann / annocc / x54 / pagerank / simdedup / stream;
     // no args = the full sweep (what BASELINE.md records)
     val only = args.toSet
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
@@ -355,6 +355,30 @@ object ScaleStudy {
     // sublinearly in k by construction — the claim under test is NOT
     // hit linearity but wall flatness: per-micro-batch state-store fixed
     // cost (batch count held at FeedFiles) dominates while docs grow
+    // x75 PageRank scale: the co-purchase edge relation grows LINEARLY
+    // with orders (Σ C(lines-per-order, 2) — bounded by order width),
+    // iterations are fixed at 10, so wall must stay near-linear; the
+    // synthetic replicas shift orderkeys/partkeys into disjoint ranges,
+    // so replica graphs are disconnected copies (node/edge counts scale
+    // exactly k×, rank distribution identical per copy).
+    if (want("pagerank")) {
+      val li0 = Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val maxOk = li0.agg(max(col("l_orderkey"))).head.getLong(0) + 1
+      val maxPk = li0.agg(max(col("l_partkey"))).head.getLong(0) + 1
+      graft.operators.PageRank.topRanks(li0).count() // untimed warmup
+      for (k <- Seq(1, 3, 10)) {
+        val scaled = (0 until k).map { r =>
+          li0.select((col("l_orderkey") + lit(r * maxOk)).as("l_orderkey"),
+            (col("l_partkey") + lit(r * maxPk)).as("l_partkey"))
+        }.reduce(_ unionByName _).localCheckpoint()
+        val nEdges = graft.operators.PageRank.coPurchaseEdges(scaled).count()
+        val t0 = System.nanoTime()
+        val n = graft.operators.PageRank.topRanks(scaled).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"pagerank","scale":$k,"edges":$nEdges,"topk":$n,"sec":$sec%.2f}""")
+      }
+    }
     // 10×, and per-band-bucket occupancy stays ~corpus/65536.
     if (want("simdedup")) for (k <- Seq(1, 3, 10)) {
       val dirKPath = java.nio.file.Files.createTempDirectory("graft_scale_simdedup")
