@@ -66,8 +66,8 @@ object ScaleStudy {
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
     // optional section selection (builder-side iteration: re-run ONE
     // study without paying for the full sweep): sections are
-    // pairs / incremental / ann / annocc / x54 / pagerank / simdedup / stream;
-    // no args = the full sweep (what BASELINE.md records)
+    // pairs / incremental / ann / annocc / x54 / pagerank / simdedup /
+    // stream / trigram; no args = the full sweep (what BASELINE.md records)
     val only = args.toSet
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
     // untimed warmup: codegen + JIT of the LSH plan, so the scale-1 row
@@ -355,6 +355,51 @@ object ScaleStudy {
     // sublinearly in k by construction — the claim under test is NOT
     // hit linearity but wall flatness: per-micro-batch state-store fixed
     // cost (batch count held at FeedFiles) dominates while docs grow
+    // 10×, and per-band-bucket occupancy stays ~corpus/65536.
+    if (want("simdedup")) for (k <- Seq(1, 3, 10)) {
+      val dirKPath = java.nio.file.Files.createTempDirectory("graft_scale_simdedup")
+      val dirK = dirKPath.toString
+      try {
+        expand(Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text")), k)
+          .write.mode("overwrite").parquet(s"$dirK/documents.parquet")
+        val nDocs = spark.read.parquet(s"$dirK/documents.parquet").count()
+        val t0 = System.nanoTime()
+        val hits = graft.queries.StreamingQueries.streamingSimhashDedup(spark, dirK).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"stream_simhash_dedup","scale":$k,"docs":$nDocs,"hits":$hits,"wall_sec":$sec%.2f}""")
+      } finally graft.sources.LayoutCache.deleteTree(dirKPath)
+    }
+    // x66 trigram novelty rides the disjoint-alphabet replicas: rotation
+    // maps letter trigrams into per-replica-disjoint spaces (only
+    // punct/space trigrams stay shared), so the DISTINCT-trigram table —
+    // the thing the old broadcast form shipped to every executor — grows
+    // ~k× with the corpus. The claims under test: distinct trigrams grow
+    // near-linearly (documenting why the table must never broadcast),
+    // occurrences grow exactly k×, and wall stays near-linear under the
+    // reused-exchange sort-merge plan (one tri exchange feeding both the
+    // freq aggregate and the probe).
+    if (want("trigram")) {
+      graft.operators.TextAnalysis.charTrigramNovelty(docs)
+        .agg(count(lit(1))).head() // untimed codegen/JIT warmup
+      for (k <- Seq(1, 3, 10)) {
+        val corpus = expand(docs, k).localCheckpoint()
+        val nDocs = corpus.count()
+        // the would-be broadcast payload, measured (untimed — it is a
+        // diagnostic of table growth, not part of the operator)
+        val nDistinct = corpus.select(lower(col("text")).as("tx"))
+          .select(explode(expr(
+            "case when length(tx) >= 3 then transform(sequence(1, length(tx) - 2), " +
+              "i -> substring(tx, i, 3)) else array() end")).as("tri"))
+          .distinct().count()
+        val t0 = System.nanoTime()
+        val agg = graft.operators.TextAnalysis.charTrigramNovelty(corpus)
+          .agg(count(lit(1)).as("docs"), sum(col("n_tri")).as("occ"),
+            sum(col("n_rare")).as("rare")).head()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"trigram_novelty","scale":$k,"docs":${agg.getLong(0)},"distinct_tris":$nDistinct,"occurrences":${agg.getLong(1)},"rare":${agg.getLong(2)},"sec":$sec%.2f}""")
+        assert(agg.getLong(0) == nDocs)
+      }
+    }
     // x75 PageRank scale: the co-purchase edge relation grows LINEARLY
     // with orders (Σ C(lines-per-order, 2) — bounded by order width),
     // iterations are fixed at 10, so wall must stay near-linear; the
@@ -378,20 +423,6 @@ object ScaleStudy {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"op":"pagerank","scale":$k,"edges":$nEdges,"topk":$n,"sec":$sec%.2f}""")
       }
-    }
-    // 10×, and per-band-bucket occupancy stays ~corpus/65536.
-    if (want("simdedup")) for (k <- Seq(1, 3, 10)) {
-      val dirKPath = java.nio.file.Files.createTempDirectory("graft_scale_simdedup")
-      val dirK = dirKPath.toString
-      try {
-        expand(Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text")), k)
-          .write.mode("overwrite").parquet(s"$dirK/documents.parquet")
-        val nDocs = spark.read.parquet(s"$dirK/documents.parquet").count()
-        val t0 = System.nanoTime()
-        val hits = graft.queries.StreamingQueries.streamingSimhashDedup(spark, dirK).count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        println(f"""{"op":"stream_simhash_dedup","scale":$k,"docs":$nDocs,"hits":$hits,"wall_sec":$sec%.2f}""")
-      } finally graft.sources.LayoutCache.deleteTree(dirKPath)
     }
     // Streaming scale: the SHIPPED x39 stream-stream interval join
     // replayed at 1×/3×/10× the click/purchase feed. Replicas live on

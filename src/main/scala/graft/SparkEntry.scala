@@ -368,6 +368,11 @@ object SparkEntry {
     // as pure columnar byte expressions over planted real-format headers
     "x60_media_sniff" -> ((s, d) =>
       graft.operators.Multimodal.sniffMedia(Tables.load(s, d, "documents"))),
+    // JPEG SOF-marker walk over a planted real-structure JPEG corpus
+    // (variable-length segment chain, baseline+progressive frames, a
+    // truncated-blob NULL share); the oracle replays the plant formulas
+    "x78_jpeg_dims" -> ((s, d) =>
+      graft.operators.Multimodal.jpegDims(Tables.load(s, d, "documents"))),
     // perceptual-hash (aHash) image dedup over binary payloads: fused
     // codegen thumbnail-mean fingerprint + banded Hamming pairs over a
     // planted perturbed-twin corpus — integer-exact, replayed in SQL
@@ -1289,8 +1294,9 @@ object SparkEntry {
         |  JOIN md USING (c_mktsegment)
         |ORDER BY c_mktsegment""".stripMargin,
     // the map never exists in the oracle — it replays the ENTRY-ARRAY
-    // contract directly (sorted lists of (key, value) structs), which is
-    // exactly what the engine ships after map_entries
+    // contract directly (sorted lists of (key, value) structs) and ships
+    // them as to_json VARCHAR, byte-identical to Spark's to_json over
+    // map_entries (both emit compact [{"key":…,"value":…}], [] empty)
     "q44_map_funcs" ->
       """WITH pc AS (
         |  SELECT o_custkey, o_orderpriority AS k, CAST(count(*) AS BIGINT) AS c
@@ -1298,9 +1304,11 @@ object SparkEntry {
         |SELECT o_custkey,
         |  CAST(count(*) AS INT) AS n_prios,
         |  max(CASE WHEN k = '1-URGENT' THEN c END) AS n_urgent,
-        |  coalesce(list(struct_pack(key := k, value := c) ORDER BY k) FILTER (WHERE c >= 2),
-        |           CAST([] AS STRUCT(key VARCHAR, value BIGINT)[])) AS repeat_entries,
-        |  list(struct_pack(key := k, value := c*10 + length(k)) ORDER BY k) AS scored_entries,
+        |  CAST(to_json(coalesce(
+        |    list(struct_pack(key := k, value := c) ORDER BY k) FILTER (WHERE c >= 2),
+        |    CAST([] AS STRUCT(key VARCHAR, value BIGINT)[]))) AS VARCHAR) AS repeat_entries,
+        |  CAST(to_json(list(struct_pack(key := k, value := c*10 + length(k)) ORDER BY k))
+        |    AS VARCHAR) AS scored_entries,
         |  CAST(sum(c) AS BIGINT) AS n_orders
         |FROM pc GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // FILTER replayed natively (DuckDB spells every/any as
@@ -2229,6 +2237,17 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(16 + (doc_id * 7) % 509 AS bigint) END AS height,
         |  CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + (doc_id % 8) * 4000 AS bigint) END AS sample_rate,
         |  CASE WHEN doc_id % 3 = 2 THEN CAST(1 + doc_id % 2 AS bigint) END AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // byte accounting: SOI(2) + APP0(18) + COM hdr(4) + COM body +
+    // SOF(19) + text bytes + EOI(2) = 45 + com + text; truncated ids
+    // keep exactly SOI+APP0 = 20 bytes and parse to NULL dims
+    "x78_jpeg_dims" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN 20
+        |       ELSE 45 + LEAST(doc_id % 40, octet_length(encode(text)))
+        |            + octet_length(encode(text)) END AS bigint) AS n_bytes,
+        |  CASE WHEN doc_id % 7 <> 3 THEN CAST(100 + (doc_id * 31) % 64000 AS bigint) END AS width,
+        |  CASE WHEN doc_id % 7 <> 3 THEN CAST(8 + (doc_id * 7) % 60000 AS bigint) END AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the shuffle hash is plain integer arithmetic (% == pmod on the
     // fixture's non-negative ids — the x23/x30 precedent), so the oracle

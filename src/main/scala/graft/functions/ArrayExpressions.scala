@@ -825,6 +825,77 @@ object ArrayExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** JPEG dimension extraction via a real SOF-marker segment walk — the
+    * genuine codec path of the multimodal family (PNG/BMP/WAV headers sit
+    * at fixed offsets; JPEG's frame header floats behind a variable-length
+    * segment chain, so parsing it REQUIRES walking the container format:
+    * SOI, then per segment `FF` + marker + big-endian u16 length, skipping
+    * fill bytes and length-less standalone markers (TEM, RST0-7), until a
+    * start-of-frame marker — any SOF0-15 except the DHT/JPG/DAC holes
+    * C4/C8/CC — whose payload carries precision(1), height(2 BE),
+    * width(2 BE). Returns NULL (never throws) on non-JPEG magic,
+    * truncation mid-walk, a corrupt segment chain, or SOS/EOI reached
+    * before any SOF — the wrong-format-safe contract a billion-blob
+    * ingest needs. Entropy-coded scan payloads are never touched: the
+    * walk ends at the SOF, bytes after it are irrelevant.
+    */
+  case class JpegSofDim(child: Expression, isWidth: Boolean)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = if (isWidth) "jpeg_width" else "jpeg_height"
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case BinaryType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a binary argument, got ${other.simpleString}")
+      }
+
+    /** The walk; -1 encodes SQL NULL (dimensions are u16, never negative). */
+    def compute(b: Array[Byte]): Long = {
+      val n = b.length
+      @inline def u8(i: Int): Int = b(i) & 0xFF
+      if (n < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return -1L
+      var pos = 2
+      while (pos + 1 < n) {
+        if (u8(pos) != 0xFF) return -1L // lost sync: not a marker boundary
+        // fill bytes: any number of 0xFF may pad before the marker code
+        var m = u8(pos + 1)
+        while (m == 0xFF && pos + 2 < n) { pos += 1; m = u8(pos + 1) }
+        if (m == 0xFF) return -1L // truncated inside padding
+        if (m == 0x01 || (m >= 0xD0 && m <= 0xD7) || m == 0xD8) pos += 2 // standalone
+        else if (m == 0xD9 || m == 0xDA) return -1L // EOI/SOS before any SOF
+        else {
+          if (pos + 3 >= n) return -1L
+          val segLen = (u8(pos + 2) << 8) | u8(pos + 3)
+          if (segLen < 2) return -1L
+          if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+            if (segLen < 7 || pos + 8 >= n) return -1L // SOF too short for dims
+            return if (isWidth) ((u8(pos + 7) << 8) | u8(pos + 8)).toLong
+            else ((u8(pos + 5) << 8) | u8(pos + 6)).toLong
+          }
+          pos += 2 + segLen
+        }
+      }
+      -1L
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val r = compute(input.asInstanceOf[Array[Byte]])
+      if (r < 0L) null else java.lang.Long.valueOf(r)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("jpegSof", this, classOf[JpegSofDim].getName)
+      nullSafeCodeGen(ctx, ev, c => s"""
+        long r = $self.compute($c);
+        if (r < 0L) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+      """)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Shared deterministic coefficient scheme for MinHash permutations. */
   object MinHash {
     /** 2^31−1 (Mersenne prime): a·h+b stays within Long under ANSI. */
@@ -841,7 +912,21 @@ object ArrayExpressions {
     */
   private def intArg(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
 
-  private def strArg(e: Expression): String = e.eval().toString
+  private def strArg(e: Expression, funcName: String, paramName: String): String = {
+    // fail at analysis with Spark's standard readable errors, not an
+    // opaque eval NPE/ClassCastException from a column ref or NULL
+    if (!e.foldable)
+      throw new org.apache.spark.sql.AnalysisException(
+        "NON_FOLDABLE_ARGUMENT",
+        Map("funcName" -> ("`" + funcName + "`"), "paramName" -> ("`" + paramName + "`"),
+          "paramType" -> "\"STRING\""))
+    val v = e.eval()
+    if (v == null)
+      throw new org.apache.spark.sql.AnalysisException(
+        "INVALID_PARAMETER_VALUE.NULL",
+        Map("parameter" -> ("`" + paramName + "`"), "functionName" -> ("`" + funcName + "`")))
+    v.toString
+  }
 
   /** The ONE list of (name, implementing class, builder) triples — both
     * registration paths ([[register]] temp functions and
@@ -897,9 +982,13 @@ object ArrayExpressions {
     entry("char_diversity", classOf[CharDiversity].getName, 1)(
       es => CharDiversity(es.head)),
     entry("unicode_normalize", classOf[UnicodeNormalize].getName, 2)(
-      es => UnicodeNormalize(es.head, strArg(es(1)))),
+      es => UnicodeNormalize(es.head, strArg(es(1), "unicode_normalize", "form"))),
     entry("strip_accents", classOf[StripAccents].getName, 1)(
-      es => StripAccents(es.head)))
+      es => StripAccents(es.head)),
+    entry("jpeg_width", classOf[JpegSofDim].getName, 1)(
+      es => JpegSofDim(es.head, isWidth = true)),
+    entry("jpeg_height", classOf[JpegSofDim].getName, 1)(
+      es => JpegSofDim(es.head, isWidth = false)))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -919,6 +1008,10 @@ object ArrayExpressions {
 
   def minhashSignature(hashes: Column, numPerms: Int): Column =
     call_function("minhash_signature", hashes, org.apache.spark.sql.functions.lit(numPerms))
+
+  def jpegWidth(payload: Column): Column = call_function("jpeg_width", payload)
+
+  def jpegHeight(payload: Column): Column = call_function("jpeg_height", payload)
 
   def shingleHashesSorted(text: Column, n: Int): Column =
     call_function("shingle_hashes_sorted", text, org.apache.spark.sql.functions.lit(n))

@@ -228,6 +228,58 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** 16-bit big-endian byte encoding (JPEG's u16 layout). */
+  private def be16(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
+
+  /** x78 corpus: each document re-framed as a REAL JPEG container —
+    * SOI, a byte-exact JFIF APP0 segment, a COM segment whose length
+    * varies with doc_id (so the SOF is NOT at a fixed offset and the
+    * parser must genuinely walk the segment chain), then a fully-formed
+    * SOF0 (even ids) or progressive SOF2 (odd ids) frame header carrying
+    * planted u16 dimensions and a standard 3-component YCbCr layout, the
+    * text bytes as stand-in entropy payload, and EOI. Every 7th doc
+    * (id%7==3) is truncated to its first 20 bytes — SOI+APP0 exactly,
+    * the chain cut before any SOF — so the NULL contract of a real
+    * dirty-blob ingest rides the driver gate too. Scan realism beyond
+    * the walked region (DHT/DQT/SOS entropy coding) is the documented
+    * stub boundary, exactly like x60's CRC-less PNG.
+    */
+  private[graft] def plantedJpegCorpus(docs: DataFrame): DataFrame = {
+    val w = (lit(100) + (col("doc_id") * 31) % 64000).cast("int")
+    val h = (lit(8) + (col("doc_id") * 7) % 60000).cast("int")
+    val body = encode(col("text"), "UTF-8")
+    val com = body.substr(lit(1), (col("doc_id") % 40).cast("int"))
+    val jpeg = concat(
+      unhex(lit("FFD8")), // SOI
+      unhex(lit("FFE000104A46494600010100004800480000")), // APP0: JFIF 1.1, 72 dpi
+      unhex(lit("FFFE")), be16(length(com) + 2), com, // COM, variable length
+      when(col("doc_id") % 2 === 0, unhex(lit("FFC0"))).otherwise(unhex(lit("FFC2"))),
+      unhex(lit("0011")), unhex(lit("08")), be16(h), be16(w), // len 17, 8-bit, dims
+      unhex(lit("03012200021101031101")), // 3 components, 4:2:0 YCbCr
+      body, unhex(lit("FFD9"))) // payload + EOI
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 7 === 3, jpeg.substr(lit(1), lit(20))).otherwise(jpeg).as("payload"))
+  }
+
+  /** x78: JPEG dimensions via the [[graft.functions.ArrayExpressions
+    * .JpegSofDim]] SOF-marker walk — the dominant web-image format's
+    * genuine codec path, as a whole-stage-codegen byte kernel (no UDF,
+    * no image library). The oracle recomputes width/height/byte-count
+    * from the plant formulas, so a walk that mis-skipped one segment,
+    * read the wrong endianness, or failed the truncation NULL contract
+    * hash-mismatches; ExpressionsSpec pins the parser against bytes from
+    * a REAL encoder (`javax.imageio` output parsed exactly).
+    */
+  def jpegDims(docs: DataFrame): DataFrame = {
+    graft.functions.ArrayExpressions.register(docs.sparkSession)
+    plantedJpegCorpus(docs)
+      .select(col("doc_id"),
+        length(col("payload")).cast("bigint").as("n_bytes"),
+        graft.functions.ArrayExpressions.jpegWidth(col("payload")).as("width"),
+        graft.functions.ArrayExpressions.jpegHeight(col("payload")).as("height"))
+      .orderBy("doc_id")
+  }
+
   /** Metadata-only pass (no decode): byte length + content hash per blob —
     * pure columnar, oracle-checkable.
     */

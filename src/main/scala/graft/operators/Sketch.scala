@@ -97,15 +97,20 @@ object Sketch {
       .select(explode(split(lower(col("text")), "\\s+")).as("token"))
       .filter(col("token") =!= "")
     val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("c_exact"))
-    val total = toks.count()
     val top = exact.orderBy(col("c_exact").desc, col("token")).limit(k)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    // ONE collected row: the serialized sketch (eps=1e-4, conf=0.99 ->
+    // ONE collected row carrying BOTH corpus-wide aggregates — the total
+    // token count and the serialized sketch (eps=1e-4, conf=0.99 ->
     // width 27183 x depth 5 counters, fixed memory at any corpus size)
-    val skBytes = toks
-      .agg(expr("count_min_sketch(token, CAST(0.0001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)")
-        .as("sk"))
-      .head().getAs[Array[Byte]](0)
+    // ride the same scan+explode: two jobs over the corpus in all (this
+    // fused pass + the exact top-k shuffle), not one per aggregate
+    val row = toks
+      .agg(count(lit(1)).as("total"),
+        expr("count_min_sketch(token, CAST(0.0001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)")
+          .as("sk"))
+      .head()
+    val total = row.getLong(0)
+    val skBytes = row.getAs[Array[Byte]](1)
     val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(skBytes))
     val slack = math.max(1L, (100.0 * 0.0001 * total).toLong)

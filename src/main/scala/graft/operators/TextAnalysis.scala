@@ -609,23 +609,41 @@ object TextAnalysis {
     * on the high-frequency head). Integer-exact end to end, `rare_frac`
     * unrounded (the q32/x55 class).
     *
-    * Scale shape — the deliberate CONTRAST to x37's join-back: the
-    * trigram frequency table is bounded by |alphabet|³ — a
-    * data-INdependent bound that holds at any corpus size — so
-    * broadcasting it is safe BY CONSTRUCTION, where x37's token-gram
-    * space grows with the corpus and must stay sort-merge. Cost: one
-    * map-side-combined exchange to build the (tiny) table, a broadcast
-    * join that never shuffles the exploded occurrence stream, and one
-    * doc_id aggregate.
+    * Scale shape — x37's reused-exchange join-back, NOT a broadcast.
+    * The earlier broadcast form argued the freq table is bounded by
+    * |alphabet|³, but that bound is only data-independent for a fixed
+    * small alphabet: a multilingual web corpus observes tens of
+    * thousands of codepoints, and its distinct-trigram table reaches
+    * 10⁸⁺ rows — a driver/executor OOM, the q29-class scale killer.
+    * Instead, ONE scan+explode feeds both branches: the occurrence
+    * relation is explicitly repartitioned on `tri`, the freq aggregate
+    * deliberately consumes `doc_id` (a dropped `max`) so ColumnPruning
+    * cannot diverge the two subtrees and ReuseExchange runs the explode
+    * ONCE, and the freq side joins back under a `merge` hint (tri→n is
+    * data-dependent corpus-scale — no AQE-fits-the-fixture broadcast).
+    * Cost: one tri exchange (reused), one sort-merge join that is
+    * already co-partitioned, one doc_id aggregate.
     */
   def charTrigramNovelty(docs: DataFrame, rareMax: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
     val tris = docs
       .select(col("doc_id"), lower(col("text")).as("tx"))
       .select(col("doc_id"), explode(expr(
         "case when length(tx) >= 3 then transform(sequence(1, length(tx) - 2), " +
           "i -> substring(tx, i, 3)) else array() end")).as("tri"))
-    val freq = tris.groupBy(col("tri")).agg(count(lit(1)).as("n"))
-    tris.join(broadcast(freq), "tri")
+      .repartition(spark.sparkContext.defaultParallelism, col("tri"))
+    // occurrence count per trigram; max(doc_id) is consumed-then-dropped
+    // purely so this branch's subtree stays canonically identical to the
+    // probe side below the exchange (the boilerplateRemove trick). The
+    // `_mx.isNotNull` filter is a tautology (doc_id is the table PK,
+    // never null, and every group has >= 1 row) whose only job is to
+    // keep max(doc_id) ALIVE through ColumnPruning — an unreferenced
+    // aggregate gets eliminated, which prunes doc_id from this branch
+    // and breaks the exchange reuse.
+    val freq = tris.groupBy(col("tri"))
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("_mx"))
+      .filter(col("_mx").isNotNull).select(col("tri"), col("n"))
+    tris.join(freq.hint("merge"), "tri")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tri"),
         sum(when(col("n") < rareMax, 1L).otherwise(0L)).as("n_rare"))

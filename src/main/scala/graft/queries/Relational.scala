@@ -907,10 +907,14 @@ object Relational {
     * (`try_element_at` — the null-on-missing form; plain `element_at`
     * THROWS under ANSI), and transform with the map higher-order
     * functions (`map_filter`, `transform_values`, `aggregate` over
-    * `map_values`). Maps leave the query as SORTED entry arrays: map
-    * column equality is order-sensitive in parquet while map semantics
-    * are not, so entries-sorted-by-key is the only hashable contract an
-    * engine-independent oracle can pin. Two exchanges by construction
+    * `map_values`). Maps leave the query as `to_json` STRINGS of sorted
+    * entry arrays: map column equality is order-sensitive in parquet
+    * while map semantics are not, so entries-sorted-by-key is the only
+    * engine-independent contract — and the driver's canonicalizer can
+    * only sort/hash atomic columns, so the sorted arrays must cross the
+    * wire serialized (the q39 JSON convention; both Spark and DuckDB
+    * emit the same compact `[{"key":…,"value":…}]`, `[]` when empty).
+    * Two exchanges by construction
     * (custkey×priority partial counts, then per-custkey map assembly),
     * both map-side combined; per-map state is bounded by the 5-value
     * priority domain.
@@ -925,8 +929,8 @@ object Relational {
       .select(col("o_custkey"),
         size(col("m")).as("n_prios"),
         expr("try_element_at(m, '1-URGENT')").as("n_urgent"),
-        expr("map_entries(map_filter(m, (k, v) -> v >= 2))").as("repeat_entries"),
-        expr("map_entries(transform_values(m, (k, v) -> v * 10 + length(k)))")
+        expr("to_json(map_entries(map_filter(m, (k, v) -> v >= 2)))").as("repeat_entries"),
+        expr("to_json(map_entries(transform_values(m, (k, v) -> v * 10 + length(k))))")
           .as("scored_entries"),
         expr("aggregate(map_values(m), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
           .as("n_orders"))

@@ -450,6 +450,43 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got(3L).getString(1) == "unknown" && got(3L).isNullAt(3) && got(3L).isNullAt(5))
   }
 
+  test("x78 jpeg dims: REAL javax.imageio-encoded bytes parse exactly; fill bytes walk; dirty blobs go NULL") {
+    // ground truth from a genuine encoder: the JDK's ImageIO writes a
+    // real JFIF JPEG (SOI, APP0, DQTs, SOF0, DHTs, SOS, entropy data,
+    // EOI) — if the segment walk mis-skipped ANY table segment or read
+    // the wrong endianness, these exact dims could not come back
+    val img = new java.awt.image.BufferedImage(
+      17, 23, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 17; y <- 0 until 23)
+      img.setRGB(x, y, (x * 31 + y * 7919) & 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos), "JDK JPEG writer unavailable")
+    val real = baos.toByteArray
+    def dim(b: Array[Byte], w: Boolean): Any =
+      ArrayExpressions.JpegSofDim(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(b,
+          org.apache.spark.sql.types.BinaryType), isWidth = w).eval(null)
+    assert(dim(real, w = true) == 17L, "width from real encoder bytes")
+    assert(dim(real, w = false) == 23L, "height from real encoder bytes")
+    // fill bytes: any run of 0xFF may pad before a marker (JPEG B.1.1.2)
+    val withFill = real.take(2) ++ Array.fill[Byte](3)(0xFF.toByte) ++ real.drop(2)
+    assert(dim(withFill, w = true) == 17L && dim(withFill, w = false) == 23L)
+    // NULL contract: truncation before any SOF, non-JPEG magic, SOS
+    // before SOF, a zero/corrupt segment length — never a throw
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    assert(dim(real.take(20), w = true) == null)
+    assert(dim("not a jpeg at all".getBytes("UTF-8"), w = true) == null)
+    assert(dim(bytes("FFD8FFDA0008000000000000"), w = true) == null)
+    assert(dim(bytes("FFD8FFE00000"), w = true) == null)
+    assert(dim(Array.empty[Byte], w = true) == null)
+    // SQL registration round-trips against the wrapper
+    ArrayExpressions.register(spark)
+    val hexLit = real.map("%02X".format(_)).mkString
+    val viaSql = spark.sql(s"SELECT jpeg_width(unhex('$hexLit')) AS w").collect()(0).getLong(0)
+    assert(viaSql == 17L)
+  }
+
   test("ahash64: strided thumbnail mean-threshold hash, hand-computed") {
     // bytes 0..63: sample i reads byte i; mean = 31.5, so bits set for
     // v > 31.5 (strict 64·v > Σ) — samples 32..63, packed MSB-first

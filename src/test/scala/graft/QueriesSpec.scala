@@ -15,9 +15,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query runs and is deterministic across two executions") {
+  test("every query runs, is deterministic across two executions, and ships only harness-hashable atomic columns") {
     for ((name, fn) <- SparkEntry.queries) {
-      val a = fn(spark, sf).collect()
+      val df = fn(spark, sf)
+      // The driver's pandas canonicalizer sorts every column before
+      // hashing; array/map/struct columns arrive as numpy arrays and die
+      // with 'unhashable type' (the q44 round-11 red). Nested results
+      // must cross the wire serialized (to_json — the q39/q44 contract).
+      val nested = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+          s"${f.name}: ${f.dataType.simpleString}"
+      }
+      assert(nested.isEmpty,
+        s"$name ships harness-unhashable nested column(s): ${nested.mkString(", ")}")
+      val a = df.collect()
       val b = fn(spark, sf).collect()
       assert(a.sameElements(b), s"$name not deterministic")
     }
@@ -510,6 +523,26 @@ class QueriesSpec extends AnyFunSuite {
       .filter(l => l.contains("Exchange hashpartitioning(gram") && !l.contains("Reused")).size
     assert(gramExchanges == 1, s"expected one reused gram exchange, plan:\n$finalPlan")
     assert(finalPlan.contains("ReusedExchange"), s"gram exchange not reused, plan:\n$finalPlan")
+  }
+
+  test("x66 plan: no data-dependent broadcast, SMJ join-back, one reused tri exchange") {
+    import graft.operators.TextAnalysis
+    // The trigram freq table is corpus-scale for a multilingual alphabet
+    // (10⁸⁺ distinct trigrams at web scale) — it must NEVER broadcast,
+    // and the scan+explode must feed both the freq aggregate and the
+    // probe side through ONE exchange (the x37 reused-exchange pattern).
+    val df = TextAnalysis.charTrigramNovelty(Tables.load(spark, sf, "documents"))
+    val initial = df.queryExecution.executedPlan.toString
+    assert(initial.contains("SortMergeJoin"),
+      s"x66 freq join-back must stay sort-merge:\n$initial")
+    assert(!initial.contains("BroadcastHashJoin"),
+      s"x66 must not broadcast the data-dependent trigram table:\n$initial")
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val triExchanges = finalPlan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(tri") && !l.contains("Reused")).size
+    assert(triExchanges == 1, s"expected one reused tri exchange, plan:\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange"), s"tri exchange not reused, plan:\n$finalPlan")
   }
 
   test("x61 streaming CDC apply equals the batch q30 merge row for row") {
@@ -1502,10 +1535,13 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.keySet == Set(1L, 2L), "a <3-char doc has no trigrams and must be absent")
     assert(rows(1L) == ((118L, 0L, 0.0)))
     assert(rows(2L) == ((2L, 2L, 1.0)))
-    // the trigram table side must be broadcast (bounded |alphabet|^3 key
-    // space — the deliberate contrast to x37's sort-merge join-back)
+    // the trigram table is data-dependent corpus-scale (a multilingual
+    // alphabet makes |alphabet|³ unbounded in practice) — it must NEVER
+    // broadcast; the reused-exchange SMJ shape is pinned in the
+    // dedicated x66 plan test above
     val plan = TextAnalysis.charTrigramNovelty(docs).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"freq table must broadcast:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"freq table must not broadcast (data-dependent at scale):\n$plan")
   }
 
   test("x63 trending: stream equals batch; every event lands in exactly 4 sliding windows") {

@@ -81,10 +81,21 @@ def main():
         # becomes float64 and hash-mismatches an engine bigint even when
         # fetchall() values are equal (the r5 x41/x42 failure). Compare
         # .df() dtypes too, so this replica is no weaker than the driver.
-        got_dt = {c: str(t) for c, t in
-                  con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df().dtypes.items()}
-        want_dt = {c: str(t) for c, t in con.sql(want_src).df().dtypes.items()}
+        got_df = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+        want_df = con.sql(want_src).df()
+        got_dt = {c: str(t) for c, t in got_df.dtypes.items()}
+        want_dt = {c: str(t) for c, t in want_df.dtypes.items()}
         dtype_ok = got_dt == want_dt
+        # The driver canonicalizes via pandas sort_values over ALL columns;
+        # nested (array-of-struct) columns raise TypeError there — the r11
+        # q44 red this replica's tuple-sort missed. Reproduce that exact
+        # step so a harness-unsortable output shape fails HERE first.
+        try:
+            got_df.sort_values(by=sorted(got_df.columns))
+            want_df.sort_values(by=sorted(want_df.columns))
+        except TypeError as e:
+            dtype_ok = False
+            print(f"  {name}: PANDAS-UNSORTABLE output ({e})")
         if not dtype_ok:
             print(f"  {name}: DTYPE MISMATCH " +
                   str({c: (got_dt.get(c), want_dt.get(c))
