@@ -896,6 +896,56 @@ object ArrayExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** SQL-side read access to a serialized Count-Min sketch:
+    * `cms_estimate(sketch_bytes, token)` returns the sketch's frequency
+    * estimate for the token — the read half Spark's own `count_min_sketch`
+    * aggregate lacks (it ships an opaque binary with no SQL accessor, so
+    * every consumer previously had to collect the sketch to the driver
+    * and probe it there). With this, the 1-row sketch relation joins back
+    * as a broadcast literal and the whole heavy-hitters pipeline stays in
+    * the plan. The deserialized sketch is memoized per expression instance
+    * keyed on the byte payload (each probed row arrives with its own copy
+    * of the broadcast bytes; an `Arrays.equals` check is a memcmp, ~100×
+    * cheaper than re-parsing the ~1 MB counter table per row).
+    */
+  case class CmsEstimate(sketch: Expression, item: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def left: Expression = sketch
+    override def right: Expression = item
+    override def dataType: DataType = LongType
+    override def prettyName: String = "cms_estimate"
+    override def checkInputDataTypes(): TypeCheckResult =
+      (sketch.dataType, item.dataType) match {
+        case (BinaryType, StringType) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (binary sketch, string item), got $other")
+      }
+
+    @transient private var memoBytes: Array[Byte] = _
+    @transient private var memoSketch: org.apache.spark.util.sketch.CountMinSketch = _
+
+    def compute(bytes: Array[Byte], tok: org.apache.spark.unsafe.types.UTF8String): Long = {
+      if (memoSketch == null || !java.util.Arrays.equals(memoBytes, bytes)) {
+        memoSketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+        memoBytes = bytes
+      }
+      memoSketch.estimateCount(tok.getBytes)
+    }
+
+    override def nullSafeEval(sk: Any, it: Any): Any =
+      compute(sk.asInstanceOf[Array[Byte]],
+        it.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("cmsEstimate", this, classOf[CmsEstimate].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $self.compute($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(sketch = l, item = r)
+  }
+
   /** Shared deterministic coefficient scheme for MinHash permutations. */
   object MinHash {
     /** 2^31−1 (Mersenne prime): a·h+b stays within Long under ANSI. */
@@ -988,7 +1038,9 @@ object ArrayExpressions {
     entry("jpeg_width", classOf[JpegSofDim].getName, 1)(
       es => JpegSofDim(es.head, isWidth = true)),
     entry("jpeg_height", classOf[JpegSofDim].getName, 1)(
-      es => JpegSofDim(es.head, isWidth = false)))
+      es => JpegSofDim(es.head, isWidth = false)),
+    entry("cms_estimate", classOf[CmsEstimate].getName, 2)(
+      es => CmsEstimate(es.head, es(1))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -1012,6 +1064,9 @@ object ArrayExpressions {
   def jpegWidth(payload: Column): Column = call_function("jpeg_width", payload)
 
   def jpegHeight(payload: Column): Column = call_function("jpeg_height", payload)
+
+  def cmsEstimate(sketch: Column, item: Column): Column =
+    call_function("cms_estimate", sketch, item)
 
   def shingleHashesSorted(text: Column, n: Int): Column =
     call_function("shingle_hashes_sorted", text, org.apache.spark.sql.functions.lit(n))

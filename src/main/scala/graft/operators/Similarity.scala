@@ -519,8 +519,8 @@ object Similarity {
     *    production embeddings the same plan recalls far higher, and the
     *    gate pins that it never silently degrades below the measured floor.
     *
-    * Both sides reduce to 1-row aggregates joined by broadcast — no driver
-    * action beyond ivfTopK's own documented dim probe.
+    * Both sides reduce to 1-row aggregates joined by broadcast — zero
+    * driver actions (ivfTopK's dominant-dim selection is in-plan too).
     */
   def ivfRecallGate(emb: DataFrame, nProbes: Int, k: Int, nprobe: Int = 5,
                     minRecall: Double = 0.4): DataFrame = {
@@ -558,15 +558,20 @@ object Similarity {
       .agg(graft.functions.ArrayExpressions.vectorSum(col("v")).as("s"),
         count(lit(1)).as("n"))
       .localCheckpoint() // tiny (labels × sizes rows); read twice below
-    val dim = sums.groupBy(col("sz")).agg(sum(col("n")).as("n"))
-      .orderBy(col("n").desc, col("sz"))
-      .head(1).headOption.map(_.getInt(0))
-      .getOrElse(throw new IllegalArgumentException("ivfTopK on an empty embeddings table"))
-    val centroids = sums.filter(col("sz") === dim)
+    // dominant dimensionality selected IN-PLAN: a 1-row relation joined
+    // back broadcast (round 11 still collected it to the driver and
+    // parameterized the filters with the literal — the last driver
+    // round-trip in the ANN family; an empty table now yields an empty
+    // result instead of a throw, the drop-don't-fail convention)
+    val domDim = sums.groupBy(col("sz")).agg(sum(col("n")).as("n"))
+      .orderBy(col("n").desc, col("sz")).limit(1)
+      .select(col("sz").as("dom_sz"))
+    val centroids = sums.join(broadcast(domDim), col("sz") === col("dom_sz"))
       .select(col("label").as("c_label"),
         expr("transform(s, x -> x / n)").as("centroid"))
     // drop-don't-fail: ragged vectors leave the probe/candidate sets too.
-    val withV = withV0.filter(size(col("v")) === dim)
+    val withV = withV0.join(broadcast(domDim), size(col("v")) === col("dom_sz"))
+      .drop("dom_sz")
     val probes = withV.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
     // nprobe nearest centroids per probe (tiny: nLabels × nProbes rows).

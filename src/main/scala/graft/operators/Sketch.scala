@@ -84,41 +84,35 @@ object Sketch {
     * eps = 10^-4 the over-count stays inside a 100·eps·N slack
     * (probability of violating that margin across depth-5 rows is
     * ~(100e)^-5 per token — astronomically safe as a gate, unlike the
-    * 1-delta single-eps bound, which flips ~1% of rows by design). The
-    * sketch query is a documented 1-row driver probe (the q29/x8 class):
-    * Spark exposes the CMS as an opaque binary aggregate with no SQL
-    * read side, so the top-k estimates are read once from the collected
-    * sketch and rejoined as a broadcast literal relation.
+    * 1-delta single-eps bound, which flips ~1% of rows by design).
+    * Fully in-plan, zero driver round-trips: Spark's `count_min_sketch`
+    * aggregate ships an opaque binary with no SQL read side, so the
+    * custom [[graft.functions.ArrayExpressions.CmsEstimate]] expression
+    * provides the read half — the 1-row (total, sketch) aggregate joins
+    * the top-k as a broadcast literal (the documented q29/x8 pattern)
+    * and the estimates are probed inside codegen. One scan feeds the
+    * exact token shuffle, one fused scan feeds both corpus-wide
+    * aggregates (eps=1e-4, conf=0.99 -> width 27183 x depth 5 counters,
+    * fixed memory at any corpus size).
     */
   def heavyHitters(docs: DataFrame, k: Int = 10): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+    graft.functions.ArrayExpressions.register(docs.sparkSession)
     val toks = docs
       .select(explode(split(lower(col("text")), "\\s+")).as("token"))
       .filter(col("token") =!= "")
-    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("c_exact"))
-    val top = exact.orderBy(col("c_exact").desc, col("token")).limit(k)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    // ONE collected row carrying BOTH corpus-wide aggregates — the total
-    // token count and the serialized sketch (eps=1e-4, conf=0.99 ->
-    // width 27183 x depth 5 counters, fixed memory at any corpus size)
-    // ride the same scan+explode: two jobs over the corpus in all (this
-    // fused pass + the exact top-k shuffle), not one per aggregate
-    val row = toks
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("c_exact"))
+      .orderBy(col("c_exact").desc, col("token")).limit(k)
+    val glob = toks
       .agg(count(lit(1)).as("total"),
         expr("count_min_sketch(token, CAST(0.0001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)")
           .as("sk"))
-      .head()
-    val total = row.getLong(0)
-    val skBytes = row.getAs[Array[Byte]](1)
-    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(skBytes))
-    val slack = math.max(1L, (100.0 * 0.0001 * total).toLong)
-    top.map { case (tok, cExact) =>
-      val est = sketch.estimateCount(
-        org.apache.spark.unsafe.types.UTF8String.fromString(tok).getBytes)
-      (tok, cExact, est >= cExact && est <= cExact + slack)
-    }.toSeq.toDF("token", "c_exact", "cms_ok")
+    top.crossJoin(broadcast(glob))
+      .withColumn("est", graft.functions.ArrayExpressions.cmsEstimate(col("sk"), col("token")))
+      .withColumn("slack",
+        greatest(lit(1L), floor(col("total") * lit(100.0 * 0.0001)).cast("long")))
+      .select(col("token"), col("c_exact"),
+        (col("est") >= col("c_exact") && col("est") <= col("c_exact") + col("slack"))
+          .as("cms_ok"))
       .orderBy(col("c_exact").desc, col("token"))
   }
 }

@@ -487,6 +487,32 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(viaSql == 17L)
   }
 
+  test("cms_estimate reads count_min_sketch output in-plan: exact on a collision-free corpus, never under-counts") {
+    import spark.implicits._
+    ArrayExpressions.register(spark)
+    // 3 distinct tokens, known multiplicities; at width 27183 x depth 5
+    // the chance of ANY pairwise collision among 3 tokens is ~1e-8 per
+    // row pair, and the seed is fixed — estimates are deterministically
+    // exact here, which pins offsets/endianness of the read path
+    val toks = (Seq.fill(7)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma")).toDF("token")
+    val sk = toks.agg(
+      org.apache.spark.sql.functions.expr(
+        "count_min_sketch(token, CAST(0.0001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)").as("sk"))
+    val got = toks.distinct()
+      .crossJoin(org.apache.spark.sql.functions.broadcast(sk))
+      .select(col("token"), ArrayExpressions.cmsEstimate(col("sk"), col("token")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("alpha" -> 7L, "beta" -> 3L, "gamma" -> 1L))
+    // a token never added: CMS may over-count but must not go negative
+    val unseen = sk.select(ArrayExpressions.cmsEstimate(col("sk"), lit("never-added")).as("e"))
+      .collect()(0).getLong(0)
+    assert(unseen >= 0L)
+    // SQL registration round-trips
+    val viaSql = toks.limit(1).crossJoin(sk)
+      .selectExpr("cms_estimate(sk, 'alpha') AS e").collect()(0).getLong(0)
+    assert(viaSql == 7L)
+  }
+
   test("ahash64: strided thumbnail mean-threshold hash, hand-computed") {
     // bytes 0..63: sample i reads byte i; mean = 31.5, so bits set for
     // v > 31.5 (strict 64·v > Σ) — samples 32..63, packed MSB-first
