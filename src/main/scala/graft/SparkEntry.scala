@@ -373,6 +373,11 @@ object SparkEntry {
     // truncated-blob NULL share); the oracle replays the plant formulas
     "x78_jpeg_dims" -> ((s, d) =>
       graft.operators.Multimodal.jpegDims(Tables.load(s, d, "documents"))),
+    // REAL codec round-trip: genuine PNG encode (JDK ImageIO, actual
+    // zlib+CRC) -> genuine decode -> exact per-channel pixel sums the
+    // oracle recomputes from the closed-form plant
+    "x79_real_decode" -> ((s, d) =>
+      graft.operators.Multimodal.realDecode(s, Tables.load(s, d, "documents"))),
     // perceptual-hash (aHash) image dedup over binary payloads: fused
     // codegen thumbnail-mean fingerprint + banded Hamming pairs over a
     // planted perturbed-twin corpus — integer-exact, replayed in SQL
@@ -2249,6 +2254,23 @@ object SparkEntry {
         |  CASE WHEN doc_id % 7 <> 3 THEN CAST(100 + (doc_id * 31) % 64000 AS bigint) END AS width,
         |  CASE WHEN doc_id % 7 <> 3 THEN CAST(8 + (doc_id * 7) % 60000 AS bigint) END AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // one row per planted pixel, channel values closed-form in
+    // (doc_id, x, y); PNG is lossless so the decoded sums must equal
+    // these exactly — png_real is the x8-class invariant boolean (a
+    // real PNG can never be <= 57 bytes)
+    "x79_real_decode" ->
+      """WITH px AS (
+        |  SELECT doc_id, x.x AS x, y.y AS y
+        |  FROM documents, generate_series(0, 15) AS x(x), generate_series(0, 8) AS y(y)
+        |  WHERE x.x < 4 + doc_id % 13 AND y.y < 3 + doc_id % 7)
+        |SELECT doc_id, true AS png_real,
+        |  CAST(4 + doc_id % 13 AS int) AS width,
+        |  CAST(3 + doc_id % 7 AS int) AS height,
+        |  CAST((4 + doc_id % 13) * (3 + doc_id % 7) AS bigint) AS n_px,
+        |  CAST(sum((3 * doc_id + x) % 256) AS bigint) AS sum_r,
+        |  CAST(sum((doc_id + 7 * y) % 256) AS bigint) AS sum_g,
+        |  CAST(sum((doc_id + x + 2 * y) % 256) AS bigint) AS sum_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the shuffle hash is plain integer arithmetic (% == pmod on the
     // fixture's non-negative ids — the x23/x30 precedent), so the oracle
     // reproduces the manifest row for row
