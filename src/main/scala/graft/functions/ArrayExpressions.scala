@@ -913,6 +913,9 @@ object ArrayExpressions {
     override def left: Expression = sketch
     override def right: Expression = item
     override def dataType: DataType = LongType
+    // NULL on bytes that are not a serialized sketch (never a throw) —
+    // the same wrong-format-safe posture as the media parsers
+    override def nullable: Boolean = true
     override def prettyName: String = "cms_estimate"
     override def checkInputDataTypes(): TypeCheckResult =
       (sketch.dataType, item.dataType) match {
@@ -924,22 +927,31 @@ object ArrayExpressions {
     @transient private var memoBytes: Array[Byte] = _
     @transient private var memoSketch: org.apache.spark.util.sketch.CountMinSketch = _
 
+    /** -1 encodes SQL NULL (a real estimate is a count, never negative). */
     def compute(bytes: Array[Byte], tok: org.apache.spark.unsafe.types.UTF8String): Long = {
       if (memoSketch == null || !java.util.Arrays.equals(memoBytes, bytes)) {
-        memoSketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-          new java.io.ByteArrayInputStream(bytes))
+        memoSketch =
+          try org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException | _: RuntimeException => null }
         memoBytes = bytes
+        if (memoSketch == null) return -1L
       }
       memoSketch.estimateCount(tok.getBytes)
     }
 
-    override def nullSafeEval(sk: Any, it: Any): Any =
-      compute(sk.asInstanceOf[Array[Byte]],
+    override def nullSafeEval(sk: Any, it: Any): Any = {
+      val r = compute(sk.asInstanceOf[Array[Byte]],
         it.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      if (r < 0L) null else java.lang.Long.valueOf(r)
+    }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val self = ctx.addReferenceObj("cmsEstimate", this, classOf[CmsEstimate].getName)
-      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $self.compute($a, $b);")
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        long r = $self.compute($a, $b);
+        if (r < 0L) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+      """)
     }
 
     override protected def withNewChildrenInternal(

@@ -513,6 +513,66 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(viaSql == 7L)
   }
 
+  test("jpeg_sof walk fuzz: arbitrary bytes never throw; planted SOF at random chain depth always parses") {
+    def dim(b: Array[Byte], w: Boolean): Any =
+      ArrayExpressions.JpegSofDim(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(b,
+          org.apache.spark.sql.types.BinaryType), isWidth = w).eval(null)
+    val rnd = new scala.util.Random(1234)
+    // adversarial garbage: random bytes, random lengths, half biased to a
+    // valid SOI prefix so the walk actually enters the segment loop
+    for (_ <- 1 to 3000) {
+      val b = new Array[Byte](rnd.nextInt(80))
+      rnd.nextBytes(b)
+      if (b.length >= 2 && rnd.nextBoolean()) { b(0) = 0xFF.toByte; b(1) = 0xD8.toByte }
+      val r = dim(b, w = rnd.nextBoolean())
+      assert(r == null || (r.asInstanceOf[Long] >= 0L && r.asInstanceOf[Long] <= 65535L),
+        s"out-of-range dim $r for ${b.map("%02X".format(_)).mkString}")
+    }
+    // constructive: SOI + a random chain of table/APPn/COM segments with
+    // random lengths and random fill-byte padding, then a SOF carrying
+    // known dims — the walk must find it at ANY depth
+    for (trial <- 1 to 300) {
+      val out = new java.io.ByteArrayOutputStream()
+      def u8(v: Int): Unit = out.write(v & 0xFF)
+      u8(0xFF); u8(0xD8)
+      for (_ <- 0 until rnd.nextInt(6)) {
+        for (_ <- 0 until rnd.nextInt(3)) u8(0xFF) // fill bytes
+        u8(0xFF)
+        // any non-SOF, non-standalone, length-carrying marker
+        u8(Seq(0xE0 + rnd.nextInt(16), 0xDB, 0xC4, 0xFE)(rnd.nextInt(4)))
+        val payload = rnd.nextInt(40)
+        u8((payload + 2) >> 8); u8((payload + 2) & 0xFF)
+        for (_ <- 0 until payload) u8(rnd.nextInt(256))
+      }
+      val (w, h) = (1 + rnd.nextInt(65535), 1 + rnd.nextInt(65535))
+      u8(0xFF); u8(Seq(0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC9, 0xCF)(rnd.nextInt(7)))
+      u8(0); u8(11); u8(8) // len 11: precision + dims + 1 component
+      u8(h >> 8); u8(h & 0xFF); u8(w >> 8); u8(w & 0xFF)
+      u8(1); u8(1); u8(0x11); u8(0)
+      val jpeg = out.toByteArray
+      assert(dim(jpeg, w = true) == w.toLong, s"trial $trial width")
+      assert(dim(jpeg, w = false) == h.toLong, s"trial $trial height")
+    }
+  }
+
+  test("cms_estimate on bytes that are not a sketch: NULL, never a throw") {
+    val rnd = new scala.util.Random(7)
+    def est(b: Array[Byte]): Any =
+      ArrayExpressions.CmsEstimate(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(b,
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.catalyst.expressions.Literal.create("x",
+          org.apache.spark.sql.types.StringType)).eval(null)
+    for (_ <- 1 to 500) {
+      val b = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(b)
+      val r = est(b)
+      assert(r == null || r.asInstanceOf[Long] >= 0L)
+    }
+    assert(est(Array.empty[Byte]) == null)
+  }
+
   test("ahash64: strided thumbnail mean-threshold hash, hand-computed") {
     // bytes 0..63: sample i reads byte i; mean = 31.5, so bits set for
     // v > 31.5 (strict 64·v > Σ) — samples 32..63, packed MSB-first
