@@ -378,6 +378,10 @@ object SparkEntry {
     // oracle recomputes from the closed-form plant
     "x79_real_decode" -> ((s, d) =>
       graft.operators.Multimodal.realDecode(s, Tables.load(s, d, "documents"))),
+    // REAL audio decode: RIFF chunk walk + every 16-bit LE PCM sample
+    // read in a codegen kernel; exact sample statistics, truncation->NULL
+    "x80_wav_pcm" -> ((s, d) =>
+      graft.operators.Multimodal.wavPcmDecode(Tables.load(s, d, "documents"))),
     // perceptual-hash (aHash) image dedup over binary payloads: fused
     // codegen thumbnail-mean fingerprint + banded Hamming pairs over a
     // planted perturbed-twin corpus — integer-exact, replayed in SQL
@@ -2271,6 +2275,27 @@ object SparkEntry {
         |  CAST(sum((doc_id + 7 * y) % 256) AS bigint) AS sum_g,
         |  CAST(sum((doc_id + x + 2 * y) % 256) AS bigint) AS sum_b
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // one row per planted 16-bit sample, sign-extended exactly as the
+    // decoder does; truncated docs (id%9==4) surface NULL stats
+    "x80_wav_pcm" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST((doc_id * 31 + i.i * 7) % 65536 AS bigint) AS v
+        |  FROM documents, generate_series(0, 149) AS i(i)
+        |  WHERE i.i < 50 + doc_id % 100),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS bigint) AS ns, CAST(sum(sv) AS bigint) AS ss,
+        |    CAST(sum(sv * sv) AS bigint) AS sq,
+        |    CAST(min(sv) AS bigint) AS mn, CAST(max(sv) AS bigint) AS mx
+        |  FROM (SELECT doc_id, CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS sv FROM s)
+        |  GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 9 <> 4 THEN ns END AS n_samples,
+        |  CASE WHEN doc_id % 9 <> 4 THEN ss END AS sum_s,
+        |  CASE WHEN doc_id % 9 <> 4 THEN sq END AS sum_sq,
+        |  CASE WHEN doc_id % 9 <> 4 THEN mn END AS s_min,
+        |  CASE WHEN doc_id % 9 <> 4 THEN mx END AS s_max
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // the shuffle hash is plain integer arithmetic (% == pmod on the
     // fixture's non-negative ids — the x23/x30 precedent), so the oracle
     // reproduces the manifest row for row

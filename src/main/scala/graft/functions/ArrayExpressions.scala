@@ -958,6 +958,87 @@ object ArrayExpressions {
         l: Expression, r: Expression): Expression = copy(sketch = l, item = r)
   }
 
+  /** WAV/PCM audio decode via a real RIFF chunk walk: locate the `fmt `
+    * and `data` chunks (any number of other chunks — LIST/INFO/cue —
+    * may precede them, and RIFF pads odd-sized chunks to even, so the
+    * walk is genuinely format-driven, not fixed-offset), require
+    * 16-bit integer PCM, then decode every little-endian signed sample
+    * and return the five order-independent integers a corpus audio
+    * pass needs: `[n_samples, sum, sum_of_squares, min, max]` (RMS and
+    * peak level derive from these; the integers stay exact under any
+    * aggregation order, so corpus rollups remain oracle-checkable).
+    * PCM IS the decode for WAV — the samples are the signal — making
+    * this the audio sibling of the x79 image path. NULL (never a
+    * throw) on non-RIFF magic, truncation mid-chunk, a missing/short
+    * `fmt `/`data` chunk, or non-16-bit-PCM encodings.
+    */
+  case class WavPcmStats(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "wav_pcm_stats"
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case BinaryType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a binary argument, got ${other.simpleString}")
+      }
+
+    def compute(b: Array[Byte]): ArrayData = {
+      val n = b.length
+      @inline def u8(i: Int): Int = b(i) & 0xFF
+      @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      @inline def le32(i: Int): Long =
+        u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      @inline def tag(i: Int, t: String): Boolean =
+        u8(i) == t.charAt(0) && u8(i + 1) == t.charAt(1) &&
+          u8(i + 2) == t.charAt(2) && u8(i + 3) == t.charAt(3)
+      if (n < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return null
+      var pos = 12
+      var fmtOk = false
+      while (pos + 8 <= n) {
+        val size = le32(pos + 4)
+        if (size < 0 || size > Int.MaxValue) return null
+        val body = pos + 8
+        if (tag(pos, "fmt ")) {
+          if (size < 16 || body + 16 > n) return null
+          // audioFormat(2) channels(2) rate(4) byteRate(4) align(2) bits(2)
+          fmtOk = le16(body) == 1 && le16(body + 14) == 16
+        } else if (tag(pos, "data")) {
+          if (!fmtOk) return null // fmt must precede data (and be 16-bit PCM)
+          val end = body + size.toInt
+          if (end > n) return null // truncated payload
+          var i = body
+          var cnt = 0L; var sum = 0L; var sumSq = 0L
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          while (i + 1 < end) {
+            val s = le16(i).toShort.toLong // sign-extend the LE sample
+            cnt += 1; sum += s; sumSq += s * s
+            if (s < mn) mn = s
+            if (s > mx) mx = s
+            i += 2
+          }
+          if (cnt == 0L) return null
+          return ArrayData.toArrayData(Array(cnt, sum, sumSq, mn, mx))
+        }
+        pos = body + size.toInt + (size.toInt & 1) // RIFF pads chunks to even
+      }
+      null
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("wavPcm", this, classOf[WavPcmStats].getName)
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = $self.compute($c);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Shared deterministic coefficient scheme for MinHash permutations. */
   object MinHash {
     /** 2^31−1 (Mersenne prime): a·h+b stays within Long under ANSI. */
@@ -1052,7 +1133,9 @@ object ArrayExpressions {
     entry("jpeg_height", classOf[JpegSofDim].getName, 1)(
       es => JpegSofDim(es.head, isWidth = false)),
     entry("cms_estimate", classOf[CmsEstimate].getName, 2)(
-      es => CmsEstimate(es.head, es(1))))
+      es => CmsEstimate(es.head, es(1))),
+    entry("wav_pcm_stats", classOf[WavPcmStats].getName, 1)(
+      es => WavPcmStats(es.head)))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -1079,6 +1162,8 @@ object ArrayExpressions {
 
   def cmsEstimate(sketch: Column, item: Column): Column =
     call_function("cms_estimate", sketch, item)
+
+  def wavPcmStats(payload: Column): Column = call_function("wav_pcm_stats", payload)
 
   def shingleHashesSorted(text: Column, n: Int): Column =
     call_function("shingle_hashes_sorted", text, org.apache.spark.sql.functions.lit(n))

@@ -361,6 +361,65 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** x80 corpus: each document re-framed as a fully VALID 16-bit PCM
+    * WAV — correct RIFF/data sizes (unlike x60's header-only stub), a
+    * LIST chunk of doc_id-varying length (with the RIFF odd-size pad
+    * byte when needed) sitting between `fmt ` and `data` so the parser
+    * must genuinely walk chunks, and `50 + doc_id % 100` samples whose
+    * values are closed-form in (doc_id, i) — so a SQL oracle recomputes
+    * the decoded statistics exactly. Every doc with id%9==4 is truncated
+    * mid-`fmt ` (first 30 bytes), pinning the NULL contract through the
+    * driver gate.
+    */
+  private[graft] def plantedWavCorpus(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("n_s", (lit(50) + col("doc_id") % 100).cast("int"))
+      .withColumn("k", (col("doc_id") % 21).cast("int"))
+    val body = encode(col("text"), "UTF-8")
+    val junk = body.substr(lit(1), col("k"))
+    val junkPad = when(col("k") % 2 === 1, unhex(lit("00"))).otherwise(unhex(lit("")))
+    // little-endian 16-bit samples, v(i) = (doc_id*31 + i*7) mod 65536
+    val samples = unhex(expr(
+      "array_join(transform(sequence(0, n_s - 1), i -> concat(" +
+        "substring(lpad(hex((doc_id * 31 + i * 7) % 65536), 4, '0'), 3, 2), " +
+        "substring(lpad(hex((doc_id * 31 + i * 7) % 65536), 4, '0'), 1, 2))), '')"))
+    // RIFF size counts from "WAVE": 4 + fmt(24) + LIST(8+k+pad) + data(8+2n)
+    val riffSize = lit(44) + col("k") + (col("k") % 2) + lit(2) * col("n_s")
+    val wav = concat(
+      encode(lit("RIFF"), "UTF-8"), le32(riffSize),
+      encode(lit("WAVEfmt "), "UTF-8"), le32(lit(16)),
+      le16(lit(1)), le16(lit(1)), le32(lit(8000)), le32(lit(16000)),
+      le16(lit(2)), le16(lit(16)), // PCM, mono, 8 kHz, 16-bit
+      encode(lit("LIST"), "UTF-8"), le32(length(junk)), junk, junkPad,
+      encode(lit("data"), "UTF-8"), le32(lit(2) * col("n_s")), samples)
+    base.select(col("doc_id"),
+      when(col("doc_id") % 9 === 4, wav.substr(lit(1), lit(30))).otherwise(wav).as("payload"))
+  }
+
+  /** x80: REAL audio decode — PCM samples ARE the decoded signal, so
+    * parsing the RIFF chunk chain and reading every 16-bit LE sample is
+    * the genuine WAV decode (the audio sibling of x79's image path),
+    * done by the [[graft.functions.ArrayExpressions.WavPcmStats]]
+    * codegen kernel: one pass over the payload bytes inside whole-stage
+    * codegen, no UDF, no audio library. Ships the order-independent
+    * exact integers (count/sum/sum-of-squares/min/max — RMS and peak
+    * derive from them); the oracle recomputes all five from the plant
+    * formula, and truncated blobs must surface as NULLs, not errors.
+    */
+  def wavPcmDecode(docs: DataFrame): DataFrame = {
+    graft.functions.ArrayExpressions.register(docs.sparkSession)
+    val st = graft.functions.ArrayExpressions.wavPcmStats(col("payload"))
+    plantedWavCorpus(docs)
+      .select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        element_at(col("st"), 1).as("n_samples"),
+        element_at(col("st"), 2).as("sum_s"),
+        element_at(col("st"), 3).as("sum_sq"),
+        element_at(col("st"), 4).as("s_min"),
+        element_at(col("st"), 5).as("s_max"))
+      .orderBy("doc_id")
+  }
+
   /** Metadata-only pass (no decode): byte length + content hash per blob —
     * pure columnar, oracle-checkable.
     */

@@ -556,6 +556,52 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("x80 wav pcm: REAL javax.sound-encoded WAV decodes exactly; dirty blobs go NULL") {
+    // ground truth from a genuine encoder: the JDK's AudioSystem writes
+    // a real RIFF/WAVE container around raw 16-bit LE PCM — if the chunk
+    // walk or sample sign-extension were wrong, these exact statistics
+    // could not come back
+    val n = 1237
+    val samples = Array.tabulate(n)(i => (((i * 2513 + 7) % 65536) - 32768).toShort)
+    val pcm = new Array[Byte](2 * n)
+    for (i <- 0 until n) {
+      pcm(2 * i) = (samples(i) & 0xFF).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val real = baos.toByteArray
+    def stats(b: Array[Byte]): Option[Seq[Long]] =
+      Option(ArrayExpressions.WavPcmStats(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(b,
+          org.apache.spark.sql.types.BinaryType)).eval(null))
+        .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq)
+    val got = stats(real).get
+    val want = Seq(n.toLong, samples.map(_.toLong).sum,
+      samples.map(s => s.toLong * s.toLong).sum,
+      samples.map(_.toLong).min, samples.map(_.toLong).max)
+    assert(got == want, s"real-encoder decode mismatch: $got vs $want")
+    // NULL contract: truncation mid-header, mid-payload, non-RIFF bytes
+    assert(stats(real.take(30)).isEmpty)
+    assert(stats(real.dropRight(real.length / 2)).isEmpty)
+    assert(stats("definitely not audio".getBytes("UTF-8")).isEmpty)
+    assert(stats(Array.empty[Byte]).isEmpty)
+    // fuzz: arbitrary bytes never throw
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 1500) {
+      val b = new Array[Byte](rnd.nextInt(100))
+      rnd.nextBytes(b)
+      if (b.length >= 4 && rnd.nextBoolean()) {
+        b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+      }
+      stats(b).foreach(s => assert(s.length == 5 && s.head > 0))
+    }
+  }
+
   test("cms_estimate on bytes that are not a sketch: NULL, never a throw") {
     val rnd = new scala.util.Random(7)
     def est(b: Array[Byte]): Any =
