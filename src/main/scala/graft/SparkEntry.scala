@@ -382,6 +382,10 @@ object SparkEntry {
     // read in a codegen kernel; exact sample statistics, truncation->NULL
     "x80_wav_pcm" -> ((s, d) =>
       graft.operators.Multimodal.wavPcmDecode(Tables.load(s, d, "documents"))),
+    // MJPEG video demux: frame count + first/last dims require scanning
+    // every frame's entropy stream (stuffing, restart markers, EOI)
+    "x81_mjpeg_demux" -> ((s, d) =>
+      graft.operators.Multimodal.mjpegDemux(Tables.load(s, d, "documents"))),
     // perceptual-hash (aHash) image dedup over binary payloads: fused
     // codegen thumbnail-mean fingerprint + banded Hamming pairs over a
     // planted perturbed-twin corpus — integer-exact, replayed in SQL
@@ -2296,6 +2300,18 @@ object SparkEntry {
         |  CASE WHEN doc_id % 9 <> 4 THEN mn END AS s_min,
         |  CASE WHEN doc_id % 9 <> 4 THEN mx END AS s_max
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // frame count and first/last dims replay from the plant formulas;
+    // the truncated share (id%11==7) must surface NULLs
+    "x81_mjpeg_demux" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 11 <> 7 THEN CAST(1 + doc_id % 4 AS bigint) END AS n_frames,
+        |  CASE WHEN doc_id % 11 <> 7 THEN CAST(20 + doc_id % 300 AS bigint) END AS first_w,
+        |  CASE WHEN doc_id % 11 <> 7 THEN CAST(10 + (doc_id * 2) % 200 AS bigint) END AS first_h,
+        |  CASE WHEN doc_id % 11 <> 7
+        |    THEN CAST(20 + (doc_id + (doc_id % 4) * 5) % 300 AS bigint) END AS last_w,
+        |  CASE WHEN doc_id % 11 <> 7
+        |    THEN CAST(10 + (doc_id * 2 + (doc_id % 4) * 3) % 200 AS bigint) END AS last_h
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the shuffle hash is plain integer arithmetic (% == pmod on the
     // fixture's non-negative ids — the x23/x30 precedent), so the oracle
     // reproduces the manifest row for row

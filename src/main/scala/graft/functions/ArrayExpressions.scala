@@ -1039,6 +1039,102 @@ object ArrayExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** MJPEG (concatenated-JPEG video stream) demux: walk every frame —
+    * SOI, segment chain to the SOF (dims) and the SOS, then the entropy
+    * scan honouring JPEG's byte-stuffing (`FF 00` is a literal data
+    * byte, not a marker) and restart markers (`FF D0-D7` continue the
+    * scan) until the frame's EOI — and return
+    * `[n_frames, first_w, first_h, last_w, last_h]`. This is the real
+    * work of a video-ingest demuxer for the one video format whose
+    * frames are independently decodable; frame COUNT and per-frame
+    * dimensions cannot be read without correctly scanning the entropy
+    * stream of every preceding frame, so a parser that mishandles
+    * stuffing or restart markers gets the count wrong. NULL (never a
+    * throw) on anything malformed: missing SOI, SOS before SOF,
+    * truncation mid-segment or mid-scan, an invalid marker inside
+    * entropy data, or trailing garbage after the last EOI.
+    */
+  case class MjpegStats(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "mjpeg_stats"
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case BinaryType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a binary argument, got ${other.simpleString}")
+      }
+
+    def compute(b: Array[Byte]): ArrayData = {
+      val n = b.length
+      @inline def u8(i: Int): Int = b(i) & 0xFF
+      var pos = 0
+      var frames = 0L
+      var fw = -1L; var fh = -1L; var lw = -1L; var lh = -1L
+      while (pos < n) {
+        if (pos + 1 >= n || u8(pos) != 0xFF || u8(pos + 1) != 0xD8) return null // no SOI
+        pos += 2
+        var w = -1L; var h = -1L
+        var inFrame = true
+        while (inFrame) {
+          if (pos + 1 >= n || u8(pos) != 0xFF) return null
+          var m = u8(pos + 1)
+          while (m == 0xFF && pos + 2 < n) { pos += 1; m = u8(pos + 1) } // fill bytes
+          if (m == 0xFF) return null
+          if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) pos += 2 // standalone
+          else if (m == 0xD8 || m == 0xD9) return null // nested SOI / EOI before SOS
+          else if (m == 0xDA) { // SOS: skip header, scan entropy to EOI
+            if (w < 0) return null // SOS before any SOF
+            if (pos + 3 >= n) return null
+            val segLen = (u8(pos + 2) << 8) | u8(pos + 3)
+            if (segLen < 2) return null
+            var i = pos + 2 + segLen
+            var scanning = true
+            while (scanning) {
+              if (i >= n) return null // truncated mid-scan
+              if (u8(i) == 0xFF) {
+                if (i + 1 >= n) return null
+                val nm = u8(i + 1)
+                if (nm == 0x00 || (nm >= 0xD0 && nm <= 0xD7)) i += 2 // stuffed / restart
+                else if (nm == 0xD9) { pos = i + 2; scanning = false } // EOI
+                else return null // any other marker inside a scan is corrupt
+              } else i += 1
+            }
+            frames += 1
+            if (frames == 1L) { fw = w; fh = h }
+            lw = w; lh = h
+            inFrame = false
+          } else { // length-carrying segment; SOF records dims
+            if (pos + 3 >= n) return null
+            val segLen = (u8(pos + 2) << 8) | u8(pos + 3)
+            if (segLen < 2) return null
+            if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+              if (segLen < 7 || pos + 8 >= n) return null
+              h = ((u8(pos + 5) << 8) | u8(pos + 6)).toLong
+              w = ((u8(pos + 7) << 8) | u8(pos + 8)).toLong
+            }
+            pos += 2 + segLen
+          }
+        }
+      }
+      if (frames == 0L) null
+      else ArrayData.toArrayData(Array(frames, fw, fh, lw, lh))
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("mjpeg", this, classOf[MjpegStats].getName)
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = $self.compute($c);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Shared deterministic coefficient scheme for MinHash permutations. */
   object MinHash {
     /** 2^31−1 (Mersenne prime): a·h+b stays within Long under ANSI. */
@@ -1135,7 +1231,9 @@ object ArrayExpressions {
     entry("cms_estimate", classOf[CmsEstimate].getName, 2)(
       es => CmsEstimate(es.head, es(1))),
     entry("wav_pcm_stats", classOf[WavPcmStats].getName, 1)(
-      es => WavPcmStats(es.head)))
+      es => WavPcmStats(es.head)),
+    entry("mjpeg_stats", classOf[MjpegStats].getName, 1)(
+      es => MjpegStats(es.head)))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -1164,6 +1262,8 @@ object ArrayExpressions {
     call_function("cms_estimate", sketch, item)
 
   def wavPcmStats(payload: Column): Column = call_function("wav_pcm_stats", payload)
+
+  def mjpegStats(payload: Column): Column = call_function("mjpeg_stats", payload)
 
   def shingleHashesSorted(text: Column, n: Int): Column =
     call_function("shingle_hashes_sorted", text, org.apache.spark.sql.functions.lit(n))

@@ -420,6 +420,59 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** x81 corpus: each document re-framed as an MJPEG stream — `1 +
+    * doc_id % 4` complete JPEG frames back to back, every frame a full
+    * SOI→APP0→SOF→SOS→entropy→EOI chain with per-frame planted
+    * dimensions (closed-form in doc_id and the frame index), entropy
+    * data that contains an explicit stuffed byte (`FF 00`), a restart
+    * marker (`FF D1`), and the document's text bytes (UTF-8 can never
+    * produce `FF`, so the planted scans are valid by construction).
+    * Baseline/progressive SOF alternates per frame. Every doc with
+    * id%11==7 truncates to 25 bytes (mid-header), pinning NULL.
+    */
+  private[graft] def plantedMjpegCorpus(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("nf", (lit(1) + col("doc_id") % 4).cast("int"))
+      .withColumn("b", encode(col("text"), "UTF-8"))
+    val mjpeg = unhex(expr(
+      "array_join(transform(sequence(0, nf - 1), j -> concat(" +
+        "'FFD8', 'FFE000104A46494600010100004800480000', " +
+        "CASE WHEN (doc_id + j) % 2 = 0 THEN 'FFC0' ELSE 'FFC2' END, '001108', " +
+        "lpad(hex(10 + (doc_id * 2 + j * 3) % 200), 4, '0'), " +
+        "lpad(hex(20 + (doc_id + j * 5) % 300), 4, '0'), " +
+        "'03012200021101031101', 'FFDA000C03011102110311003F00', " +
+        "'AAFF00BB', hex(substr(b, 1, 10 + j * 7)), 'CCFFD1DD', 'FFD9')), '')"))
+    base.select(col("doc_id"),
+      when(col("doc_id") % 11 === 7, mjpeg.substr(lit(1), lit(25))).otherwise(mjpeg)
+        .as("payload"))
+  }
+
+  /** x81: MJPEG video demux — the real work of a video ingest for the
+    * one format whose frames decode independently: per-record frame
+    * COUNT and first/last frame dimensions, which cannot be read
+    * without correctly scanning every preceding frame's entropy stream
+    * (byte stuffing, restart markers, EOI detection — the
+    * [[graft.functions.ArrayExpressions.MjpegStats]] codegen kernel).
+    * With x78 (JPEG stills), x79 (real pixel decode), and x80 (real
+    * audio decode), this closes the multimodal family's parsing
+    * surface; only inter-frame codecs (H.264-class) stay out of scope,
+    * which no JVM-only container could honestly ship. Oracle: frame
+    * count and dims replay from the plant formulas; truncation → NULL.
+    */
+  def mjpegDemux(docs: DataFrame): DataFrame = {
+    graft.functions.ArrayExpressions.register(docs.sparkSession)
+    val st = graft.functions.ArrayExpressions.mjpegStats(col("payload"))
+    plantedMjpegCorpus(docs)
+      .select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        element_at(col("st"), 1).as("n_frames"),
+        element_at(col("st"), 2).as("first_w"),
+        element_at(col("st"), 3).as("first_h"),
+        element_at(col("st"), 4).as("last_w"),
+        element_at(col("st"), 5).as("last_h"))
+      .orderBy("doc_id")
+  }
+
   /** Metadata-only pass (no decode): byte length + content hash per blob —
     * pure columnar, oracle-checkable.
     */

@@ -602,6 +602,55 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("x81 mjpeg demux: two REAL javax.imageio JPEGs concatenated count as 2 frames with exact dims") {
+    // genuine MJPEG: two real encoder outputs back to back — their
+    // entropy streams contain whatever stuffed bytes the real Huffman
+    // coder produced, so a demuxer that mishandles FF-escaping would
+    // terminate the first scan early and miscount
+    def realJpeg(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rnd = new scala.util.Random(seed)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rnd.nextInt() & 0xFFFFFF)
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+      baos.toByteArray
+    }
+    def stats(b: Array[Byte]): Option[Seq[Long]] =
+      Option(ArrayExpressions.MjpegStats(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(b,
+          org.apache.spark.sql.types.BinaryType)).eval(null))
+        .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq)
+    // random noise pixels maximize entropy-stream length and the chance
+    // of natural FF bytes needing stuffing; 64x48 gives ~6-10 KB scans
+    val a = realJpeg(64, 48, seed = 5)
+    val bb = realJpeg(31, 77, seed = 9)
+    assert(stats(a).contains(Seq(1L, 64L, 48L, 64L, 48L)), s"single real frame: ${stats(a)}")
+    assert(stats(a ++ bb).contains(Seq(2L, 64L, 48L, 31L, 77L)),
+      s"two real frames: ${stats(a ++ bb)}")
+    assert(stats(bb ++ a ++ bb).contains(Seq(3L, 31L, 77L, 31L, 77L)))
+    // the real streams must actually exercise byte stuffing for the
+    // mishandling claim above to have teeth
+    def hasStuffing(j: Array[Byte]): Boolean =
+      j.sliding(2).exists(p => (p(0) & 0xFF) == 0xFF && p(1) == 0)
+    assert(hasStuffing(a) || hasStuffing(bb),
+      "fixture JPEGs contain no stuffed bytes — regenerate with noisier pixels")
+    // NULL contract: truncation (mid-header and mid-scan), trailing
+    // garbage after the last EOI, nothing decodable
+    assert(stats(a.take(25)).isEmpty)
+    assert(stats(a.dropRight(a.length / 3)).isEmpty)
+    assert(stats(a ++ "trailing garbage".getBytes("UTF-8")).isEmpty)
+    assert(stats(Array.empty[Byte]).isEmpty)
+    // fuzz: arbitrary bytes never throw
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 1500) {
+      val b = new Array[Byte](rnd.nextInt(120))
+      rnd.nextBytes(b)
+      if (b.length >= 2 && rnd.nextBoolean()) { b(0) = 0xFF.toByte; b(1) = 0xD8.toByte }
+      stats(b).foreach(s => assert(s.length == 5 && s.head >= 1))
+    }
+  }
+
   test("cms_estimate on bytes that are not a sketch: NULL, never a throw") {
     val rnd = new scala.util.Random(7)
     def est(b: Array[Byte]): Any =
