@@ -386,6 +386,11 @@ object SparkEntry {
     // every frame's entropy stream (stuffing, restart markers, EOI)
     "x81_mjpeg_demux" -> ((s, d) =>
       graft.operators.Multimodal.mjpegDemux(Tables.load(s, d, "documents"))),
+    // degree-ordered triangle counting (hub-proof O(m^1.5) wedge bound);
+    // the triangle set is orientation-invariant, so the oracle replays
+    // it with plain id-ordering and must match node for node
+    "x82_triangles" -> ((s, d) =>
+      graft.operators.Triangles.topTriangleNodes(Tables.load(s, d, "lineitem"))),
     // perceptual-hash (aHash) image dedup over binary payloads: fused
     // codegen thumbnail-mean fingerprint + banded Hamming pairs over a
     // planted perturbed-twin corpus — integer-exact, replayed in SQL
@@ -2312,6 +2317,20 @@ object SparkEntry {
         |  CASE WHEN doc_id % 11 <> 7
         |    THEN CAST(10 + (doc_id * 2 + (doc_id % 4) * 3) % 200 AS bigint) END AS last_h
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // plain id-ordered 3-join replay (the triangle set is independent of
+    // the engine's degree orientation); integer-exact throughout
+    "x82_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT a.pk AS pa, b.pk AS pb FROM op a JOIN op b
+        |      ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+        |t AS (SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+        |      FROM e e1 JOIN e e2 ON e1.pa = e2.pa AND e1.pb < e2.pb
+        |      JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+        |nodes AS (SELECT node, CAST(count(*) AS bigint) AS n_tri
+        |          FROM (SELECT unnest([x, y, z]) AS node FROM t) GROUP BY node),
+        |tot AS (SELECT CAST(sum(n_tri) // 3 AS bigint) AS total_triangles FROM nodes)
+        |SELECT node AS l_partkey, n_tri, total_triangles FROM nodes, tot
+        |ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
     // the shuffle hash is plain integer arithmetic (% == pmod on the
     // fixture's non-negative ids — the x23/x30 precedent), so the oracle
     // reproduces the manifest row for row

@@ -42,13 +42,15 @@ final case class DecodedImage(
 /** Multimodal-column handling: media as opaque `binary` columns with typed
   * metadata, decoded per partition in batches.
   *
-  * Two decode paths: [[decodeStub]] (deterministic fake features — the
-  * placeholder for codecs the JVM lacks, e.g. video/audio) and the REAL
-  * path [[realDecode]] — a genuine PNG encode→decode round-trip through
-  * the JDK's ImageIO (actual zlib-compressed PNG bytes in the middle),
-  * partition-batched with no driver involvement. The stub remains for
-  * modalities with no in-container codec; the Spark-side contract
-  * (binary in, fixed-schema features out) is identical for both.
+  * Decode paths: [[realDecode]] (x79 — genuine PNG encode→decode through
+  * the JDK's ImageIO, actual zlib-compressed bytes in the middle),
+  * [[wavPcmDecode]] (x80 — real RIFF chunk walk + 16-bit PCM sample
+  * statistics), [[mjpegDemux]] (x81 — entropy-scan frame counting for
+  * concatenated-JPEG video), and [[decodeStub]] (deterministic fake
+  * features — now only the placeholder for inter-frame video codecs,
+  * which no JVM-only container can honestly ship). The Spark-side
+  * contract (binary in, fixed-schema features out, partition-batched,
+  * no driver involvement) is identical for all of them.
   */
 object Multimodal {
 
@@ -65,8 +67,10 @@ object Multimodal {
       .as[MediaBlob]
   }
 
-  /** The decode stub — REPLACE with a real codec (e.g. javax.imageio /
-    * ffmpeg bindings) in production. Deterministic on the payload bytes.
+  /** The decode stub — kept as the x14 contract row (deterministic on
+    * the payload bytes) and as the placeholder for inter-frame video
+    * codecs; the real decode paths are [[realDecode]]/[[wavPcmDecode]]/
+    * [[mjpegDemux]] (x79/x80/x81).
     */
   def decodeStub(b: MediaBlob): MediaFeatures = {
     val n = b.payload.length.toLong

