@@ -391,6 +391,10 @@ object SparkEntry {
     // it with plain id-ordering and must match node for node
     "x82_triangles" -> ((s, d) =>
       graft.operators.Triangles.topTriangleNodes(Tables.load(s, d, "lineitem"))),
+    // mergeable DataSketches HLL: per-source sketches unioned to the
+    // global vocabulary estimate — the cross-shard cardinality pattern
+    "x83_hll_union" -> ((s, d) =>
+      graft.operators.Sketch.mergeableVocab(Tables.load(s, d, "documents"))),
     // perceptual-hash (aHash) image dedup over binary payloads: fused
     // codegen thumbnail-mean fingerprint + banded Hamming pairs over a
     // planted perturbed-twin corpus — integer-exact, replayed in SQL
@@ -2331,6 +2335,21 @@ object SparkEntry {
         |tot AS (SELECT CAST(sum(n_tri) // 3 AS bigint) AS total_triangles FROM nodes)
         |SELECT node AS l_partkey, n_tri, total_triangles FROM nodes, tot
         |ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
+    // exact values replay; the sketch-union estimate rides as the
+    // union_ok/dedup_ok invariant booleans (the x27 gate pattern)
+    "x83_hll_union" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '')) AS token
+        |  FROM documents)
+        |SELECT
+        |  CAST(count(DISTINCT source) AS bigint) AS n_sources,
+        |  CAST((SELECT sum(nd) FROM (
+        |     SELECT count(DISTINCT token) AS nd FROM toks GROUP BY source)) AS bigint)
+        |    AS sum_nd_src,
+        |  CAST(count(DISTINCT token) AS bigint) AS nd_union_exact,
+        |  true AS union_ok, true AS dedup_ok
+        |FROM toks""".stripMargin,
     // the shuffle hash is plain integer arithmetic (% == pmod on the
     // fixture's non-negative ids — the x23/x30 precedent), so the oracle
     // reproduces the manifest row for row

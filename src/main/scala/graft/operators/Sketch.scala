@@ -95,6 +95,39 @@ object Sketch {
     * aggregates (eps=1e-4, conf=0.99 -> width 27183 x depth 5 counters,
     * fixed memory at any corpus size).
     */
+  /** x83: MERGEABLE distinct-count sketches — the cross-shard
+    * cardinality pattern a 1000-executor ingest actually runs: each
+    * source builds its own DataSketches HLL over its tokens
+    * (`hll_sketch_agg`, the binary a shard would PERSIST), and the
+    * global vocabulary estimate comes from UNIONING those per-source
+    * binaries (`hll_union_agg`) — never from re-scanning the corpus.
+    * This is the capability `approx_count_distinct` (x27) cannot
+    * express: its partial state is internal to one aggregate, while the
+    * DataSketches binary is an interchange format that merges across
+    * jobs, days, and storage. The union estimate gates against the
+    * exact global distinct (lgK=14 → rsd 0.81%; the 5%-or-±16 gate has
+    * astronomical headroom), per-source exact counts hash-check, and
+    * `sum(nd_exact_src) >= nd_union_exact` pins that the union really
+    * deduplicates across sources (strict at any overlap).
+    */
+  def mergeableVocab(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val perSource = toks.groupBy(col("source"))
+      .agg(expr("hll_sketch_agg(token, 14)").as("sk"),
+        countDistinct(col("token")).as("nd_src"))
+    val unioned = perSource.agg(
+      count(lit(1)).as("n_sources"),
+      sum(col("nd_src")).as("sum_nd_src"),
+      expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("_est"))
+    val exact = toks.agg(countDistinct(col("token")).as("nd_union_exact"))
+    exact.crossJoin(broadcast(unioned))
+      .select(col("n_sources"), col("sum_nd_src"), col("nd_union_exact"),
+        within(col("_est"), col("nd_union_exact"), 0.05, 16.0).as("union_ok"),
+        (col("sum_nd_src") >= col("nd_union_exact")).as("dedup_ok"))
+  }
+
   def heavyHitters(docs: DataFrame, k: Int = 10): DataFrame = {
     graft.functions.ArrayExpressions.register(docs.sparkSession)
     val toks = docs

@@ -568,6 +568,32 @@ class QueriesSpec extends AnyFunSuite {
     assert(ord == ord.sorted, "top-k not in (n_tri desc, node) order")
   }
 
+  test("x83 mergeable HLL: hand-counted fixture; shard-union estimate EQUALS the whole-corpus sketch") {
+    import spark.implicits._
+    // 400 doc-unique tokens + one token shared by every source:
+    // global distinct 401; per-source 100+1 → sum 404 (union must dedup)
+    val docs = (0L until 400L).map(i => (i, "s" + (i % 4), s"tok$i shared"))
+      .toDF("doc_id", "source", "text")
+    val row = graft.operators.Sketch.mergeableVocab(docs).collect().head
+    assert(row.getAs[Long]("n_sources") == 4L)
+    assert(row.getAs[Long]("nd_union_exact") == 401L)
+    assert(row.getAs[Long]("sum_nd_src") == 404L)
+    assert(row.getAs[Boolean]("union_ok") && row.getAs[Boolean]("dedup_ok"))
+    // losslessness of the merge: at equal lgK, unioning per-shard HLL
+    // binaries gives EXACTLY the sketch of the whole — the property that
+    // makes shard-and-merge a safe substitute for a corpus rescan
+    val toks = docs.select(col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val whole = toks.agg(expr("hll_sketch_estimate(hll_sketch_agg(token, 14))"))
+      .head().getLong(0)
+    val viaUnion = toks.groupBy(col("source"))
+      .agg(expr("hll_sketch_agg(token, 14)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))"))
+      .head().getLong(0)
+    assert(viaUnion == whole, s"shard-union estimate $viaUnion != whole-corpus $whole")
+  }
+
   test("x61 streaming CDC apply equals the batch q30 merge row for row") {
     val batch = queries("q30_merge_upsert").map(_.toString).toSeq
     val stream = queries("x61_stream_cdc_upsert").map(_.toString).toSeq
