@@ -395,6 +395,11 @@ object SparkEntry {
     // global vocabulary estimate — the cross-shard cardinality pattern
     "x83_hll_union" -> ((s, d) =>
       graft.operators.Sketch.mergeableVocab(Tables.load(s, d, "documents"))),
+    // weighted priority sampling (Duffield-Lund-Thorup): k per source by
+    // w/u priority, integer u + one IEEE division so the rank replays
+    // bit-identically in DuckDB
+    "x84_priority_sample" -> ((s, d) =>
+      graft.operators.Sampling.prioritySample(Tables.load(s, d, "documents"))),
     // perceptual-hash (aHash) image dedup over binary payloads: fused
     // codegen thumbnail-mean fingerprint + banded Hamming pairs over a
     // planted perturbed-twin corpus — integer-exact, replayed in SQL
@@ -2350,6 +2355,21 @@ object SparkEntry {
         |  CAST(count(DISTINCT token) AS bigint) AS nd_union_exact,
         |  true AS union_ok, true AS dedup_ok
         |FROM toks""".stripMargin,
+    // the priority order replays exactly: u is pure integer arithmetic
+    // and w/u is one correctly-rounded IEEE division in both engines
+    "x84_priority_sample" ->
+      """WITH b AS (
+        |  SELECT source, doc_id,
+        |    CAST(greatest(length(text), 1) AS bigint) AS w,
+        |    CAST(((doc_id % 2147483647) * 1566083941) % 2147483647 + 1 AS bigint) AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, w, u, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY CAST(w AS DOUBLE) / CAST(u AS DOUBLE) DESC, doc_id) AS rk
+        |  FROM b)
+        |SELECT source, doc_id, w, u FROM r WHERE rk <= 25
+        |ORDER BY source, doc_id""".stripMargin,
     // the shuffle hash is plain integer arithmetic (% == pmod on the
     // fixture's non-negative ids — the x23/x30 precedent), so the oracle
     // reproduces the manifest row for row

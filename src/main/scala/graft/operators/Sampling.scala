@@ -56,6 +56,55 @@ object Sampling {
     */
   val A2 = 1103515245L
 
+  /** Fourth independent multiplier (Borland LCG constant) for the
+    * weighted-sampling uniform — independent of [[multHash]],
+    * [[mixHash]], and [[shuffleHash]] so weighted selection correlates
+    * with none of the uniform sample, mixture/split, or shard-order
+    * decisions.
+    */
+  val A4 = 1566083941L
+
+  private def wHash(id: Column): Column =
+    pmod(pmod(id, lit(P)) * lit(A4), lit(P))
+
+  /** x84: WEIGHTED k-per-group sampling — priority sampling
+    * (Duffield-Lund-Thorup): each row draws a deterministic uniform
+    * `u ∈ [1, 2^31)` from its id and gets priority `w / u`; the k
+    * highest-priority rows per group are the sample. Inclusion
+    * probability is ∝ min(1, w·τ) — the quality-weighted corpus
+    * subsample ("prefer longer/higher-scoring documents, but never
+    * deterministically exclude") that a curation pipeline runs where
+    * uniform sampling (x23) would drown the tail. The weight here is
+    * the document's character length floored at 1 — a real quality
+    * proxy the oracle can recompute.
+    *
+    * Engine-portability of the ORDER: `u` is exact integer arithmetic
+    * (bijective mod the prime, so u values are distinct within any id
+    * range < P) and `w / u` is ONE IEEE-754 division — correctly
+    * rounded and therefore bit-identical in any engine, unlike a
+    * log/pow formulation (Efraimidis-Spirakis keys `u^(1/w)` depend on
+    * libm and can flip borderline ranks across engines). Ties break
+    * toward the smaller id on both sides. Scale shape: the bounded-heap
+    * [[graft.functions.TopKByScore]] aggregate shrinks every map task
+    * to k rows per group before the shuffle — k·groups·tasks rows
+    * cross the wire, never the corpus.
+    */
+  def prioritySample(docs: DataFrame, k: Int = 25): DataFrame = {
+    graft.functions.ArrayExpressions.register(docs.sparkSession)
+    val base = docs.select(col("source"), col("doc_id"),
+      greatest(length(col("text")).cast("long"), lit(1L)).as("w"),
+      (wHash(col("doc_id")) + 1L).as("u"))
+    base.groupBy(col("source"))
+      .agg(graft.functions.ArrayExpressions
+        .topKByScore(col("w").cast("double") / col("u").cast("double"), col("doc_id"), k)
+        .as("top"))
+      .select(col("source"), explode(col("top")).as("t"))
+      .select(col("source"), col("t.id").as("doc_id"))
+      .join(base.select(col("doc_id"), col("w"), col("u")), "doc_id")
+      .select(col("source"), col("doc_id"), col("w"), col("u"))
+      .orderBy("source", "doc_id")
+  }
+
   /** Multiplicative hash for mixture decisions, independent of
     * [[multHash]] (different multiplier → different bijection of id space).
     */

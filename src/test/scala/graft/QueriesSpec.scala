@@ -594,6 +594,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(viaUnion == whole, s"shard-union estimate $viaUnion != whole-corpus $whole")
   }
 
+  test("x84 priority sample: equals the first-principles window formulation; weight bias is real") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = (0L until 1000L).map(i => (i, "s" + (i % 2), "x" * (1 + (i % 50)).toInt))
+      .toDF("doc_id", "source", "text")
+    val got = Sampling.prioritySample(docs, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // independent replay from the published constants: u = ((id mod P)·A4
+    // mod P) + 1, priority = w/u, top-10 per source by (priority desc, id)
+    val want = (0L until 1000L).map { i =>
+      val w = (1 + (i % 50)).toDouble
+      val u = ((i % Sampling.P) * Sampling.A4 % Sampling.P + 1).toDouble
+      ("s" + (i % 2), i, w / u)
+    }.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy { case (_, id, pri) => (-pri, id) }.take(10)
+    }.map(t => (t._1, t._2)).toSet
+    assert(got == want, s"heap != window: ${(got -- want) ++ (want -- got)}")
+    // the sample must actually prefer heavy rows: sampled mean weight
+    // well above the corpus mean (25.5); P(this fails by chance) ~ 0
+    val meanW = got.toSeq.map { case (_, id) => 1.0 + (id % 50) }.sum / got.size
+    assert(meanW > 30.0, s"weighted sample shows no weight bias: mean w $meanW")
+  }
+
   test("x61 streaming CDC apply equals the batch q30 merge row for row") {
     val batch = queries("q30_merge_upsert").map(_.toString).toSeq
     val stream = queries("x61_stream_cdc_upsert").map(_.toString).toSeq
