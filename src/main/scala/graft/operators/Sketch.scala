@@ -111,17 +111,25 @@ object Sketch {
     * deduplicates across sources (strict at any overlap).
     */
   def mergeableVocab(docs: DataFrame): DataFrame = {
-    val toks = docs
+    // ONE corpus scan: every downstream quantity (per-source sketch,
+    // per-source exact, global exact) derives from the distinct
+    // (source, token) relation — HLL is duplicate-insensitive, so
+    // sketching the deduped pairs gives the identical sketch, and the
+    // pair relation (Σ per-source vocab, corpus-independent once
+    // vocabularies saturate) is cheap to materialize for its two reads
+    val pairs = docs
       .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("token"))
       .filter(col("token") =!= "")
-    val perSource = toks.groupBy(col("source"))
+      .distinct()
+      .localCheckpoint()
+    val perSource = pairs.groupBy(col("source"))
       .agg(expr("hll_sketch_agg(token, 14)").as("sk"),
-        countDistinct(col("token")).as("nd_src"))
+        count(lit(1)).as("nd_src"))
     val unioned = perSource.agg(
       count(lit(1)).as("n_sources"),
       sum(col("nd_src")).as("sum_nd_src"),
       expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("_est"))
-    val exact = toks.agg(countDistinct(col("token")).as("nd_union_exact"))
+    val exact = pairs.agg(countDistinct(col("token")).as("nd_union_exact"))
     exact.crossJoin(broadcast(unioned))
       .select(col("n_sources"), col("sum_nd_src"), col("nd_union_exact"),
         within(col("_est"), col("nd_union_exact"), 0.05, 16.0).as("union_ok"),
