@@ -67,7 +67,7 @@ object ScaleStudy {
     // optional section selection (builder-side iteration: re-run ONE
     // study without paying for the full sweep): sections are
     // pairs / incremental / ann / annocc / x54 / pagerank / simdedup /
-    // stream / trigram; no args = the full sweep (what BASELINE.md records)
+    // stream / trigram / triangles; no args = the full sweep (BASELINE.md)
     val only = args.toSet
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
     // untimed warmup: codegen + JIT of the LSH plan, so the scale-1 row
@@ -398,6 +398,30 @@ object ScaleStudy {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"op":"trigram_novelty","scale":$k,"docs":${agg.getLong(0)},"distinct_tris":$nDistinct,"occurrences":${agg.getLong(1)},"rare":${agg.getLong(2)},"sec":$sec%.2f}""")
         assert(agg.getLong(0) == nDocs)
+      }
+    }
+    // x82 triangle counting rides the same disconnected-replica scheme
+    // as pagerank: orderkey/partkey shifts make replica graphs disjoint
+    // copies, so edges, wedges, and triangles must all scale EXACTLY k×
+    // and wall near-linearly — the measured form of the degree-ordered
+    // O(m^1.5) claim (a super-linear wall or wedge curve would expose a
+    // hub the orientation failed to cap).
+    if (want("triangles")) {
+      val li0 = Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val maxOk = li0.agg(max(col("l_orderkey"))).head.getLong(0) + 1
+      val maxPk = li0.agg(max(col("l_partkey"))).head.getLong(0) + 1
+      graft.operators.Triangles.topTriangleNodes(li0).count() // untimed warmup
+      for (k <- Seq(1, 3, 10)) {
+        val scaled = (0 until k).map { r =>
+          li0.select((col("l_orderkey") + lit(r * maxOk)).as("l_orderkey"),
+            (col("l_partkey") + lit(r * maxPk)).as("l_partkey"))
+        }.reduce(_ unionByName _).localCheckpoint()
+        val t0 = System.nanoTime()
+        val rows = graft.operators.Triangles.topTriangleNodes(scaled).collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val total = rows.head.getLong(2)
+        println(f"""{"op":"triangles","scale":$k,"total_triangles":$total,"topk":${rows.length},"sec":$sec%.2f}""")
       }
     }
     // x75 PageRank scale: the co-purchase edge relation grows LINEARLY
