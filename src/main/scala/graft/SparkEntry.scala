@@ -400,6 +400,11 @@ object SparkEntry {
     // bit-identically in DuckDB
     "x84_priority_sample" -> ((s, d) =>
       graft.operators.Sampling.prioritySample(Tables.load(s, d, "documents"))),
+    // x55's production path: EXACT containment via PPJoin prefix
+    // filtering on word 5-grams — recall 1 by pigeonhole, so the oracle
+    // recomputes the identical pair set with its own prefix choice
+    "x85_containment_join" -> ((s, d) =>
+      graft.operators.Dedup.containmentJoin(Tables.load(s, d, "documents"))),
     // perceptual-hash (aHash) image dedup over binary payloads: fused
     // codegen thumbnail-mean fingerprint + banded Hamming pairs over a
     // planted perturbed-twin corpus — integer-exact, replayed in SQL
@@ -2370,6 +2375,37 @@ object SparkEntry {
         |  FROM b)
         |SELECT source, doc_id, w, u FROM r WHERE rk <= 25
         |ORDER BY source, doc_id""".stripMargin,
+    // the prefix filter is lossless for ANY (⌊(1-t)·sz⌋+1)-subset, so
+    // this replay picks ITS OWN prefix (df-ordered over gram STRINGS
+    // where the engine orders hashed grams) — the final pair set and
+    // overlap values must still match exactly
+    "x85_containment_join" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, list_sort(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 4, 0) + 1),
+        |    i -> array_to_string(t[i:i+4], ' ')))) AS sh
+        |  FROM w),
+        |f AS (SELECT doc_id, sh, len(sh) AS sz FROM d WHERE len(sh) >= 10),
+        |ex AS (SELECT doc_id, sz, unnest(sh) AS g FROM f),
+        |df AS (SELECT g, count(*) AS dfc FROM ex GROUP BY g),
+        |sig AS (
+        |  SELECT doc_id, sz, g FROM ex JOIN df USING (g)
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dfc, g)
+        |          <= CAST(floor(0.2 * sz) AS int) + 1),
+        |cand AS (
+        |  SELECT DISTINCT least(s.doc_id, a.doc_id) AS doc_a,
+        |                  greatest(s.doc_id, a.doc_id) AS doc_b
+        |  FROM sig s JOIN ex a ON s.g = a.g
+        |  WHERE s.sz < a.sz OR (s.sz = a.sz AND s.doc_id < a.doc_id))
+        |SELECT c.doc_a, c.doc_b,
+        |  CAST(len(list_intersect(x.sh, y.sh)) AS double) / least(x.sz, y.sz) AS overlap
+        |FROM cand c JOIN f x ON x.doc_id = c.doc_a JOIN f y ON y.doc_id = c.doc_b
+        |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS double) / least(x.sz, y.sz) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // the shuffle hash is plain integer arithmetic (% == pmod on the
     // fixture's non-negative ids — the x23/x30 precedent), so the oracle
     // reproduces the manifest row for row

@@ -116,6 +116,83 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** x85: scalable EXACT containment join — the production path for
+    * x55's overlap-coefficient dedup (quote-inside-page duplication),
+    * which until now only existed as a mod-filtered all-pairs baseline.
+    * PPJoin-style prefix filtering (Xiao et al.'s exact set-similarity
+    * family) on word 5-gram sets: for overlap(A,B) = |A∩B|/min(|A|,|B|)
+    * ≥ t with |A| ≤ |B|, A can miss at most ⌊(1-t)·|A|⌋ of its own
+    * shingles, so ANY (⌊(1-t)·|A|⌋+1)-subset of A must intersect A∩B —
+    * bucketing each doc's prefix (its globally-RAREST shingles, df
+    * ascending, so buckets stay tiny) against the full inverted index
+    * of LARGER docs finds every qualifying pair. Recall is exactly 1 by
+    * pigeonhole — this is an exact algorithm, not an approximation — so
+    * the DuckDB oracle recomputes the pair set with ITS OWN prefix
+    * choice (losslessness is subset-agnostic) and must match row for
+    * row, overlap values included.
+    *
+    * Scale shape: ONE gram exchange feeds the df aggregate, the
+    * df-annotated probe, and the inverted index (the x37/x66
+    * reused-exchange pattern, keep-alive trick included); the per-doc
+    * prefix selection is a window bounded by each document's own gram
+    * count; candidate volume is Σ over rare grams of
+    * (prefix-occurrences × postings) — df-ascending prefixes make the
+    * hot boilerplate grams never probe, the inverse of the naive
+    * bucket-everything join. Word 5-grams (not x55's char trigrams)
+    * because prefix filtering needs a sparse shingle space: char
+    * trigrams saturate |alphabet|³ and every prefix becomes a hot key.
+    */
+  def containmentJoin(docs: DataFrame, threshold: Double = 0.8,
+                      minShingles: Int = 10): DataFrame = {
+    graft.functions.ArrayExpressions.register(docs.sparkSession)
+    val spark = docs.sparkSession
+    val d = docs
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("t"))
+      .select(col("doc_id"), expr(
+        "array_sort(array_distinct(transform(" +
+          "case when size(t) >= 5 then transform(sequence(1, size(t) - 4), " +
+          "i -> array_join(slice(t, i, 5), ' ')) else array() end, " +
+          "g -> xxhash64(g))))").as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") >= minShingles)
+      .localCheckpoint() // read by the gram explode AND twice at verify
+    val ex = d.select(col("doc_id"), col("sz"), explode(col("sh")).as("h"))
+      .repartition(spark.sparkContext.defaultParallelism, col("h"))
+    // document frequency per gram; max(doc_id) consumed-then-dropped via
+    // the tautological filter so ColumnPruning keeps both branches
+    // identical below the exchange (the x66/boilerplateRemove trick)
+    val dfc = ex.groupBy(col("h"))
+      .agg(count(lit(1)).as("dfc"), max(col("doc_id")).as("_mx"))
+      .filter(col("_mx").isNotNull).select(col("h"), col("dfc"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("dfc").asc, col("h").asc)
+    val sig = ex.join(dfc.hint("merge"), "h")
+      .withColumn("_rn", row_number().over(byDoc))
+      .filter(col("_rn") <=
+        (floor((lit(1.0) - lit(threshold)) * col("sz")) + 1).cast("int"))
+      .select(col("doc_id").as("doc_s"), col("sz").as("sz_s"), col("h"))
+    // probe the smaller side's prefix against the full inverted index
+    val cand = sig
+      .join(ex.select(col("doc_id").as("doc_f"), col("sz").as("sz_f"), col("h")), "h")
+      .filter(col("sz_s") < col("sz_f") ||
+        (col("sz_s") === col("sz_f") && col("doc_s") < col("doc_f")))
+      .select(least(col("doc_s"), col("doc_f")).as("doc_a"),
+        greatest(col("doc_s"), col("doc_f")).as("doc_b"))
+      .distinct()
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("n_common",
+        graft.functions.ArrayExpressions.sortedLongIntersectCount(col("sh_a"), col("sh_b")))
+      // unrounded: exact small-integer division, the x55 tie class
+      .withColumn("overlap",
+        col("n_common").cast("double") / least(col("sz_a"), col("sz_b")))
+      .filter(col("overlap") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("overlap"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exact-Jaccard verification of candidate pairs carrying sorted shingle
     * arrays in `shA`/`shB` — the ONE definition every verification path
     * (x3 all-pairs baseline, x4 LSH, x31 incremental) runs through. A

@@ -617,6 +617,39 @@ class QueriesSpec extends AnyFunSuite {
     assert(meanW > 30.0, s"weighted sample shows no weight bias: mean w $meanW")
   }
 
+  test("x85 containment join: lossless vs brute-force all-pairs; quote-in-page recovered at overlap 1.0") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val quote = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val page = ("unrelated preamble text goes here with plenty of extra material " * 4) +
+      quote + (" and then a very long trailing discussion that keeps adding grams " * 4)
+    val rnd = new scala.util.Random(3)
+    val noise = (100L until 160L).map(i =>
+      (i, Seq.fill(30)("w" + rnd.nextInt(40)).mkString(" ")))
+    val docs = (Seq((0L, quote), (5L, page)) ++ noise).toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the planted quote⊂page pair survives with overlap exactly 1
+    assert(got.exists(p => p._1 == 0L && p._2 == 5L && p._3 == 1.0),
+      s"quote-in-page pair missing: $got")
+    // LOSSLESSNESS (recall 1 is a theorem, so test it as one): the
+    // prefix-filtered result must equal brute-force all-pairs exactly
+    def grams(s: String): Set[String] = {
+      val t = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (t.length < 5) Set.empty
+      else (0 to t.length - 5).map(i => t.slice(i, i + 5).mkString(" ")).toSet
+    }
+    val sets = (Seq((0L, quote), (5L, page)) ++ noise)
+      .map { case (id, tx) => id -> grams(tx) }.filter(_._2.size >= 10)
+    val want = (for {
+      (ia, ga) <- sets; (ib, gb) <- sets if ia < ib
+      ov = (ga & gb).size.toDouble / math.min(ga.size, gb.size)
+      if ov >= 0.8
+    } yield (ia, ib, ov)).toSet
+    assert(got == want, s"prefix filter lost or invented pairs: " +
+      s"missing=${want -- got}, extra=${got -- want}")
+  }
+
   test("x61 streaming CDC apply equals the batch q30 merge row for row") {
     val batch = queries("q30_merge_upsert").map(_.toString).toSeq
     val stream = queries("x61_stream_cdc_upsert").map(_.toString).toSeq
