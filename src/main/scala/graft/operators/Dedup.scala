@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -156,7 +158,7 @@ object Dedup {
           "g -> xxhash64(g))))").as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") >= minShingles)
-      .localCheckpoint() // read by the gram explode AND twice at verify
+      .ckpt() // read by the gram explode AND twice at verify
     val ex = d.select(col("doc_id"), col("sz"), explode(col("sh")).as("h"))
       .repartition(spark.sparkContext.defaultParallelism, col("h"))
     // document frequency per gram; max(doc_id) consumed-then-dropped via
@@ -225,7 +227,7 @@ object Dedup {
     * every core (single-file scans are one partition, and AQE would
     * coalesce a count-less repartition of small-bytes/heavy-CPU data right
     * back) and materialized once — the shingling is the dominant CPU cost
-    * and several consumers read it. localCheckpoint (not persist) so the
+    * and several consumers read it. graft.ckpt (not persist) so the
     * blocks auto-clean when the query's RDD is GC'd.
     */
   private[graft] def shingleFingerprints(docs: DataFrame): DataFrame = docs
@@ -233,7 +235,7 @@ object Dedup {
     .select(col("doc_id"),
       graft.functions.ArrayExpressions.shingleHashesSorted(col("text"), 3).as("hashes"))
     .filter(size(col("hashes")) > 0)
-    .localCheckpoint()
+    .ckpt()
 
   /** (doc_id, band, sig) band signatures from fingerprints — all numPerms
     * permuted minima in ONE fused pass (custom expression), then each
@@ -360,7 +362,7 @@ object Dedup {
     // unique (doc_a < doc_b) pairs cannot collide, and min-label
     // propagation is idempotent to duplicate edges anyway — the old
     // distinct was a full extra shuffle + materialization for nothing.
-    // Hash-partition by dst BEFORE the checkpoint: Dataset.localCheckpoint
+    // Hash-partition by dst BEFORE the checkpoint: graft.ckpt
     // preserves outputPartitioning through LogicalRDD, so every round's
     // edges⋈labels join reuses this layout and only the (tiny) label side
     // moves — without it the full edge list re-shuffles once per round.
@@ -370,14 +372,14 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(pairs.sparkSession.sparkContext.defaultParallelism, col("dst"))
-      .localCheckpoint()
+      .ckpt()
     // Seed labels with the neighbor minimum directly (labels(x) = x
     // initially, so the first propagation needs no join — one groupBy).
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("n_min"))
       .select(col("src").as("doc_id"),
         least(col("src"), col("n_min")).as("cluster_id"))
-      .localCheckpoint()
+      .ckpt()
 
     // compression: cluster_id := min(cluster_id, label(cluster_id)).
     // Every label value is itself a node's doc_id, so the self-join hits;
@@ -402,7 +404,7 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
       compress(propagated)
-        .localCheckpoint() // truncate the growing lineage each round
+        .ckpt() // truncate the growing lineage each round
     }
 
     // No pairs => no clusters (and the sum-based convergence probe below
@@ -448,7 +450,7 @@ object Dedup {
         explode(array((0 until 4).map(b =>
           lit(b.toLong * 65536L) + col(s"band$b")): _*)).as("band"))
       // both join sides consume this — materialize the fingerprints once
-      .localCheckpoint()
+      .ckpt()
     val a = sh.select(col("band").as("ba"), col("doc_id").as("doc_a"), col("simhash64").as("ha"))
     val b = sh.select(col("band").as("bb"), col("doc_id").as("doc_b"), col("simhash64").as("hb"))
     // Hamming check INSIDE the join condition: on a dense corpus a band
@@ -513,7 +515,7 @@ object Dedup {
       // whole corpus); pre-spread so AQE can't coalesce the CPU-heavy
       // small-bytes stage to one partition
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-      .localCheckpoint()
+      .ckpt()
     val a = sig.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a"), col("band0"))
     val b = sig.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b"), col("band0"))
     a.join(b, Seq("band0"))

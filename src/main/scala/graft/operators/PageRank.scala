@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -21,7 +23,7 @@ import org.apache.spark.sql.functions._
   * never corpus²); each iteration is ONE join (ranks ⋈ edges on src,
   * both sides hash-partitioned on the same key) + ONE aggregate on dst
   * with map-side combine — the Pregel step. Lineage truncates per
-  * iteration (`localCheckpoint`, the x18 label-propagation pattern), so
+  * iteration (`graft.ckpt`, the x18 label-propagation pattern), so
   * ten iterations cost ten bounded shuffles, not an exponential plan.
   */
 object PageRank {
@@ -43,13 +45,13 @@ object PageRank {
 
   /** Ten fixed-point iterations; top-`k` nodes by (rank desc, node). */
   def topRanks(li: DataFrame, iterations: Int = 10, k: Int = 20): DataFrame = {
-    val edges = coPurchaseEdges(li).localCheckpoint()
+    val edges = coPurchaseEdges(li).ckpt()
     // per-source total outgoing weight (the division base of every
     // contribution this source sends)
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    val withOut = edges.join(outW, "src").localCheckpoint()
+    val withOut = edges.join(outW, "src").ckpt()
     var ranks = outW.select(col("src").as("node"), lit(Scale).as("r"))
-      .localCheckpoint()
+      .ckpt()
     for (_ <- 1 to iterations) {
       val contrib = withOut
         .join(ranks, col("src") === col("node"))
@@ -60,7 +62,7 @@ object PageRank {
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           expr("CAST(150000 + 85 * coalesce(s, 0) DIV 100 AS BIGINT)").as("r"))
-        .localCheckpoint()
+        .ckpt()
     }
     ranks.orderBy(col("r").desc, col("node")).limit(k)
       .select(col("node").as("l_partkey"), col("r").as("rank_scaled"))

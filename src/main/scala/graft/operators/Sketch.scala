@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.functions._
 
@@ -121,7 +123,7 @@ object Sketch {
       .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("token"))
       .filter(col("token") =!= "")
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     val perSource = pairs.groupBy(col("source"))
       .agg(expr("hll_sketch_agg(token, 14)").as("sk"),
         count(lit(1)).as("nd_src"))

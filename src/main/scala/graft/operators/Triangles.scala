@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -34,7 +36,7 @@ object Triangles {
     val e = PageRank.coPurchaseEdges(li)
       .filter(col("src") < col("dst"))
       .select(col("src").as("a"), col("dst").as("b"))
-      .localCheckpoint() // read three times below (degrees + two wedge sides)
+      .ckpt() // read three times below (degrees + two wedge sides)
     val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     // rank(v) = (d, v) lexicographic; orient u -> v iff rank(u) < rank(v)
@@ -47,7 +49,7 @@ object Triangles {
           .otherwise(struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
           .as("o"))
       .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
-      .localCheckpoint() // the wedge self-join reads it twice, the closer once
+      .ckpt() // the wedge self-join reads it twice, the closer once
     // wedges at the minimum-rank vertex: (u -> y), (u -> z), rank(y) < rank(z)
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
@@ -62,7 +64,7 @@ object Triangles {
     val perNode = tris
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
-      .localCheckpoint() // tiny (nodes-in-triangles); read for top-k AND total
+      .ckpt() // tiny (nodes-in-triangles); read for top-k AND total
     val total = perNode
       .agg((sum(col("n_tri")) / 3).cast("bigint").as("total_triangles"))
     perNode.crossJoin(broadcast(total))

@@ -1,0 +1,42 @@
+import org.apache.spark.sql.Dataset
+
+/** Package-level helpers shared by every graft operator. */
+package object graft {
+
+  /** Fault-tolerant materialization switch for corpus-scale intermediates.
+    *
+    * `Dataset.localCheckpoint()` truncates lineage with NO recompute path:
+    * the blocks live only in executor storage, so on a real cluster one
+    * lost executor kills the job mid-run. That is acceptable on local[32]
+    * and fatal at 100 TB. Every corpus-scale materialization in the
+    * operators routes through this one switch:
+    *
+    *  - when a reliable checkpoint location is configured — either
+    *    `SparkContext.setCheckpointDir` was called, or the conf key
+    *    `spark.graft.checkpoint.dir` is set (we lazily install it as the
+    *    context's checkpoint dir) — use reliable `Dataset.checkpoint()`:
+    *    blocks land on fault-tolerant storage and lost executors recompute
+    *    from there;
+    *  - otherwise (local dev, bench) keep `localCheckpoint()`: identical
+    *    cut-the-lineage semantics, no distributed-FS round trip.
+    *
+    * Both paths are eager, return the same rows ([[CheckpointSpec]] pins
+    * this), and preserve the input's partitioning — callers that
+    * repartition BEFORE checkpointing (e.g. the x18 label-propagation
+    * loop) keep their co-location either way.
+    */
+  def ckpt[T](ds: Dataset[T]): Dataset[T] = {
+    val sc = ds.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      ds.sparkSession.conf.getOption("spark.graft.checkpoint.dir")
+        .foreach(sc.setCheckpointDir)
+    if (sc.getCheckpointDir.isDefined) ds.checkpoint() else ds.localCheckpoint()
+  }
+
+  /** `.ckpt()` postfix form of [[ckpt]] — in scope throughout `graft.*`
+    * via this enclosing package object.
+    */
+  implicit class CkptOps[T](private val ds: Dataset[T]) extends AnyVal {
+    def ckpt(): Dataset[T] = graft.ckpt(ds)
+  }
+}

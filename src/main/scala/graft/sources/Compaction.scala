@@ -1,5 +1,7 @@
 package graft.sources
 
+import graft.CkptOps
+
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -68,7 +70,7 @@ object Compaction {
       Jsonl.contentFingerprints(spark.read.parquet(bigDir))
         .withColumn("was_fragmented", lit(nSmall >= frag))
         .withColumn("is_compacted", lit(nBig <= TargetFiles))
-        .localCheckpoint()
+        .ckpt()
     } finally deleteRecursively(tmp)
   }
 
@@ -98,7 +100,7 @@ object Compaction {
           sum(col("quality")).as("sum_quality"),
           expr("bit_xor(doc_id)").as("id_xor"))
         .orderBy("source")
-        .localCheckpoint()
+        .ckpt()
     } finally deleteRecursively(tmp)
   }
 }

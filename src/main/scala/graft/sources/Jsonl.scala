@@ -1,5 +1,7 @@
 package graft.sources
 
+import graft.CkptOps
+
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -66,12 +68,12 @@ object Jsonl {
     * sum pin the text bytes (re-measured — NOT the carried n_chars
     * column — so a lossy round trip cannot hide behind a preserved
     * metadata field). The tiny aggregate is materialized eagerly
-    * (`localCheckpoint`) so the temp JSONL dir can be deleted before
+    * (`graft.ckpt`) so the temp JSONL dir can be deleted before
     * returning the lazy frame to the driver.
     */
   def roundtripSummary(spark: SparkSession, dir: String): DataFrame =
     withJsonlRoundtrip(Tables.load(spark, dir, "documents")) { back =>
-      contentFingerprints(back).localCheckpoint()
+      contentFingerprints(back).ckpt()
     }
 
   /** x53: the same round-trip contract over ORC — the other columnar
@@ -82,6 +84,6 @@ object Jsonl {
     */
   def orcRoundtripSummary(spark: SparkSession, dir: String): DataFrame =
     withFormatRoundtrip(Tables.load(spark, dir, "documents"), "orc") { back =>
-      contentFingerprints(back).localCheckpoint()
+      contentFingerprints(back).ckpt()
     }
 }
