@@ -145,28 +145,29 @@ object SparkEntry {
     "x5_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.load(s, d, "documents"))),
     "x6_embedding_neardup" -> ((s, d) => Similarity.nearDupPairs(Tables.load(s, d, "embeddings"), 5, 0.25)),
     "x7_similarity_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"), 10, 5)),
-    // IVF's approximate row set is centroid-internal, but its recall vs the
-    // exact x7 top-k is driver-gated (exact counts + recall boolean)
-    "x8_similarity_ivf" -> ((s, d) => Similarity.ivfRecallGate(Tables.load(s, d, "embeddings"), 10, 5)),
+    // IVF top-k rows, hash-gated end to end: the fixed-point centroid sums
+    // (integral doubles, exact addition) are order-independent, so DuckDB
+    // replays the identical centroids → cluster selection → cosine ranking.
+    // The recall-vs-exact floor lives in IvfSpec (ivfRecallGate).
+    "x8_similarity_ivf" -> ((s, d) => Similarity.ivfTopK(Tables.load(s, d, "embeddings"), 10, 5)),
     "x9_text_langid" -> ((s, d) => TextAnalysis.langId(Tables.load(s, d, "documents"))),
     "x10_text_quality" -> ((s, d) => TextAnalysis.qualityStats(Tables.load(s, d, "documents"))),
     "x11_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.load(s, d, "documents"))),
     "x12_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.load(s, d, "documents"))),
     "x13_multimodal_meta" -> ((s, d) => Multimodal.blobMeta(Tables.load(s, d, "documents"))),
-    // avg_channel_mean dropped for the driver: a float average over
-    // partition-ordered summation can't hash-match a serial oracle; the
-    // integer columns (count/bytes/byte-sum) pin the decode exactly
+    // per-media-type rollup of the REAL decoders (x79 PNG / x80 PCM /
+    // x86 video frames) — exact integer units + sums, fully hash-gated
     "x14_multimodal_decode" -> ((s, d) =>
-      Multimodal.featureSummary(s, Tables.load(s, d, "documents")).drop("avg_channel_mean")),
+      Multimodal.featureSummary(s, Tables.load(s, d, "documents"))),
     "x15_length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(Tables.load(s, d, "documents"))),
     "x21_multimodal_frames" -> ((s, d) => Multimodal.frameSampleSummary(s, Tables.load(s, d, "documents"))),
     // same result as x7 through the custom bounded-heap aggregate instead
     // of a window sort (map-side partial top-k -> tiny shuffle)
     "x22_topk_aggregate" -> ((s, d) => Similarity.aggTopK(Tables.load(s, d, "embeddings"), 10, 5)),
     // ANN top-k through the multi-table hyperplane index: the hyperplane
-    // signs are a pure splitmix function of (bit, index), so unlike x8's
-    // float-centroid IVF the whole approximate query — index, candidate
-    // set, ranking — replays in DuckDB SQL and hash-gates end to end
+    // signs are a pure splitmix function of (bit, index), so the whole
+    // approximate query — index, candidate set, ranking — replays in
+    // DuckDB SQL and hash-gates end to end (as x8's fixed-point IVF does)
     "x48_lsh_ann_topk" -> ((s, d) => Similarity.lshTopK(Tables.load(s, d, "embeddings"), 10, 5)),
     // multi-probe variant: each probe also searches every Hamming-1
     // neighbor bucket — the recall lever at fixed table count; the flips
@@ -405,6 +406,11 @@ object SparkEntry {
     // recomputes the identical pair set with its own prefix choice
     "x85_containment_join" -> ((s, d) =>
       graft.operators.Dedup.containmentJoin(Tables.load(s, d, "documents"))),
+    // VIDEO pixel decode: x81's container demux composed with x79's real
+    // per-frame ImageIO decode over an intra-frame LOSSLESS stream —
+    // per-frame exact channel sums, truncated streams decode to 0 frames
+    "x86_video_pixels" -> ((s, d) =>
+      graft.operators.Multimodal.videoPixelDecode(s, Tables.load(s, d, "documents"))),
     // perceptual-hash (aHash) image dedup over binary payloads: fused
     // codegen thumbnail-mean fingerprint + banded Hamming pairs over a
     // planted perturbed-twin corpus — integer-exact, replayed in SQL
@@ -447,10 +453,12 @@ object SparkEntry {
     * SQL, so x4's raw pair set, x18's raw cluster labels (pairs resolved
     * through the x20 recursive CTE), and x17's composed curation funnel
     * (LSH losers + quality gate + embedding join + retention report) are
-    * all value-checked against independent recomputations, and only x8's
-    * IVF row remains a contract gate (its centroid assignment depends on
-    * float reduction order, which no serial SQL replay can pin; the x7
-    * exact top-k it is gated against IS oracled). x5/x25 likewise:
+    * all value-checked against independent recomputations. x8's IVF row —
+    * for eleven rounds the ledger's one boolean gate, because float
+    * centroid sums depend on reduction order — now hash-gates too: the
+    * centroids accumulate in fixed point (floor(x·10⁶), integral doubles,
+    * exact addition ⇒ order-independent), so DuckDB replays them exactly
+    * and the recall floor moved to IvfSpec. x5/x25 likewise:
     * [[SimhashOracleCte]] replays the
     * FNV-1a + mix64 simhash kernel bit-for-bit in DuckDB SQL, so the
     * fingerprints are value-checked and the banded pair query is checked
@@ -825,20 +833,45 @@ object SparkEntry {
          |FROM read_csv('${TaxiQueries.FixtureDir}/golden_q2_daily.txt', delim='\t', header=false,
          |  columns={'date':'varchar','daily_revenue':'double'})
          |ORDER BY date""".stripMargin,
+    // the three REAL decode paths replayed from their plant formulas:
+    // image = x79's pixel closed form, audio = x80's PCM closed form
+    // (minus the id%9==4 truncated drops), video = x86's per-frame pixel
+    // closed form (minus the id%13==5 truncated drops)
     "x14_multimodal_decode" ->
-      """WITH s AS (
-        |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |         octet_length(encode(text)) AS n, hex(encode(text)) AS h
-        |  FROM documents),
-        |v AS (
-        |  SELECT media_type, n,
-        |         CAST(coalesce(list_sum(list_transform(range(1, n + 1),
-        |             i -> (instr('0123456789ABCDEF', substring(h, CAST(2*i-1 AS int), 1)) - 1) * 16
-        |                + (instr('0123456789ABCDEF', substring(h, CAST(2*i AS int), 1)) - 1))), 0) AS bigint) AS byte_sum
-        |  FROM s)
-        |SELECT media_type, count(*) AS n_blobs, CAST(sum(n) AS bigint) AS total_bytes,
-        |       CAST(sum(byte_sum) AS bigint) AS byte_sum
-        |FROM v GROUP BY media_type ORDER BY media_type""".stripMargin,
+      """WITH ipx AS (
+        |  SELECT doc_id, x.x AS x, y.y AS y
+        |  FROM documents, generate_series(0, 15) AS x(x), generate_series(0, 8) AS y(y)
+        |  WHERE doc_id % 3 = 0 AND x.x < 4 + doc_id % 13 AND y.y < 3 + doc_id % 7),
+        |img AS (
+        |  SELECT doc_id, CAST(count(*) AS bigint) AS n_units,
+        |         CAST(sum((3*doc_id + x) % 256 + (doc_id + 7*y) % 256
+        |                  + (doc_id + x + 2*y) % 256) AS bigint) AS unit_sum
+        |  FROM ipx GROUP BY doc_id),
+        |aud AS (
+        |  SELECT doc_id, CAST(count(*) AS bigint) AS n_units,
+        |         CAST(sum(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS bigint) AS unit_sum
+        |  FROM (SELECT doc_id, (doc_id * 31 + i.i * 7) % 65536 AS v
+        |        FROM documents, generate_series(0, 149) AS i(i)
+        |        WHERE doc_id % 3 = 1 AND doc_id % 9 <> 4 AND i.i < 50 + doc_id % 100)
+        |  GROUP BY doc_id),
+        |vpx AS (
+        |  SELECT doc_id, doc_id * 4 + j.j AS fid, x.x AS x, y.y AS y
+        |  FROM documents, generate_series(0, 2) AS j(j),
+        |       generate_series(0, 15) AS x(x), generate_series(0, 8) AS y(y)
+        |  WHERE doc_id % 3 = 2 AND doc_id % 13 <> 5 AND j.j < 1 + doc_id % 3
+        |    AND x.x < 4 + (doc_id*4 + j.j) % 13 AND y.y < 3 + (doc_id*4 + j.j) % 7),
+        |vid AS (
+        |  SELECT doc_id, CAST(count(*) AS bigint) AS n_units,
+        |         CAST(sum((3*fid + x) % 256 + (fid + 7*y) % 256
+        |                  + (fid + x + 2*y) % 256) AS bigint) AS unit_sum
+        |  FROM vpx GROUP BY doc_id),
+        |u AS (
+        |  SELECT 'image' AS media_type, n_units, unit_sum FROM img
+        |  UNION ALL SELECT 'audio', n_units, unit_sum FROM aud
+        |  UNION ALL SELECT 'video', n_units, unit_sum FROM vid)
+        |SELECT media_type, count(*) AS n_blobs, CAST(sum(n_units) AS bigint) AS n_units,
+        |       CAST(sum(unit_sum) AS bigint) AS unit_sum
+        |FROM u GROUP BY media_type ORDER BY media_type""".stripMargin,
     "x24_compress_ratio" ->
       """SELECT source, count(*) AS n_docs, true AS all_docs_in_bounds,
         |       true AS avg_within
@@ -1669,20 +1702,43 @@ object SparkEntry {
     "x4_dedup_minhash_lsh" ->
       (MinhashLshCte(0.6) +
         "\nSELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"),
-    // exact-top-k counts recomputed by DuckDB from the x7 oracle query; the
-    // IVF recall floor rides as a boolean
+    // the FULL IVF pipeline replayed in SQL: fixed-point centroid sums
+    // (floor(x·10⁶) — integral doubles whose addition is exact, hence
+    // order-independent, hence identical to the engine's parallel
+    // vector_sum), dominant-dim selection, nprobe=5 nearest clusters per
+    // probe, then x7's cosine ranking restricted to the selected clusters
     "x8_similarity_ivf" ->
-      """WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dd AS (
+        |  SELECT len(v) AS dom_sz FROM e GROUP BY len(v) ORDER BY count(*) DESC, len(v) LIMIT 1),
+        |ev AS (SELECT vec_id, label, v FROM e, dd WHERE len(v) = dom_sz),
+        |fx AS (
+        |  SELECT label,
+        |         unnest(generate_series(1, len(v))) AS di,
+        |         unnest(list_transform(v, x -> floor(x * CAST(1000000 AS DOUBLE)))) AS xi
+        |  FROM ev),
+        |cn AS (SELECT label, count(*) AS n FROM ev GROUP BY label),
+        |cent AS (
+        |  SELECT sx.label, list(sx.s / (cn.n * CAST(1000000 AS DOUBLE)) ORDER BY sx.di) AS centroid
+        |  FROM (SELECT label, di, SUM(xi) AS s FROM fx GROUP BY label, di) sx
+        |  JOIN cn USING (label)
+        |  GROUP BY sx.label, cn.n),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM ev WHERE vec_id < 10),
+        |pc AS (
+        |  SELECT probe_id, pv, label AS c_label
+        |  FROM p, cent
+        |  QUALIFY row_number() OVER (PARTITION BY probe_id
+        |            ORDER BY list_cosine_similarity(pv, centroid) DESC, label) <= 5),
         |s AS (
-        |  SELECT probe_id, cand_id, list_cosine_similarity(pv, cv) AS rawsim
-        |  FROM p JOIN c ON probe_id != cand_id
-        |  WHERE NOT isnan(list_cosine_similarity(pv, cv))),
-        |t AS (
-        |  SELECT probe_id, cand_id FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY rawsim DESC, cand_id) <= 5)
-        |SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_exact, true AS recall_ok
-        |FROM t""".stripMargin,
+        |  SELECT probe_id, c.vec_id AS cand_id, list_cosine_similarity(pv, c.v) AS rawsim
+        |  FROM pc JOIN ev c ON c.label = pc.c_label AND c.vec_id != pc.probe_id
+        |  WHERE NOT isnan(list_cosine_similarity(pv, c.v)))
+        |SELECT probe_id, cand_id, round(rawsim, 4) AS sim,
+        |       CAST(row_number() OVER (PARTITION BY probe_id ORDER BY rawsim DESC, cand_id) AS int) AS rank
+        |FROM s
+        |QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY rawsim DESC, cand_id) <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
     "x6_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 5 = 0)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -2331,6 +2387,27 @@ object SparkEntry {
         |  CASE WHEN doc_id % 11 <> 7
         |    THEN CAST(10 + (doc_id * 2 + (doc_id % 4) * 3) % 200 AS bigint) END AS last_h
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // x86: one row per planted pixel of every surviving frame, channel
+    // values closed-form in (fid = doc_id·4 + frame, x, y); the lossless
+    // codec means the decoded per-frame sums must equal these exactly,
+    // and truncated docs (id%13==5) must contribute ZERO rows
+    "x86_video_pixels" ->
+      """WITH f AS (
+        |  SELECT doc_id, j.j AS frame_idx, doc_id * 4 + j.j AS fid
+        |  FROM documents, generate_series(0, 2) AS j(j)
+        |  WHERE j.j < 1 + doc_id % 3 AND doc_id % 13 <> 5),
+        |px AS (
+        |  SELECT doc_id, frame_idx, fid, x.x AS x, y.y AS y
+        |  FROM f, generate_series(0, 15) AS x(x), generate_series(0, 8) AS y(y)
+        |  WHERE x.x < 4 + fid % 13 AND y.y < 3 + fid % 7)
+        |SELECT doc_id, CAST(frame_idx AS int) AS frame_idx,
+        |  CAST(4 + fid % 13 AS int) AS width,
+        |  CAST(3 + fid % 7 AS int) AS height,
+        |  CAST((4 + fid % 13) * (3 + fid % 7) AS bigint) AS n_px,
+        |  CAST(sum((3*fid + x) % 256) AS bigint) AS sum_r,
+        |  CAST(sum((fid + 7*y) % 256) AS bigint) AS sum_g,
+        |  CAST(sum((fid + x + 2*y) % 256) AS bigint) AS sum_b
+        |FROM px GROUP BY doc_id, frame_idx, fid ORDER BY doc_id, frame_idx""".stripMargin,
     // plain id-ordered 3-join replay (the triangle set is independent of
     // the engine's degree orientation); integer-exact throughout
     "x82_triangles" ->

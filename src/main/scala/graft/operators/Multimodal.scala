@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,22 +17,6 @@ final case class MediaBlob(doc_id: Long, media_type: String, payload: Array[Byte
   */
 final case class MediaFrame(doc_id: Long, frame_idx: Int, n_frames: Int, frame: Array[Byte])
 
-/** Extracted per-blob features (what an image/audio decoder would emit).
-  * `byte_sum` (total of all payload byte values — a decoder's "total
-  * luminance" analog) is kept alongside the derived `channel_mean`
-  * because it is an exact integer: order-independent under aggregation,
-  * so corpus rollups of the decode output stay oracle-checkable where a
-  * float mean is not.
-  */
-final case class MediaFeatures(
-    doc_id: Long,
-    media_type: String,
-    n_bytes: Long,
-    width: Int,
-    height: Int,
-    byte_sum: Long,
-    channel_mean: Double)
-
 /** One really-decoded image: dimensions + exact per-channel pixel sums
   * (order-independent integers, so the decode output stays
   * oracle-checkable — a float mean is not).
@@ -39,18 +25,30 @@ final case class DecodedImage(
     doc_id: Long, png_bytes: Long, width: Int, height: Int,
     n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long)
 
+/** One really-decoded VIDEO frame (x86): the per-frame sibling of
+  * [[DecodedImage]], emitted by the demux→decode composition.
+  */
+final case class DecodedFrame(
+    doc_id: Long, frame_idx: Int, width: Int, height: Int,
+    n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
 /** Multimodal-column handling: media as opaque `binary` columns with typed
   * metadata, decoded per partition in batches.
   *
-  * Decode paths: [[realDecode]] (x79 — genuine PNG encode→decode through
-  * the JDK's ImageIO, actual zlib-compressed bytes in the middle),
-  * [[wavPcmDecode]] (x80 — real RIFF chunk walk + 16-bit PCM sample
-  * statistics), [[mjpegDemux]] (x81 — entropy-scan frame counting for
-  * concatenated-JPEG video), and [[decodeStub]] (deterministic fake
-  * features — now only the placeholder for inter-frame video codecs,
-  * which no JVM-only container can honestly ship). The Spark-side
-  * contract (binary in, fixed-schema features out, partition-batched,
-  * no driver involvement) is identical for all of them.
+  * Decode paths — ALL real now (the last stub, x14's fake video decode,
+  * was retired by [[videoPixelDecode]]): [[realDecode]] (x79 — genuine
+  * PNG encode→decode through the JDK's ImageIO, actual zlib-compressed
+  * bytes in the middle), [[wavPcmDecode]] (x80 — real RIFF chunk walk +
+  * 16-bit PCM sample statistics), [[mjpegDemux]] (x81 — entropy-scan
+  * frame counting for concatenated-JPEG video), [[videoPixelDecode]]
+  * (x86 — per-frame PIXEL decode of an intra-frame lossless video
+  * stream: real chunk-walk demux, real ImageIO decode per frame), and
+  * [[featureSummary]] (x14 — the per-media-type rollup of the three real
+  * decode paths). Inter-frame codecs (H.264-class) stay out of scope —
+  * no JVM-only container can honestly ship one — but their per-frame
+  * statistics shape is exactly x86's. The Spark-side contract (binary
+  * in, fixed-schema features out, partition-batched, no driver
+  * involvement) is identical for all of them.
   */
 object Multimodal {
 
@@ -65,35 +63,6 @@ object Multimodal {
           (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
         encode(col("text"), "UTF-8").as("payload"))
       .as[MediaBlob]
-  }
-
-  /** The decode stub — kept as the x14 contract row (deterministic on
-    * the payload bytes) and as the placeholder for inter-frame video
-    * codecs; the real decode paths are [[realDecode]]/[[wavPcmDecode]]/
-    * [[mjpegDemux]] (x79/x80/x81).
-    */
-  def decodeStub(b: MediaBlob): MediaFeatures = {
-    val n = b.payload.length.toLong
-    var sum = 0L
-    var i = 0
-    while (i < b.payload.length) { sum += b.payload(i) & 0xff; i += 1 }
-    MediaFeatures(
-      doc_id = b.doc_id,
-      media_type = b.media_type,
-      n_bytes = n,
-      width = (n % 640).toInt,
-      height = (n % 480).toInt,
-      byte_sum = sum,
-      channel_mean = if (n == 0) 0.0 else sum.toDouble / n)
-  }
-
-  /** Partition-batched feature extraction: the iterator keeps the decode
-    * streaming (no per-partition materialization), exactly how a Pandas-UDF
-    * / mapInArrow batch decoder behaves in the Python API.
-    */
-  def extractFeatures(spark: SparkSession, blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
-    import spark.implicits._
-    blobs.mapPartitions(_.map(decodeStub))
   }
 
   /** Deterministic planted image for doc `id`: dimensions and every
@@ -120,6 +89,46 @@ object Multimodal {
     img
   }
 
+  /** Sum an image's channels: (sum_r, sum_g, sum_b) — the shared pixel
+    * loop of x79's still path and x86's per-frame path.
+    */
+  private def channelSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    (sr, sg, sb)
+  }
+
+  /** x79's kernel, reusable per id-set: planted image → REAL PNG encode →
+    * REAL ImageIO decode → exact channel sums.
+    */
+  private def decodePlantedPng(spark: SparkSession,
+                               ids: Dataset[Long]): Dataset[DecodedImage] = {
+    import spark.implicits._
+    ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no /tmp spill for in-memory blobs
+      it.map { id =>
+        val baos = new java.io.ByteArrayOutputStream()
+        if (!javax.imageio.ImageIO.write(plantedImage(id), "png", baos))
+          throw new IllegalStateException("JDK PNG writer unavailable")
+        val png = baos.toByteArray
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val (sr, sg, sb) = channelSums(img)
+        DecodedImage(id, png.length.toLong, w, h, w.toLong * h, sr, sg, sb)
+      }
+    }
+  }
+
   /** x79: the REAL decode path — each document becomes a genuine PNG
     * (the JDK ImageIO encoder: real zlib deflate, real chunk CRCs), and
     * the features come from genuinely DECODING those bytes back
@@ -129,37 +138,14 @@ object Multimodal {
     * channel packing hash-mismatches; `png_bytes > 57` (the minimum
     * possible PNG) pins that real compressed bytes existed in the
     * middle without depending on deflate's exact output size. Typed
-    * `mapPartitions`, streaming per partition, zero driver involvement —
-    * the same plumbing contract as [[extractFeatures]], with the stub
-    * replaced by an actual codec. At 100 TB this is the shape that
-    * matters: the codec cost is embarrassingly parallel per record, no
-    * shuffle until the (optional) rollup.
+    * `mapPartitions`, streaming per partition, zero driver involvement.
+    * At 100 TB this is the shape that matters: the codec cost is
+    * embarrassingly parallel per record, no shuffle until the (optional)
+    * rollup.
     */
   def realDecode(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val decoded = docs.select(col("doc_id")).as[Long].mapPartitions { it =>
-      javax.imageio.ImageIO.setUseCache(false) // no /tmp spill for in-memory blobs
-      it.map { id =>
-        val baos = new java.io.ByteArrayOutputStream()
-        if (!javax.imageio.ImageIO.write(plantedImage(id), "png", baos))
-          throw new IllegalStateException("JDK PNG writer unavailable")
-        val png = baos.toByteArray
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
-        val (w, h) = (img.getWidth, img.getHeight)
-        var (sr, sg, sb) = (0L, 0L, 0L)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
-            x += 1
-          }
-          y += 1
-        }
-        DecodedImage(id, png.length.toLong, w, h, w.toLong * h, sr, sg, sb)
-      }
-    }
+    val decoded = decodePlantedPng(spark, docs.select(col("doc_id")).as[Long])
     decoded.toDF()
       .select(col("doc_id"), (col("png_bytes") > 57L).as("png_real"),
         col("width"), col("height"), col("n_px"),
@@ -488,20 +474,151 @@ object Multimodal {
         md5(col("payload")).as("content_md5"))
       .orderBy("doc_id")
 
-  /** Full decode pipeline rolled up per media type. The count/byte/sum
-    * columns are exact integers, so the rollup is DuckDB-oracle-checkable
-    * (byte values are recomputable in SQL from the text's UTF-8 hex);
-    * `avg_channel_mean` is a float average whose value depends on
-    * partition summation order, so the driver-visible query drops it
-    * (see [[graft.SparkEntry]]) and ScalaTest covers it instead.
+  /** x86 corpus: each document re-framed as an intra-frame LOSSLESS video
+    * stream — `1 + doc_id % 3` REAL PNG frames (the JDK encoder: genuine
+    * zlib deflate, genuine chunk CRCs) concatenated back to back, frame
+    * `j` planted from the closed-form [[plantedImage]] formula at
+    * `fid = doc_id·4 + j`. Losslessness is what makes per-frame PIXEL
+    * sums oracle-recomputable — the reason the stream is M-PNG rather
+    * than MJPEG, whose DCT quantization has no closed form (x81 covers
+    * the MJPEG container walk; MultimodalSpec composes the two on real
+    * ImageIO JPEG frames with a lossy tolerance). Every doc with
+    * id%13==5 truncates to 10 bytes (signature + 2), pinning the
+    * dirty-blob contract: a cut stream must decode to ZERO frames, not
+    * an error.
+    */
+  private[graft] def plantedVideoCorpus(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val nf = (1 + id % 3).toInt
+        val baos = new java.io.ByteArrayOutputStream()
+        var j = 0
+        while (j < nf) {
+          if (!javax.imageio.ImageIO.write(plantedImage(id * 4 + j), "png", baos))
+            throw new IllegalStateException("JDK PNG writer unavailable")
+          j += 1
+        }
+        val full = baos.toByteArray
+        val payload =
+          if (id % 13 == 5) java.util.Arrays.copyOf(full, math.min(10, full.length))
+          else full
+        (id, payload)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  private val PngSig =
+    Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+
+  private def isPngSigAt(p: Array[Byte], off: Int): Boolean = {
+    if (off + 8 > p.length) return false
+    var i = 0
+    while (i < 8) { if (p(off + i) != PngSig(i)) return false; i += 1 }
+    true
+  }
+
+  /** End offset (exclusive) of the PNG starting at `off`, by genuinely
+    * walking the chunk chain (4-byte BE length + 4-byte type + data +
+    * 4-byte CRC) to IEND — the structural demux a concatenated-stream
+    * container needs; a signature scan alone could be fooled by the 8
+    * magic bytes appearing inside compressed IDAT data. Returns -1 on a
+    * truncated / structurally broken stream.
+    */
+  private def pngEndAt(p: Array[Byte], off: Int): Int = {
+    var i = off + 8
+    while (i + 8 <= p.length) {
+      val len = ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+        ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+      if (len < 0) return -1
+      val isEnd = p(i + 4) == 'I' && p(i + 5) == 'E' && p(i + 6) == 'N' && p(i + 7) == 'D'
+      val next = i.toLong + 12L + len
+      if (next > p.length) return -1
+      i = next.toInt
+      if (isEnd) return i
+    }
+    -1
+  }
+
+  /** x86: VIDEO pixel decode — the composition x81 (container demux) ∘
+    * x79 (real per-image pixel decode), runnable end to end because the
+    * stream's intra-frame codec is lossless: walk the concatenated-PNG
+    * chunk structure to cut exact frame boundaries, `ImageIO.read` each
+    * frame's real compressed bytes, and emit exact per-frame channel
+    * sums (order-independent integers). One row per decoded frame;
+    * truncated/corrupt tails stop the walk, so dirty blobs contribute
+    * zero rows and the oracle's id%13 WHERE clause pins exactly that.
+    * Typed `mapPartitions` end to end — per-record parallel decode, no
+    * shuffle before the terminal sort, the x79 scaling shape.
+    */
+  def videoPixelDecode(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val frames = plantedVideoCorpus(spark, docs).as[(Long, Array[Byte])]
+      .flatMap { case (docId, payload) =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val out = scala.collection.mutable.ArrayBuffer.empty[DecodedFrame]
+        var off = 0
+        var idx = 0
+        var halt = false
+        while (!halt && isPngSigAt(payload, off)) {
+          val end = pngEndAt(payload, off)
+          if (end < 0) halt = true
+          else {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(
+                java.util.Arrays.copyOfRange(payload, off, end)))
+            if (img != null) {
+              val (sr, sg, sb) = channelSums(img)
+              out += DecodedFrame(docId, idx, img.getWidth, img.getHeight,
+                img.getWidth.toLong * img.getHeight, sr, sg, sb)
+            }
+            idx += 1
+            off = end
+          }
+        }
+        out
+      }
+    frames.toDF().orderBy("doc_id", "frame_idx")
+  }
+
+  /** x14: full decode pipeline rolled up per media type — every blob
+    * routed to its REAL decoder (the deterministic-fake decode stub this
+    * row shipped through round 13 is gone): images through x79's PNG
+    * encode→decode, audio through x80's RIFF walk + PCM read, video
+    * through x86's demux→per-frame decode. The rollup counts decoded
+    * units (pixels / samples / pixels-across-frames) and their exact
+    * integer value sums, so the whole pipeline stays hash-gated — the
+    * oracle recomputes every column from the plant formulas. Truncated
+    * blobs (audio id%9==4, video id%13==5) are DROPPED, not errors —
+    * n_blobs counts what actually decoded, and the oracle replays the
+    * same exclusions.
     */
   def featureSummary(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val feats = extractFeatures(spark, toBlobs(spark, docs)).toDF()
-    feats.groupBy(col("media_type"))
+    graft.functions.ArrayExpressions.register(spark)
+    import spark.implicits._
+    val image = decodePlantedPng(spark,
+        docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")).as[Long]).toDF()
+      .select(lit("image").as("media_type"),
+        col("n_px").as("n_units"),
+        (col("sum_r") + col("sum_g") + col("sum_b")).as("unit_sum"))
+    val audio = plantedWavCorpus(docs.filter(col("doc_id") % 3 === 1))
+      .select(col("doc_id"),
+        graft.functions.ArrayExpressions.wavPcmStats(col("payload")).as("st"))
+      .filter(col("st").isNotNull) // truncated blobs: dropped, not failed
+      .select(lit("audio").as("media_type"),
+        element_at(col("st"), 1).as("n_units"),
+        element_at(col("st"), 2).as("unit_sum"))
+    val video = videoPixelDecode(spark, docs.filter(col("doc_id") % 3 === 2))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_px")).as("n_units"),
+        sum(col("sum_r") + col("sum_g") + col("sum_b")).as("unit_sum"))
+      .select(lit("video").as("media_type"), col("n_units"), col("unit_sum"))
+    image.unionByName(audio).unionByName(video)
+      .groupBy(col("media_type"))
       .agg(count(lit(1)).as("n_blobs"),
-        sum(col("n_bytes")).as("total_bytes"),
-        sum(col("byte_sum")).cast("bigint").as("byte_sum"),
-        round(avg(col("channel_mean")), 6).as("avg_channel_mean"))
+        sum(col("n_units")).cast("bigint").as("n_units"),
+        sum(col("unit_sum")).cast("bigint").as("unit_sum"))
       .orderBy("media_type")
   }
 
@@ -552,7 +669,7 @@ object Multimodal {
         explode(array((0 until 4).map(b =>
           lit(b.toLong * 65536L) +
             expr(s"shiftright(ahash64, ${48 - 16 * b}) & 65535")): _*)).as("band"))
-      .localCheckpoint()
+      .ckpt()
     val a = hashed.select(col("band").as("ba"), col("doc_id").as("doc_a"), col("ahash64").as("ha"))
     val b = hashed.select(col("band").as("bb"), col("doc_id").as("doc_b"), col("ahash64").as("hb"))
     a.join(b, col("ba") === col("bb") && col("doc_a") < col("doc_b") &&

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -503,11 +505,10 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
-  /** Driver-gated recall contract for the IVF path (the x8 ledger row):
-    * the approximate top-k row set depends on engine-internal centroids and
-    * can never hash-match a SQL oracle, but its recall against the EXACT
-    * top-k can ride as a boolean — the x24/x27/x31 invariant pattern. One
-    * output row:
+  /** Recall contract for the IVF path, pinned in QueriesSpec (the x8
+    * ledger row itself now hash-gates the top-k rows — fixed-point
+    * centroids made the row set deterministic — so this gate moved from
+    * the driver ledger to the test suite). One output row:
     *
     *  - `n_probes` / `n_exact`: probe count and exact-top-k row count —
     *    DuckDB recomputes both from the x7 oracle query, so they are hard
@@ -553,11 +554,22 @@ object Similarity {
     // one plan node at any dim; grouping by size(v) alongside label keeps
     // ragged rows in their own (dropped) groups — drop-don't-fail without
     // a pre-filter.
+    // Fixed-point centroid accumulation (x75's integer-determinism
+    // pattern): each element is quantized to floor(x·10⁶) — an INTEGRAL
+    // double, and every partial sum stays far below 2⁵³ (|x| ≲ 1 and the
+    // scale budget holds to ~10⁹ vectors per label), so each addition is
+    // EXACT and the reduction is order-independent. That makes the
+    // centroids — and therefore the whole IVF top-k — deterministic across
+    // partitionings AND engines: DuckDB recomputes the identical sums
+    // serially, so x8 hash-gates like x48/x52 instead of riding a recall
+    // boolean. Quantization error ≤ 1e-6 per element is ~4 orders below
+    // the cluster-similarity gaps at any scale.
     val sums = withV0
       .groupBy(col("label"), size(col("v")).as("sz"))
-      .agg(graft.functions.ArrayExpressions.vectorSum(col("v")).as("s"),
+      .agg(graft.functions.ArrayExpressions.vectorSum(
+        expr("transform(v, x -> cast(floor(x * cast(1000000 as double)) as double))")).as("s"),
         count(lit(1)).as("n"))
-      .localCheckpoint() // tiny (labels × sizes rows); read twice below
+      .ckpt() // tiny (labels × sizes rows); read twice below
     // dominant dimensionality selected IN-PLAN: a 1-row relation joined
     // back broadcast (round 11 still collected it to the driver and
     // parameterized the filters with the literal — the last driver
@@ -568,7 +580,8 @@ object Similarity {
       .select(col("sz").as("dom_sz"))
     val centroids = sums.join(broadcast(domDim), col("sz") === col("dom_sz"))
       .select(col("label").as("c_label"),
-        expr("transform(s, x -> x / n)").as("centroid"))
+        // exact-integral sum / exact (n·10⁶) — bit-identical on any engine
+        expr("transform(s, x -> x / (n * cast(1000000 as double)))").as("centroid"))
     // drop-don't-fail: ragged vectors leave the probe/candidate sets too.
     val withV = withV0.join(broadcast(domDim), size(col("v")) === col("dom_sz"))
       .drop("dom_sz")
