@@ -67,7 +67,8 @@ object ScaleStudy {
     // optional section selection (builder-side iteration: re-run ONE
     // study without paying for the full sweep): sections are
     // pairs / incremental / ann / annocc / x54 / pagerank / simdedup /
-    // stream / trigram / triangles; no args = the full sweep (BASELINE.md)
+    // stream / trigram / triangles / containment; no args = the full
+    // sweep (BASELINE.md)
     val only = args.toSet
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
     // untimed warmup: codegen + JIT of the LSH plan, so the scale-1 row
@@ -398,6 +399,58 @@ object ScaleStudy {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"op":"trigram_novelty","scale":$k,"docs":${agg.getLong(0)},"distinct_tris":$nDistinct,"occurrences":${agg.getLong(1)},"rare":${agg.getLong(2)},"sec":$sec%.2f}""")
         assert(agg.getLong(0) == nDocs)
+      }
+    }
+    // x85 containment join: the cipher replicas keep each replica's gram
+    // space disjoint, so the exact pair set scales exactly k× — and the
+    // A/B of candidate volume WITH vs WITHOUT PPJoin's positional filter
+    // is the measured form of the pruning claim (the filter is lossless,
+    // so verified pairs must be identical in both arms).
+    //
+    // On the raw corpus the prefix filter is already PERFECT (candidates
+    // == verified pairs): documents carry enough unique (df = 1) grams
+    // that every prefix is pure unique grams, and sharing one means
+    // near-identity. The positional filter earns its keep on near-dup
+    // FAMILIES, where prefixes are forced into shared (df ≥ 2) grams —
+    // so every 5th doc gets an x54-style planted triple: Y = first 85% of
+    // X's words + unique filler (a TRUE ≥0.8-containment pair), and Z =
+    // last 30% of X's words + ~80% filler (a candidate that shares X's
+    // prefix-region grams but can never reach 0.8). Z is built slightly
+    // LARGER than X so X probes as the smaller side, and Z's fillers (df
+    // 1) outrank its shared grams in the global (df, h) order — pushing
+    // the shared grams' positions past the remaining-overlap bound,
+    // exactly the geometry PPJoin's positional filter prunes and the
+    // prefix filter cannot.
+    if (want("containment")) {
+      val wordsCol = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val src = docs.select(col("doc_id"), wordsCol.as("w"))
+        .filter(col("doc_id") % 5 === 0 && size(col("w")) >= 40)
+      val y = src.select((col("doc_id") + 200000L).as("doc_id"),
+        concat(
+          array_join(slice(col("w"), lit(1), ceil(size(col("w")) * 0.85).cast("int")), " "),
+          lit(" "),
+          array_join(transform(sequence(lit(1), ceil(size(col("w")) * 0.15).cast("int")),
+            i => concat(lit("fy"), col("doc_id"), lit("w"), i)), " ")).as("text"))
+      val z = src.select((col("doc_id") + 400000L).as("doc_id"),
+        concat(
+          array_join(slice(col("w"),
+            (floor(size(col("w")) * 0.7) + 1).cast("int"), size(col("w"))), " "),
+          lit(" "),
+          array_join(transform(sequence(lit(1), ceil(size(col("w")) * 0.8).cast("int")),
+            i => concat(lit("fz"), col("doc_id"), lit("w"), i)), " ")).as("text"))
+      val planted = docs.select(col("doc_id"), col("text")).unionByName(y).unionByName(z)
+      Dedup.containmentJoin(planted).count() // untimed codegen/JIT warmup
+      for (k <- Seq(1, 3, 10)) {
+        val corpus = expand(planted, k).localCheckpoint()
+        val d = Dedup.shingledDocs(corpus, 10)
+        val nPrefix = Dedup.containmentCandidates(d, 0.8, positional = false).count()
+        val t0 = System.nanoTime()
+        val nPos = Dedup.containmentCandidates(d, 0.8, positional = true).count()
+        val tCand = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val nPairs = Dedup.containmentJoin(corpus).count()
+        val tFull = (System.nanoTime() - t1) / 1e9
+        println(f"""{"op":"containment","scale":$k,"prefix_cands":$nPrefix,"positional_cands":$nPos,"cut_pct":${100.0 * (nPrefix - nPos) / math.max(1, nPrefix)}%.1f,"verified_pairs":$nPairs,"cand_sec":$tCand%.2f,"full_sec":$tFull%.2f}""")
       }
     }
     // x82 triangle counting rides the same disconnected-replica scheme

@@ -143,45 +143,17 @@ object Dedup {
     * bucket-everything join. Word 5-grams (not x55's char trigrams)
     * because prefix filtering needs a sparse shingle space: char
     * trigrams saturate |alphabet|³ and every prefix becomes a hot key.
+    * On top of the prefix, the production path applies PPJoin's
+    * POSITIONAL filter (see [[containmentCandidates]]): matched prefix
+    * grams whose remaining-overlap bound cannot reach ⌈t·sz⌉ are pruned
+    * before the distinct — still exactly lossless, and ScaleStudy's
+    * `containment` section measures the candidate reduction at 1×/3×/10×.
     */
   def containmentJoin(docs: DataFrame, threshold: Double = 0.8,
                       minShingles: Int = 10): DataFrame = {
     graft.functions.ArrayExpressions.register(docs.sparkSession)
-    val spark = docs.sparkSession
-    val d = docs
-      .select(col("doc_id"),
-        filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("t"))
-      .select(col("doc_id"), expr(
-        "array_sort(array_distinct(transform(" +
-          "case when size(t) >= 5 then transform(sequence(1, size(t) - 4), " +
-          "i -> array_join(slice(t, i, 5), ' ')) else array() end, " +
-          "g -> xxhash64(g))))").as("sh"))
-      .withColumn("sz", size(col("sh")))
-      .filter(col("sz") >= minShingles)
-      .ckpt() // read by the gram explode AND twice at verify
-    val ex = d.select(col("doc_id"), col("sz"), explode(col("sh")).as("h"))
-      .repartition(spark.sparkContext.defaultParallelism, col("h"))
-    // document frequency per gram; max(doc_id) consumed-then-dropped via
-    // the tautological filter so ColumnPruning keeps both branches
-    // identical below the exchange (the x66/boilerplateRemove trick)
-    val dfc = ex.groupBy(col("h"))
-      .agg(count(lit(1)).as("dfc"), max(col("doc_id")).as("_mx"))
-      .filter(col("_mx").isNotNull).select(col("h"), col("dfc"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("dfc").asc, col("h").asc)
-    val sig = ex.join(dfc.hint("merge"), "h")
-      .withColumn("_rn", row_number().over(byDoc))
-      .filter(col("_rn") <=
-        (floor((lit(1.0) - lit(threshold)) * col("sz")) + 1).cast("int"))
-      .select(col("doc_id").as("doc_s"), col("sz").as("sz_s"), col("h"))
-    // probe the smaller side's prefix against the full inverted index
-    val cand = sig
-      .join(ex.select(col("doc_id").as("doc_f"), col("sz").as("sz_f"), col("h")), "h")
-      .filter(col("sz_s") < col("sz_f") ||
-        (col("sz_s") === col("sz_f") && col("doc_s") < col("doc_f")))
-      .select(least(col("doc_s"), col("doc_f")).as("doc_a"),
-        greatest(col("doc_s"), col("doc_f")).as("doc_b"))
-      .distinct()
+    val d = shingledDocs(docs, minShingles)
+    val cand = containmentCandidates(d, threshold, positional = true)
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), "doc_b")
@@ -193,6 +165,92 @@ object Dedup {
       .filter(col("overlap") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("overlap"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** x85's shingling front end: (doc_id, sh sorted-distinct word-5-gram
+    * hashes, sz), materialized once — read by the gram explode AND twice
+    * at verify.
+    */
+  private[graft] def shingledDocs(docs: DataFrame, minShingles: Int): DataFrame = docs
+    .select(col("doc_id"),
+      filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("t"))
+    .select(col("doc_id"), expr(
+      "array_sort(array_distinct(transform(" +
+        "case when size(t) >= 5 then transform(sequence(1, size(t) - 4), " +
+        "i -> array_join(slice(t, i, 5), ' ')) else array() end, " +
+        "g -> xxhash64(g))))").as("sh"))
+    .withColumn("sz", size(col("sh")))
+    .filter(col("sz") >= minShingles)
+    .ckpt()
+
+  /** x85's candidate generation over a [[shingledDocs]] relation, split
+    * out so ScaleStudy can A/B the two pruning levels:
+    *
+    *  - `positional = false`: prefix filter only — each doc's
+    *    (⌊(1-t)·sz⌋+1) globally-rarest grams probe the full inverted
+    *    index.
+    *  - `positional = true` (the production path): PPJoin's POSITIONAL
+    *    filter on top. Both sides carry each gram's rank in the global
+    *    (df asc, h asc) order restricted to their own doc, and a matched
+    *    gram row survives only if `1 + min(sz_s − rn_s, sz_f − rn_f) ≥
+    *    ⌈t·sz_s⌉` — the remaining-overlap upper bound the prefix alone
+    *    cannot see. EXACTNESS: the global order induces the same
+    *    relative order of A∩B in both docs, so the pair's FIRST common
+    *    gram g₁ (a) must sit inside the smaller doc's prefix (else
+    *    |A∩B| ≤ sz_s − prefix_len < t·sz_s), and (b) has zero common
+    *    grams before it on EITHER side, so its row satisfies
+    *    o ≤ 1 + min(remaining) exactly — every qualifying pair keeps at
+    *    least the g₁ row. The ε slack on ⌈t·sz_s⌉ only under-prunes
+    *    (float-product guard), never drops a qualifying pair.
+    *
+    * The positional variant materializes the ranked inverted index
+    * ([[graft.ckpt]]) because both the prefix side and the probe side
+    * read it — the PPJoin index build, one corpus pass.
+    */
+  private[graft] def containmentCandidates(d: DataFrame, threshold: Double,
+                                           positional: Boolean): DataFrame = {
+    val spark = d.sparkSession
+    val ex = d.select(col("doc_id"), col("sz"), explode(col("sh")).as("h"))
+      .repartition(spark.sparkContext.defaultParallelism, col("h"))
+    // document frequency per gram; max(doc_id) consumed-then-dropped via
+    // the tautological filter so ColumnPruning keeps both branches
+    // identical below the exchange (the x66/boilerplateRemove trick)
+    val dfc = ex.groupBy(col("h"))
+      .agg(count(lit(1)).as("dfc"), max(col("doc_id")).as("_mx"))
+      .filter(col("_mx").isNotNull).select(col("h"), col("dfc"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("dfc").asc, col("h").asc)
+    val prefixLen = (floor((lit(1.0) - lit(threshold)) * col("sz")) + 1).cast("int")
+    if (!positional) {
+      val sig = ex.join(dfc.hint("merge"), "h")
+        .withColumn("_rn", row_number().over(byDoc))
+        .filter(col("_rn") <= prefixLen)
+        .select(col("doc_id").as("doc_s"), col("sz").as("sz_s"), col("h"))
+      // probe the smaller side's prefix against the full inverted index
+      sig
+        .join(ex.select(col("doc_id").as("doc_f"), col("sz").as("sz_f"), col("h")), "h")
+        .filter(col("sz_s") < col("sz_f") ||
+          (col("sz_s") === col("sz_f") && col("doc_s") < col("doc_f")))
+        .select(least(col("doc_s"), col("doc_f")).as("doc_a"),
+          greatest(col("doc_s"), col("doc_f")).as("doc_b"))
+        .distinct()
+    } else {
+      val ranked = graft.ckpt(ex.join(dfc.hint("merge"), "h")
+        .withColumn("_rn", row_number().over(byDoc)))
+      val sig = ranked.filter(col("_rn") <= prefixLen)
+        .select(col("doc_id").as("doc_s"), col("sz").as("sz_s"),
+          col("h"), col("_rn").as("rn_s"))
+      sig
+        .join(ranked.select(col("doc_id").as("doc_f"), col("sz").as("sz_f"),
+          col("h"), col("_rn").as("rn_f")), "h")
+        .filter(col("sz_s") < col("sz_f") ||
+          (col("sz_s") === col("sz_f") && col("doc_s") < col("doc_f")))
+        .filter(lit(1) + least(col("sz_s") - col("rn_s"), col("sz_f") - col("rn_f")) >=
+          ceil(lit(threshold) * col("sz_s") - lit(1e-9)))
+        .select(least(col("doc_s"), col("doc_f")).as("doc_a"),
+          greatest(col("doc_s"), col("doc_f")).as("doc_b"))
+        .distinct()
+    }
   }
 
   /** Exact-Jaccard verification of candidate pairs carrying sorted shingle

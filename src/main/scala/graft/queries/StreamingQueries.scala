@@ -352,22 +352,57 @@ object StreamingQueries {
     * driver-visible query and the checkpoint-restart recovery test, so the
     * recovered operator IS the shipped operator.
     */
+  /** The shared click→purchase interval-join plan. `salts = 1` (every
+    * ledger row) is the plain user_id equi-join. `salts = S > 1` is the
+    * OPT-IN hot-key guard for feeds where one key's rate × watermark
+    * horizon exceeds one executor's state store (the residual exposure
+    * StreamingHardeningSpec names): grid fragment-replicate salting —
+    * clicks pin `c_salt = click_id mod S` and replicate across all S
+    * `p_salt` values, purchases pin `pp_salt` and replicate across all S
+    * `cc_salt` values, and the join adds both salt equalities, so each
+    * qualifying (click, purchase) pair meets in EXACTLY ONE of the S²
+    * cells — no post-join dedup, bit-identical output (the spec pins
+    * stream ≡ batch on the 99.6%-one-user feed). The hot key's state
+    * spreads over S² join-key cells: per-cell state drops S× (C/S per
+    * cell vs C) at the classic ×S total-state price — the knob trades
+    * memory headroom for skew immunity, which is why it is opt-in rather
+    * than default. Inner joins only: an outer join would emit an
+    * unmatched row's null extension once per cell.
+    */
   private[graft] def intervalJoinStream(stream: DataFrame, windowSec: Long,
-                                        joinType: String = "inner"): DataFrame = {
+                                        joinType: String = "inner",
+                                        salts: Int = 1): DataFrame = {
     val withTs = stream.withColumn("ts", timestamp_micros(col("us")))
-    val clicks = withTs.filter(col("event_type") === "click")
+    val clicks0 = withTs.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"),
         col("us").as("click_us"), col("event_id").as("click_id"))
-      .withWatermark("click_ts", "1 hour")
-    val purchases = withTs.filter(col("event_type") === "purchase")
+    val purchases0 = withTs.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
         col("us").as("p_us"), col("event_id").as("purchase_id"))
-      .withWatermark("p_ts", "1 hour")
-    clicks.join(purchases,
-      col("user_id") === col("p_user_id") &&
-        col("p_ts") >= col("click_ts") &&
-        col("p_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"),
-      joinType)
+    val timeCond = col("p_ts") >= col("click_ts") &&
+      col("p_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS")
+    if (salts <= 1) {
+      val clicks = clicks0.withWatermark("click_ts", "1 hour")
+      val purchases = purchases0.withWatermark("p_ts", "1 hour")
+      clicks.join(purchases, col("user_id") === col("p_user_id") && timeCond, joinType)
+    } else {
+      require(joinType == "inner",
+        "salted interval join supports inner joins only (outer null-extension would emit once per cell)")
+      val saltVals = array((0 until salts).map(lit): _*)
+      val clicks = clicks0
+        .withColumn("c_salt", pmod(col("click_id"), lit(salts)).cast("int"))
+        .withColumn("p_salt", explode(saltVals))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = purchases0
+        .withColumn("pp_salt", pmod(col("purchase_id"), lit(salts)).cast("int"))
+        .withColumn("cc_salt", explode(saltVals))
+        .withWatermark("p_ts", "1 hour")
+      clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("c_salt") === col("cc_salt") && col("p_salt") === col("pp_salt") &&
+          timeCond, joinType)
+        .drop("c_salt", "p_salt", "pp_salt", "cc_salt")
+    }
   }
 
   /** Stream-stream interval join — click→purchase attribution: every

@@ -660,6 +660,40 @@ class QueriesSpec extends AnyFunSuite {
       s"missing=${want -- got}, extra=${got -- want}")
   }
 
+  test("x85 positional filter: prunes partial-overlap family candidates the prefix cannot, losslessly") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // 40 X/Y/Z triples: Y = first 51 of X's 60 words + 9 fillers (a TRUE
+    // pair, overlap 47/56 ≈ 0.84); Z = last 18 of X's words + 48 fillers
+    // (overlap 14/56 = 0.25, and slightly LARGER than X so X probes as
+    // the smaller side). X has no unique grams, so its prefix is forced
+    // into shared (df ≥ 2) grams — whenever a Z-shared gram lands there,
+    // the prefix arm emits an (X, Z) candidate; in Z that gram ranks
+    // after Z's 48 df-1 fillers, so the remaining-overlap bound
+    // 1 + min(sz_s − rn_s, sz_f − rn_f) ≤ 14 < ⌈0.8·56⌉ = 45 and the
+    // positional arm must kill every such row.
+    def words(p: String, n: Int): Seq[String] = (1 to n).map(i => s"$p$i")
+    val triples = (0L until 40L).flatMap { t =>
+      val xw = words(s"x${t}w", 60)
+      Seq((t * 10 + 1, xw.mkString(" ")),
+        (t * 10 + 2, (xw.take(51) ++ words(s"y${t}f", 9)).mkString(" ")),
+        (t * 10 + 3, (xw.drop(42) ++ words(s"z${t}f", 48)).mkString(" ")))
+    }
+    val docs = triples.toDF("doc_id", "text")
+    val d = Dedup.shingledDocs(docs, 10)
+    val nPrefix = Dedup.containmentCandidates(d, 0.8, positional = false).count()
+    val nPos = Dedup.containmentCandidates(d, 0.8, positional = true).count()
+    assert(nPos < nPrefix,
+      s"positional filter pruned nothing: positional=$nPos prefix-only=$nPrefix")
+    // losslessness: the production (positional) path still returns
+    // EXACTLY the brute-force pair set — all 40 (X, Y) plants, nothing else
+    val got = Dedup.containmentJoin(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 40L).map(t => (t * 10 + 1, t * 10 + 2)).toSet
+    assert(got == want, s"positional arm broke exactness: " +
+      s"missing=${want -- got}, extra=${got -- want}")
+  }
+
   test("x61 streaming CDC apply equals the batch q30 merge row for row") {
     val batch = queries("q30_merge_upsert").map(_.toString).toSeq
     val stream = queries("x61_stream_cdc_upsert").map(_.toString).toSeq

@@ -81,41 +81,69 @@ class StreamingHardeningSpec extends AnyFunSuite {
     } finally graft.sources.LayoutCache.deleteTree(root)
   }
 
-  test("hot-key stream-stream join: state stays watermark-bounded and output equals batch") {
-    import spark.implicits._
-    implicit val enc: org.apache.spark.sql.Encoder[JEvent] =
-      org.apache.spark.sql.Encoders.product[JEvent]
-    // One user owns ~99.6% of the stream: 6 hours of clicks+purchases at
-    // 30 s cadence (720 + 720 rows), next to 6 one-event users. Window
-    // 600 s, watermark 1 h (intervalJoinStream's fixed delay): every
-    // hot-key row lands in ONE join-state partition, so if skew could
-    // break the state bound, this feed would.
+  /** The adversarial feed: one user owns ~99.6% of the stream — 6 hours
+    * of clicks+purchases at 30 s cadence (720 + 720 rows), next to 6
+    * one-event users. Window 600 s, watermark 1 h (intervalJoinStream's
+    * fixed delay): every hot-key row lands in ONE join-state partition,
+    * so if skew could break the state bound, this feed would.
+    */
+  private def hotFeedEvents: Seq[JEvent] = {
     val base = 1700000000L * 1000000L // micros
     val hot = (0 until 720).flatMap { i =>
       Seq(JEvent(1L, base + i * 30L * 1000000, 1000L + i, "click"),
         JEvent(1L, base + (i * 30L + 10L) * 1000000, 100000L + i, "purchase"))
     }
     val cold = (2 to 7).map(u => JEvent(u.toLong, base + u * 1000000L, u.toLong, "click"))
-    val all = (hot ++ cold).sortBy(_.us)
+    (hot ++ cold).sortBy(_.us)
+  }
+
+  /** Spool the feed as six chronological files = six micro-batches, one
+    * hour of event time each: the watermark advances between batches, so
+    * eviction must be observable in the progress metrics.
+    */
+  private def spoolHotFeed(root: Path, all: Seq[JEvent]): Path = {
+    import spark.implicits._
+    val feed = root.resolve("feed"); Files.createDirectories(feed)
+    val mtimeBase = System.currentTimeMillis() - 1000L * 3600
+    all.grouped((all.size + 5) / 6).zipWithIndex.foreach { case (evs, idx) =>
+      val tmp = root.resolve(s"w$idx")
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part = try listing.filter(_.getFileName.toString.startsWith("part-"))
+        .findFirst.get finally listing.close()
+      val dest = feed.resolve(f"file-$idx%03d.parquet")
+      Files.move(part, dest)
+      require(dest.toFile.setLastModified(mtimeBase + idx * 1000L))
+    }
+    feed
+  }
+
+  /** The batch twin of the 600 s interval join over the feed — the exact
+    * pair set every streaming variant must reproduce.
+    */
+  private def batchPairs(all: Seq[JEvent]): Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    val df = all.toDS().toDF()
+    val clicks = df.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("cus"), col("event_id").as("click_id"))
+    val purchases = df.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("us").as("pus"), col("event_id").as("purchase_id"))
+    clicks.join(purchases,
+        col("user_id") === col("pu") && col("pus") >= col("cus") &&
+          col("pus") <= col("cus") + 600L * 1000000L)
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("hot-key stream-stream join: state stays watermark-bounded and output equals batch") {
+    implicit val enc: org.apache.spark.sql.Encoder[JEvent] =
+      org.apache.spark.sql.Encoders.product[JEvent]
+    val all = hotFeedEvents
     val totalRows = all.size
 
     val root = Files.createTempDirectory("graft_hotkey_join")
     try {
-      val feed = root.resolve("feed"); Files.createDirectories(feed)
-      val mtimeBase = System.currentTimeMillis() - 1000L * 3600
-      // six chronological files = six micro-batches, one hour of event
-      // time each: the watermark advances between batches, so eviction
-      // must be observable in the progress metrics
-      all.grouped((totalRows + 5) / 6).zipWithIndex.foreach { case (evs, idx) =>
-        val tmp = root.resolve(s"w$idx")
-        evs.toDS().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val listing = Files.list(tmp)
-        val part = try listing.filter(_.getFileName.toString.startsWith("part-"))
-          .findFirst.get finally listing.close()
-        val dest = feed.resolve(f"file-$idx%03d.parquet")
-        Files.move(part, dest)
-        require(dest.toFile.setLastModified(mtimeBase + idx * 1000L))
-      }
+      val feed = spoolHotFeed(root, all)
       val name = "hotkey_join_out"
       val q = graft.queries.StreamingQueries.intervalJoinStream(
           spark.readStream.schema(enc.schema).option("maxFilesPerTrigger", "1")
@@ -131,16 +159,7 @@ class StreamingHardeningSpec extends AnyFunSuite {
         } finally { q.stop(); spark.catalog.dropTempView(name) }
 
       // correctness under skew: exactly the batch interval join
-      val df = all.toDS().toDF()
-      val clicks = df.filter(col("event_type") === "click")
-        .select(col("user_id"), col("us").as("cus"), col("event_id").as("click_id"))
-      val purchases = df.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("pu"), col("us").as("pus"), col("event_id").as("purchase_id"))
-      val want = clicks.join(purchases,
-          col("user_id") === col("pu") && col("pus") >= col("cus") &&
-            col("pus") <= col("cus") + 600L * 1000000L)
-        .select(col("user_id"), col("click_id"), col("purchase_id"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = batchPairs(all)
       assert(want.size > 10000, s"fixture produced too few pairs to exercise skew: ${want.size}")
       assert(got == want,
         s"hot-key stream join != batch: only-stream=${(got -- want).take(3)}, only-batch=${(want -- got).take(3)}")
@@ -158,6 +177,61 @@ class StreamingHardeningSpec extends AnyFunSuite {
         s"only $removed state rows evicted across the replay — watermark eviction not engaging")
       System.err.println(s"[hotkey] rows=$totalRows pairs=${want.size} maxState=$maxState " +
         s"removed=$removed batches=${progresses.count(_.numInputRows > 0)}")
+    } finally graft.sources.LayoutCache.deleteTree(root)
+  }
+
+  test("opt-in salted stream-stream join: identical pairs, hot key spread over S^2 state cells") {
+    import spark.implicits._
+    implicit val enc: org.apache.spark.sql.Encoder[JEvent] =
+      org.apache.spark.sql.Encoders.product[JEvent]
+    val S = 4
+    val all = hotFeedEvents
+    val root = Files.createTempDirectory("graft_salted_join")
+    try {
+      val feed = spoolHotFeed(root, all)
+      val name = "salted_join_out"
+      val q = graft.queries.StreamingQueries.intervalJoinStream(
+          spark.readStream.schema(enc.schema).option("maxFilesPerTrigger", "1")
+            .parquet(feed.toString), windowSec = 600L, joinType = "inner", salts = S)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      val (got, progresses) =
+        try {
+          q.processAllAvailable()
+          (spark.table(name)
+            .select(col("user_id"), col("click_id"), col("purchase_id"))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+            q.recentProgress.toIndexedSeq)
+        } finally { q.stop(); spark.catalog.dropTempView(name) }
+
+      // EXACTNESS: grid salting must not change the pair set — every
+      // (click, purchase) meets in exactly one of the S^2 cells
+      val want = batchPairs(all)
+      assert(got == want,
+        s"salted join != batch: only-stream=${(got -- want).take(3)}, only-batch=${(want -- got).take(3)}")
+
+      // SKEW RELIEF: the per-join-key concentration bound. Unsalted, the
+      // hot user's 720 clicks all buffer under ONE join key (one state
+      // partition); salted, the operator's own salt assignment spreads
+      // them over S^2 cells with max cell occupancy 720*S/S^2 = 720/S.
+      // Replay the operator's salt expressions over the static feed to
+      // measure the cells it will actually create.
+      val clicks = all.filter(_.event_type == "click").toDS().toDF()
+        .withColumn("c_salt", pmod(col("event_id"), lit(S)).cast("int"))
+        .withColumn("p_salt", explode(array((0 until S).map(lit): _*)))
+      val maxCell = clicks.groupBy(col("user_id"), col("c_salt"), col("p_salt"))
+        .count().agg(max(col("count"))).head().getLong(0)
+      val unsaltedMax = 720L
+      assert(maxCell * S <= unsaltedMax + S,
+        s"salting must cut per-cell click state ~S x: maxCell=$maxCell S=$S")
+
+      // the documented trade: total buffered state grows ~x S (both
+      // sides replicated), and eviction still engages
+      val stateTotals = progresses.flatMap(_.stateOperators.map(_.numRowsTotal))
+      val removed = progresses.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+      assert(stateTotals.nonEmpty && removed > 0,
+        "salted join must still report state metrics and evict on watermark advance")
+      System.err.println(s"[salted] pairs=${got.size} maxCell=$maxCell " +
+        s"maxStateTotal=${stateTotals.max} removed=$removed")
     } finally graft.sources.LayoutCache.deleteTree(root)
   }
 }
