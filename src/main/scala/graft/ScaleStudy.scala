@@ -555,6 +555,95 @@ object ScaleStudy {
         } finally graft.sources.LayoutCache.deleteTree(spool)
       }
     }
+    // HEADLINE rows at 10×: the 20 most expensive ledger queries run
+    // EXACTLY as shipped (SparkEntry.queries, BenchHarness.consume)
+    // against a 10×-expanded copy of the whole fixture directory — not a
+    // per-operator harness, the real driver path on 10× data. Expansion
+    // schemes keep each query's work honest: documents get the disjoint
+    // cipher-gram replicas, events get disjoint user/event-id ranges on
+    // the same timeline (per-key density constant), lineitem gets the
+    // disconnected replica graphs (x75/x82's scheme), embeddings get the
+    // rotation replicas, dimension tables copy unchanged. The recorded
+    // `vs_linear` column is wall / (1× steady-state band × 10) — the
+    // honest "within 2× at scale" evidence for BASELINE.md. NOTE: run
+    // with SPARK_DRIVER_MEM=48g — x75 at 10× needs the heap in this
+    // single-JVM harness.
+    if (want("headline") || only.exists(_.startsWith("headline:"))) {
+      val root = java.nio.file.Files.createTempDirectory("graft_headline10x")
+      val dirK = root.toString
+      val k = 10
+      try {
+        val docsFull = Tables.load(spark, sfDir, "documents")
+        (0 until k).map { r =>
+          docsFull.select(
+            (col("doc_id") * k + lit(r)).as("doc_id"),
+            (if (r == 0) col("text") else translate(col("text"),
+              Lower + Upper + Digits,
+              rot(Lower, r) + rot(Upper, r) + rot(Digits, r))).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dirK/documents.parquet")
+        val ev = Tables.load(spark, sfDir, "events")
+        val maxEid = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+        val maxUid = ev.agg(max(col("user_id"))).head.getLong(0) + 1
+        (0 until k).map { r =>
+          ev.select((col("event_id") + lit(r * maxEid)).as("event_id"), col("ts"),
+            (col("user_id") + lit(r * maxUid)).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dirK/events.parquet")
+        val li = Tables.load(spark, sfDir, "lineitem")
+        val maxOk = li.agg(max(col("l_orderkey"))).head.getLong(0) + 1
+        val maxPk = li.agg(max(col("l_partkey"))).head.getLong(0) + 1
+        (0 until k).map { r =>
+          li.withColumn("l_orderkey", col("l_orderkey") + lit(r * maxOk))
+            .withColumn("l_partkey", col("l_partkey") + lit(r * maxPk))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dirK/lineitem.parquet")
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val dim = math.max(emb.select(min(size(col("embedding")))).head.getInt(0), 1)
+        (0 until k).map { r =>
+          val rot = if (r == 0 || dim < 2) 0 else 1 + ((r * 7 - 1) % (dim - 1))
+          emb.select((col("vec_id") * k + lit(r)).as("vec_id"),
+            (if (rot == 0) col("embedding")
+             else expr(s"concat(slice(embedding, ${rot + 1}, size(embedding) - $rot), " +
+               s"slice(embedding, 1, $rot))")).as("embedding"),
+            col("label"))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dirK/embeddings.parquet")
+        Seq("region", "nation", "customer", "supplier", "part", "orders").foreach { t =>
+          Tables.load(spark, sfDir, t).write.mode("overwrite").parquet(s"$dirK/$t.parquet")
+        }
+        val headline = Seq(
+          "x75_pagerank", "x82_triangles", "x18_dup_clusters", "x85_containment_join",
+          "x58_stream_full_join", "x50_stream_outer_join", "x39_stream_interval_join",
+          "x45_stream_exactly_once", "x66_trigram_novelty", "x65_dedup_keeper",
+          "x26_streaming_sessionize", "x63_stream_trending", "x56_cosine_dup_clusters",
+          "x40_stream_enrich", "x61_stream_cdc_upsert", "x62_boilerplate_removal",
+          "x20_dup_clusters_exact", "x17_curation_pipeline", "x4_dedup_minhash_lsh",
+          "x36_streaming_first_touch")
+        val bands = Bench.loadBands()
+        val selected = only.collectFirst {
+          case s if s.startsWith("headline:") =>
+            s.stripPrefix("headline:").split(',').toSet
+        }.map(f => headline.filter(f)).getOrElse(headline)
+        selected.foreach { name =>
+          // settle between rows: localCheckpoint blocks of the PREVIOUS
+          // query's materializations are only dropped once the
+          // ContextCleaner sees their RDDs garbage-collected — without
+          // this, a 10× x75 run leaves tens of GB of blocks squeezing
+          // the next row's block manager (first sweep measured x82 at
+          // 3.3× linear from exactly that; solo it is sublinear)
+          System.gc()
+          Thread.sleep(1000)
+          val t0 = System.nanoTime()
+          BenchHarness.consume(SparkEntry.queries(name)(spark, dirK))
+          val sec = (System.nanoTime() - t0) / 1e9
+          val band = bands.getOrElse(name, Double.NaN)
+          println(f"""{"op":"headline10x","query":"$name","sec":$sec%.2f,"band_1x":$band%.3f,"vs_linear":${sec / (band * k)}%.2f}""")
+        }
+      } finally graft.sources.LayoutCache.deleteTree(root)
+    }
     spark.stop()
   }
 }

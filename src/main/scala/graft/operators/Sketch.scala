@@ -92,10 +92,10 @@ object Sketch {
     * custom [[graft.functions.ArrayExpressions.CmsEstimate]] expression
     * provides the read half — the 1-row (total, sketch) aggregate joins
     * the top-k as a broadcast literal (the documented q29/x8 pattern)
-    * and the estimates are probed inside codegen. One scan feeds the
-    * exact token shuffle, one fused scan feeds both corpus-wide
-    * aggregates (eps=1e-4, conf=0.99 -> width 27183 x depth 5 counters,
-    * fixed memory at any corpus size).
+    * and the estimates are probed inside codegen. ONE tokenize scan is
+    * materialized and feeds both the exact token shuffle and the fused
+    * total+CMS aggregate (eps=1e-4, conf=0.99 -> width 27183 x depth 5
+    * counters, fixed memory at any corpus size).
     */
   /** x83: MERGEABLE distinct-count sketches — the cross-shard
     * cardinality pattern a 1000-executor ingest actually runs: each
@@ -140,9 +140,15 @@ object Sketch {
 
   def heavyHitters(docs: DataFrame, k: Int = 10): DataFrame = {
     graft.functions.ArrayExpressions.register(docs.sparkSession)
-    val toks = docs
+    // ONE tokenize pass: the exact top-k groupBy and the fused total+CMS
+    // aggregate need different shuffle keys (token vs global), so no
+    // exchange reuse can join them — materialize the exploded token
+    // relation instead and read it twice. At 100 TB the corpus scan +
+    // explode dominates; paying it once instead of twice halves the
+    // operator's scan cost (round-12 finding).
+    val toks = graft.ckpt(docs
       .select(explode(split(lower(col("text")), "\\s+")).as("token"))
-      .filter(col("token") =!= "")
+      .filter(col("token") =!= ""))
     val top = toks.groupBy(col("token")).agg(count(lit(1)).as("c_exact"))
       .orderBy(col("c_exact").desc, col("token")).limit(k)
     val glob = toks
