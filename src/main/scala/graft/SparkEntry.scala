@@ -411,6 +411,19 @@ object SparkEntry {
     // per-frame exact channel sums, truncated streams decode to 0 frames
     "x86_video_pixels" -> ((s, d) =>
       graft.operators.Multimodal.videoPixelDecode(s, Tables.load(s, d, "documents"))),
+    // SemDeDup (Abbas et al.): k-means-cell-scoped cosine pairs resolved
+    // to components, keeper = least-similar-to-centroid; fixed-point
+    // centroids make the whole pipeline hash-gate against a full replay
+    "x87_semdedup" -> ((s, d) =>
+      graft.operators.Similarity.semDedup(Tables.load(s, d, "embeddings"))),
+    // exact substring-span dedup (Lee et al.): repeated 40-char windows
+    // anywhere in the corpus, merged per doc to spans — pure integers
+    "x88_substring_dedup" -> ((s, d) =>
+      graft.operators.Dedup.substringSpanStats(Tables.load(s, d, "documents"))),
+    // bigram-LM perplexity scoring (CCNet-style): self-trained add-one
+    // bigram model, per-doc avg NLL in exact fixed-point micro-nats
+    "x89_bigram_lm" -> ((s, d) =>
+      graft.operators.TextAnalysis.bigramLmScore(Tables.load(s, d, "documents"))),
     // perceptual-hash (aHash) image dedup over binary payloads: fused
     // codegen thumbnail-mean fingerprint + banded Hamming pairs over a
     // planted perturbed-twin corpus — integer-exact, replayed in SQL
@@ -2408,6 +2421,99 @@ object SparkEntry {
         |  CAST(sum((fid + 7*y) % 256) AS bigint) AS sum_g,
         |  CAST(sum((fid + x + 2*y) % 256) AS bigint) AS sum_b
         |FROM px GROUP BY doc_id, frame_idx, fid ORDER BY doc_id, frame_idx""".stripMargin,
+    // x87: the full SemDeDup replay — x8's fixed-point centroid CTE,
+    // 1-NN cell assignment, in-cell cosine pairs at 0.3, x56's
+    // recursive-CTE reachability, keeper = min cos-to-centroid window
+    "x87_semdedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dd AS (
+        |  SELECT len(v) AS dom_sz FROM e GROUP BY len(v) ORDER BY count(*) DESC, len(v) LIMIT 1),
+        |ev AS (SELECT vec_id, label, v FROM e, dd WHERE len(v) = dom_sz),
+        |fx AS (
+        |  SELECT label, unnest(generate_series(1, len(v))) AS di,
+        |         unnest(list_transform(v, x -> floor(x * CAST(1000000 AS DOUBLE)))) AS xi
+        |  FROM ev),
+        |cn AS (SELECT label, count(*) AS n FROM ev GROUP BY label),
+        |cent AS (
+        |  SELECT sx.label AS c_label, list(sx.s / (cn.n * CAST(1000000 AS DOUBLE)) ORDER BY sx.di) AS centroid
+        |  FROM (SELECT label, di, SUM(xi) AS s FROM fx GROUP BY label, di) sx
+        |  JOIN cn ON sx.label = cn.label
+        |  GROUP BY sx.label, cn.n),
+        |asg AS MATERIALIZED (
+        |  SELECT vec_id, v, c_label AS cell, list_cosine_similarity(v, centroid) AS cc
+        |  FROM ev, cent
+        |  WHERE NOT isnan(list_cosine_similarity(v, centroid))
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |            ORDER BY list_cosine_similarity(v, centroid) DESC, c_label) = 1),
+        |p AS MATERIALIZED (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE NOT isnan(list_cosine_similarity(a.v, b.v))
+        |    AND list_cosine_similarity(a.v, b.v) >= 0.3),
+        |ed AS (SELECT va AS src, vb AS dst FROM p UNION SELECT vb, va FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM ed
+        |  UNION
+        |  SELECT e2.src, reach.r FROM ed e2 JOIN reach ON e2.dst = reach.id),
+        |comp AS (SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT c.vec_id, a.cell, c.component, round(a.cc, 4) AS cos_cent,
+        |       row_number() OVER (PARTITION BY c.component ORDER BY a.cc ASC, c.vec_id) = 1 AS is_keeper
+        |FROM comp c JOIN asg a ON a.vec_id = c.vec_id
+        |ORDER BY c.vec_id""".stripMargin,
+    // x88: byte-for-byte gram replay + the identical gaps-and-islands
+    // merge — every quantity integer arithmetic, zero float tolerance
+    "x88_substring_dedup" ->
+      """WITH gr AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(text) - 39)) AS pos, text
+        |  FROM documents WHERE len(text) >= 40),
+        |g2 AS (SELECT doc_id, pos, substr(text, pos, 40) AS gram FROM gr),
+        |dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) > 1),
+        |spans AS (SELECT g2.doc_id, g2.pos AS s, g2.pos + 39 AS e FROM g2 JOIN dup USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS brk
+        |  FROM spans),
+        |isl2 AS (
+        |  SELECT doc_id, s, e,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM isl),
+        |merged AS (SELECT doc_id, island, min(s) AS ss, max(e) AS ee
+        |           FROM isl2 GROUP BY doc_id, island)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(sum(ee - ss + 1) AS BIGINT) AS dup_chars
+        |FROM merged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // x89: identical tokenize → lead-bigrams → add-one bigram model →
+    // per-bigram NLL quantized to micro-nat longs → exact integer sums;
+    // the only floats are one exactly-rounded IEEE quotient and one ln
+    // whose 1e-6 quantum both engines' libm agree far past (x72's
+    // precedent); avg is integer/integer double division, rounded to 6
+    "x89_bigram_lm" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(arr))) AS p0, unnest(arr) AS token
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS arr FROM documents)),
+        |t1 AS (SELECT doc_id, p0, token FROM t0 WHERE token != ''),
+        |bi AS (
+        |  SELECT doc_id, token AS w1,
+        |         lead(token) OVER (PARTITION BY doc_id ORDER BY p0) AS w2
+        |  FROM t1),
+        |dtf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+        |        FROM bi WHERE w2 IS NOT NULL GROUP BY doc_id, w1, w2),
+        |c2 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2 FROM dtf GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+        |v AS (SELECT count(DISTINCT token) AS vsz FROM t1),
+        |sc AS (
+        |  SELECT dtf.doc_id, dtf.tf,
+        |         CAST(floor(-ln((c2.c2 + 1.0) / (c1.c1 + v.vsz)) * 1000000.0) AS BIGINT)
+        |           * dtf.tf AS nll_u
+        |  FROM dtf JOIN c2 ON dtf.w1 = c2.w1 AND dtf.w2 = c2.w2
+        |  JOIN c1 ON dtf.w1 = c1.w1, v)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(nll_u) AS BIGINT) AS nll_micro,
+        |       round(CAST(sum(nll_u) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) / 1000000.0, 6) AS avg_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // plain id-ordered 3-join replay (the triangle set is independent of
     // the engine's degree orientation); integer-exact throughout
     "x82_triangles" ->

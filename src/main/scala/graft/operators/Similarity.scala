@@ -542,39 +542,42 @@ object Similarity {
     * each probe searches only the `nprobe` nearest clusters. Approximate
     * (recall < 1) — compare against [[bruteForceTopK]] for recall.
     */
-  def ivfTopK(emb: DataFrame, nProbes: Int, k: Int, nprobe: Int = 5): DataFrame = {
-    graft.functions.ArrayExpressions.register(emb.sparkSession)
-    import org.apache.spark.sql.expressions.Window
-    val withV0 = emb.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-    // ONE aggregation job yields both the per-(label, size) centroid sums
-    // and the corpus's dominant dimensionality — round 2 ran a separate
-    // full-scan dominantDim job before the centroid aggregation, and built
-    // the centroids from `dim` separate sum(element_at) columns (a plan
-    // whose node count grew with dim). The fused vector_sum aggregate is
-    // one plan node at any dim; grouping by size(v) alongside label keeps
-    // ragged rows in their own (dropped) groups — drop-don't-fail without
-    // a pre-filter.
-    // Fixed-point centroid accumulation (x75's integer-determinism
-    // pattern): each element is quantized to floor(x·10⁶) — an INTEGRAL
-    // double, and every partial sum stays far below 2⁵³ (|x| ≲ 1 and the
-    // scale budget holds to ~10⁹ vectors per label), so each addition is
-    // EXACT and the reduction is order-independent. That makes the
-    // centroids — and therefore the whole IVF top-k — deterministic across
-    // partitionings AND engines: DuckDB recomputes the identical sums
-    // serially, so x8 hash-gates like x48/x52 instead of riding a recall
-    // boolean. Quantization error ≤ 1e-6 per element is ~4 orders below
-    // the cluster-similarity gaps at any scale.
+  /** Fixed-point per-`label` mean centroids plus the corpus's dominant
+    * dimensionality, shared by [[ivfTopK]] (x8) and [[semDedup]] (x87).
+    *
+    * ONE aggregation job yields both the per-(label, size) centroid sums
+    * and the corpus's dominant dimensionality — round 2 ran a separate
+    * full-scan dominantDim job before the centroid aggregation, and built
+    * the centroids from `dim` separate sum(element_at) columns (a plan
+    * whose node count grew with dim). The fused vector_sum aggregate is
+    * one plan node at any dim; grouping by size(v) alongside label keeps
+    * ragged rows in their own (dropped) groups — drop-don't-fail without
+    * a pre-filter.
+    *
+    * Fixed-point centroid accumulation (x75's integer-determinism
+    * pattern): each element is quantized to floor(x·10⁶) — an INTEGRAL
+    * double, and every partial sum stays far below 2⁵³ (|x| ≲ 1 and the
+    * scale budget holds to ~10⁹ vectors per label), so each addition is
+    * EXACT and the reduction is order-independent. That makes the
+    * centroids — and therefore every consumer — deterministic across
+    * partitionings AND engines: DuckDB recomputes the identical sums
+    * serially, so x8/x87 hash-gate like x48/x52 instead of riding a
+    * recall boolean. Quantization error ≤ 1e-6 per element is ~4 orders
+    * below the cluster-similarity gaps at any scale.
+    *
+    * Returns (centroids `(c_label, centroid)`, domDim `(dom_sz)` — a
+    * 1-row relation selected IN-PLAN and joined back broadcast; round 11
+    * still collected it to the driver and parameterized filters with the
+    * literal. An empty input yields an empty result instead of a throw,
+    * the drop-don't-fail convention.)
+    */
+  private[operators] def fixedPointCentroids(withV0: DataFrame): (DataFrame, DataFrame) = {
     val sums = withV0
       .groupBy(col("label"), size(col("v")).as("sz"))
       .agg(graft.functions.ArrayExpressions.vectorSum(
         expr("transform(v, x -> cast(floor(x * cast(1000000 as double)) as double))")).as("s"),
         count(lit(1)).as("n"))
       .ckpt() // tiny (labels × sizes rows); read twice below
-    // dominant dimensionality selected IN-PLAN: a 1-row relation joined
-    // back broadcast (round 11 still collected it to the driver and
-    // parameterized the filters with the literal — the last driver
-    // round-trip in the ANN family; an empty table now yields an empty
-    // result instead of a throw, the drop-don't-fail convention)
     val domDim = sums.groupBy(col("sz")).agg(sum(col("n")).as("n"))
       .orderBy(col("n").desc, col("sz")).limit(1)
       .select(col("sz").as("dom_sz"))
@@ -582,6 +585,14 @@ object Similarity {
       .select(col("label").as("c_label"),
         // exact-integral sum / exact (n·10⁶) — bit-identical on any engine
         expr("transform(s, x -> x / (n * cast(1000000 as double)))").as("centroid"))
+    (centroids, domDim)
+  }
+
+  def ivfTopK(emb: DataFrame, nProbes: Int, k: Int, nprobe: Int = 5): DataFrame = {
+    graft.functions.ArrayExpressions.register(emb.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val withV0 = emb.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val (centroids, domDim) = fixedPointCentroids(withV0)
     // drop-don't-fail: ragged vectors leave the probe/candidate sets too.
     val withV = withV0.join(broadcast(domDim), size(col("v")) === col("dom_sz"))
       .drop("dom_sz")
@@ -604,5 +615,72 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("cand_id"), round(col("sim"), 4).as("sim"), col("rank"))
       .orderBy("probe_id", "rank")
+  }
+
+  /** x87: SemDeDup — semantic deduplication by CLUSTER-SCOPED cosine
+    * pruning (Abbas et al. 2023, arXiv:2303.09540): embed → k-means
+    * partition → within each cell find pairs with cosine ≥ `tau` →
+    * resolve the pair graph to connected components → keep ONE
+    * representative per component, drop the rest. Keeper rule is the
+    * paper's: the member LEAST similar to its cell centroid (farthest
+    * from the center of mass keeps the most diverse exemplar);
+    * deterministic tie-break on vec_id.
+    *
+    * Scale shape — the reason SemDeDup exists: candidate generation is
+    * scoped to k-means cells, so pair work is O(Σ|cell|²) ≈ O(n²/k) at
+    * balanced cells instead of all-pairs O(n²); at 100 TB k grows with n
+    * (cells of ~10⁴ vectors keep each self-join partition-local), every
+    * stage is a bucketed shuffle on the cell key, and the centroid table
+    * stays a broadcast at any corpus size. Assignment is a genuine 1-NN
+    * over the centroid set — one Lloyd assign step from the label
+    * seeding, NOT the raw label partition: a vector whose embedding sits
+    * nearer another label's center moves there. [[fixedPointCentroids]]
+    * (x8's integer-determinism pattern) makes centroids — hence
+    * assignment, pairs, components, and keepers — deterministic across
+    * partitionings AND engines, so the ledger row hash-gates against a
+    * full DuckDB replay (centroids → 1-NN cells → in-cell pairs →
+    * recursive-CTE reachability → keeper window).
+    *
+    * Differs from x56 (cosine dup clusters) in candidate GEOMETRY: x56
+    * buckets by hyperplane LSH over a subset; x87 partitions the whole
+    * corpus by learned centroids — the two production candidate
+    * generators for embedding dedup, both resolved by the same
+    * [[Dedup.dupClusters]] pointer-doubling.
+    *
+    * Output: one row per vector that belongs to a duplicate component —
+    * (vec_id, cell, component, cos_cent, is_keeper), vec_id-ordered.
+    */
+  def semDedup(emb: DataFrame, tau: Double = 0.3): DataFrame = {
+    graft.functions.ArrayExpressions.register(emb.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val withV0 = emb.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val (centroids, domDim) = fixedPointCentroids(withV0)
+    val withV = withV0.join(broadcast(domDim), size(col("v")) === col("dom_sz"))
+      .drop("dom_sz")
+    // 1-NN assignment over the (tiny, broadcast) centroid set; zero-norm
+    // vectors (NaN cosine against every centroid) drop — undefined cell.
+    val wa = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_label"))
+    val asg = withV.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("v"), col("centroid")))
+      .filter(!isnan(col("csim")))
+      .withColumn("ark", row_number().over(wa))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("v"), col("c_label").as("cell"),
+        col("csim").as("cos_cent"))
+      .ckpt() // read three times: both pair sides + the keeper join
+    val pairs = asg.as("a").join(asg.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", cosine(col("a.v"), col("b.v")))
+      .filter(!isnan(col("sim")) && col("sim") >= tau)
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+    val comps = Dedup.dupClusters(pairs) // (doc_id, cluster_id = min member)
+    val wk = Window.partitionBy("component").orderBy(col("cos_cent").asc, col("vec_id"))
+    comps.join(asg.select(col("vec_id"), col("cell"), col("cos_cent")),
+        col("doc_id") === col("vec_id"))
+      .select(col("vec_id"), col("cell"), col("cluster_id").as("component"), col("cos_cent"))
+      .withColumn("krk", row_number().over(wk))
+      .select(col("vec_id"), col("cell"), col("component"),
+        round(col("cos_cent"), 4).as("cos_cent"), (col("krk") === 1).as("is_keeper"))
+      .orderBy("vec_id")
   }
 }

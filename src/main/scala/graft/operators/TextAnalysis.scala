@@ -311,6 +311,57 @@ object TextAnalysis {
       .select(col("token"), col("c_a"), col("c_b"), col("fa"), col("fb"), col("drift"))
   }
 
+  /** x89: bigram-LM perplexity scoring — the CCNet/KenLM-style quality
+    * filter (Wenzek et al. 2020, arXiv:1911.00359): train an add-one-
+    * smoothed bigram model on the corpus itself, score every document by
+    * its average per-token negative log-likelihood, and the tails of
+    * that ranking are the curation verdicts (low = boilerplate-like /
+    * repetitive, high = noise). P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V).
+    *
+    * Determinism (the reason this row can hash-gate despite ln): each
+    * bigram's NLL is quantized ONCE to micro-nats —
+    * `floor(-ln(p)·10⁶)` as a long — and the per-document total is an
+    * exact INTEGER sum, order-independent across partitionings and
+    * engines (x75's fixed-point pattern; the x74 scaladoc rejected raw
+    * float Σ for exactly this). ln's engine agreement holds well past
+    * the 10⁻⁶ quantum (the x72 precedent), and p is an exactly-rounded
+    * IEEE quotient of two integers, identical on both sides.
+    *
+    * Scale shape: token positions explode once; bigrams form by a `lead`
+    * window per document (partitions bounded by document length); the
+    * model trains as ONE (w₁,w₂) shuffle with map-side combine over the
+    * per-doc-REDUCED bigram tf relation (instances never cross the wire
+    * twice); c(w₁) derives from the reduced c₂ relation — no second
+    * corpus pass; V rides as a broadcast 1-row aggregate; scoring joins
+    * the doc-tf relation to the model on the bigram key (shuffle join —
+    * the model is corpus-sized, never broadcast).
+    */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks0 = docs
+      .select(col("doc_id"), posexplode(tokens(lower(col("text")))).as(Seq("p0", "token")))
+      .filter(col("token") =!= "") // split artifact; survivors stay ordered by p0
+    val wseq = Window.partitionBy("doc_id").orderBy("p0")
+    val bi = toks0.withColumn("w2", lead(col("token"), 1).over(wseq))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("token").as("w1"), col("w2"))
+    val dtf = bi.groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
+    val c2 = dtf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = toks0.agg(countDistinct(col("token")).as("vsz"))
+    dtf.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("nll_u",
+        floor(-log((col("c2") + lit(1.0)) / (col("c1") + col("vsz"))) * lit(1000000.0))
+          .cast("long") * col("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("nll_u")).as("nll_micro"))
+      .withColumn("avg_nll",
+        round(col("nll_micro").cast("double") / col("n_bigrams").cast("double")
+          / lit(1000000.0), 6))
+      .orderBy("doc_id")
+  }
+
   /** x77: URL parsing — the component extraction a web-corpus ingest
     * runs on every record (host for per-domain quotas and robots
     * policy, path/query for dedup keys and tracking-param stripping).

@@ -1928,5 +1928,77 @@ class QueriesSpec extends AnyFunSuite {
     two.foreach(r => assert(r.getLong(1) == graft.operators.PageRank.Scale, r.toString))
   }
 
+  test("x87 semdedup: components well-formed, keeper is least-central, cells agree with 1-NN") {
+    val rows = SparkEntry.queries("x87_semdedup")(spark, sf).collect()
+    assert(rows.nonEmpty, "sf0.001 must have duplicate components at tau=0.3")
+    val byComp = rows.groupBy(_.getLong(2))
+    byComp.foreach { case (comp, ms) =>
+      assert(ms.length >= 2, s"component $comp has a single member")
+      assert(comp == ms.map(_.getLong(0)).min, "component id must be the min member")
+      assert(ms.map(_.getInt(1)).toSet.size == 1, "members must share one cell")
+      val keepers = ms.filter(_.getBoolean(4))
+      assert(keepers.length == 1, s"component $comp has ${keepers.length} keepers")
+      // keeper = least-similar-to-centroid (on the rounded value, ties by id:
+      // the operator breaks ties on the raw value, which rounding preserves
+      // here because sf0.001 carries no rounded-equal distinct raws)
+      val k = ms.minBy(r => (r.getDouble(3), r.getLong(0)))
+      assert(k.getBoolean(4), s"component $comp keeper is not the least-central member")
+    }
+  }
+
+  test("x88 substring spans: exact match against a brute-force single-node twin") {
+    val L = 40
+    val texts = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // brute force: every L-char window, global multiset, spans where count>1
+    val counts = new scala.collection.mutable.HashMap[String, Int]
+    for ((_, t) <- texts; p <- 0 to t.length - L) {
+      val g = t.substring(p, p + L)
+      counts(g) = counts.getOrElse(g, 0) + 1
+    }
+    val expected = texts.flatMap { case (id, t) =>
+      val marks = (0 to t.length - L).filter(p => counts(t.substring(p, p + L)) > 1)
+      if (marks.isEmpty) None
+      else {
+        // merge [p, p+L) intervals
+        var spans = List.empty[(Int, Int)]
+        for (p <- marks) spans = spans match {
+          case (s0, e0) :: rest if p <= e0 => (s0, math.max(e0, p + L)) :: rest
+          case _ => (p, p + L) :: spans
+        }
+        Some(id -> (spans.length.toLong, spans.map(x => (x._2 - x._1).toLong).sum))
+      }
+    }
+    val got = SparkEntry.queries("x88_substring_dedup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected, s"span stats differ: got ${got.size} docs, expected ${expected.size}")
+  }
+
+  test("x89 bigram LM: exact match against a brute-force single-node twin") {
+    val texts = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+    val bigrams = texts.flatMap { case (id, ts) => ts.zip(ts.drop(1)).map(b => (id, b)) }
+    val c2 = bigrams.groupBy(_._2).map { case (b, xs) => b -> xs.length.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (w, xs) => w -> xs.values.sum }
+    val v = texts.flatMap(_._2).distinct.length.toLong
+    val expected = bigrams.groupBy(_._1).map { case (id, xs) =>
+      val nll = xs.map { case (_, b) =>
+        math.floor(-math.log((c2(b) + 1.0) / (c1(b._1) + v)) * 1e6).toLong
+      }.sum
+      id -> (xs.length.toLong, nll)
+    }
+    val got = SparkEntry.queries("x89_bigram_lm")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    // avg is the quantized total over the count, to 6 decimals
+    SparkEntry.queries("x89_bigram_lm")(spark, sf).collect().foreach { r =>
+      val want = BigDecimal(r.getLong(2).toDouble / r.getLong(1) / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == want, s"avg_nll mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
