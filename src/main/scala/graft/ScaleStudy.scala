@@ -555,6 +555,82 @@ object ScaleStudy {
         } finally graft.sources.LayoutCache.deleteTree(spool)
       }
     }
+    // x87 SemDeDup at 1×/3×/10× — BOTH scale postures, because the
+    // operator's cost law depends on whether the cell count k tracks the
+    // corpus:
+    //  - `kprop`: each replica carries its OWN label range (label + 10r),
+    //    so cells multiply with the corpus and per-cell size stays
+    //    constant — the paper's k ∝ n deployment; pair work and wall
+    //    should stay near-linear. Vectors are dimension-rotated per
+    //    replica (orthogonal ⇒ intra-replica geometry exact), so each
+    //    replica reproduces the base corpus's dup structure in its own
+    //    cells.
+    //  - `kfixed`: labels UNCHANGED, so the same 10 cells absorb the
+    //    whole k× corpus — per-cell size grows k× and in-cell pair work
+    //    grows ~k²: the quadratic a fixed codebook buys you. Recorded as
+    //    the documented anti-pattern, the reason the operator's scaladoc
+    //    mandates k ∝ n.
+    if (want("semdedup")) for (mode <- Seq("kprop", "kfixed"); k <- Seq(1, 3, 10)) {
+      val emb0 = Tables.load(spark, sfDir, "embeddings")
+      val dim = math.max(emb0.select(min(size(col("embedding")))).head.getInt(0), 1)
+      val embK = (0 until k).map { r =>
+        val rot = if (r == 0 || dim < 2) 0 else 1 + ((r * 7 - 1) % (dim - 1))
+        emb0.select((col("vec_id") * k + lit(r)).as("vec_id"),
+          (if (rot == 0) col("embedding")
+           else expr(s"concat(slice(embedding, ${rot + 1}, size(embedding) - $rot), " +
+             s"slice(embedding, 1, $rot))")).as("embedding"),
+          (if (mode == "kprop") col("label") + lit(10 * r) else col("label")).as("label"))
+      }.reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val res = graft.operators.Similarity.semDedup(embK)
+      val rows = res.count()
+      val cells = res.select("cell").distinct().count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // the Σ|cell|·(|cell|−1)/2 pair-work law, measured on the exact
+      // assignment relation the operator uses: kprop holds it ~k×,
+      // kfixed grows it ~k² — the number that indicts a fixed codebook
+      // even where wall is still fixed-cost-dominated at fixture scale
+      val pairWork = graft.operators.Similarity.cellAssignments(embK)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) DIV 2")).as("pw")).head.getLong(0)
+      println(f"""{"op":"semdedup","mode":"$mode","scale":$k,"dup_rows":$rows,"cells_hit":$cells,"pair_work":$pairWork,"wall_sec":$sec%.2f}""")
+    }
+    // x88 substring-span dedup at 1×/3×/10×: cipher replicas keep
+    // letter/digit 40-grams replica-disjoint, so the dup structure is k
+    // independent copies of the base — affected docs and duplicated
+    // chars should grow exactly k× while wall stays near-linear (the
+    // gram explode, the single gram-partition window shuffle, and the
+    // per-doc island merge are all linear in corpus size).
+    if (want("spandedup")) for (k <- Seq(1, 3, 10)) {
+      val docsK = expand(docs, k)
+      val t0 = System.nanoTime()
+      val res = graft.operators.Dedup.substringSpanStats(docsK)
+      val agg = res.agg(count(lit(1)), sum(col("dup_chars"))).head
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"span_dedup","scale":$k,"dup_docs":${agg.getLong(0)},"dup_chars":${agg.getLong(1)},"wall_sec":$sec%.2f}""")
+    }
+    // x89 bigram-LM scoring at 1×/3×/10×: the cipher replicas make each
+    // replica's token vocabulary its own space, so the trained model
+    // (the c2 relation) grows ~k× with the corpus — exactly why the
+    // operator shuffle-joins the model instead of broadcasting it. Wall
+    // should stay near-linear; model rows are recorded to document the
+    // never-broadcast decision.
+    if (want("bigramlm")) for (k <- Seq(1, 3, 10)) {
+      val docsK = expand(docs, k)
+      val t0 = System.nanoTime()
+      val res = graft.operators.TextAnalysis.bigramLmScore(docsK)
+      val nDocs = res.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val wseq = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("p0")
+      val modelRows = docsK
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), "\\s+")).as(Seq("p0", "t")))
+        .filter(col("t") =!= "")
+        .withColumn("w2", lead(col("t"), 1).over(wseq))
+        .filter(col("w2").isNotNull)
+        .select("t", "w2").distinct().count()
+      println(f"""{"op":"bigram_lm","scale":$k,"docs_scored":$nDocs,"model_rows":$modelRows,"wall_sec":$sec%.2f}""")
+    }
     // HEADLINE rows at 10×: the 20 most expensive ledger queries run
     // EXACTLY as shipped (SparkEntry.queries, BenchHarness.consume)
     // against a 10×-expanded copy of the whole fixture directory — not a

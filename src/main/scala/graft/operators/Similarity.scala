@@ -650,17 +650,22 @@ object Similarity {
     * Output: one row per vector that belongs to a duplicate component —
     * (vec_id, cell, component, cos_cent, is_keeper), vec_id-ordered.
     */
-  def semDedup(emb: DataFrame, tau: Double = 0.3): DataFrame = {
+  /** The k-means-cell assignment relation `(vec_id, v, cell, cos_cent)`
+    * behind [[semDedup]]: 1-NN over the (tiny, broadcast) fixed-point
+    * centroid set; zero-norm vectors (NaN cosine against every centroid)
+    * drop — undefined cell. Exposed so the scale study can measure
+    * per-cell occupancy (the Σ|cell|² pair-work law) on the exact
+    * relation the operator uses.
+    */
+  private[graft] def cellAssignments(emb: DataFrame): DataFrame = {
     graft.functions.ArrayExpressions.register(emb.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val withV0 = emb.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
     val (centroids, domDim) = fixedPointCentroids(withV0)
     val withV = withV0.join(broadcast(domDim), size(col("v")) === col("dom_sz"))
       .drop("dom_sz")
-    // 1-NN assignment over the (tiny, broadcast) centroid set; zero-norm
-    // vectors (NaN cosine against every centroid) drop — undefined cell.
     val wa = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_label"))
-    val asg = withV.crossJoin(broadcast(centroids))
+    withV.crossJoin(broadcast(centroids))
       .withColumn("csim", cosine(col("v"), col("centroid")))
       .filter(!isnan(col("csim")))
       .withColumn("ark", row_number().over(wa))
@@ -668,6 +673,11 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("c_label").as("cell"),
         col("csim").as("cos_cent"))
       .ckpt() // read three times: both pair sides + the keeper join
+  }
+
+  def semDedup(emb: DataFrame, tau: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asg = cellAssignments(emb)
     val pairs = asg.as("a").join(asg.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim", cosine(col("a.v"), col("b.v")))
