@@ -631,6 +631,27 @@ object ScaleStudy {
         .select("t", "w2").distinct().count()
       println(f"""{"op":"bigram_lm","scale":$k,"docs_scored":$nDocs,"model_rows":$modelRows,"wall_sec":$sec%.2f}""")
     }
+    // x90 DSIR at 1×/3×/10×: the hashed-feature table is BOUNDED at
+    // B=1024 rows no matter the corpus (the paper's point, and why λ is
+    // a safe broadcast where x89's unbounded model must shuffle-join);
+    // selected count tracks ⌈0.2·raw⌉ exactly; wall should stay
+    // near-linear.
+    if (want("dsir")) for (k <- Seq(1, 3, 10)) {
+      val docsS = Tables.load(spark, sfDir, "documents")
+      val docsK = (0 until k).map { r =>
+        docsS.select(
+          (col("doc_id") * k + lit(r)).as("doc_id"),
+          (if (r == 0) col("text") else translate(col("text"),
+            Lower + Upper + Digits,
+            rot(Lower, r) + rot(Upper, r) + rot(Digits, r))).as("text"),
+          col("source"))
+      }.reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val res = graft.operators.TextAnalysis.dsirSelect(docsK)
+      val agg = res.agg(count(lit(1)), sum(when(col("selected"), 1L).otherwise(0L))).head
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"dsir","scale":$k,"raw_docs":${agg.getLong(0)},"selected":${agg.getLong(1)},"wall_sec":$sec%.2f}""")
+    }
     // HEADLINE rows at 10×: the 20 most expensive ledger queries run
     // EXACTLY as shipped (SparkEntry.queries, BenchHarness.consume)
     // against a 10×-expanded copy of the whole fixture directory — not a

@@ -424,6 +424,11 @@ object SparkEntry {
     // bigram model, per-doc avg NLL in exact fixed-point micro-nats
     "x89_bigram_lm" -> ((s, d) =>
       graft.operators.TextAnalysis.bigramLmScore(Tables.load(s, d, "documents"))),
+    // DSIR importance resampling (Xie et al.): hashed-bigram bucket
+    // log-ratios vs the target slice, exact integer doc weights,
+    // deterministic top-fraction selection of the raw pool
+    "x90_dsir_select" -> ((s, d) =>
+      graft.operators.TextAnalysis.dsirSelect(Tables.load(s, d, "documents"))),
     // perceptual-hash (aHash) image dedup over binary payloads: fused
     // codegen thumbnail-mean fingerprint + banded Hamming pairs over a
     // planted perturbed-twin corpus — integer-exact, replayed in SQL
@@ -2514,6 +2519,43 @@ object SparkEntry {
         |       CAST(sum(nll_u) AS BIGINT) AS nll_micro,
         |       round(CAST(sum(nll_u) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) / 1000000.0, 6) AS avg_nll
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // x90: identical tokenize → lead-bigrams → md5-bucket hash (the
+    // '0x'||substr(md5,1,8) parse equals Spark's conv(...,16,10)) →
+    // add-one bucket distributions → micro-nat-quantized log-ratios →
+    // exact integer doc weights → the same deterministic rank cut
+    "x90_dsir_select" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, source, unnest(generate_series(1, len(arr))) AS p0, unnest(arr) AS token
+        |  FROM (SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS arr FROM documents)),
+        |t1 AS (SELECT doc_id, source, p0, token FROM t0 WHERE token != ''),
+        |bi AS (
+        |  SELECT doc_id, source, token AS w1,
+        |         lead(token) OVER (PARTITION BY doc_id ORDER BY p0) AS w2
+        |  FROM t1),
+        |bf AS (
+        |  SELECT doc_id, CAST(substr(source, 4) AS INT) < 10 AS in_t,
+        |         ('0x' || substr(md5(w1 || ' ' || w2), 1, 8))::BIGINT % 1024 AS f
+        |  FROM bi WHERE w2 IS NOT NULL),
+        |dtf AS (SELECT doc_id, in_t, f, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM bf GROUP BY doc_id, in_t, f),
+        |fc AS (SELECT f,
+        |         CAST(sum(CASE WHEN in_t THEN cnt ELSE 0 END) AS BIGINT) AS c_t,
+        |         CAST(sum(CASE WHEN NOT in_t THEN cnt ELSE 0 END) AS BIGINT) AS c_s
+        |       FROM dtf GROUP BY f),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t, CAST(sum(c_s) AS BIGINT) AS n_s FROM fc),
+        |lam AS (
+        |  SELECT f, CAST(floor(ln(((c_t + 1.0) / (n_t + 1024)) / ((c_s + 1.0) / (n_s + 1024)))
+        |         * 1000000.0) AS BIGINT) AS lam
+        |  FROM fc, tot),
+        |wd AS (
+        |  SELECT dtf.doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+        |         CAST(sum(cnt * lam) AS BIGINT) AS weight_micro
+        |  FROM dtf JOIN lam USING (f) WHERE NOT in_t GROUP BY dtf.doc_id),
+        |nr AS (SELECT count(*) AS n_raw FROM wd)
+        |SELECT doc_id, n_feats, weight_micro,
+        |       row_number() OVER (ORDER BY weight_micro DESC, doc_id)
+        |         <= CAST(ceil(0.2 * n_raw) AS BIGINT) AS selected
+        |FROM wd, nr ORDER BY doc_id""".stripMargin,
     // plain id-ordered 3-join replay (the triangle set is independent of
     // the engine's degree orientation); integer-exact throughout
     "x82_triangles" ->

@@ -279,6 +279,72 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** x90: DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169
+    * "Data Selection for Language Models via Importance Resampling") —
+    * the data-SELECTION pass a pretraining pipeline runs against a
+    * trusted target: score every raw-pool document by how much its
+    * hashed-n-gram profile looks like the target slice, keep the top
+    * fraction. Target = sources 0-9 (x74's slice convention); raw pool =
+    * sources 10+. Features are token bigrams hashed into `buckets`=1024
+    * cells (md5-based so the oracle replays the hash bit-for-bit);
+    * bucket distributions carry add-one smoothing over B:
+    * p(f) = (c(f)+1)/(n+B). Each bucket's log importance ratio
+    * λ_f = ln(p_t(f)/p_s(f)) is quantized ONCE to micro-nat longs
+    * (x89's determinism recipe), so document weights
+    * w(d) = Σ_f count_d(f)·λ_f are exact integer sums — hash-gateable.
+    * Selection is deterministic top-⌈frac·|raw|⌉ by (weight desc,
+    * doc_id) — the resampling step with the paper's Gumbel noise set to
+    * its deterministic limit.
+    *
+    * Scale shape — the hashing is WHY this scales where x89's model
+    * cannot: the feature table is bounded at B rows by construction, so
+    * λ is a SAFE broadcast at any corpus size (a data-INdependent bound,
+    * unlike the convention-banned data-dependent broadcasts); bigram
+    * bucketing reduces per doc BEFORE the model shuffle (≤ B distinct
+    * features per doc cross the wire); the only global step is the
+    * selection rank over the doc-LEVEL weight relation — corpus-reduced,
+    * ~6 orders below token volume at 100 TB (swap in x22's bounded-heap
+    * top-k if even that is too hot).
+    */
+  def dsirSelect(docs: DataFrame, buckets: Int = 1024, frac: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wseq = Window.partitionBy("doc_id").orderBy("p0")
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(tokens(lower(col("text")))).as(Seq("p0", "t")))
+      .filter(col("t") =!= "")
+    val feat = toks.withColumn("w2", lead(col("t"), 1).over(wseq))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"),
+        (expr("CAST(substring(source, 4) AS INT)") < 10).as("in_t"),
+        (conv(substring(md5(concat_ws(" ", col("t"), col("w2"))), 1, 8), 16, 10)
+          .cast("long") % buckets).as("f"))
+    val dtf = feat.groupBy(col("doc_id"), col("in_t"), col("f"))
+      .agg(count(lit(1)).as("cnt"))
+    val fc = dtf.groupBy(col("f")).agg(
+      sum(when(col("in_t"), col("cnt")).otherwise(0L)).as("c_t"),
+      sum(when(!col("in_t"), col("cnt")).otherwise(0L)).as("c_s"))
+    val totals = fc.agg(sum(col("c_t")).as("n_t"), sum(col("c_s")).as("n_s"))
+    val lam = fc.crossJoin(broadcast(totals))
+      .withColumn("lam",
+        floor(log(((col("c_t") + lit(1.0)) / (col("n_t") + lit(buckets))) /
+          ((col("c_s") + lit(1.0)) / (col("n_s") + lit(buckets)))) * lit(1000000.0))
+          .cast("long"))
+      .select(col("f"), col("lam"))
+    val wdoc = dtf.filter(!col("in_t"))
+      .join(broadcast(lam), "f") // bounded at B rows — safe by construction
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_feats"),
+        sum(col("cnt") * col("lam")).as("weight_micro"))
+    val nRaw = wdoc.agg(count(lit(1)).as("n_raw"))
+    val wsel = Window.orderBy(col("weight_micro").desc, col("doc_id"))
+    wdoc.crossJoin(broadcast(nRaw))
+      .withColumn("selected",
+        row_number().over(wsel) <= ceil(lit(frac) * col("n_raw")))
+      .select(col("doc_id"), col("n_feats"), col("weight_micro"), col("selected"))
+      .orderBy("doc_id")
+  }
+
   /** x74: token-distribution DRIFT between two corpus slices — the
     * monitoring pass a data pipeline runs when a new crawl lands: which
     * tokens' relative frequencies moved most between the reference

@@ -2000,5 +2000,36 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x90 DSIR: exact match against a brute-force single-node twin; selection size is the ceil cut") {
+    val B = 1024
+    def md5bucket(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % B
+    }
+    val rows = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).drop(3).toInt < 10,
+        r.getString(2).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq))
+    val feats = rows.flatMap { case (id, inT, ts) =>
+      ts.zip(ts.drop(1)).map { case (a, b) => (id, inT, md5bucket(s"$a $b")) }
+    }
+    val cT = feats.filter(_._2).groupBy(_._3).map { case (f, xs) => f -> xs.length.toLong }
+    val cS = feats.filterNot(_._2).groupBy(_._3).map { case (f, xs) => f -> xs.length.toLong }
+    val (nT, nS) = (cT.values.sum, cS.values.sum)
+    def lam(f: Long): Long = math.floor(math.log(
+      ((cT.getOrElse(f, 0L) + 1.0) / (nT + B)) / ((cS.getOrElse(f, 0L) + 1.0) / (nS + B))) * 1e6).toLong
+    val expected = feats.filterNot(_._2).groupBy(_._1).map { case (id, xs) =>
+      id -> (xs.length.toLong, xs.map(x => lam(x._3)).sum)
+    }
+    val got = SparkEntry.queries("x90_dsir_select")(spark, sf).collect()
+    assert(got.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap == expected)
+    val nSel = got.count(_.getBoolean(3))
+    assert(nSel == math.ceil(0.2 * got.length).toLong, s"selected $nSel of ${got.length}")
+    // the cut keeps exactly the weight-heaviest docs (ties broken by id)
+    val ranked = got.sortBy(r => (-r.getLong(2), r.getLong(0))).take(nSel).map(_.getLong(0)).toSet
+    assert(got.filter(_.getBoolean(3)).map(_.getLong(0)).toSet == ranked)
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
