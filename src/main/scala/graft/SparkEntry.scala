@@ -429,6 +429,11 @@ object SparkEntry {
     // deterministic top-fraction selection of the raw pool
     "x90_dsir_select" -> ((s, d) =>
       graft.operators.TextAnalysis.dsirSelect(Tables.load(s, d, "documents"))),
+    // multi-iteration Lloyd k-means in fixed-point — the training loop
+    // behind x8's IVF and x87's cells; three unrolled iterations replay
+    // exactly in the oracle, so the full per-vector assignment hash-gates
+    "x91_kmeans" -> ((s, d) =>
+      graft.operators.KMeans.assignments(Tables.load(s, d, "embeddings"))),
     // perceptual-hash (aHash) image dedup over binary payloads: fused
     // codegen thumbnail-mean fingerprint + banded Hamming pairs over a
     // planted perturbed-twin corpus — integer-exact, replayed in SQL
@@ -765,9 +770,49 @@ object SparkEntry {
       "\nSELECT node AS l_partkey, r AS rank_scaled FROM r10 ORDER BY r DESC, node LIMIT 20"
   }
 
+  /** The x91 oracle: three Lloyd iterations UNROLLED (the x75 pattern) —
+    * fixed-point quantization, exact integral per-cell sums, one floored
+    * IEEE quotient per centroid component, exact integer distances, the
+    * identical (distance, cell) argmin tie-break. Every stage
+    * MATERIALIZED: a(i) is read by both the centroid sums and the counts
+    * of iteration i+1, and un-materialized nesting re-evaluates the whole
+    * chain exponentially (the PageRankOracle lesson).
+    */
+  private val KMeansOracle: String = {
+    val base =
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dd AS (SELECT len(v) AS dom_sz FROM e GROUP BY len(v) ORDER BY count(*) DESC, len(v) LIMIT 1),
+        |pts AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(v, x -> floor(x * CAST(1000000 AS DOUBLE))) AS fv
+        |  FROM e, dd WHERE len(v) = dom_sz),
+        |px AS MATERIALIZED (
+        |  SELECT vec_id, unnest(generate_series(1, len(fv))) AS di, unnest(fv) AS xi FROM pts),
+        |a0 AS MATERIALIZED (SELECT vec_id, CAST(vec_id % 8 AS INT) AS cell FROM pts)""".stripMargin
+    val iters = (1 to 3).map { i =>
+      s""",
+         |cn$i AS (SELECT cell, count(*) AS n FROM a${i - 1} GROUP BY cell),
+         |ct$i AS MATERIALIZED (
+         |  SELECT sx.cell, list(floor(sx.s / cn$i.n) ORDER BY sx.di) AS c
+         |  FROM (SELECT a.cell, p.di, sum(p.xi) AS s
+         |        FROM a${i - 1} a JOIN px p USING (vec_id) GROUP BY 1, 2) sx
+         |  JOIN cn$i USING (cell) GROUP BY sx.cell, cn$i.n),
+         |cx$i AS MATERIALIZED (
+         |  SELECT cell, unnest(generate_series(1, len(c))) AS di, unnest(c) AS ci FROM ct$i),
+         |a$i AS MATERIALIZED (
+         |  SELECT p.vec_id, c.cell, CAST(sum((p.xi - c.ci) * (p.xi - c.ci)) AS BIGINT) AS d2
+         |  FROM px p JOIN cx$i c USING (di) GROUP BY p.vec_id, c.cell
+         |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+         |    ORDER BY CAST(sum((p.xi - c.ci) * (p.xi - c.ci)) AS BIGINT), c.cell) = 1)""".stripMargin
+    }.mkString
+    base + iters +
+      "\nSELECT vec_id, cell, d2 AS dist2 FROM a3 ORDER BY vec_id"
+  }
+
   def oracleSql: Map[String, String] = Map(
     // ten unrolled integer fixed-point iterations — exact, not approximate
     "x75_pagerank" -> PageRankOracle,
+    // three unrolled fixed-point Lloyd iterations — exact, not approximate
+    "x91_kmeans" -> KMeansOracle,
     // components rebuilt by CONSTRUCTION: what the URL builder put in is
     // exactly what parse_url must extract back out
     "x77_url_parse" ->

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.CkptOps
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** x91: multi-iteration Lloyd k-means over the embedding corpus, in the
+  * fixed-point arithmetic that makes every iteration bit-reproducible —
+  * the TRAINING loop behind x8's IVF index and x87's SemDeDup cells,
+  * which both consume a single assignment step off the label seeding.
+  * (Lloyd 1982; the standard parallel formulation — e.g. the MLlib
+  * implementation — broadcasts centroids and reduces per-cell sums,
+  * which is exactly this plan's shape.)
+  *
+  * Determinism (x75's integer pattern, extended from x8's single
+  * aggregation to a full iterative loop): elements quantize ONCE to
+  * floor(x·10⁶) — integral doubles whose sums stay far below 2⁵³, so
+  * every partial aggregation is exact and order-free. Each centroid
+  * component is floor(S_d / n): one exactly-rounded IEEE division on
+  * exact integrals, identical on any engine (x90's quotient argument),
+  * then floored back to an integral. Distances are exact integer sums
+  * of squared integral differences (dim 64 × (2.4·10⁶)² ≈ 4·10¹⁴ worst
+  * case — comfortably exact), so the argmin, the tie-break (distance,
+  * then cell id), the next iteration's cells, and the final inertia are
+  * all deterministic under ANY partitioning AND replay exactly in the
+  * DuckDB oracle (three unrolled iterations, the x75 CTE pattern).
+  *
+  * Scale shape: the centroid table is k rows — a broadcast at any
+  * corpus size. Per iteration: ONE map-side-combined aggregate builds
+  * the per-cell sums (the vector_sum single-node aggregate, so the plan
+  * does not grow with dim), and ONE aggregate computes the argmin —
+  * the broadcast cross join expands each point to k colocated rows that
+  * partial-aggregate back to one row BEFORE the shuffle (min over a
+  * (d2, cell, fv) struct), so the shuffle carries n rows, not n·k; a
+  * window formulation would sort-shuffle the full n·k expansion.
+  * Lineage truncates per iteration (`graft.ckpt`). Ragged vectors drop
+  * via the dominant-dimensionality rule (x8/x87's drop-don't-fail).
+  */
+object KMeans {
+
+  /** Final per-vector assignment after `iterations` Lloyd steps from the
+    * deterministic `vec_id % k` seeding: (vec_id, cell, dist2) with
+    * dist2 the exact fixed-point squared distance to the winning
+    * centroid. Ordered by vec_id.
+    */
+  def assignments(emb: DataFrame, k: Int = 8, iterations: Int = 3): DataFrame = {
+    graft.functions.ArrayExpressions.register(emb.sparkSession)
+    val quantized = emb.select(col("vec_id"),
+      expr("transform(cast(embedding as array<double>), " +
+        "x -> cast(floor(x * cast(1000000 as double)) as double))").as("fv"))
+    val domDim = quantized.groupBy(size(col("fv")).as("sz")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("sz")).limit(1)
+      .select(col("sz").as("dom_sz"))
+    val pts = quantized.join(broadcast(domDim), size(col("fv")) === col("dom_sz"))
+      .drop("dom_sz")
+    // seed: cell = vec_id mod k — a pure function of the row, no data scan
+    var asg = pts.withColumn("cell", pmod(col("vec_id"), lit(k.toLong)).cast("int"))
+      .withColumn("d2", lit(0L))
+      .ckpt() // each iteration reads the previous assignment twice
+    for (_ <- 1 to iterations) {
+      // per-cell fixed-point mean: exact integral sums, one floored
+      // IEEE quotient per component — integral again on the way out
+      val cent = asg.groupBy(col("cell"))
+        .agg(graft.functions.ArrayExpressions.vectorSum(col("fv")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cell").as("c_cell"),
+          expr("transform(s, x -> cast(floor(x / cast(n as double)) as double))").as("c"))
+      // argmin over the k broadcast centroids: exact integer distance,
+      // tie-break on cell id via lexicographic struct min — partial-
+      // aggregates to one row per point before the shuffle
+      asg = pts.crossJoin(broadcast(cent))
+        .withColumn("d2c", expr(
+          "cast(aggregate(zip_with(fv, c, (x, y) -> (x - y) * (x - y)), " +
+            "cast(0 as double), (a, t) -> a + t) as bigint)"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2c"), col("c_cell"), col("fv"))).as("m"))
+        .select(col("vec_id"), col("m.fv").as("fv"),
+          col("m.c_cell").as("cell"), col("m.d2c").as("d2"))
+        .ckpt()
+    }
+    asg.select(col("vec_id"), col("cell"), col("d2").as("dist2"))
+      .orderBy("vec_id")
+  }
+
+  /** Exact total inertia (Σ dist2) after `iterations` steps — Lloyd's
+    * objective, monotonically non-increasing across iterations; pinned
+    * by the spec as the convergence contract.
+    */
+  def inertia(emb: DataFrame, k: Int = 8, iterations: Int = 3): Long =
+    assignments(emb, k, iterations)
+      .agg(sum(col("dist2")).as("i")).head().getLong(0)
+}

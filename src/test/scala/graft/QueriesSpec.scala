@@ -2031,5 +2031,46 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.filter(_.getBoolean(3)).map(_.getLong(0)).toSet == ranked)
   }
 
+  test("x91 kmeans: exact match against a brute-force single-node twin; inertia non-increasing") {
+    val k = 8
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](1).map(x => math.floor(x * 1e6)).toArray)
+    val domSz = vecs.groupBy(_._2.length).maxBy { case (sz, xs) => (xs.length, -sz) }._1
+    val pts = vecs.filter(_._2.length == domSz)
+    def dist2(a: Array[Double], c: Array[Double]): Long =
+      a.zip(c).map { case (x, y) => ((x - y) * (x - y)).toLong }.sum
+    var asg: Map[Long, Int] = pts.map { case (id, _) => id -> (id % k).toInt }.toMap
+    var lastD: Map[Long, Long] = Map.empty
+    for (_ <- 1 to 3) {
+      val cents = pts.groupBy(p => asg(p._1)).map { case (cell, xs) =>
+        val n = xs.length.toDouble
+        cell -> xs.map(_._2).transpose.map(col => math.floor(col.sum / n)).toArray
+      }
+      val next = pts.map { case (id, fv) =>
+        val (cell, d) = cents.toSeq
+          .map { case (c, cv) => (c, dist2(fv, cv)) }
+          .minBy { case (c, d) => (d, c) }
+        (id, cell, d)
+      }
+      asg = next.map(t => t._1 -> t._2).toMap
+      lastD = next.map(t => t._1 -> t._3).toMap
+    }
+    val got = SparkEntry.queries("x91_kmeans")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got == pts.map { case (id, _) => id -> (asg(id), lastD(id)) }.toMap)
+    // Lloyd objective is monotone: each assign step and each centroid
+    // update can only lower Σ dist² — pinned across iteration counts
+    val emb = Tables.load(spark, sf, "embeddings")
+    val inertias = (1 to 3).map(t => graft.operators.KMeans.inertia(emb, k, t))
+    assert(inertias.zip(inertias.tail).forall { case (a, b) => b <= a },
+      s"inertia not monotone: $inertias")
+    // partitioning-independence: the fixed-point argument in practice
+    val re = graft.operators.KMeans.assignments(emb.repartition(7), k, 3).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(re == got)
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
