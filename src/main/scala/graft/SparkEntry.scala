@@ -434,6 +434,17 @@ object SparkEntry {
     // exactly in the oracle, so the full per-vector assignment hash-gates
     "x91_kmeans" -> ((s, d) =>
       graft.operators.KMeans.assignments(Tables.load(s, d, "embeddings"))),
+    // Bloom-filter semi-join pruning: fixed-size md5-position bitmap over
+    // urgent orders probed by every lineitem — even the false positives
+    // are value-gated, since both engines compute the identical bits
+    "x92_bloom_join" -> ((s, d) =>
+      graft.operators.BloomJoin.filterAccounting(
+        Tables.load(s, d, "orders"), Tables.load(s, d, "lineitem"))),
+    // exact per-language length quantiles WITHOUT materializing any
+    // group: two-pass histogram refinement (x15's scale path); oracle is
+    // the rank definition over a full sort — exact or nothing
+    "x93_twopass_quantiles" -> ((s, d) =>
+      graft.operators.Quantiles.twoPassDiscrete(Tables.load(s, d, "documents"))),
     // perceptual-hash (aHash) image dedup over binary payloads: fused
     // codegen thumbnail-mean fingerprint + banded Hamming pairs over a
     // planted perturbed-twin corpus — integer-exact, replayed in SQL
@@ -813,6 +824,51 @@ object SparkEntry {
     "x75_pagerank" -> PageRankOracle,
     // three unrolled fixed-point Lloyd iterations — exact, not approximate
     "x91_kmeans" -> KMeansOracle,
+    // algorithm-independent oracle: the discrete-quantile RANK definition
+    // over a full per-group sort — the two-pass engine result must equal
+    // the order statistic exactly
+    "x93_twopass_quantiles" ->
+      """WITH v AS (SELECT lang, n_chars AS v FROM documents),
+        |st AS (SELECT lang, count(*) AS n FROM v GROUP BY 1),
+        |r AS (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS rn FROM v)
+        |SELECT st.lang,
+        |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS q50,
+        |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN v END) AS q90,
+        |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN v END) AS q99,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM r JOIN st USING (lang) GROUP BY st.lang ORDER BY st.lang""".stripMargin,
+    // the bitmap replayed as position-set membership: same md5 double
+    // hashing, so bloom passes AND false positives match exactly
+    "x92_bloom_join" ->
+      """WITH bk AS (SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |hp AS (SELECT k,
+        |         ('0x' || substr(md5('bf:' || CAST(k AS VARCHAR)), 1, 15))::BIGINT AS h1,
+        |         ('0x' || substr(md5('bf:' || CAST(k AS VARCHAR)), 17, 15))::BIGINT AS h2
+        |       FROM bk),
+        |pos AS MATERIALIZED (
+        |  SELECT DISTINCT (h1 + i.i * h2) % 262144 AS p
+        |  FROM hp, generate_series(0, 2) AS i(i)),
+        |lk AS (SELECT DISTINCT l_orderkey FROM lineitem),
+        |lh AS (SELECT l_orderkey,
+        |         ('0x' || substr(md5('bf:' || CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h1,
+        |         ('0x' || substr(md5('bf:' || CAST(l_orderkey AS VARCHAR)), 17, 15))::BIGINT AS h2
+        |       FROM lk),
+        |lp AS (SELECT l_orderkey, (h1 + i.i * h2) % 262144 AS p
+        |       FROM lh, generate_series(0, 2) AS i(i)),
+        |hit AS MATERIALIZED (
+        |  SELECT l_orderkey, count(*) FILTER (WHERE pos.p IS NOT NULL) = 3 AS pass
+        |  FROM lp LEFT JOIN pos USING (p) GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN h.pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+        |  CAST(sum(CASE WHEN bk.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN h.pass AND bk.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+        |  CAST(sum(CASE WHEN bk.k IS NOT NULL THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS sum_qty_matched
+        |FROM lineitem l
+        |JOIN hit h USING (l_orderkey)
+        |LEFT JOIN bk ON bk.k = l.l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // components rebuilt by CONSTRUCTION: what the URL builder put in is
     // exactly what parse_url must extract back out
     "x77_url_parse" ->

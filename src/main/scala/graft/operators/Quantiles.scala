@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** x93: EXACT per-group quantiles by two-pass histogram refinement — the
+  * scale path for x15's `percentile`, whose aggregation buffer holds
+  * every value of the group (Spark's exact Percentile materializes the
+  * group in memory: fine at 10⁵ docs per language, an OOM at 10¹⁰).
+  *
+  * Pass 1 scans once to build a bounded per-group histogram (min/max/
+  * count, then `buckets` equi-width integer bins); a window over the
+  * (group × buckets)-row histogram locates, for each requested rank
+  * ⌈q·n⌉, the single bin containing it and the residual offset inside
+  * that bin. Pass 2 re-scans, keeps ONLY the rows of the located bins
+  * (≈ n/buckets of the data per quantile), and a row_number window over
+  * those few rows reads off the exact order statistic. Memory is
+  * O(buckets) per group in pass 1 and O(n/buckets) per group in pass 2
+  * — `buckets` is the knob that trades the two, and nothing ever holds
+  * a whole group. (The classic iterative-refinement formulation — e.g.
+  * Munro–Paterson-style multi-pass selection — with the iteration count
+  * fixed at two, which suffices when n/buckets rows fit a partition.)
+  *
+  * Determinism: bin assignment is pure integer arithmetic
+  * ((v−mn)·buckets DIV (mx−mn)); ranks are ⌈q·n⌉ with one IEEE product
+  * each — identical in any engine; the value AT a rank is a property of
+  * the sorted multiset, so tie order inside the row_number cannot
+  * change the answer. The oracle doesn't mirror the algorithm at all —
+  * it states the rank definition directly over a full sort, which is
+  * exactly what "exact" must match.
+  */
+object Quantiles {
+
+  /** Per-language discrete q50/q90/q99 of document length: the value at
+    * rank ⌈q·n⌉ (1-based, ascending). Output (lang, q50, q90, q99, n).
+    */
+  def twoPassDiscrete(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    val qs = Seq(0.5, 0.9, 0.99)
+    val v = docs.select(col("lang"), col("n_chars").cast("bigint").as("v"))
+    val stats = v.groupBy(col("lang"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"), count(lit(1)).as("n"))
+    // pass 1: bounded histogram — integer bin index, degenerate groups
+    // (mx = mn) collapse to bin 0
+    def binned = v.join(broadcast(stats), "lang")
+      .withColumn("b", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(least(expr(s"(v - mn) * $buckets div (mx - mn)"),
+          lit(buckets - 1L))))
+      .select(col("lang"), col("v"), col("b"))
+    val wc = Window.partitionBy(col("lang")).orderBy(col("b"))
+    val cum = binned.groupBy(col("lang"), col("b")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_before", sum(col("cnt")).over(wc) - col("cnt"))
+    // rank targets and their containing bins — (groups × qs) rows, tiny
+    val located = stats
+      .select(col("lang"), col("n"), explode(array(qs.map(lit): _*)).as("q"))
+      .withColumn("rank", ceil(col("q") * col("n")).cast("bigint"))
+      .join(cum, Seq("lang"))
+      .filter(col("cum_before") < col("rank") &&
+        col("rank") <= col("cum_before") + col("cnt"))
+      .select(col("lang"), col("q"), col("b"),
+        (col("rank") - col("cum_before")).as("off"))
+    // pass 2: refine only inside the located bins
+    val wr = Window.partitionBy(col("lang"), col("q")).orderBy(col("v"))
+    val picked = binned.join(broadcast(located), Seq("lang", "b"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === col("off"))
+    picked.groupBy(col("lang"))
+      .agg(max(when(col("q") === qs(0), col("v"))).as("q50"),
+        max(when(col("q") === qs(1), col("v"))).as("q90"),
+        max(when(col("q") === qs(2), col("v"))).as("q99"))
+      .join(broadcast(stats.select(col("lang"), col("n"))), "lang")
+      .orderBy(col("lang"))
+  }
+}

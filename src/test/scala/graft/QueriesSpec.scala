@@ -2072,5 +2072,47 @@ class QueriesSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("x92 bloom join: pruned semi join equals the plain semi join (zero false negatives)") {
+    val orders = Tables.load(spark, sf, "orders")
+    val li = Tables.load(spark, sf, "lineitem")
+    val build = orders.filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val key = (df: org.apache.spark.sql.DataFrame) => df.groupBy("l_orderkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pruned = key(graft.operators.BloomJoin
+      .prunedSemiJoin(li, "l_orderkey", build, "o_orderkey"))
+    val plain = key(li.join(build, li("l_orderkey") === build("o_orderkey"), "left_semi"))
+    assert(pruned == plain)
+    // accounting invariants: pass ⊇ match (no false negatives), fp = pass − match
+    SparkEntry.queries("x92_bloom_join")(spark, sf).collect().foreach { r =>
+      assert(r.getLong(2) >= r.getLong(3), s"bloom dropped matches at ${r.getString(0)}")
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3))
+    }
+    // the broadcast contract: 4096 words regardless of build cardinality
+    val bf = graft.operators.BloomJoin.buildBitmap(build, "o_orderkey").collect()
+    assert(bf.length == 1 && bf(0).getSeq[Long](0).length == graft.operators.BloomJoin.Words)
+  }
+
+  test("x93 two-pass quantiles: equals the full-sort order statistic; bucket count is not a semantics knob") {
+    val docs = Tables.load(spark, sf, "documents")
+    val vals = docs.select(col("lang"), col("n_chars")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sorted.toIndexedSeq }
+    def q(xs: IndexedSeq[Long], p: Double) = xs(math.ceil(p * xs.length).toInt - 1)
+    val expected = vals.map { case (l, xs) =>
+      l -> (q(xs, 0.5), q(xs, 0.9), q(xs, 0.99), xs.length.toLong)
+    }
+    def run(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(run(SparkEntry.queries("x93_twopass_quantiles")(spark, sf)) == expected)
+    // buckets trades memory for refine-scan size; the answer must not move
+    assert(run(graft.operators.Quantiles.twoPassDiscrete(docs, buckets = 2)) == expected)
+    // degenerate group: constant values collapse to bin 0 and still answer
+    val const = docs.limit(10)
+      .withColumn("lang", lit("xx")).withColumn("n_chars", lit(42L))
+    graft.operators.Quantiles.twoPassDiscrete(const).collect().foreach { r =>
+      assert(r.getLong(1) == 42L && r.getLong(2) == 42L && r.getLong(3) == 42L)
+    }
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
