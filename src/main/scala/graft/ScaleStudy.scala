@@ -67,8 +67,8 @@ object ScaleStudy {
     // optional section selection (builder-side iteration: re-run ONE
     // study without paying for the full sweep): sections are
     // pairs / incremental / ann / annocc / x54 / pagerank / simdedup /
-    // stream / trigram / triangles / containment; no args = the full
-    // sweep (BASELINE.md)
+    // stream / trigram / triangles / containment / kmeans / bloom /
+    // quantiles; no args = the full sweep (BASELINE.md)
     val only = args.toSet
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
     // untimed warmup: codegen + JIT of the LSH plan, so the scale-1 row
@@ -651,6 +651,64 @@ object ScaleStudy {
       val agg = res.agg(count(lit(1)), sum(when(col("selected"), 1L).otherwise(0L))).head
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"op":"dsir","scale":$k,"raw_docs":${agg.getLong(0)},"selected":${agg.getLong(1)},"wall_sec":$sec%.2f}""")
+    }
+    // x91 k-means at 1×/3×/10×: rotation replicas keep geometry honest
+    // (each replica re-clusters in its own rotated space). Per iteration
+    // the plan is one vector_sum aggregate + one argmin aggregate over a
+    // k-row broadcast, both linear — wall should track corpus size.
+    // Inertia is recorded to pin that the 3-iteration objective stays
+    // deterministic at every scale (re-run = same number).
+    if (want("kmeans")) for (k <- Seq(1, 3, 10)) {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val embK = expandEmbeddings(emb, k)
+      val t0 = System.nanoTime()
+      val res = graft.operators.KMeans.assignments(embK)
+      val agg = res.agg(count(lit(1)), sum(col("dist2")), max(col("cell"))).head
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"kmeans","scale":$k,"vectors":${agg.getLong(0)},"inertia":${agg.getLong(1)},"wall_sec":$sec%.2f}""")
+    }
+    // x92 bloom pruning at 1×/3×/10×: replicas get DISJOINT orderkey
+    // ranges, so build keys grow k× into the FIXED 2^18-bit bitmap — the
+    // honest trade this study documents: fill (and with it the
+    // false-positive rate) rises with build cardinality while the
+    // broadcast stays constant-size; at the 10× fill a production run
+    // would size m up. Wall should stay near-linear (probe is per-row
+    // integer work; no shuffle grows superlinearly).
+    if (want("bloom")) for (k <- Seq(1, 3, 10)) {
+      val ordersS = Tables.load(spark, sfDir, "orders")
+      val liS = Tables.load(spark, sfDir, "lineitem")
+      val ordersK = (0 until k).map { r =>
+        ordersS.select((col("o_orderkey") * k + lit(r)).as("o_orderkey"),
+          col("o_orderpriority"))
+      }.reduce(_ unionByName _)
+      val liK = (0 until k).map { r =>
+        liS.select((col("l_orderkey") * k + lit(r)).as("l_orderkey"),
+          col("l_returnflag"), col("l_quantity"))
+      }.reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val res = graft.operators.BloomJoin.filterAccounting(ordersK, liK)
+      val agg = res.agg(sum(col("n_rows")), sum(col("n_bloom_pass")),
+        sum(col("n_exact")), sum(col("n_false_pos"))).head
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"bloom_join","scale":$k,"rows":${agg.getLong(0)},"pass":${agg.getLong(1)},"exact":${agg.getLong(2)},"false_pos":${agg.getLong(3)},"wall_sec":$sec%.2f}""")
+    }
+    // x93 two-pass quantiles at 1×/3×/10×: replicas keep the VALUE
+    // distribution identical (same n_chars, new doc_ids), so the
+    // reported order statistics must be INVARIANT across scales while n
+    // grows k× — recorded as the correctness-at-scale pin alongside the
+    // wall, which is two linear scans plus O(buckets) bookkeeping.
+    if (want("quantiles")) for (k <- Seq(1, 3, 10)) {
+      val docsS = Tables.load(spark, sfDir, "documents")
+      val docsK = (0 until k).map { r =>
+        docsS.select((col("doc_id") * k + lit(r)).as("doc_id"),
+          col("lang"), col("n_chars"))
+      }.reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val res = graft.operators.Quantiles.twoPassDiscrete(docsK).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val en = res.find(_.getString(0) == "en").get
+      println(f"""{"op":"twopass_quantiles","scale":$k,"n_en":${en.getLong(4)},"q50_en":${en.getLong(1)},"q90_en":${en.getLong(2)},"q99_en":${en.getLong(3)},"wall_sec":$sec%.2f}""")
     }
     // HEADLINE rows at 10×: the 20 most expensive ledger queries run
     // EXACTLY as shipped (SparkEntry.queries, BenchHarness.consume)

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -9,8 +11,9 @@ import org.apache.spark.sql.functions._
   * every value of the group (Spark's exact Percentile materializes the
   * group in memory: fine at 10⁵ docs per language, an OOM at 10¹⁰).
   *
-  * Pass 1 scans once to build a bounded per-group histogram (min/max/
-  * count, then `buckets` equi-width integer bins); a window over the
+  * A tiny min/max/count prepass fixes the bin geometry (checkpointed so
+  * it scans once); pass 1 builds a bounded per-group histogram over
+  * `buckets` equi-width integer bins; a window over the
   * (group × buckets)-row histogram locates, for each requested rank
   * ⌈q·n⌉, the single bin containing it and the residual offset inside
   * that bin. Pass 2 re-scans, keeps ONLY the rows of the located bins
@@ -38,8 +41,12 @@ object Quantiles {
   def twoPassDiscrete(docs: DataFrame, buckets: Int = 1024): DataFrame = {
     val qs = Seq(0.5, 0.9, 0.99)
     val v = docs.select(col("lang"), col("n_chars").cast("bigint").as("v"))
+    // the range/count prepass equi-width binning requires; ckpt'd (L rows)
+    // so its scan runs ONCE — column pruning otherwise diverges the three
+    // consumers into three full re-scans (the ReuseExchange trap)
     val stats = v.groupBy(col("lang"))
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"), count(lit(1)).as("n"))
+      .ckpt()
     // pass 1: bounded histogram — integer bin index, degenerate groups
     // (mx = mn) collapse to bin 0
     def binned = v.join(broadcast(stats), "lang")
