@@ -68,7 +68,7 @@ object ScaleStudy {
     // study without paying for the full sweep): sections are
     // pairs / incremental / ann / annocc / x54 / pagerank / simdedup /
     // stream / trigram / triangles / containment / kmeans / bloom /
-    // quantiles; no args = the full sweep (BASELINE.md)
+    // quantiles / snm / cmsjoin; no args = the full sweep (BASELINE.md)
     val only = args.toSet
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
     // untimed warmup: codegen + JIT of the LSH plan, so the scale-1 row
@@ -709,6 +709,34 @@ object ScaleStudy {
       val sec = (System.nanoTime() - t0) / 1e9
       val en = res.find(_.getString(0) == "en").get
       println(f"""{"op":"twopass_quantiles","scale":$k,"n_en":${en.getLong(4)},"q50_en":${en.getLong(1)},"q90_en":${en.getLong(2)},"q99_en":${en.getLong(3)},"wall_sec":$sec%.2f}""")
+    }
+    // x94 SNM at 1×/3×/10×: cipher replicas rotate the blocking keys
+    // too, so replicas occupy disjoint sort regions and the pair set
+    // grows exactly k× (window pairs never straddle replicas except by
+    // chance at region seams — the count pins it). Wall should be
+    // near-linear: one range sort + constant-fan-out binned join.
+    if (want("snm")) for (k <- Seq(1, 3, 10)) {
+      val docsK = expand(docs, k)
+      val t0 = System.nanoTime()
+      val n = graft.operators.Dedup.snmPairs(docsK).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"snm","scale":$k,"pairs":$n,"wall_sec":$sec%.2f}""")
+    }
+    // x95 CMS join-size at 1×/3×/10×: disjoint-key replicas grow the key
+    // universe k× into the FIXED depth·width summary, so the estimate's
+    // collision overshoot grows with fill while exact grows k× — the
+    // recorded evidence that width must scale with distinct keys (the
+    // x92-bitmap trade restated for sketches). est/exact is printed.
+    if (want("cmsjoin")) for (k <- Seq(1, 3, 10)) {
+      val liS = Tables.load(spark, sfDir, "lineitem")
+      val liK = (0 until k).map { r =>
+        liS.select((col("l_partkey") * k + lit(r)).as("l_partkey"))
+      }.reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val row = graft.operators.Sketch.joinSizeEstimate(liK).head
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (ex, es) = (row.getLong(2), row.getLong(3))
+      println(f"""{"op":"cms_join_size","scale":$k,"exact":$ex,"est":$es,"ratio":${es.toDouble / ex}%.3f,"wall_sec":$sec%.2f}""")
     }
     // HEADLINE rows at 10×: the 20 most expensive ledger queries run
     // EXACTLY as shipped (SparkEntry.queries, BenchHarness.consume)

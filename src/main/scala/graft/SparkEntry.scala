@@ -445,6 +445,16 @@ object SparkEntry {
     // the rank definition over a full sort — exact or nothing
     "x93_twopass_quantiles" -> ((s, d) =>
       graft.operators.Quantiles.twoPassDiscrete(Tables.load(s, d, "documents"))),
+    // Sorted-Neighborhood near-dup pairs (Hernández–Stolfo): sort-based
+    // blocking with a HARD w·n candidate bound, integer Jaccard verify;
+    // global rank via the two-phase offset pattern, pairs via binned join
+    "x94_snm_dedup" -> ((s, d) =>
+      graft.operators.Dedup.snmPairs(Tables.load(s, d, "documents"))),
+    // CMS inner-product join-size estimation (Cormode–Muthukrishnan):
+    // planner statistic from two mergeable summaries; deterministic md5
+    // cells make even the ESTIMATE hash-gate, est >= exact guaranteed
+    "x95_cms_join_size" -> ((s, d) =>
+      graft.operators.Sketch.joinSizeEstimate(Tables.load(s, d, "lineitem"))),
     // perceptual-hash (aHash) image dedup over binary payloads: fused
     // codegen thumbnail-mean fingerprint + banded Hamming pairs over a
     // planted perturbed-twin corpus — integer-exact, replayed in SQL
@@ -824,6 +834,48 @@ object SparkEntry {
     "x75_pagerank" -> PageRankOracle,
     // three unrolled fixed-point Lloyd iterations — exact, not approximate
     "x91_kmeans" -> KMeansOracle,
+    // the full SNM replay: same blocking key, same global (bk, doc_id)
+    // rank, same window, same distinct word-3-gram sets, same integer
+    // 2·|A∩B| ≥ |A∪B| test — byte-for-byte pair parity
+    "x94_snm_dedup" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |ww AS (SELECT doc_id, t,
+        |         list_filter(regexp_split_to_array(t, '\s+'), x -> x <> '') AS w
+        |       FROM d),
+        |k AS (SELECT doc_id,
+        |        substr(regexp_replace(t, '\s+', '', 'g'), 1, 24) AS bk,
+        |        CASE WHEN len(w) >= 3
+        |          THEN list_distinct([array_to_string(w[p:p+2], ' ')
+        |                              for p in range(1, len(w) - 1)])
+        |          ELSE [] END AS g
+        |      FROM ww),
+        |r AS MATERIALIZED (
+        |  SELECT doc_id, g, row_number() OVER (ORDER BY bk, doc_id) AS rn FROM k),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, a.g AS ga, b.g AS gb
+        |      FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 7),
+        |j AS (SELECT da, db, len(list_intersect(ga, gb)) AS i,
+        |             len(ga) + len(gb) - len(list_intersect(ga, gb)) AS u
+        |      FROM p)
+        |SELECT da AS doc_a, db AS doc_b,
+        |       CAST(i AS BIGINT) AS n_inter, CAST(u AS BIGINT) AS n_union
+        |FROM j WHERE u > 0 AND 2 * i >= u ORDER BY 1, 2""".stripMargin,
+    // identical md5 cell positions, exact integer cell sums and squares —
+    // the estimate replays bit-for-bit; exact side is plain SQL
+    "x95_cms_join_size" ->
+      """WITH kc AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |              CAST(sum(c) AS BIGINT) AS n_rows,
+        |              CAST(sum(c * c) AS BIGINT) AS exact_join_rows FROM kc),
+        |cells AS (
+        |  SELECT i.i AS i,
+        |         ('0x' || substr(md5('cms' || CAST(i.i AS VARCHAR) || ':' ||
+        |            CAST(k AS VARCHAR)), 1, 15))::BIGINT % 8192 AS j,
+        |         CAST(sum(c) AS BIGINT) AS cell
+        |  FROM kc, generate_series(0, 4) AS i(i) GROUP BY 1, 2),
+        |pr AS (SELECT i, sum(cell * cell) AS est_i FROM cells GROUP BY 1)
+        |SELECT ex.n_keys, ex.n_rows, ex.exact_join_rows,
+        |       CAST((SELECT min(est_i) FROM pr) AS BIGINT) AS est_join_rows
+        |FROM ex""".stripMargin,
     // algorithm-independent oracle: the discrete-quantile RANK definition
     // over a full per-group sort — the two-pass engine result must equal
     // the order statistic exactly

@@ -676,4 +676,81 @@ object Dedup {
         sum(col("ee") - col("ss") + 1).cast("long").as("dup_chars"))
       .orderBy("doc_id")
   }
+
+  /** x94: Sorted-Neighborhood near-dup detection (Hernández & Stolfo,
+    * SIGMOD 1995) — the SORT-based member of the candidate-geometry
+    * family: hash keys (x2), LSH buckets (x4/x5), learned centroids
+    * (x87), and rare-gram prefixes (x85) all bucket by CONTENT; SNM
+    * instead totally orders the corpus by a blocking key (here the
+    * whitespace-stripped 24-char prefix) and compares each record only
+    * against the next `window`−1 records — candidate volume is a HARD
+    * w·n bound regardless of key skew, the property none of the
+    * hash-family generators can promise when a bucket goes hot.
+    * Candidates verify by exact word-3-gram Jaccard ≥ 1/2, kept as the
+    * integer test 2·|A∩B| ≥ |A∪B| — no float anywhere.
+    *
+    * Scale shape: ONE range-partitioned sort; the global contiguous rank
+    * is the two-phase offset pattern (per-partition row_number + a
+    * broadcast of per-partition counts — the only global window runs
+    * over the ≤#partitions-row count relation, never over data; the
+    * range exchange is ckpt'd because spark_partition_id is only
+    * meaningful for ONE materialization of nondeterministically-sampled
+    * range boundaries, while the rank itself is boundary-invariant).
+    * Neighbor pairs come from q18's binned range join — each left row
+    * lands in ≤2 rank buckets of size `window`, the right side in one,
+    * so the join is equi on the bucket with constant fan-out: no nested
+    * loop, no global-window lead() (which would single-partition the
+    * corpus).
+    *
+    * Recall is the method's documented trade: a near-dup pair whose
+    * blocking keys sort far apart is missed (the multi-pass SNM answer
+    * is re-running with a second key — composable here by unioning a
+    * second `snmPairs` on a different prefix). On the fixture's
+    * prefix-sharing duplicate families the single pass is exact, and
+    * the fixture shows clean separation (no pairs between 0.3 and 0.5
+    * Jaccard).
+    */
+  def snmPairs(docs: DataFrame, window: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .withColumn("bk", substring(regexp_replace(col("t"), "\\s+", ""), 1, 24))
+      .withColumn("w", expr("filter(split(t, '\\\\s+'), x -> x != '')"))
+      .withColumn("g", expr(
+        """CASE WHEN size(w) >= 3
+          |  THEN array_distinct(transform(sequence(1, size(w) - 2),
+          |    p -> concat_ws(' ', slice(w, p, 3))))
+          |  ELSE cast(array() as array<string>) END""".stripMargin))
+      .select(col("doc_id"), col("bk"), col("g"))
+    val parts = base.repartitionByRange(col("bk"), col("doc_id"))
+      .sortWithinPartitions(col("bk"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .ckpt() // pid→rank must come from ONE materialization (see scaladoc)
+    val counts = parts.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select(col("pid"), col("off"))
+    val wIn = Window.partitionBy(col("pid")).orderBy(col("bk"), col("doc_id"))
+    val ranked = parts.join(broadcast(offs), "pid")
+      .withColumn("rn", col("off") + row_number().over(wIn))
+      .select(col("doc_id"), col("g"), col("rn"))
+      .ckpt() // both sides of the binned self-join
+    val a = ranked
+      .select(col("doc_id").as("da"), col("g").as("ga"), col("rn").as("ra"))
+      .withColumn("bkt", explode(array_distinct(array(
+        expr(s"ra div $window"), expr(s"(ra + ${window - 1}) div $window")))))
+    val b = ranked
+      .select(col("doc_id").as("db"), col("g").as("gb"), col("rn").as("rb"),
+        expr(s"rb div $window").as("bkt"))
+    a.join(b, Seq("bkt"))
+      .filter(col("rb") > col("ra") && col("rb") <= col("ra") + lit(window - 1))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("uni", size(col("ga")) + size(col("gb")) - col("inter"))
+      .filter(col("uni") > 0 && col("inter") * 2 >= col("uni"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("inter").cast("long").as("n_inter"), col("uni").cast("long").as("n_union"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

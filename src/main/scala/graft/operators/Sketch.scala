@@ -164,4 +164,60 @@ object Sketch {
           .as("cms_ok"))
       .orderBy(col("c_exact").desc, col("token"))
   }
+
+  /** x95: sketch-based JOIN-SIZE estimation — the planner statistic a
+    * 100-TB engine consults before committing to a join strategy. The
+    * Count-Min inner product (Cormode & Muthukrishnan 2005, §4.2)
+    * estimates |A ⋈ B| = Σ_k a(k)·b(k) from two mergeable O(depth·width)
+    * summaries WITHOUT touching the join itself; the self-join size of
+    * lineitem on l_partkey estimated here is exactly the quantity x75's
+    * co-purchase edge build pays for real, and the quantity that decides
+    * broadcast vs shuffle vs abort at plan time.
+    *
+    * Estimate_i = Σ_j cell_i[j]² per depth row, est = min_i — every
+    * collision term c_k·c_k' is nonnegative, so est ≥ exact is a hard
+    * guarantee (spec-pinned), and the CM bound caps the overshoot at
+    * ε·(Σc)² with probability 1−δ per row.
+    *
+    * Determinism is why this is a RELATION, not Spark's
+    * `count_min_sketch` binary: the built-in seeds XXH64 into an opaque
+    * engine-specific layout (x76 gates it with invariant booleans for
+    * that reason); here cells are (depth, md5-position) rows — both
+    * engines compute identical positions, so the ESTIMATE itself
+    * hash-gates. Plan shape: one map-side-combined key-count aggregate
+    * (ckpt'd — read by the exact side and the sketch side), a bounded
+    * explode(depth), and aggregates over ≤ depth·width cells; the
+    * sketch is mergeable across shards by cell-wise addition
+    * (spec-pinned: sketch(A∪B) = sketch(A) + sketch(B)).
+    */
+  def joinSizeEstimate(li: DataFrame, depth: Int = 5, width: Int = 8192): DataFrame = {
+    val keyCounts = graft.ckpt(li
+      .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("c")))
+    val exact = keyCounts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("c")).as("n_rows"),
+      sum(col("c") * col("c")).as("exact_join_rows"))
+    val est = sketchCells(keyCounts, depth, width)
+      .groupBy(col("i")).agg(sum(col("cell") * col("cell")).as("est_i"))
+      .agg(min(col("est_i")).as("est_join_rows"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n_keys"), col("n_rows"), col("exact_join_rows"),
+        col("est_join_rows"))
+  }
+
+  /** The deterministic CMS cell relation over a reduced `(k, c)` count
+    * table: depth md5 positions per key, cell = Σ c. ≤ depth·width rows.
+    */
+  private[graft] def sketchCells(keyCounts: DataFrame, depth: Int,
+                                 width: Int): DataFrame =
+    keyCounts
+      .select(explode(expr(
+        s"""transform(sequence(0, ${depth - 1}), i -> named_struct(
+           |  'i', i,
+           |  'j', cast(conv(substring(md5(concat(
+           |         'cms', cast(i as string), ':', cast(k as string))),
+           |       1, 15), 16, 10) as bigint) % $width))""".stripMargin)).as("ij"),
+        col("c"))
+      .groupBy(col("ij.i").as("i"), col("ij.j").as("j"))
+      .agg(sum(col("c")).as("cell"))
 }

@@ -2114,5 +2114,64 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x94 SNM: exact match against a brute-force single-node twin; repartition-stable") {
+    val w = 8
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = docs.select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val prepped = rows.map { case (id, t) =>
+      val bk = t.replaceAll("\\s+", "").take(24)
+      val ws = t.split("\\s+").filter(_.nonEmpty)
+      val g = if (ws.length >= 3)
+        ws.sliding(3).map(_.mkString(" ")).toSet else Set.empty[String]
+      (bk, id, g)
+    }.sortBy(p => (p._1, p._2))
+    val expected = (for {
+      i <- prepped.indices
+      j <- (i + 1) until math.min(i + w, prepped.length)
+      inter = (prepped(i)._3 & prepped(j)._3).size
+      uni = prepped(i)._3.size + prepped(j)._3.size - inter
+      if uni > 0 && 2 * inter >= uni
+    } yield (prepped(i)._2, prepped(j)._2) -> (inter.toLong, uni.toLong)).toMap
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.snmPairs(d, w).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val got = run(docs)
+    assert(got == expected, s"got ${got.size} pairs, want ${expected.size}")
+    // the rank (hence the pair set) must not depend on how input arrives
+    assert(run(docs.repartition(13)) == got)
+  }
+
+  test("x95 CMS join size: est >= exact always; sketch is mergeable; estimate matches a twin") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val out = SparkEntry.queries("x95_cms_join_size")(spark, sf).collect()
+    assert(out.length == 1)
+    val (exact, est) = (out(0).getLong(2), out(0).getLong(3))
+    assert(est >= exact, s"inner product under-counted: $est < $exact")
+    // brute-force twin of the estimate (same md5 positions, in Scala)
+    def pos(i: Int, k: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cms$i:$k".getBytes("UTF-8"))
+      val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 8192
+    }
+    val counts = li.groupBy(col("l_partkey")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val twin = (0 until 5).map { i =>
+      counts.groupBy { case (k, _) => pos(i, k) }
+        .map { case (_, xs) => val s = xs.map(_._2).sum; s * s }.sum
+    }.min
+    assert(est == twin)
+    // mergeability: cells(A ∪ B) = cells(A) + cells(B) cell-wise
+    val even = li.filter(col("l_linenumber") % 2 === 0)
+    val odd = li.filter(col("l_linenumber") % 2 === 1)
+    def cells(d: org.apache.spark.sql.DataFrame) = graft.operators.Sketch
+      .sketchCells(d.groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("c")), 5, 8192)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = (cells(even).toSeq ++ cells(odd).toSeq)
+      .groupBy(_._1).map { case (ij, xs) => ij -> xs.map(_._2).sum }
+    assert(merged == cells(li))
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
