@@ -455,6 +455,11 @@ object SparkEntry {
     // cells make even the ESTIMATE hash-gate, est >= exact guaranteed
     "x95_cms_join_size" -> ((s, d) =>
       graft.operators.Sketch.joinSizeEstimate(Tables.load(s, d, "lineitem"))),
+    // FUZZY benchmark decontamination: near-dup match against the eval
+    // slice via x4's exact LSH pipeline (one canonical "near" definition);
+    // the exact-overlap complement of x33
+    "x96_fuzzy_decontam" -> ((s, d) =>
+      TextAnalysis.fuzzyContamination(Tables.load(s, d, "documents"))),
     // perceptual-hash (aHash) image dedup over binary payloads: fused
     // codegen thumbnail-mean fingerprint + banded Hamming pairs over a
     // planted perturbed-twin corpus — integer-exact, replayed in SQL
@@ -1873,6 +1878,18 @@ object SparkEntry {
     "x4_dedup_minhash_lsh" ->
       (MinhashLshCte(0.6) +
         "\nSELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"),
+    // x4's full pipeline replay again, filtered to pairs CROSSING the
+    // eval boundary and rolled up per contaminated corpus doc — one
+    // canonical near-dup definition shared with the dedup row
+    "x96_fuzzy_decontam" ->
+      (MinhashLshCte(0.6) +
+        """
+          |SELECT CASE WHEN doc_a % 17 = 3 THEN doc_b ELSE doc_a END AS doc_id,
+          |       CAST(count(*) AS BIGINT) AS n_eval_matches,
+          |       max(jaccard) AS max_jaccard
+          |FROM pairs
+          |WHERE (doc_a % 17 = 3) <> (doc_b % 17 = 3)
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
     // the FULL IVF pipeline replayed in SQL: fixed-point centroid sums
     // (floor(x·10⁶) — integral doubles whose addition is exact, hence
     // order-independent, hence identical to the engine's parallel

@@ -580,6 +580,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** x96: FUZZY benchmark decontamination — the near-match complement of
+    * [[contamination]]'s exact 8-gram overlap (x33), and the method the
+    * GPT-3/Llama-class training reports actually describe: a training
+    * document is contaminated if it is NEAR-DUPLICATE of any eval
+    * document, not only if it shares a verbatim gram. "Near" is
+    * deliberately x4's exact definition — [[Dedup.minhashLshPairs]]'s
+    * candidate generation (banded MinHash-LSH, star-edge hubs for
+    * template families) and exact-Jaccard verification — reused as ONE
+    * code path, so decontamination and dedup can never disagree about
+    * what counts as a near-duplicate; the oracle reuses x4's full
+    * pipeline replay and filters the eval-boundary crossings.
+    *
+    * Output: one row per CONTAMINATED CORPUS doc — (doc_id,
+    * n_eval_matches, max_jaccard), doc-ordered. Eval slice =
+    * doc_id % 17 == 3, x33's definition.
+    *
+    * Scale note: at 100 TB the eval set is tiny and fixed; a production
+    * run restricts candidate generation to buckets CONTAINING an eval
+    * band signature (a broadcast semi-filter on (band, sig)) before the
+    * bucket join — a strict subset of the same candidates, worth a
+    * corpus-sized cut of the pair work. Kept on the shared path here so
+    * the ledger row pins the canonical semantics the restriction must
+    * preserve.
+    */
+  def fuzzyContamination(docs: DataFrame, threshold: Double = 0.6,
+                         benchMod: Int = 17, benchRem: Int = 3): DataFrame = {
+    val isEval = (c: Column) => c % benchMod === benchRem
+    graft.operators.Dedup.minhashLshPairs(docs, threshold = threshold)
+      .filter(isEval(col("doc_a")) =!= isEval(col("doc_b")))
+      .select(
+        when(isEval(col("doc_a")), col("doc_b")).otherwise(col("doc_a")).as("doc_id"),
+        col("jaccard"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_eval_matches"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy("doc_id")
+  }
+
   /** DISTINCT per-doc lowercased whitespace `n`-grams, one row per
     * (doc_id, gram). `array_distinct` runs BEFORE the explode, so the
     * shuffle never carries a document's internal repetition — shared by

@@ -2173,5 +2173,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(merged == cells(li))
   }
 
+  test("x96 fuzzy decontam: exactly x4's cross-boundary pairs rolled up; no eval docs in output") {
+    val pairs = SparkEntry.queries("x4_dedup_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def eval(id: Long) = id % 17 == 3
+    val expected = pairs
+      .filter { case (a, b, _) => eval(a) != eval(b) }
+      .map { case (a, b, j) => (if (eval(a)) b else a, j) }
+      .groupBy(_._1)
+      .map { case (id, xs) => id -> (xs.length.toLong, xs.map(_._2).max) }
+    val got = SparkEntry.queries("x96_fuzzy_decontam")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expected)
+    assert(got.keys.forall(!eval(_)), "an eval doc leaked into the contaminated-corpus output")
+    assert(got.nonEmpty, "fixture should contain fuzzy contamination")
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
