@@ -460,6 +460,11 @@ object SparkEntry {
     // the exact-overlap complement of x33
     "x96_fuzzy_decontam" -> ((s, d) =>
       TextAnalysis.fuzzyContamination(Tables.load(s, d, "documents"))),
+    // Tukey-fence length-outlier gate per language: robust self-calibrating
+    // curation filter on x93's two-pass quartiles + one gate scan; fence
+    // arithmetic is pure integers, so every count replays exactly
+    "x97_iqr_gate" -> ((s, d) =>
+      graft.operators.Quantiles.iqrLengthGate(Tables.load(s, d, "documents"))),
     // perceptual-hash (aHash) image dedup over binary payloads: fused
     // codegen thumbnail-mean fingerprint + banded Hamming pairs over a
     // planted perturbed-twin corpus — integer-exact, replayed in SQL
@@ -881,6 +886,27 @@ object SparkEntry {
         |SELECT ex.n_keys, ex.n_rows, ex.exact_join_rows,
         |       CAST((SELECT min(est_i) FROM pr) AS BIGINT) AS est_join_rows
         |FROM ex""".stripMargin,
+    // rank-definition quartiles over a full sort + the same integer fence
+    // arithmetic — the gate decision (hence every count) replays exactly
+    "x97_iqr_gate" ->
+      """WITH v AS (SELECT lang, n_chars AS v FROM documents),
+        |r AS (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+        |             count(*) OVER (PARTITION BY lang) AS n FROM v),
+        |qt AS (SELECT lang,
+        |         max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN v END) AS q25,
+        |         max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN v END) AS q75
+        |       FROM r GROUP BY lang),
+        |f AS (SELECT lang, q25, q75,
+        |        q25 - (3 * (q75 - q25)) // 2 AS lo,
+        |        q75 + (3 * (q75 - q25)) // 2 AS hi FROM qt)
+        |SELECT v.lang,
+        |  CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN v.v BETWEEN f.lo AND f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN v.v < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_low,
+        |  CAST(sum(CASE WHEN v.v > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_high,
+        |  max(f.q25) AS q25, max(f.q75) AS q75, max(f.lo) AS lo, max(f.hi) AS hi
+        |FROM v JOIN f USING (lang)
+        |GROUP BY v.lang ORDER BY v.lang""".stripMargin,
     // algorithm-independent oracle: the discrete-quantile RANK definition
     // over a full per-group sort — the two-pass engine result must equal
     // the order statistic exactly

@@ -6,8 +6,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** x93: EXACT per-group quantiles by two-pass histogram refinement — the
-  * scale path for x15's `percentile`, whose aggregation buffer holds
+/** x93/x97: EXACT per-group quantiles by two-pass histogram refinement —
+  * the scale path for x15's `percentile`, whose aggregation buffer holds
   * every value of the group (Spark's exact Percentile materializes the
   * group in memory: fine at 10⁵ docs per language, an OOM at 10¹⁰).
   *
@@ -35,11 +35,12 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
-  /** Per-language discrete q50/q90/q99 of document length: the value at
-    * rank ⌈q·n⌉ (1-based, ascending). Output (lang, q50, q90, q99, n).
+  /** The shared two-pass core: per-language exact order statistics at
+    * the given `qs` — (one row per (lang, q, v), the ckpt'd L-row
+    * min/max/count stats relation so callers never re-scan for counts).
     */
-  def twoPassDiscrete(docs: DataFrame, buckets: Int = 1024): DataFrame = {
-    val qs = Seq(0.5, 0.9, 0.99)
+  private[operators] def discreteAt(docs: DataFrame, qs: Seq[Double],
+                                    buckets: Int): (DataFrame, DataFrame) = {
     val v = docs.select(col("lang"), col("n_chars").cast("bigint").as("v"))
     // the range/count prepass equi-width binning requires; ckpt'd (L rows)
     // so its scan runs ONCE — column pruning otherwise diverges the three
@@ -71,11 +72,60 @@ object Quantiles {
     val picked = binned.join(broadcast(located), Seq("lang", "b"))
       .withColumn("rn", row_number().over(wr))
       .filter(col("rn") === col("off"))
+      .select(col("lang"), col("q"), col("v"))
+    (picked, stats)
+  }
+
+  /** x93: per-language discrete q50/q90/q99 of document length — the
+    * value at rank ⌈q·n⌉ (1-based, ascending). Output
+    * (lang, q50, q90, q99, n).
+    */
+  def twoPassDiscrete(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    val qs = Seq(0.5, 0.9, 0.99)
+    val (picked, stats) = discreteAt(docs, qs, buckets)
     picked.groupBy(col("lang"))
       .agg(max(when(col("q") === qs(0), col("v"))).as("q50"),
         max(when(col("q") === qs(1), col("v"))).as("q90"),
         max(when(col("q") === qs(2), col("v"))).as("q99"))
       .join(broadcast(stats.select(col("lang"), col("n"))), "lang")
+      .orderBy(col("lang"))
+  }
+
+  /** x97: per-language length-outlier gate by Tukey fences — the
+    * standard robust curation filter (Tukey 1977's 1.5·IQR rule): keep a
+    * document iff q25 − ⌊3·IQR/2⌋ ≤ length ≤ q75 + ⌊3·IQR/2⌋ of its own
+    * language's distribution. Robust where a mean±k·σ gate is not: the
+    * quartiles themselves are insensitive to the very outliers being
+    * removed, so the fence doesn't move when the junk gets worse — and
+    * the whole gate is self-calibrating per group, no hand-tuned
+    * thresholds. The fence arithmetic is pure integers (⌊·⌋ via DIV), so
+    * the decision — and therefore every count — replays exactly.
+    *
+    * Built on the same two-pass machinery as x93 (quartiles never
+    * materialize a group) plus ONE more scan for the gate itself: three
+    * linear scans total, O(buckets) state, at any corpus size. Output
+    * per language: totals, kept, dropped low/high, the quartiles and
+    * fences — the audit record a curation pipeline logs before
+    * discarding data.
+    */
+  def iqrLengthGate(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    val qs = Seq(0.25, 0.75)
+    val quart = discreteAt(docs, qs, buckets)._1
+      .groupBy(col("lang"))
+      .agg(max(when(col("q") === qs(0), col("v"))).as("q25"),
+        max(when(col("q") === qs(1), col("v"))).as("q75"))
+      .withColumn("lo", expr("q25 - (3 * (q75 - q25)) div 2"))
+      .withColumn("hi", expr("q75 + (3 * (q75 - q25)) div 2"))
+    docs.select(col("lang"), col("n_chars").cast("bigint").as("v"))
+      .join(broadcast(quart), "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("v") >= col("lo") && col("v") <= col("hi"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_drop_low"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_drop_high"),
+        max(col("q25")).as("q25"), max(col("q75")).as("q75"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"))
       .orderBy(col("lang"))
   }
 }

@@ -2189,5 +2189,36 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture should contain fuzzy contamination")
   }
 
+  test("x97 IQR gate: matches a brute-force twin; fences are robust to planted extremes") {
+    val docs = Tables.load(spark, sf, "documents")
+    val vals = docs.select(col("lang"), col("n_chars")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sorted.toIndexedSeq }
+    def q(xs: IndexedSeq[Long], p: Double) = xs(math.ceil(p * xs.length).toInt - 1)
+    def fences(xs: IndexedSeq[Long]) = {
+      val (a, b) = (q(xs, 0.25), q(xs, 0.75))
+      (a, b, a - 3 * (b - a) / 2, b + 3 * (b - a) / 2)
+    }
+    val expected = vals.map { case (l, xs) =>
+      val (q25, q75, lo, hi) = fences(xs)
+      l -> (xs.length.toLong, xs.count(v => v >= lo && v <= hi).toLong,
+        xs.count(_ < lo).toLong, xs.count(_ > hi).toLong, q25, q75, lo, hi)
+    }
+    val got = SparkEntry.queries("x97_iqr_gate")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    assert(got == expected)
+    // robustness — the reason the gate is quartile-based: planting a few
+    // extreme outliers must not widen the fence to admit them (a mean±kσ
+    // gate inflates σ and lets them through)
+    val planted = docs.select(col("lang"), col("n_chars"))
+      .unionByName(spark.range(5).select(lit("en").as("lang"),
+        (col("id") + 1000000000L).as("n_chars")))
+    val after = graft.operators.Quantiles.iqrLengthGate(planted).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(after("en")._1 == got("en")._1 + 5)
+    assert(after("en")._2 >= got("en")._4 + 5, "planted extremes were not dropped high")
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
