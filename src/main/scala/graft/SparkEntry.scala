@@ -465,6 +465,11 @@ object SparkEntry {
     // arithmetic is pure integers, so every count replays exactly
     "x97_iqr_gate" -> ((s, d) =>
       graft.operators.Quantiles.iqrLengthGate(Tables.load(s, d, "documents"))),
+    // embedding-distribution drift monitor: cells trained on the corpus
+    // slice, new batch assigned under FROZEN centroids, per-cell share
+    // comparison — the x31/x49 incremental posture for distribution shape
+    "x98_kmeans_drift" -> ((s, d) =>
+      graft.operators.KMeans.batchDriftProfile(Tables.load(s, d, "embeddings"))),
     // perceptual-hash (aHash) image dedup over binary payloads: fused
     // codegen thumbnail-mean fingerprint + banded Hamming pairs over a
     // planted perturbed-twin corpus — integer-exact, replayed in SQL
@@ -809,41 +814,79 @@ object SparkEntry {
     * of iteration i+1, and un-materialized nesting re-evaluates the whole
     * chain exponentially (the PageRankOracle lesson).
     */
-  private val KMeansOracle: String = {
+  /** Per-iteration Lloyd CTE pieces shared by x91 and x98: `centroidCtes`
+    * builds cn/ct/cx of iteration `i` FROM a(i−1); `assignCte` builds
+    * a(i) by arg-min over cx(i). `src` restricts which vectors an
+    * assignment stage covers (training slice vs everyone).
+    */
+  private def kmCentroidCtes(i: Int): String =
+    s""",
+       |cn$i AS (SELECT cell, count(*) AS n FROM a${i - 1} GROUP BY cell),
+       |ct$i AS MATERIALIZED (
+       |  SELECT sx.cell, list(floor(sx.s / cn$i.n) ORDER BY sx.di) AS c
+       |  FROM (SELECT a.cell, p.di, sum(p.xi) AS s
+       |        FROM a${i - 1} a JOIN px p USING (vec_id) GROUP BY 1, 2) sx
+       |  JOIN cn$i USING (cell) GROUP BY sx.cell, cn$i.n),
+       |cx$i AS MATERIALIZED (
+       |  SELECT cell, unnest(generate_series(1, len(c))) AS di, unnest(c) AS ci FROM ct$i)""".stripMargin
+
+  private def kmAssignCte(name: String, i: Int, src: String): String =
+    s""",
+       |$name AS MATERIALIZED (
+       |  SELECT p.vec_id, c.cell, CAST(sum((p.xi - c.ci) * (p.xi - c.ci)) AS BIGINT) AS d2
+       |  FROM $src p JOIN cx$i c USING (di) GROUP BY p.vec_id, c.cell
+       |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+       |    ORDER BY CAST(sum((p.xi - c.ci) * (p.xi - c.ci)) AS BIGINT), c.cell) = 1)""".stripMargin
+
+  /** Base + `iters` unrolled Lloyd iterations over the `trainFilter`ed
+    * slice, ending at a{iters}. Training assignments join px through the
+    * a(i−1) ids, so the slice restriction carries through every stage.
+    */
+  private def kmeansOracleCte(trainFilter: String, iters: Int): String = {
     val base =
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |dd AS (SELECT len(v) AS dom_sz FROM e GROUP BY len(v) ORDER BY count(*) DESC, len(v) LIMIT 1),
-        |pts AS MATERIALIZED (
-        |  SELECT vec_id, list_transform(v, x -> floor(x * CAST(1000000 AS DOUBLE))) AS fv
-        |  FROM e, dd WHERE len(v) = dom_sz),
-        |px AS MATERIALIZED (
-        |  SELECT vec_id, unnest(generate_series(1, len(fv))) AS di, unnest(fv) AS xi FROM pts),
-        |a0 AS MATERIALIZED (SELECT vec_id, CAST(vec_id % 8 AS INT) AS cell FROM pts)""".stripMargin
-    val iters = (1 to 3).map { i =>
-      s""",
-         |cn$i AS (SELECT cell, count(*) AS n FROM a${i - 1} GROUP BY cell),
-         |ct$i AS MATERIALIZED (
-         |  SELECT sx.cell, list(floor(sx.s / cn$i.n) ORDER BY sx.di) AS c
-         |  FROM (SELECT a.cell, p.di, sum(p.xi) AS s
-         |        FROM a${i - 1} a JOIN px p USING (vec_id) GROUP BY 1, 2) sx
-         |  JOIN cn$i USING (cell) GROUP BY sx.cell, cn$i.n),
-         |cx$i AS MATERIALIZED (
-         |  SELECT cell, unnest(generate_series(1, len(c))) AS di, unnest(c) AS ci FROM ct$i),
-         |a$i AS MATERIALIZED (
-         |  SELECT p.vec_id, c.cell, CAST(sum((p.xi - c.ci) * (p.xi - c.ci)) AS BIGINT) AS d2
-         |  FROM px p JOIN cx$i c USING (di) GROUP BY p.vec_id, c.cell
-         |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
-         |    ORDER BY CAST(sum((p.xi - c.ci) * (p.xi - c.ci)) AS BIGINT), c.cell) = 1)""".stripMargin
-    }.mkString
-    base + iters +
-      "\nSELECT vec_id, cell, d2 AS dist2 FROM a3 ORDER BY vec_id"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |dd AS (SELECT len(v) AS dom_sz FROM e GROUP BY len(v) ORDER BY count(*) DESC, len(v) LIMIT 1),
+         |pts AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(v, x -> floor(x * CAST(1000000 AS DOUBLE))) AS fv
+         |  FROM e, dd WHERE len(v) = dom_sz),
+         |px AS MATERIALIZED (
+         |  SELECT vec_id, unnest(generate_series(1, len(fv))) AS di, unnest(fv) AS xi FROM pts),
+         |tpx AS MATERIALIZED (SELECT * FROM px$trainFilter),
+         |a0 AS MATERIALIZED (SELECT vec_id, CAST(vec_id % 8 AS INT) AS cell FROM pts$trainFilter)""".stripMargin
+    base + (1 to iters).map(i => kmCentroidCtes(i) + kmAssignCte(s"a$i", i, "tpx")).mkString
   }
+
+  private val KMeansOracle: String =
+    kmeansOracleCte("", 3) +
+      "\nSELECT vec_id, cell, d2 AS dist2 FROM a3 ORDER BY vec_id"
+
+  /** The x98 oracle: 3 training iterations over the corpus slice, one
+    * more centroid update (the "trained model"), then EVERYONE assigns
+    * under those frozen centroids and the per-cell occupancy rolls up.
+    */
+  private val KMeansDriftOracle: String =
+    kmeansOracleCte(" WHERE vec_id % 10 <> 7", 3) +
+      kmCentroidCtes(4) + kmAssignCte("srv", 4, "px") +
+      """,
+        |cnts AS (SELECT cell,
+        |    CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus,
+        |    CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_batch
+        |  FROM srv GROUP BY cell),
+        |tot AS (SELECT CAST(sum(n_corpus) AS BIGINT) AS t_corpus,
+        |               CAST(sum(n_batch) AS BIGINT) AS t_batch FROM cnts)
+        |SELECT cell, n_corpus, n_batch,
+        |  CAST(n_corpus AS DOUBLE) / t_corpus AS share_corpus,
+        |  CAST(n_batch AS DOUBLE) / t_batch AS share_batch
+        |FROM cnts, tot ORDER BY cell""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // ten unrolled integer fixed-point iterations — exact, not approximate
     "x75_pagerank" -> PageRankOracle,
     // three unrolled fixed-point Lloyd iterations — exact, not approximate
     "x91_kmeans" -> KMeansOracle,
+    // corpus-slice training + frozen-centroid serve, all unrolled; the
+    // only floats are the two share divisions
+    "x98_kmeans_drift" -> KMeansDriftOracle,
     // the full SNM replay: same blocking key, same global (bk, doc_id)
     // rank, same window, same distinct word-3-gram sets, same integer
     // 2·|A∩B| ≥ |A∪B| test — byte-for-byte pair parity

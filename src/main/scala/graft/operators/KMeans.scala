@@ -39,12 +39,11 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** Final per-vector assignment after `iterations` Lloyd steps from the
-    * deterministic `vec_id % k` seeding: (vec_id, cell, dist2) with
-    * dist2 the exact fixed-point squared distance to the winning
-    * centroid. Ordered by vec_id.
+  /** Fixed-point quantized points at the dominant dimensionality:
+    * (vec_id, fv). Shared by [[assignments]] (x91) and
+    * [[batchDriftProfile]] (x98).
     */
-  def assignments(emb: DataFrame, k: Int = 8, iterations: Int = 3): DataFrame = {
+  private def quantizedPts(emb: DataFrame): DataFrame = {
     graft.functions.ArrayExpressions.register(emb.sparkSession)
     val quantized = emb.select(col("vec_id"),
       expr("transform(cast(embedding as array<double>), " +
@@ -52,35 +51,106 @@ object KMeans {
     val domDim = quantized.groupBy(size(col("fv")).as("sz")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("sz")).limit(1)
       .select(col("sz").as("dom_sz"))
-    val pts = quantized.join(broadcast(domDim), size(col("fv")) === col("dom_sz"))
+    quantized.join(broadcast(domDim), size(col("fv")) === col("dom_sz"))
       .drop("dom_sz")
+  }
+
+  /** Per-cell fixed-point mean centroids of an assignment relation:
+    * exact integral sums, one floored IEEE quotient per component —
+    * integral again on the way out. (c_cell, c), ≤ k rows.
+    */
+  private def cellCentroids(asg: DataFrame): DataFrame =
+    asg.groupBy(col("cell"))
+      .agg(graft.functions.ArrayExpressions.vectorSum(col("fv")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("cell").as("c_cell"),
+        expr("transform(s, x -> cast(floor(x / cast(n as double)) as double))").as("c"))
+
+  private val Dist2Expr =
+    "cast(aggregate(zip_with(fv, c, (x, y) -> (x - y) * (x - y)), " +
+      "cast(0 as double), (a, t) -> a + t) as bigint)"
+
+  /** `iterations` Lloyd steps over `pts` from the `vec_id % k` seeding;
+    * returns the final (vec_id, fv, cell, d2) assignment. Each argmin is
+    * a map-side-combined struct-min over the broadcast k-row centroid
+    * expansion — the shuffle carries n rows, not n·k.
+    */
+  private def lloyd(pts: DataFrame, k: Int, iterations: Int): DataFrame = {
     // seed: cell = vec_id mod k — a pure function of the row, no data scan
     var asg = pts.withColumn("cell", pmod(col("vec_id"), lit(k.toLong)).cast("int"))
       .withColumn("d2", lit(0L))
       .ckpt() // each iteration reads the previous assignment twice
     for (_ <- 1 to iterations) {
-      // per-cell fixed-point mean: exact integral sums, one floored
-      // IEEE quotient per component — integral again on the way out
-      val cent = asg.groupBy(col("cell"))
-        .agg(graft.functions.ArrayExpressions.vectorSum(col("fv")).as("s"),
-          count(lit(1)).as("n"))
-        .select(col("cell").as("c_cell"),
-          expr("transform(s, x -> cast(floor(x / cast(n as double)) as double))").as("c"))
-      // argmin over the k broadcast centroids: exact integer distance,
-      // tie-break on cell id via lexicographic struct min — partial-
-      // aggregates to one row per point before the shuffle
+      val cent = cellCentroids(asg)
       asg = pts.crossJoin(broadcast(cent))
-        .withColumn("d2c", expr(
-          "cast(aggregate(zip_with(fv, c, (x, y) -> (x - y) * (x - y)), " +
-            "cast(0 as double), (a, t) -> a + t) as bigint)"))
+        .withColumn("d2c", expr(Dist2Expr))
         .groupBy(col("vec_id"))
         .agg(min(struct(col("d2c"), col("c_cell"), col("fv"))).as("m"))
         .select(col("vec_id"), col("m.fv").as("fv"),
           col("m.c_cell").as("cell"), col("m.d2c").as("d2"))
         .ckpt()
     }
-    asg.select(col("vec_id"), col("cell"), col("d2").as("dist2"))
+    asg
+  }
+
+  /** Final per-vector assignment after `iterations` Lloyd steps from the
+    * deterministic `vec_id % k` seeding: (vec_id, cell, dist2) with
+    * dist2 the exact fixed-point squared distance to the winning
+    * centroid. Ordered by vec_id.
+    */
+  def assignments(emb: DataFrame, k: Int = 8, iterations: Int = 3): DataFrame =
+    lloyd(quantizedPts(emb), k, iterations)
+      .select(col("vec_id"), col("cell"), col("d2").as("dist2"))
       .orderBy("vec_id")
+
+  /** x98: embedding-distribution DRIFT monitoring by incremental k-means
+    * assignment — the ops check a production embedding pipeline runs on
+    * every new batch: train cells on the standing corpus, assign the
+    * incoming batch against those FROZEN centroids, and compare per-cell
+    * occupancy shares. A batch whose share profile diverges from the
+    * corpus signals upstream change (new domain mix, encoder drift,
+    * pipeline bugs) BEFORE it contaminates the index — the x31/x49
+    * incremental posture applied to distribution shape rather than
+    * membership.
+    *
+    * Semantics: centroids = the per-cell means of the corpus slice's
+    * final 3-step Lloyd assignment (the "trained model"); BOTH slices
+    * then 1-NN-assign under these frozen centroids (symmetric, so the
+    * share comparison is apples-to-apples), corpus/batch split =
+    * [[IncrementalAnn.isNewVec]]'s vec_id % 10 == 7. All fixed-point —
+    * training, centroids, and both assignments replay exactly in the
+    * oracle; the only floats are the two share divisions (int/int, one
+    * exactly-rounded IEEE quotient each).
+    *
+    * Scale shape: training touches only the corpus slice (the loop's
+    * per-iteration cost, x91); the serve step is ONE linear pass over
+    * all vectors against a k-row broadcast — the batch never joins the
+    * corpus. Output: (cell, n_corpus, n_batch, share_corpus,
+    * share_batch), cell-ordered.
+    */
+  def batchDriftProfile(emb: DataFrame, k: Int = 8, iterations: Int = 3): DataFrame = {
+    val pts = quantizedPts(emb).ckpt() // read by training AND the serve pass
+    val corpus = pts.filter(!IncrementalAnn.isNewVec(col("vec_id")))
+    val cent = cellCentroids(lloyd(corpus, k, iterations))
+    val assigned = pts.crossJoin(broadcast(cent))
+      .withColumn("d2c", expr(Dist2Expr))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2c"), col("c_cell"))).as("m"))
+      .select(col("vec_id"), col("m.c_cell").as("cell"))
+    val counts = assigned
+      .groupBy(col("cell"))
+      .agg(sum(when(!IncrementalAnn.isNewVec(col("vec_id")), 1L).otherwise(0L))
+        .as("n_corpus"),
+        sum(when(IncrementalAnn.isNewVec(col("vec_id")), 1L).otherwise(0L))
+          .as("n_batch"))
+      .ckpt() // ≤ k rows; read for the totals AND the share projection
+    val totals = counts.agg(sum(col("n_corpus")).as("t_corpus"),
+      sum(col("n_batch")).as("t_batch"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("cell"), col("n_corpus"), col("n_batch"),
+        (col("n_corpus").cast("double") / col("t_corpus")).as("share_corpus"),
+        (col("n_batch").cast("double") / col("t_batch")).as("share_batch"))
+      .orderBy("cell")
   }
 
   /** Exact total inertia (Σ dist2) after `iterations` steps — Lloyd's

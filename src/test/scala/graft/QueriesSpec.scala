@@ -2220,5 +2220,39 @@ class QueriesSpec extends AnyFunSuite {
     assert(after("en")._2 >= got("en")._4 + 5, "planted extremes were not dropped high")
   }
 
+  test("x98 kmeans drift: matches a brute-force twin; occupancy totals partition both slices") {
+    val k = 8
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).map(x => math.floor(x * 1e6)).toArray)
+    val domSz = vecs.groupBy(_._2.length).maxBy { case (sz, xs) => (xs.length, -sz) }._1
+    val pts = vecs.filter(_._2.length == domSz)
+    val corpus = pts.filter(_._1 % 10 != 7)
+    def dist2(a: Array[Double], c: Array[Double]): Long =
+      a.zip(c).map { case (x, y) => ((x - y) * (x - y)).toLong }.sum
+    def centroids(asg: Map[Long, Int], members: Array[(Long, Array[Double])]) =
+      members.groupBy(p => asg(p._1)).map { case (cell, xs) =>
+        val n = xs.length.toDouble
+        cell -> xs.map(_._2).transpose.map(col => math.floor(col.sum / n)).toArray
+      }
+    def assign(cents: Map[Int, Array[Double]], xs: Array[(Long, Array[Double])]) =
+      xs.map { case (id, fv) =>
+        id -> cents.toSeq.map { case (c, cv) => (c, dist2(fv, cv)) }
+          .minBy { case (c, d) => (d, c) }._1
+      }.toMap
+    var asg: Map[Long, Int] = corpus.map { case (id, _) => id -> (id % k).toInt }.toMap
+    for (_ <- 1 to 3) asg = assign(centroids(asg, corpus), corpus)
+    val served = assign(centroids(asg, corpus), pts)
+    val expected = served.groupBy(_._2).map { case (cell, xs) =>
+      cell -> (xs.keys.count(_ % 10 != 7).toLong, xs.keys.count(_ % 10 == 7).toLong)
+    }
+    val got = SparkEntry.queries("x98_kmeans_drift")(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    // the serve pass partitions each slice exactly once
+    assert(got.values.map(_._1).sum == corpus.length)
+    assert(got.values.map(_._2).sum == pts.count(_._1 % 10 == 7))
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
