@@ -2254,5 +2254,33 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum == pts.count(_._1 % 10 == 7))
   }
 
+  test("x93/x97 quantile core: seeded random multisets × bucket counts equal the sorted ranks") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260815L)
+    for (trial <- 1 to 8) {
+      // adversarial shapes: heavy ties, tiny groups, wide ranges,
+      // single-value groups — the bin-boundary and offset edge cases
+      val groups = 1 + rng.nextInt(3)
+      val rows = (0 until groups).flatMap { g =>
+        val n = 1 + rng.nextInt(40)
+        val spread = Seq(1L, 3L, 1000L, 1000000L)(rng.nextInt(4))
+        (0 until n).map(_ => (s"g$g", rng.nextLong(spread) + 7))
+      }
+      val df = rows.toDF("lang", "n_chars")
+      val sorted = rows.groupBy(_._1)
+        .map { case (l, xs) => l -> xs.map(_._2).sorted.toIndexedSeq }
+      def q(xs: IndexedSeq[Long], p: Double) = xs(math.ceil(p * xs.length).toInt - 1)
+      val expected = sorted.map { case (l, xs) =>
+        l -> (q(xs, 0.5), q(xs, 0.9), q(xs, 0.99), xs.length.toLong)
+      }
+      for (buckets <- Seq(1, 2, 17, 1024)) {
+        val got = graft.operators.Quantiles.twoPassDiscrete(df, buckets).collect()
+          .map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        assert(got == expected, s"trial $trial buckets $buckets: $got vs $expected")
+      }
+    }
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
