@@ -68,7 +68,7 @@ object ScaleStudy {
     // study without paying for the full sweep): sections are
     // pairs / incremental / ann / annocc / x54 / pagerank / simdedup /
     // stream / trigram / triangles / containment / kmeans / bloom /
-    // quantiles / snm / cmsjoin; no args = the full sweep (BASELINE.md)
+    // quantiles / snm / cmsjoin / drift; no args = the full sweep (BASELINE.md)
     val only = args.toSet
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
     // untimed warmup: codegen + JIT of the LSH plan, so the scale-1 row
@@ -667,6 +667,20 @@ object ScaleStudy {
       val agg = res.agg(count(lit(1)), sum(col("dist2")), max(col("cell"))).head
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"op":"kmeans","scale":$k,"vectors":${agg.getLong(0)},"inertia":${agg.getLong(1)},"wall_sec":$sec%.2f}""")
+    }
+    // x98 drift monitor at 1×/3×/10×: rotation replicas — training cost
+    // is x91's loop on the 90% corpus slice, serve is ONE linear pass
+    // against the k-row broadcast. The serve pass must partition both
+    // slices exactly (corpus+batch counts printed); wall near-linear.
+    if (want("drift")) for (k <- Seq(1, 3, 10)) {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val embK = expandEmbeddings(emb, k)
+      val t0 = System.nanoTime()
+      val res = graft.operators.KMeans.batchDriftProfile(embK)
+      val agg = res.agg(sum(col("n_corpus")), sum(col("n_batch"))).head
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"kmeans_drift","scale":$k,"corpus":${agg.getLong(0)},"batch":${agg.getLong(1)},"wall_sec":$sec%.2f}""")
     }
     // x92 bloom pruning at 1×/3×/10×: replicas get DISJOINT orderkey
     // ranges, so build keys grow k× into the FIXED 2^18-bit bitmap — the
