@@ -68,4 +68,33 @@ class BucketBoundSpec extends AnyFunSuite {
     assert(pairs.forall(p => p._1 < p._2 && p._3 >= 0.6 && p._3 <= 1.0))
     assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
   }
+
+  test("x94 SNM hot key: every doc sharing one blocking key still yields <= (w-1)*n pairs") {
+    // the adversarial case that kills HASH blocking (one n^2 bucket):
+    // 400 docs whose 24-char blocking prefix is identical. SNM's window
+    // bound does not care — candidates stay <= (w-1)*n, the total order
+    // falls back to the doc_id tie-break, and the result equals the
+    // brute-force windowed twin.
+    val w = 8
+    val hot = (0L until 400L).map { i =>
+      (i, s"shared boilerplate heading marker alpha tail$i unique trailing words ${i * 7} end")
+    }.toDF("doc_id", "text")
+    val got = graft.operators.Dedup.snmPairs(hot, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got.size <= (w - 1) * 400, s"window bound violated: ${got.size}")
+    val prepped = hot.collect().map { r =>
+      val t = r.getString(1).toLowerCase
+      val ws = t.split("\\s+").filter(_.nonEmpty)
+      (t.replaceAll("\\s+", "").take(24), r.getLong(0),
+        ws.sliding(3).map(_.mkString(" ")).toSet)
+    }.sortBy(p => (p._1, p._2))
+    val expected = (for {
+      i <- prepped.indices
+      j <- (i + 1) until math.min(i + w, prepped.length)
+      inter = (prepped(i)._3 & prepped(j)._3).size
+      uni = prepped(i)._3.size + prepped(j)._3.size - inter
+      if uni > 0 && 2 * inter >= uni
+    } yield (prepped(i)._2, prepped(j)._2) -> (inter.toLong, uni.toLong)).toMap
+    assert(got == expected)
+  }
 }

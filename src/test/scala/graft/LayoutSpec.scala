@@ -355,4 +355,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(linTouched == linear.length,
       s"leading-column layout must touch every bucket: $linTouched of ${linear.length}")
   }
+
+  test("x93 two-pass quantiles plan reads the parquet exactly twice (stats prepass is ckpt'd)") {
+    // the round-14 regression this pins: the L-row stats aggregate fed
+    // three pruned consumers, ReuseExchange never fired, and the "two
+    // pass" operator silently scanned the corpus five times. The ckpt
+    // collapses the prepass to one (eager) scan; the remaining plan must
+    // hold exactly two file scans — the histogram pass and the refine.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val df = SparkEntry.queries("x93_twopass_quantiles")(spark, sf)
+    val n = allScans(df.queryExecution.executedPlan).length
+    assert(n == 2, s"expected exactly 2 parquet scans in the x93 plan, found $n")
+  }
 }
