@@ -470,6 +470,11 @@ object SparkEntry {
     // comparison — the x31/x49 incremental posture for distribution shape
     "x98_kmeans_drift" -> ((s, d) =>
       graft.operators.KMeans.batchDriftProfile(Tables.load(s, d, "embeddings"))),
+    // video thumbnailing: every-2nd-frame sampling (before the decode
+    // cost) + 2x nearest-neighbor decimation over really-decoded pixels;
+    // the lossless plant makes even the RESIZED sums oracle-exact
+    "x99_video_thumbnail" -> ((s, d) =>
+      graft.operators.Multimodal.videoThumbnails(s, Tables.load(s, d, "documents"))),
     // perceptual-hash (aHash) image dedup over binary payloads: fused
     // codegen thumbnail-mean fingerprint + banded Hamming pairs over a
     // planted perturbed-twin corpus — integer-exact, replayed in SQL
@@ -2644,6 +2649,27 @@ object SparkEntry {
         |  CASE WHEN doc_id % 11 <> 7
         |    THEN CAST(10 + (doc_id * 2 + (doc_id % 4) * 3) % 200 AS bigint) END AS last_h
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // x99: x86's closed-form plant restricted to sampled frames (j%2=0)
+    // and the even-(x,y) decimation grid; thumb dims are ⌈w/2⌉×⌈h/2⌉ —
+    // the resized sums must match the planted values exactly
+    "x99_video_thumbnail" ->
+      """WITH f AS (
+        |  SELECT doc_id, j.j AS frame_idx, doc_id * 4 + j.j AS fid
+        |  FROM documents, generate_series(0, 2) AS j(j)
+        |  WHERE j.j < 1 + doc_id % 3 AND doc_id % 13 <> 5 AND j.j % 2 = 0),
+        |px AS (
+        |  SELECT doc_id, frame_idx, fid, x.x AS x, y.y AS y
+        |  FROM f, generate_series(0, 15) AS x(x), generate_series(0, 8) AS y(y)
+        |  WHERE x.x < 4 + fid % 13 AND y.y < 3 + fid % 7
+        |    AND x.x % 2 = 0 AND y.y % 2 = 0)
+        |SELECT doc_id, CAST(frame_idx AS int) AS frame_idx,
+        |  CAST((4 + fid % 13 + 1) // 2 AS int) AS width,
+        |  CAST((3 + fid % 7 + 1) // 2 AS int) AS height,
+        |  CAST(((4 + fid % 13 + 1) // 2) * ((3 + fid % 7 + 1) // 2) AS bigint) AS n_px,
+        |  CAST(sum((3 * fid + x) % 256) AS bigint) AS sum_r,
+        |  CAST(sum((fid + 7 * y) % 256) AS bigint) AS sum_g,
+        |  CAST(sum((fid + x + 2 * y) % 256) AS bigint) AS sum_b
+        |FROM px GROUP BY doc_id, frame_idx, fid ORDER BY doc_id, frame_idx""".stripMargin,
     // x86: one row per planted pixel of every surviving frame, channel
     // values closed-form in (fid = doc_id·4 + frame, x, y); the lossless
     // codec means the decoded per-frame sums must equal these exactly,

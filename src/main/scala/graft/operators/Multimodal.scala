@@ -582,6 +582,63 @@ object Multimodal {
     frames.toDF().orderBy("doc_id", "frame_idx")
   }
 
+  /** x99: video THUMBNAILING — temporal frame-sampling (every 2nd frame)
+    * composed with 2× nearest-neighbor spatial decimation over REALLY
+    * decoded pixels: the decode → frame-sample → resize chain a
+    * multimodal training pipeline runs to turn raw video into
+    * fixed-budget visual tokens. Same demux + per-frame ImageIO decode
+    * as [[videoPixelDecode]] (x86); the thumbnail keeps pixels at even
+    * (x, y) of the kept frames — thumb dims ⌈w/2⌉ × ⌈h/2⌉ — and emits
+    * their exact channel sums, so the lossless plant makes even the
+    * RESIZED output oracle-recomputable (the oracle re-derives every
+    * sampled pixel's planted value in closed form; nearest-neighbor is
+    * the one resampling kernel with no float arithmetic to drift).
+    * Typed `mapPartitions`, per-record parallel, no shuffle before the
+    * terminal sort — x86's scaling shape with strictly less output.
+    */
+  def videoThumbnails(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val frames = plantedVideoCorpus(spark, docs).as[(Long, Array[Byte])]
+      .flatMap { case (docId, payload) =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val out = scala.collection.mutable.ArrayBuffer.empty[DecodedFrame]
+        var off = 0
+        var idx = 0
+        var halt = false
+        while (!halt && isPngSigAt(payload, off)) {
+          val end = pngEndAt(payload, off)
+          if (end < 0) halt = true
+          else {
+            if (idx % 2 == 0) { // temporal sampling BEFORE the decode cost
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(
+                  java.util.Arrays.copyOfRange(payload, off, end)))
+              if (img != null) {
+                val (w, h) = (img.getWidth, img.getHeight)
+                val (tw, th) = ((w + 1) / 2, (h + 1) / 2)
+                var (sr, sg, sb) = (0L, 0L, 0L)
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = img.getRGB(x, y)
+                    sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+                    x += 2
+                  }
+                  y += 2
+                }
+                out += DecodedFrame(docId, idx, tw, th, tw.toLong * th, sr, sg, sb)
+              }
+            }
+            idx += 1
+            off = end
+          }
+        }
+        out
+      }
+    frames.toDF().orderBy("doc_id", "frame_idx")
+  }
+
   /** x14: full decode pipeline rolled up per media type — every blob
     * routed to its REAL decoder (the deterministic-fake decode stub this
     * row shipped through round 13 is gone): images through x79's PNG

@@ -106,6 +106,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("x99 videoThumbnails: even frames only, ceil-half dims, exact strided sums; truncation → zero rows") {
+    import spark.implicits._
+    // id 2 → frames 0,1,2 → thumbnail keeps 0 and 2; id 18 truncated, vanishes
+    val docs = Seq((2L, "t"), (18L, "t")).toDF("doc_id", "text")
+    val rows = graft.operators.Multimodal.videoThumbnails(spark, docs).collect()
+    assert(rows.forall(_.getAs[Long]("doc_id") == 2L), "truncated doc 18 leaked rows")
+    assert(rows.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2), "odd frame not sampled out")
+    rows.foreach { r =>
+      val fid = 2L * 4 + r.getAs[Int]("frame_idx")
+      val (w, h) = ((4 + fid % 13).toInt, (3 + fid % 7).toInt)
+      val (tw, th) = ((w + 1) / 2, (h + 1) / 2)
+      assert(r.getAs[Int]("width") == tw && r.getAs[Int]("height") == th)
+      assert(r.getAs[Long]("n_px") == tw.toLong * th)
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until h by 2; x <- 0 until w by 2) {
+        er += (3 * fid + x) % 256; eg += (fid + 7 * y) % 256; eb += (fid + x + 2 * y) % 256
+      }
+      assert(r.getAs[Long]("sum_r") == er && r.getAs[Long]("sum_g") == eg &&
+        r.getAs[Long]("sum_b") == eb, s"fid $fid strided sums")
+    }
+  }
+
   test("x14 featureSummary: three media types, hand-checked truncation drops") {
     import spark.implicits._
     // ids 0..8: image {0,3,6}; audio {1,4,7} minus 4 (%9==4 truncated);
