@@ -475,6 +475,11 @@ object SparkEntry {
     // the lossless plant makes even the RESIZED sums oracle-exact
     "x99_video_thumbnail" -> ((s, d) =>
       graft.operators.Multimodal.videoThumbnails(s, Tables.load(s, d, "documents"))),
+    // the round-14 curation funnel: IQR gate -> fuzzy decontam (LSH run
+    // ON the gated set) -> DSIR selection of the survivors — every stage
+    // deterministic, so the COMPOSITION hash-gates end to end
+    "x100_curation_v2" -> ((s, d) =>
+      graft.queries.Curation.roundFourteenFunnel(s, d)),
     // perceptual-hash (aHash) image dedup over binary payloads: fused
     // codegen thumbnail-mean fingerprint + banded Hamming pairs over a
     // planted perturbed-twin corpus — integer-exact, replayed in SQL
@@ -615,10 +620,17 @@ object SparkEntry {
     * inline (re-run) the whole LSH pipeline per step.
     */
   private def MinhashLshCte(threshold: Double): String =
-    s"""WITH RECURSIVE shing AS (
+    "WITH RECURSIVE " + MinhashLshBody(threshold, "documents")
+
+  /** The LSH pipeline as a CTE LIST (no WITH prefix) over `rel`, ending
+    * at `pairs` — parameterized so the x100 funnel can run the identical
+    * pipeline over its gated survivor relation.
+    */
+  private def MinhashLshBody(threshold: Double, rel: String): String =
+    s"""shing AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(text) - 1),
        |         i -> substring(text, CAST(i AS int), 3)))) AS sh
-       |  FROM documents WHERE length(text) >= 3
+       |  FROM $rel WHERE length(text) >= 3
        |),
        |packed AS (
        |  SELECT doc_id,
@@ -690,7 +702,7 @@ object SparkEntry {
        |sets AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 1),
        |         i -> substring(text, CAST(i AS int), 3))) AS s
-       |  FROM documents WHERE length(text) >= 3
+       |  FROM $rel WHERE length(text) >= 3
        |),
        |pairs AS MATERIALIZED (
        |  SELECT doc_a, doc_b,
@@ -824,6 +836,41 @@ object SparkEntry {
     * a(i) by arg-min over cx(i). `src` restricts which vectors an
     * assignment stage covers (training slice vs everyone).
     */
+  /** The DSIR scoring pipeline as a CTE LIST (no WITH prefix) over `rel`,
+    * ending at `wd` (per-raw-doc exact weights) and `nr` (raw count) —
+    * parameterized so the x100 funnel scores its gated survivor pool
+    * with the identical model arithmetic.
+    */
+  private def DsirCtes(rel: String): String =
+    s"""t0 AS (
+       |  SELECT doc_id, source, unnest(generate_series(1, len(arr))) AS p0, unnest(arr) AS token
+       |  FROM (SELECT doc_id, source, regexp_split_to_array(lower(text), '\\s+') AS arr FROM $rel)),
+       |t1 AS (SELECT doc_id, source, p0, token FROM t0 WHERE token != ''),
+       |bi AS (
+       |  SELECT doc_id, source, token AS w1,
+       |         lead(token) OVER (PARTITION BY doc_id ORDER BY p0) AS w2
+       |  FROM t1),
+       |dbf AS (
+       |  SELECT doc_id, CAST(substr(source, 4) AS INT) < 10 AS in_t,
+       |         ('0x' || substr(md5(w1 || ' ' || w2), 1, 8))::BIGINT % 1024 AS f
+       |  FROM bi WHERE w2 IS NOT NULL),
+       |dtf AS (SELECT doc_id, in_t, f, CAST(count(*) AS BIGINT) AS cnt
+       |        FROM dbf GROUP BY doc_id, in_t, f),
+       |fc AS (SELECT f,
+       |         CAST(sum(CASE WHEN in_t THEN cnt ELSE 0 END) AS BIGINT) AS c_t,
+       |         CAST(sum(CASE WHEN NOT in_t THEN cnt ELSE 0 END) AS BIGINT) AS c_s
+       |       FROM dtf GROUP BY f),
+       |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t, CAST(sum(c_s) AS BIGINT) AS n_s FROM fc),
+       |lam AS (
+       |  SELECT f, CAST(floor(ln(((c_t + 1.0) / (n_t + 1024)) / ((c_s + 1.0) / (n_s + 1024)))
+       |         * 1000000.0) AS BIGINT) AS lam
+       |  FROM fc, tot),
+       |wd AS (
+       |  SELECT dtf.doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+       |         CAST(sum(cnt * lam) AS BIGINT) AS weight_micro
+       |  FROM dtf JOIN lam USING (f) WHERE NOT in_t GROUP BY dtf.doc_id),
+       |nr AS (SELECT count(*) AS n_raw FROM wd)""".stripMargin
+
   private def kmCentroidCtes(i: Int): String =
     s""",
        |cn$i AS (SELECT cell, count(*) AS n FROM a${i - 1} GROUP BY cell),
@@ -1952,6 +1999,51 @@ object SparkEntry {
     "x4_dedup_minhash_lsh" ->
       (MinhashLshCte(0.6) +
         "\nSELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"),
+    // the composed replay: IQR fences gate g1, the FULL LSH pipeline
+    // re-runs over g1 (bucket occupancy legitimately shifts post-gate),
+    // decontam + eval removal give g2, DSIR scores g2, per-source rollup
+    "x100_curation_v2" ->
+      ("""WITH RECURSIVE vq AS (SELECT lang, n_chars AS v FROM documents),
+         |rq AS (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+         |             count(*) OVER (PARTITION BY lang) AS n FROM vq),
+         |qtq AS (SELECT lang,
+         |         max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN v END) AS q25,
+         |         max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN v END) AS q75
+         |       FROM rq GROUP BY lang),
+         |fq AS (SELECT lang, q25 - (3 * (q75 - q25)) // 2 AS lo,
+         |              q75 + (3 * (q75 - q25)) // 2 AS hi FROM qtq),
+         |g1 AS MATERIALIZED (
+         |  SELECT d.* FROM documents d JOIN fq USING (lang)
+         |  WHERE d.n_chars BETWEEN fq.lo AND fq.hi),
+         |""".stripMargin
+        + MinhashLshBody(0.6, "g1") +
+        """,
+          |contam AS (SELECT DISTINCT CASE WHEN doc_a % 17 = 3 THEN doc_b ELSE doc_a END AS doc_id
+          |           FROM pairs WHERE (doc_a % 17 = 3) <> (doc_b % 17 = 3)),
+          |g2 AS MATERIALIZED (
+          |  SELECT * FROM g1 WHERE doc_id % 17 <> 3
+          |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+          |""".stripMargin
+        + DsirCtes("g2") +
+        """,
+          |selraw AS (SELECT wd.doc_id, wd.weight_micro
+          |  FROM wd, nr
+          |  QUALIFY row_number() OVER (ORDER BY weight_micro DESC, doc_id)
+          |    <= CAST(ceil(0.2 * n_raw) AS BIGINT)),
+          |selsrc AS (SELECT g2.source, s.weight_micro FROM selraw s JOIN g2 USING (doc_id)),
+          |base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_input FROM documents GROUP BY 1),
+          |f1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_length_ok FROM g1 GROUP BY 1),
+          |f2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_pool FROM g2 GROUP BY 1),
+          |f3 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
+          |              CAST(sum(weight_micro) AS BIGINT) AS w_selected FROM selsrc GROUP BY 1)
+          |SELECT base.source, base.n_input,
+          |  CAST(coalesce(f1.n_length_ok, 0) AS BIGINT) AS n_length_ok,
+          |  CAST(coalesce(f2.n_pool, 0) AS BIGINT) AS n_pool,
+          |  CAST(coalesce(f3.n_selected, 0) AS BIGINT) AS n_selected,
+          |  CAST(coalesce(f3.w_selected, 0) AS BIGINT) AS w_selected
+          |FROM base LEFT JOIN f1 USING (source) LEFT JOIN f2 USING (source)
+          |  LEFT JOIN f3 USING (source)
+          |ORDER BY base.source""".stripMargin),
     // x4's full pipeline replay again, filtered to pairs CROSSING the
     // eval boundary and rolled up per contaminated corpus doc — one
     // canonical near-dup definition shared with the dedup row
@@ -2789,38 +2881,12 @@ object SparkEntry {
     // add-one bucket distributions → micro-nat-quantized log-ratios →
     // exact integer doc weights → the same deterministic rank cut
     "x90_dsir_select" ->
-      """WITH t0 AS (
-        |  SELECT doc_id, source, unnest(generate_series(1, len(arr))) AS p0, unnest(arr) AS token
-        |  FROM (SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS arr FROM documents)),
-        |t1 AS (SELECT doc_id, source, p0, token FROM t0 WHERE token != ''),
-        |bi AS (
-        |  SELECT doc_id, source, token AS w1,
-        |         lead(token) OVER (PARTITION BY doc_id ORDER BY p0) AS w2
-        |  FROM t1),
-        |bf AS (
-        |  SELECT doc_id, CAST(substr(source, 4) AS INT) < 10 AS in_t,
-        |         ('0x' || substr(md5(w1 || ' ' || w2), 1, 8))::BIGINT % 1024 AS f
-        |  FROM bi WHERE w2 IS NOT NULL),
-        |dtf AS (SELECT doc_id, in_t, f, CAST(count(*) AS BIGINT) AS cnt
-        |        FROM bf GROUP BY doc_id, in_t, f),
-        |fc AS (SELECT f,
-        |         CAST(sum(CASE WHEN in_t THEN cnt ELSE 0 END) AS BIGINT) AS c_t,
-        |         CAST(sum(CASE WHEN NOT in_t THEN cnt ELSE 0 END) AS BIGINT) AS c_s
-        |       FROM dtf GROUP BY f),
-        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t, CAST(sum(c_s) AS BIGINT) AS n_s FROM fc),
-        |lam AS (
-        |  SELECT f, CAST(floor(ln(((c_t + 1.0) / (n_t + 1024)) / ((c_s + 1.0) / (n_s + 1024)))
-        |         * 1000000.0) AS BIGINT) AS lam
-        |  FROM fc, tot),
-        |wd AS (
-        |  SELECT dtf.doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
-        |         CAST(sum(cnt * lam) AS BIGINT) AS weight_micro
-        |  FROM dtf JOIN lam USING (f) WHERE NOT in_t GROUP BY dtf.doc_id),
-        |nr AS (SELECT count(*) AS n_raw FROM wd)
-        |SELECT doc_id, n_feats, weight_micro,
-        |       row_number() OVER (ORDER BY weight_micro DESC, doc_id)
-        |         <= CAST(ceil(0.2 * n_raw) AS BIGINT) AS selected
-        |FROM wd, nr ORDER BY doc_id""".stripMargin,
+      ("WITH " + DsirCtes("documents") +
+        """
+          |SELECT doc_id, n_feats, weight_micro,
+          |       row_number() OVER (ORDER BY weight_micro DESC, doc_id)
+          |         <= CAST(ceil(0.2 * n_raw) AS BIGINT) AS selected
+          |FROM wd, nr ORDER BY doc_id""".stripMargin),
     // plain id-ordered 3-join replay (the triangle set is independent of
     // the engine's degree orientation); integer-exact throughout
     "x82_triangles" ->

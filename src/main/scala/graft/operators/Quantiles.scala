@@ -108,14 +108,31 @@ object Quantiles {
     * fences — the audit record a curation pipeline logs before
     * discarding data.
     */
-  def iqrLengthGate(docs: DataFrame, buckets: Int = 1024): DataFrame = {
-    val qs = Seq(0.25, 0.75)
-    val quart = discreteAt(docs, qs, buckets)._1
+  /** The per-language Tukey fences (lang, q25, q75, lo, hi) — shared by
+    * the x97 audit row and the x100 funnel's row-level gate.
+    */
+  private[graft] def tukeyFences(docs: DataFrame, buckets: Int = 1024): DataFrame =
+    discreteAt(docs, Seq(0.25, 0.75), buckets)._1
       .groupBy(col("lang"))
-      .agg(max(when(col("q") === qs(0), col("v"))).as("q25"),
-        max(when(col("q") === qs(1), col("v"))).as("q75"))
+      .agg(max(when(col("q") === 0.25, col("v"))).as("q25"),
+        max(when(col("q") === 0.75, col("v"))).as("q75"))
       .withColumn("lo", expr("q25 - (3 * (q75 - q25)) div 2"))
       .withColumn("hi", expr("q75 + (3 * (q75 - q25)) div 2"))
+
+  /** Row-level form of the x97 gate: the input documents that pass their
+    * own language's fences, original columns preserved. The fence table
+    * is L rows — a broadcast at any corpus size.
+    */
+  def iqrKeptDocs(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    val cols = docs.columns.map(col)
+    docs.join(broadcast(tukeyFences(docs, buckets)), "lang")
+      .filter(col("n_chars").cast("bigint") >= col("lo") &&
+        col("n_chars").cast("bigint") <= col("hi"))
+      .select(cols: _*)
+  }
+
+  def iqrLengthGate(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    val quart = tukeyFences(docs, buckets)
     docs.select(col("lang"), col("n_chars").cast("bigint").as("v"))
       .join(broadcast(quart), "lang")
       .groupBy(col("lang"))

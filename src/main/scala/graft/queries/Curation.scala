@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.CkptOps
 import graft.operators.{Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -127,6 +128,53 @@ object Curation {
         coalesce(col("n_train"), lit(0L)).as("n_train"),
         coalesce(col("n_val"), lit(0L)).as("n_val"),
         coalesce(col("n_test"), lit(0L)).as("n_test"))
+      .orderBy("source")
+  }
+
+  /** x100: the round-14 curation funnel — the new gates composed into one
+    * oracled pipeline, proving they stack the way a production run
+    * stacks them: (1) Tukey-fence length gate per language (x97's
+    * row-level form — robust, self-calibrating); (2) FUZZY benchmark
+    * decontamination of the survivors (x96 — near-dups of any eval doc
+    * drop, with "near" = x4's exact LSH pipeline RUN ON THE GATED SET,
+    * not a pre-gate pair list: bucket occupancy, star hubs, and
+    * therefore candidates legitimately differ after gating), and the
+    * eval slice itself leaves the pool; (3) DSIR importance selection
+    * over what remains (x90 — the hashed-bigram model trains on the
+    * surviving target slice vs the surviving raw pool, top-20% of raw
+    * kept). Every stage is deterministic, so the COMPOSITION sits in
+    * the driver's hash gate end to end (the x44 posture for the
+    * round-14 operator set).
+    *
+    * Output: the per-source funnel audit — input count, post-gate count,
+    * post-decontam pool count, selected count, and the exact integer sum
+    * of selected weights (targets show 0 selected: DSIR selects from the
+    * raw pool; the target slice is its reference, not a candidate).
+    */
+  def roundFourteenFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val kept1 = graft.operators.Quantiles.iqrKeptDocs(docs)
+    val contaminated = TextAnalysis.fuzzyContamination(kept1)
+      .select(col("doc_id"))
+    val pool = kept1.filter(col("doc_id") % 17 =!= 3)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .ckpt() // read by the DSIR scorer AND three rollup branches
+    val sel = TextAnalysis.dsirSelect(pool)
+      .filter(col("selected"))
+      .join(pool.select(col("doc_id"), col("source")), "doc_id")
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_input"))
+      .join(kept1.groupBy(col("source")).agg(count(lit(1)).as("n_length_ok")),
+        Seq("source"), "left")
+      .join(pool.groupBy(col("source")).agg(count(lit(1)).as("n_pool")),
+        Seq("source"), "left")
+      .join(sel.groupBy(col("source")).agg(count(lit(1)).as("n_selected"),
+          sum(col("weight_micro")).as("w_selected")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_input"),
+        coalesce(col("n_length_ok"), lit(0L)).as("n_length_ok"),
+        coalesce(col("n_pool"), lit(0L)).as("n_pool"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("w_selected"), lit(0L)).as("w_selected"))
       .orderBy("source")
   }
 }

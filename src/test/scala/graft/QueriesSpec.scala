@@ -2282,5 +2282,30 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x100 curation v2: monotone funnel, stage-1 equals the row-level gate, exact ceil selection") {
+    val rows = SparkEntry.queries("x100_curation_v2")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val bySrc = rows.toMap
+    // counts only shrink through the funnel
+    rows.foreach { case (s, (in, ok, pool, sel, _)) =>
+      assert(in >= ok && ok >= pool && pool >= sel, s"non-monotone funnel at $s")
+    }
+    // stage 1 IS the row-level IQR gate
+    val docs = Tables.load(spark, sf, "documents")
+    val gate = graft.operators.Quantiles.iqrKeptDocs(docs)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map { case (s, t) => s -> t._2 }.toMap == gate)
+    // DSIR selects exactly ceil(0.2 * raw-pool) docs, all from raw sources
+    val rawPool = rows.collect { case (s, t) if s.drop(3).toInt >= 10 => t._3 }.sum
+    val selected = rows.map(_._2._4).sum
+    assert(selected == math.ceil(0.2 * rawPool).toLong, s"$selected of raw pool $rawPool")
+    (0 until 10).foreach { i =>
+      assert(bySrc(s"src$i")._4 == 0L && bySrc(s"src$i")._5 == 0L,
+        s"target slice src$i must not be selected")
+    }
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
