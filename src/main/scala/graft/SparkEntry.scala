@@ -109,6 +109,9 @@ object SparkEntry {
     // view->click->purchase funnel via chained prefix-min windows: one
     // shuffle, no self-joins; counts/rates/latencies all exact
     "q50_funnel" -> ((s, d) => Relational.q50Funnel(s, d)),
+    // cohort retention matrix: first-active week x offset, exact integer
+    // week arithmetic, one int/int rate division per row
+    "q51_cohort_retention" -> ((s, d) => Relational.q51CohortRetention(s, d)),
     // q50 run continuously: per-user O(1) funnel FSM in
     // flatMapGroupsWithState emitting a changelog per completed stage
     "x73_stream_funnel" -> ((s, d) =>
@@ -1999,6 +2002,22 @@ object SparkEntry {
     "x4_dedup_minhash_lsh" ->
       (MinhashLshCte(0.6) +
         "\nSELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"),
+    // exact week arithmetic (Monday-truncated dates, day diffs always
+    // multiples of 7) + one int/int rate division — replays exactly
+    "q51_cohort_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+        |            FROM events WHERE event_id % 13 = 0),
+        |f AS (SELECT user_id, min(w) AS cohort_week FROM wk GROUP BY 1),
+        |m AS (SELECT f.cohort_week,
+        |             CAST(date_diff('day', f.cohort_week, wk.w) // 7 AS INT) AS week_offset,
+        |             CAST(count(*) AS BIGINT) AS n_users
+        |      FROM wk JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_users,
+        |  max(CASE WHEN week_offset = 0 THEN n_users END)
+        |    OVER (PARTITION BY cohort_week) AS cohort_size,
+        |  CAST(n_users AS DOUBLE) / max(CASE WHEN week_offset = 0 THEN n_users END)
+        |    OVER (PARTITION BY cohort_week) AS retention
+        |FROM m ORDER BY cohort_week, week_offset""".stripMargin,
     // the composed replay: IQR fences gate g1, the FULL LSH pipeline
     // re-runs over g1 (bucket occupancy legitimately shifts post-gate),
     // decontam + eval removal give g2, DSIR scores g2, per-source rollup

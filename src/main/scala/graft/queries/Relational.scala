@@ -1157,6 +1157,42 @@ object Relational {
         (count(col("p")).cast("double") / count(col("c"))).as("c2p_rate"))
   }
 
+  /** Q51: COHORT RETENTION — the user-lifecycle matrix every analytics
+    * stack computes: users grouped by first-active week, and for each
+    * cohort the count still active k weeks later, with the retention
+    * rate against the cohort's own size. Week arithmetic is exact
+    * integer work (both week starts are Mondays, so the day difference
+    * is always a multiple of 7 and the DIV is lossless); the rate is
+    * one int/int IEEE division (the q32/x55 tie class). The 1-in-13
+    * event slice is q50's sparseness rationale: on the full stream
+    * every user first-touches in week 1 and the matrix degenerates to a
+    * single cohort.
+    *
+    * Scale shape: distinct (user, week) is one map-side-combined
+    * aggregate; first-touch is a second aggregate on the same
+    * user-partitioned exchange; the matrix is ≤ weeks² rows, and the
+    * cohort-size window runs over that tiny relation — nothing after
+    * the two aggregates scales with the event count.
+    */
+  def q51CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val wk = t(spark, dir, "events")
+      .filter(col("event_id") % 13 === 0)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("w"))
+      .distinct()
+    val first = wk.groupBy(col("user_id")).agg(min(col("w")).as("cohort_week"))
+    val m = wk.join(first, "user_id")
+      .select(col("cohort_week"),
+        expr("cast(datediff(w, cohort_week) div 7 as int)").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val wc = Window.partitionBy(col("cohort_week"))
+    m.withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_users"))).over(wc))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"), col("cohort_size"),
+        (col("n_users").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Q14: distinct aggregates — distinct parts/suppliers per return flag. */
   def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

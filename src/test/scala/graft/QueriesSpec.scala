@@ -2307,5 +2307,29 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q51 cohort retention: brute-force twin; offset 0 pins 1.0 and no offset exceeds it") {
+    val weeks = Tables.load(spark, sf, "events")
+      .filter(col("event_id") % 13 === 0)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("w"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val first = weeks.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map(_._2).minBy(_.toEpochDay)
+    }
+    val expected = weeks
+      .map { case (u, w) =>
+        (first(u), ((w.toEpochDay - first(u).toEpochDay) / 7).toInt)
+      }
+      .groupBy(identity).map { case ((cw, off), xs) => (cw, off) -> xs.length.toLong }
+    val got = SparkEntry.queries("q51_cohort_retention")(spark, sf).collect()
+    assert(got.map(r => (r.getDate(0).toLocalDate, r.getInt(1)) -> r.getLong(2)).toMap
+      == expected)
+    got.foreach { r =>
+      val (off, n, size, ret) = (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(ret == n.toDouble / size && ret > 0.0 && ret <= 1.0)
+      if (off == 0) assert(ret == 1.0, "a cohort's first week must retain everyone")
+    }
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
