@@ -483,6 +483,11 @@ object SparkEntry {
     // deterministic, so the COMPOSITION hash-gates end to end
     "x100_curation_v2" -> ((s, d) =>
       graft.queries.Curation.roundFourteenFunnel(s, d)),
+    // contrastive triplet mining: most-similar near-dup positive +
+    // hash-drawn verified-non-dup negative per anchor — the reproducible
+    // (a, p, n) export behind embedding-model training
+    "x101_triplet_mine" -> ((s, d) =>
+      graft.operators.Sampling.tripletMine(Tables.load(s, d, "documents"))),
     // perceptual-hash (aHash) image dedup over binary payloads: fused
     // codegen thumbnail-mean fingerprint + banded Hamming pairs over a
     // planted perturbed-twin corpus — integer-exact, replayed in SQL
@@ -2002,6 +2007,31 @@ object SparkEntry {
     "x4_dedup_minhash_lsh" ->
       (MinhashLshCte(0.6) +
         "\nSELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"),
+    // x4's pipeline replay + the identical argmax/draw/exclusion logic:
+    // positives, candidates (fifth multiplier), and anti-join replay
+    // bit-for-bit — the whole triplet set is value-gated
+    "x101_triplet_mine" ->
+      ("WITH RECURSIVE " + MinhashLshBody(0.6, "documents") +
+        """,
+          |pp AS MATERIALIZED (
+          |  SELECT doc_a AS anchor, doc_b AS partner, jaccard FROM pairs
+          |  UNION ALL SELECT doc_b, doc_a, jaccard FROM pairs),
+          |pos AS (SELECT anchor, partner AS positive, jaccard AS pos_jaccard FROM pp
+          |        QUALIFY row_number() OVER (PARTITION BY anchor
+          |          ORDER BY jaccard DESC, partner) = 1),
+          |nn AS (SELECT count(*) AS n FROM documents),
+          |ncand AS (
+          |  SELECT pos.anchor, j.j,
+          |         (((pos.anchor * 8 + j.j) % 2147483647) * 1103515245) % 2147483647 % nn.n AS cnd
+          |  FROM pos, generate_series(0, 7) AS j(j), nn),
+          |nvalid AS (
+          |  SELECT c.anchor, c.j, c.cnd FROM ncand c
+          |  WHERE c.cnd <> c.anchor
+          |    AND NOT EXISTS (SELECT 1 FROM pp WHERE pp.anchor = c.anchor AND pp.partner = c.cnd)),
+          |neg AS (SELECT anchor, cnd AS negative FROM nvalid
+          |        QUALIFY row_number() OVER (PARTITION BY anchor ORDER BY j) = 1)
+          |SELECT pos.anchor, pos.positive, pos.pos_jaccard, neg.negative
+          |FROM pos JOIN neg USING (anchor) ORDER BY pos.anchor""".stripMargin),
     // exact week arithmetic (Monday-truncated dates, day diffs always
     // multiples of 7) + one int/int rate division — replays exactly
     "q51_cohort_retention" ->

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -255,5 +257,62 @@ object Sampling {
       .withColumn("packs_spanned", col("last_pack") - col("pack_id") + 1)
       .drop("last_pack")
       .orderBy("doc_id")
+  }
+
+  /** Fifth independent multiplier (the classic LCG constant — odd,
+    * < 2^31 per the repo's ANSI overflow invariant): negative-candidate
+    * draws must be independent of the sampling/split/shuffle hashes or
+    * the "random" negatives would correlate with train/val membership.
+    */
+  val A5 = 1103515245L
+
+  /** x101: contrastive TRIPLET mining — the (anchor, positive, negative)
+    * export behind embedding-model training (SimCSE/SBERT-style hard
+    * pairs): for every document with at least one near-duplicate, the
+    * positive is its MOST similar partner and the negative is a
+    * hash-drawn document VERIFIED not to be a near-dup of the anchor.
+    * "Near-dup" is deliberately x4's canonical definition (the LSH
+    * pipeline + exact-Jaccard verify), so the positives, the exclusion
+    * set, and the dedup row can never disagree — and everything is a
+    * pure function of the data: the training set is reproducible and
+    * auditable across engines, retries, and partitionings (the module's
+    * charter), with the oracle replaying pairs, argmax, candidate draws,
+    * and exclusion bit-for-bit.
+    *
+    * Negative draws: candidates c_j = multhash_{A5}(anchor·k + j) mod n
+    * for j < `nCand` (n from a 1-row broadcast aggregate, ids contiguous
+    * by the fixture contract); the first j surviving {≠ anchor} and the
+    * anti-join against the anchor's partner set wins — deterministic,
+    * and an anchor with all `nCand` draws colliding (vanishingly rare)
+    * drops rather than degrades. Scale shape: pairs are LSH-bounded,
+    * positives one window over the pair relation, negatives ≤
+    * nCand·|anchors| rows anti-joined against the same ckpt'd relation.
+    */
+  def tripletMine(docs: DataFrame, nCand: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Dedup.minhashLshPairs(docs)
+    val pp = pairs.select(explode(array(
+        struct(col("doc_a").as("anchor"), col("doc_b").as("partner"), col("jaccard")),
+        struct(col("doc_b").as("anchor"), col("doc_a").as("partner"), col("jaccard")))).as("e"))
+      .select(col("e.anchor"), col("e.partner"), col("e.jaccard"))
+      .ckpt() // read for the positives AND the exclusion anti-join
+    val wpos = Window.partitionBy(col("anchor"))
+      .orderBy(col("jaccard").desc, col("partner"))
+    val pos = pp.withColumn("rk", row_number().over(wpos)).filter(col("rk") === 1)
+      .select(col("anchor"), col("partner").as("positive"),
+        col("jaccard").as("pos_jaccard"))
+    val nRel = docs.agg(count(lit(1)).as("n"))
+    val cand = pos.select(col("anchor")).crossJoin(broadcast(nRel))
+      .select(col("anchor"), col("n"),
+        explode(expr(s"sequence(0, ${nCand - 1})")).as("j"))
+      .withColumn("cand",
+        pmod(pmod(col("anchor") * nCand + col("j"), lit(P)) * lit(A5), lit(P)) % col("n"))
+    val valid = cand.filter(col("cand") =!= col("anchor"))
+      .join(pp.select(col("anchor"), col("partner").as("cand")),
+        Seq("anchor", "cand"), "left_anti")
+    val wneg = Window.partitionBy(col("anchor")).orderBy(col("j"))
+    val neg = valid.withColumn("rk", row_number().over(wneg)).filter(col("rk") === 1)
+      .select(col("anchor"), col("cand").as("negative"))
+    pos.join(neg, "anchor").orderBy("anchor")
   }
 }

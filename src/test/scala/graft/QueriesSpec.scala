@@ -2331,5 +2331,30 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x101 triplet mining: positives are argmax partners, negatives are verified non-dups from the hash draw") {
+    val pairs = SparkEntry.queries("x4_dedup_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val partners = (pairs.map(p => (p._1, (p._2, p._3))) ++
+      pairs.map(p => (p._2, (p._1, p._3))))
+      .groupBy(_._1).map { case (a, xs) => a -> xs.map(_._2) }
+    val n = Tables.load(spark, sf, "documents").count()
+    def draw(anchor: Long, j: Int): Long =
+      (((anchor * 8 + j) % 2147483647L) * 1103515245L) % 2147483647L % n
+    val expected = partners.flatMap { case (a, ps) =>
+      val pset = ps.map(_._1).toSet
+      val pos = ps.maxBy { case (id, j) => (j, -id) }
+      val neg = (0 until 8).map(j => draw(a, j))
+        .find(c => c != a && !pset.contains(c))
+      neg.map(c => a -> (pos._1, pos._2, c))
+    }
+    val got = SparkEntry.queries("x101_triplet_mine")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(got == expected)
+    // structural: a negative is never the anchor and never a near-dup of it
+    got.foreach { case (a, (_, _, neg)) =>
+      assert(neg != a && !partners(a).exists(_._1 == neg))
+    }
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
