@@ -320,8 +320,8 @@ object ArrayExpressions {
   /** 64-bit perceptual average-hash (aHash) of a binary payload — the
     * image-dedup fingerprint, computed the way a real pipeline does after
     * decode-to-grayscale: a 64-sample strided "thumbnail" of the bytes
-    * (sample i reads byte ⌊i·n/64⌋ — [[graft.operators.Multimodal.resizeStub]]'s
-    * stride arithmetic), thresholded at the thumbnail mean (bit i set iff
+    * (sample i reads byte ⌊i·n/64⌋, the classic strided-downsample
+    * arithmetic), thresholded at the thumbnail mean (bit i set iff
     * 64·v_i > Σv, strict — integer-exact, so the whole hash replays in
     * SQL), packed MSB-first. ONE pass over the payload in whole-stage
     * codegen; on real media the byte stream would be the decoded

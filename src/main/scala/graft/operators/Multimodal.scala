@@ -153,25 +153,6 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** Resize stub — REPLACE with a real scaler. Deterministic strided byte
-    * downsample to at most `targetBytes` (keeps the contract a real
-    * thumbnailer has: binary in, smaller binary out, pure per-record).
-    */
-  def resizeStub(b: MediaBlob, targetBytes: Int): MediaBlob = {
-    require(targetBytes > 0)
-    val n = b.payload.length
-    if (n <= targetBytes) b
-    else {
-      val out = new Array[Byte](targetBytes)
-      var i = 0
-      while (i < targetBytes) {
-        out(i) = b.payload((i.toLong * n / targetBytes).toInt)
-        i += 1
-      }
-      MediaBlob(b.doc_id, b.media_type, out)
-    }
-  }
-
   /** Frame sampling: the payload split into fixed `frameBytes` chunks
     * ("frames"), keeping every `stride`-th one — a video keyframe skim.
     * Typed flatMap: streams per partition, no driver involvement, output

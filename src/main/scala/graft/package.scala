@@ -24,13 +24,26 @@ package object graft {
     * this), and preserve the input's partitioning — callers that
     * repartition BEFORE checkpointing (e.g. the x18 label-propagation
     * loop) keep their co-location either way.
+    *
+    * Reliable mode persists the plan around the `checkpoint()` call:
+    * eager `Dataset.checkpoint()` on an UNPERSISTED plan computes it
+    * twice (the internal count job, then the checkpoint-write job
+    * recomputes from scratch — the `RDD.checkpoint` scaladoc's own
+    * warning), which would tax every iterative caller (PageRank ×10,
+    * dup-cluster rounds, Lloyd ×3) ~2× per round whenever
+    * `spark.graft.checkpoint.dir` is set. The cache is dropped as soon
+    * as the checkpoint files exist — steady-state memory holds only the
+    * round in flight.
     */
   def ckpt[T](ds: Dataset[T]): Dataset[T] = {
     val sc = ds.sparkSession.sparkContext
     if (sc.getCheckpointDir.isEmpty)
       ds.sparkSession.conf.getOption("spark.graft.checkpoint.dir")
         .foreach(sc.setCheckpointDir)
-    if (sc.getCheckpointDir.isDefined) ds.checkpoint() else ds.localCheckpoint()
+    if (sc.getCheckpointDir.isDefined) {
+      ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try ds.checkpoint() finally ds.unpersist(blocking = false)
+    } else ds.localCheckpoint()
   }
 
   /** `.ckpt()` postfix form of [[ckpt]] — in scope throughout `graft.*`

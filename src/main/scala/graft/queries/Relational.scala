@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.Tables
+import graft.{CkptOps, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -475,12 +475,12 @@ object Relational {
       // the live conf at execution time, so a lazily-returned frame would
       // broadcast-convert once the threshold is restored and the "fact
       // shuffle pruned by the bloom filter" demonstration would be
-      // vacuous at runtime. localCheckpoint materializes the (3-row)
+      // vacuous at runtime. graft.ckpt materializes the (3-row)
       // result off the bloom-SMJ execution; later consumers scan that.
       val df = q29Frame(spark, dir)
       df.queryExecution.executedPlan // force analysis+optimize+physical planning
       val tPlan = System.nanoTime()
-      val out = df.localCheckpoint()
+      val out = df.ckpt()
       val tExec = System.nanoTime()
       def ms(a: Long, b: Long): Long = (b - a) / 1000000L
       System.err.println(s"[q29] scope=${ms(t0, tScope)}ms plan=${ms(tScope, tPlan)}ms" +

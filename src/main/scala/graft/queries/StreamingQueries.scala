@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.Tables
+import graft.{CkptOps, Tables}
 import graft.streaming.{GapEvent, StreamingGapSessionize}
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
@@ -164,7 +164,7 @@ object StreamingQueries {
           try {
             q.processAllAvailable()
             streamCrumb("x36", t0, tSpool, q)
-            spark.table(name).localCheckpoint()
+            spark.table(name).ckpt()
           } finally q.stop()
         } finally {
           spark.catalog.dropTempView(name)
@@ -217,7 +217,7 @@ object StreamingQueries {
           try {
             q.processAllAvailable()
             streamCrumb("x61", t0, tSpool, q)
-            spark.table(name).localCheckpoint()
+            spark.table(name).ckpt()
           } finally q.stop()
         } finally {
           spark.catalog.dropTempView(name)
@@ -273,7 +273,7 @@ object StreamingQueries {
           try {
             q.processAllAvailable()
             streamCrumb("x73", t0, tSpool, q)
-            spark.table(name).localCheckpoint()
+            spark.table(name).ckpt()
           } finally q.stop()
         } finally {
           spark.catalog.dropTempView(name)
@@ -333,7 +333,7 @@ object StreamingQueries {
           try {
             q.processAllAvailable()
             streamCrumb("x57", t0, tSpool, q)
-            spark.table(name).localCheckpoint()
+            spark.table(name).ckpt()
           } finally q.stop()
         } finally {
           spark.catalog.dropTempView(name)
@@ -450,7 +450,7 @@ object StreamingQueries {
           try {
             q.processAllAvailable()
             streamCrumb("x39", t0, tSpool, q)
-            spark.table(name).localCheckpoint()
+            spark.table(name).ckpt()
           } finally q.stop()
         } finally {
           spark.catalog.dropTempView(name)
@@ -560,7 +560,7 @@ object StreamingQueries {
         try {
           q.processAllAvailable()
           streamCrumb(tag, t0, tSpool, q)
-          spark.table(name).localCheckpoint()
+          spark.table(name).ckpt()
         } finally q.stop()
       } finally {
         spark.catalog.dropTempView(name)
@@ -627,7 +627,7 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_events"),
           (sum(col("cents")).cast("double") / 100).as("total_value"))
         .orderBy("n_name", "event_type")
-        .localCheckpoint()
+        .ckpt()
     } finally deleteRecursively(spool)
   }
 
@@ -710,7 +710,7 @@ object StreamingQueries {
           (sum(col("cents")).cast("double") / 100).as("total_value"),
           expr("bit_xor(event_id)").as("event_xor"))
         .orderBy("user_id")
-        .localCheckpoint()
+        .ckpt()
     } finally deleteRecursively(spool)
   }
 
@@ -785,7 +785,7 @@ object StreamingQueries {
             // materialize off the memory sink, then drop its temp view —
             // repeated bench/verify invocations must not pin one full
             // result copy per run in driver memory for the session lifetime
-            spark.table(name).localCheckpoint()
+            spark.table(name).ckpt()
           } finally q.stop()
         } finally {
           spark.catalog.dropTempView(name)
@@ -867,7 +867,7 @@ object StreamingQueries {
           try {
             q.processAllAvailable()
             streamCrumb("x47", t0, tSpool, q)
-            spark.table(name).as[graft.operators.TaxiTrip].localCheckpoint()
+            spark.table(name).as[graft.operators.TaxiTrip].ckpt()
           } finally q.stop()
         } finally {
           spark.catalog.dropTempView(name)
@@ -958,7 +958,7 @@ object StreamingQueries {
           try {
             q.processAllAvailable()
             streamCrumb("x63", t0, tSpool, q)
-            spark.table(name).localCheckpoint()
+            spark.table(name).ckpt()
           } finally q.stop()
         } finally {
           spark.catalog.dropTempView(name)

@@ -1509,14 +1509,10 @@ class QueriesSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
-  test("multimodal resize + frame sampling: sizes bounded, frames reassemble the payload prefix pattern") {
+  test("multimodal frame sampling: frames reassemble the payload prefix pattern") {
     import graft.operators.{MediaBlob, Multimodal}
     val payload = Array.tabulate(1000)(i => (i % 251).toByte)
     val blob = MediaBlob(7L, "video", payload)
-    val resized = Multimodal.resizeStub(blob, 100)
-    assert(resized.payload.length == 100)
-    assert(resized.payload(0) == payload(0)) // strided pick keeps first byte
-    assert(Multimodal.resizeStub(blob, 2000).payload.length == 1000) // no upscale
     import spark.implicits._
     val frames = Multimodal.sampleFrames(spark, Seq(blob).toDS(), frameBytes = 256, stride = 2).collect()
     // 1000 bytes -> 4 frames (256,256,256,232); stride 2 keeps idx 0, 2
