@@ -68,7 +68,7 @@ object ScaleStudy {
     // study without paying for the full sweep): sections are
     // pairs / incremental / ann / annocc / x54 / pagerank / simdedup /
     // stream / trigram / triangles / containment / kmeans / bloom /
-    // quantiles / snm / cmsjoin / drift; no args = the full sweep (BASELINE.md)
+    // quantiles / snm / cmsjoin / drift / bpe; no args = the full sweep (BASELINE.md)
     val only = args.toSet
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
     // untimed warmup: codegen + JIT of the LSH plan, so the scale-1 row
@@ -751,6 +751,32 @@ object ScaleStudy {
       val sec = (System.nanoTime() - t0) / 1e9
       val (ex, es) = (row.getLong(2), row.getLong(3))
       println(f"""{"op":"cms_join_size","scale":$k,"exact":$ex,"est":$es,"ratio":${es.toDouble / ex}%.3f,"wall_sec":$sec%.2f}""")
+    }
+    // BPE cost split at scale: the corpus is touched ONCE (the word-count
+    // aggregate); every merge round then works on the word-TYPE
+    // dictionary, whose growth under the cipher-replica expansion is the
+    // worst case (each replica rotates the alphabet, so word types grow
+    // ~linearly — a real corpus's vocabulary grows sublinearly, Heaps'
+    // law). Reported separately: the one corpus pass (dict_sec), the 10
+    // training rounds (train_sec), and the shuffle-free encode of every
+    // document (encode_sec), with the dict size that bounds round cost.
+    if (want("bpe")) for (k <- Seq(1, 3, 10)) {
+      val corpus = expand(docs, k).localCheckpoint()
+      val nDocs = corpus.count()
+      val t0 = System.nanoTime()
+      val dict = corpus
+        .select(explode(filter(split(lower(col("text")), "\\s+"), w => w =!= "")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq")).localCheckpoint()
+      val nTypes = dict.count()
+      val tDict = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val merges = graft.operators.Bpe.train(spark, corpus, 10)
+      val tTrain = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val toks = graft.operators.Bpe.encodeDocs(corpus, merges)
+        .agg(sum(col("n_tokens"))).head.getLong(0)
+      val tEnc = (System.nanoTime() - t2) / 1e9
+      println(f"""{"op":"bpe","scale":$k,"docs":$nDocs,"word_types":$nTypes,"total_tokens":$toks,"dict_sec":$tDict%.2f,"train_sec":$tTrain%.2f,"encode_sec":$tEnc%.2f}""")
     }
     // HEADLINE rows at 10×: the 20 most expensive ledger queries run
     // EXACTLY as shipped (SparkEntry.queries, BenchHarness.consume)

@@ -518,8 +518,27 @@ object SparkEntry {
       graft.queries.StreamingQueries.exactlyOnce(s, d)),
     // coverage of the corpus's own top-50 vocabulary (x19's exact
     // definition); LIMIT-k vocab side is broadcast-safe by construction
-    "x46_oov_rate" -> ((s, d) => TextAnalysis.oovRate(Tables.load(s, d, "documents")))
+    "x46_oov_rate" -> ((s, d) => TextAnalysis.oovRate(Tables.load(s, d, "documents"))),
+    // deterministic BPE training: 10 exact frequency-weighted merges over
+    // the word-type dictionary (count-desc, lexicographic tie-break);
+    // the learned merge table replays round-for-round in SQL
+    "x102_bpe_train" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      graft.operators.Bpe.mergeTable(s, graft.operators.Bpe.train(s, docs, BpeMerges))
+    }),
+    // the trained tokenizer applied to every document: shuffle-free
+    // per-word replace-chain encode; per-doc subword token counts + an
+    // md5 of the full encoded sequence pin the exact tokenization
+    "x103_bpe_encode" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      graft.operators.Bpe.encodeDocs(docs, graft.operators.Bpe.train(s, docs, BpeMerges))
+    })
   )
+
+  /** Merge-table depth shared by the x102/x103 Spark rows and their
+    * oracle unrolls — one constant, so they cannot drift.
+    */
+  private val BpeMerges = 10
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as
     * the Spark result — the driver sorts columns by name and hashes values).
@@ -939,7 +958,90 @@ object SparkEntry {
         |  CAST(n_batch AS DOUBLE) / t_batch AS share_batch
         |FROM cnts, tot ORDER BY cell""".stripMargin
 
+  /** BPE training unrolled (the x75/x91 pattern): w0 = per-word-type
+    * symbol sequences (double-space encoding, `</w>` terminal) with exact
+    * corpus frequencies; round i counts adjacent pairs (pc), picks the
+    * deterministic winner by (count desc, lhs, rhs) (m), and rewrites the
+    * dictionary by ONE literal `replace` (w) — identical greedy leftmost
+    * non-overlapping semantics as the Spark loop's single `replace` call.
+    * Every stage MATERIALIZED: w(i) is read by both pc(i+1) and the final
+    * selects, and un-materialized nesting re-evaluates the whole chain
+    * exponentially (the PageRankOracle lesson).
+    */
+  private def BpeTrainCtes(rounds: Int): String = {
+    val base =
+      """WITH wtok AS MATERIALIZED (
+        |  SELECT token AS w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |    FROM documents) GROUP BY token),
+        |w0 AS MATERIALIZED (
+        |  SELECT ' ' || regexp_replace(w, '(.)', '\1  ', 'g') || '</w> ' AS enc, freq FROM wtok)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s""",
+         |pc$i AS MATERIALIZED (
+         |  SELECT sy[j] AS a, sy[j + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT sy, freq, unnest(generate_series(1, len(sy) - 1)) AS j
+         |        FROM (SELECT string_split(trim(enc), '  ') AS sy, freq FROM w${i - 1}))
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT a, b, cnt FROM pc$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT replace(w${i - 1}.enc, ' ' || m$i.a || '  ' || m$i.b || ' ',
+         |                 ' ' || m$i.a || m$i.b || ' ') AS enc, freq
+         |  FROM w${i - 1}, m$i)""".stripMargin
+    }.mkString
+    base + iters
+  }
+
+  private val BpeTrainOracle: String =
+    BpeTrainCtes(BpeMerges) + "\n" +
+      (1 to BpeMerges).map(i =>
+        s"SELECT CAST($i AS INT) AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_count FROM m$i")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY merge_rank")
+
+  /** x103: the full training unroll, merges pivoted to one row, then the
+    * identical replace chain applied to every word of every document in
+    * position order; per-doc rollup LEFT-JOINed back so empty documents
+    * keep a (0, md5('')) row like the Spark transform-lambda path.
+    */
+  private val BpeEncodeOracle: String = {
+    val pivot = (1 to BpeMerges).map(i =>
+      s"max(CASE WHEN i = $i THEN a END) AS a$i, max(CASE WHEN i = $i THEN b END) AS b$i")
+      .mkString(",\n  ")
+    val allm = (1 to BpeMerges).map(i => s"SELECT $i AS i, a, b FROM m$i")
+      .mkString(" UNION ALL ")
+    val enc0 = """' ' || regexp_replace(token, '(.)', '\1  ', 'g') || '</w> '"""
+    val applied = (1 to BpeMerges).foldLeft(enc0)((acc, i) =>
+      s"replace($acc, ' ' || a$i || '  ' || b$i || ' ', ' ' || a$i || b$i || ' ')")
+    BpeTrainCtes(BpeMerges) +
+      s""",
+         |allm AS MATERIALIZED ($allm),
+         |mrow AS MATERIALIZED (SELECT
+         |  $pivot
+         |FROM allm),
+         |wx AS MATERIALIZED (
+         |  SELECT doc_id, p0, token FROM (
+         |    SELECT doc_id, unnest(generate_series(1, len(arr))) AS p0, unnest(arr) AS token
+         |    FROM (SELECT doc_id,
+         |            list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS arr
+         |          FROM documents))),
+         |we AS MATERIALIZED (
+         |  SELECT doc_id, p0, trim($applied) AS enc FROM wx, mrow),
+         |agg AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         CAST(sum(len(string_split(enc, '  '))) AS BIGINT) AS n_tokens,
+         |         md5(string_agg(enc, '|' ORDER BY p0)) AS enc_md5
+         |  FROM we GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+         |       coalesce(a.enc_md5, md5('')) AS enc_md5
+         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // ten unrolled exact merge rounds — the learned BPE table replays
+    // round-for-round (identical greedy-replace + tie-break semantics)
+    "x102_bpe_train" -> BpeTrainOracle,
+    // training unroll + the identical replace-chain encode per word
+    "x103_bpe_encode" -> BpeEncodeOracle,
     // ten unrolled integer fixed-point iterations — exact, not approximate
     "x75_pagerank" -> PageRankOracle,
     // three unrolled fixed-point Lloyd iterations — exact, not approximate
