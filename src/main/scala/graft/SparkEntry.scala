@@ -453,6 +453,11 @@ object SparkEntry {
     // global rank via the two-phase offset pattern, pairs via binned join
     "x94_snm_dedup" -> ((s, d) =>
       graft.operators.Dedup.snmPairs(Tables.load(s, d, "documents"))),
+    // multi-pass SNM: x94's pass unioned with a reversed-text (suffix)
+    // pass — recall for families whose keys sort apart under ONE order,
+    // at a constant 2x of the same hard w*n candidate bound
+    "x104_snm_multipass" -> ((s, d) =>
+      graft.operators.Dedup.snmPairsTwoPass(Tables.load(s, d, "documents"))),
     // CMS inner-product join-size estimation (Cormode–Muthukrishnan):
     // planner statistic from two mergeable summaries; deterministic md5
     // cells make even the ESTIMATE hash-gate, est >= exact guaranteed
@@ -1074,6 +1079,39 @@ object SparkEntry {
         |SELECT da AS doc_a, db AS doc_b,
         |       CAST(i AS BIGINT) AS n_inter, CAST(u AS BIGINT) AS n_union
         |FROM j WHERE u > 0 AND 2 * i >= u ORDER BY 1, 2""".stripMargin,
+    // both passes replayed (prefix key + reversed-text key), pairs
+    // normalized to (min,max) before the union-dedup; n_passes counts
+    // how many passes independently surfaced each pair
+    "x104_snm_multipass" ->
+      ("""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         |ww AS (SELECT doc_id, t,
+         |         list_filter(regexp_split_to_array(t, '\s+'), x -> x <> '') AS w
+         |       FROM d),
+         |kg AS (SELECT doc_id, regexp_replace(t, '\s+', '', 'g') AS st,
+         |        CASE WHEN len(w) >= 3
+         |          THEN list_distinct([array_to_string(w[p:p+2], ' ')
+         |                              for p in range(1, len(w) - 1)])
+         |          ELSE [] END AS g
+         |      FROM ww)""" +
+        Seq("substr(st, 1, 24)" -> "1", "substr(reverse(st), 1, 24)" -> "2").map {
+          case (bk, s) =>
+            s""",
+               |k$s AS (SELECT doc_id, $bk AS bk, g FROM kg),
+               |r$s AS MATERIALIZED (
+               |  SELECT doc_id, g, row_number() OVER (ORDER BY bk, doc_id) AS rn FROM k$s),
+               |j$s AS (SELECT least(a.doc_id, b.doc_id) AS da,
+               |               greatest(a.doc_id, b.doc_id) AS db,
+               |               len(list_intersect(a.g, b.g)) AS i,
+               |               len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS u
+               |        FROM r$s a JOIN r$s b ON b.rn > a.rn AND b.rn <= a.rn + 7)"""
+        }.mkString +
+        """,
+          |f AS (SELECT da, db, i, u FROM j1 WHERE u > 0 AND 2 * i >= u
+          |      UNION ALL SELECT da, db, i, u FROM j2 WHERE u > 0 AND 2 * i >= u)
+          |SELECT da AS doc_a, db AS doc_b,
+          |       CAST(max(i) AS BIGINT) AS n_inter, CAST(max(u) AS BIGINT) AS n_union,
+          |       CAST(count(*) AS BIGINT) AS n_passes
+          |FROM f GROUP BY 1, 2 ORDER BY 1, 2""").stripMargin,
     // identical md5 cell positions, exact integer cell sums and squares —
     // the estimate replays bit-for-bit; exact side is plain SQL
     "x95_cms_join_size" ->

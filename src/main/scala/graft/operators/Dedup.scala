@@ -703,18 +703,57 @@ object Dedup {
     * corpus).
     *
     * Recall is the method's documented trade: a near-dup pair whose
-    * blocking keys sort far apart is missed (the multi-pass SNM answer
-    * is re-running with a second key — composable here by unioning a
-    * second `snmPairs` on a different prefix). On the fixture's
+    * blocking keys sort far apart is missed. The multi-pass SNM answer —
+    * re-running under a second, structurally different key and unioning
+    * the pair sets — is [[snmPairsTwoPass]]: pass 2 orders by the
+    * REVERSED stripped text's 24-char prefix (i.e. the document's
+    * suffix), so a near-dup family that diverges at the front but shares
+    * its tail sorts adjacent exactly where pass 1 scattered it
+    * ([[graft.SnmSpec]] plants such a family and pins that pass 1
+    * provably misses it while the union catches it). On the fixture's
     * prefix-sharing duplicate families the single pass is exact, and
     * the fixture shows clean separation (no pairs between 0.3 and 0.5
     * Jaccard).
     */
-  def snmPairs(docs: DataFrame, window: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = docs
+  def snmPairs(docs: DataFrame, window: Int = 8): DataFrame =
+    snmVerifiedNeighbors(snmKeyed(docs, st => substring(st, 1, 24)), window)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("inter").cast("long").as("n_inter"), col("uni").cast("long").as("n_union"))
+      .orderBy("doc_a", "doc_b")
+
+  /** Multi-pass SNM: the union of two [[snmPairs]]-style passes under
+    * complementary blocking keys — pass 1 the stripped-text 24-char
+    * PREFIX, pass 2 the 24-char prefix of the REVERSED stripped text
+    * (the suffix, reversed). Pairs are normalized to (min, max) doc
+    * order before the union-dedup, and `n_passes` records how many
+    * passes independently surfaced each pair (the Jaccard counts are
+    * pair properties, identical whichever pass found them, so the
+    * dedup is an exact max/count aggregate, never a tie-break). Cost is
+    * exactly two hard-bounded w·n passes — multi-pass SNM buys recall
+    * with a CONSTANT factor, never a blow-up, which is the whole appeal
+    * of the sort-based geometry under skew.
+    */
+  def snmPairsTwoPass(docs: DataFrame, window: Int = 8): DataFrame = {
+    val p1 = snmVerifiedNeighbors(snmKeyed(docs, st => substring(st, 1, 24)), window)
+    val p2 = snmVerifiedNeighbors(snmKeyed(docs, st => substring(reverse(st), 1, 24)), window)
+    p1.unionByName(p2)
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("inter"), col("uni"))
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("inter")).cast("long").as("n_inter"),
+        max(col("uni")).cast("long").as("n_union"),
+        count(lit(1)).cast("long").as("n_passes"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** (doc_id, bk, g) for one SNM pass: `bkOf` maps the lowercased
+    * whitespace-stripped text to that pass's blocking key; `g` is the
+    * distinct word-3-gram set the verify step intersects.
+    */
+  private def snmKeyed(docs: DataFrame, bkOf: Column => Column): DataFrame =
+    docs
       .select(col("doc_id"), lower(col("text")).as("t"))
-      .withColumn("bk", substring(regexp_replace(col("t"), "\\s+", ""), 1, 24))
+      .withColumn("bk", bkOf(regexp_replace(col("t"), "\\s+", "")))
       .withColumn("w", expr("filter(split(t, '\\\\s+'), x -> x != '')"))
       .withColumn("g", expr(
         """CASE WHEN size(w) >= 3
@@ -722,6 +761,13 @@ object Dedup {
           |    p -> concat_ws(' ', slice(w, p, 3))))
           |  ELSE cast(array() as array<string>) END""".stripMargin))
       .select(col("doc_id"), col("bk"), col("g"))
+
+  /** The sort → global-rank → binned-window → exact-Jaccard-verify core
+    * of one SNM pass (scale shape documented on [[snmPairs]]): emits
+    * (da, db, inter, uni) in rank order, threshold 2·inter ≥ uni applied.
+    */
+  private def snmVerifiedNeighbors(base: DataFrame, window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val parts = base.repartitionByRange(col("bk"), col("doc_id"))
       .sortWithinPartitions(col("bk"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
@@ -749,8 +795,6 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
       .withColumn("uni", size(col("ga")) + size(col("gb")) - col("inter"))
       .filter(col("uni") > 0 && col("inter") * 2 >= col("uni"))
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        col("inter").cast("long").as("n_inter"), col("uni").cast("long").as("n_union"))
-      .orderBy("doc_a", "doc_b")
+      .select(col("da"), col("db"), col("inter"), col("uni"))
   }
 }

@@ -2138,6 +2138,36 @@ class QueriesSpec extends AnyFunSuite {
     assert(run(docs.repartition(13)) == got)
   }
 
+  test("x104 multi-pass SNM: the reversed-key pass catches a planted family pass 1 provably misses") {
+    import spark.implicits._
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val planted = Seq(100L -> s"aaaa $body", 101L -> s"zzzz $body")
+    // 20 fillers whose prefix keys sort strictly BETWEEN the planted
+    // pair's (so pass 1 separates them by >> window) and whose shared
+    // tail sorts their reversed keys AFTER the planted tail's
+    val fillers = (1 to 20).map(i =>
+      (i.toLong, f"g$i%02d mmm nnn ooo ppp qqq rrr sss ttt uuu vvv"))
+    val twins = Seq(200L -> "dup one two three four five six seven",
+      201L -> "dup one two three four five six seven")
+    val docs = (planted ++ fillers ++ twins).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pass1 = pairs(graft.operators.Dedup.snmPairs(docs))
+    // pass 1 sorts "aaaa..." and "zzzz..." 20 ranks apart: provably missed
+    assert(!pass1.contains((100L, 101L)) && !pass1.contains((101L, 100L)))
+    val two = graft.operators.Dedup.snmPairsTwoPass(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // the reversed-key pass sorts the shared-tail pair ADJACENT: caught,
+    // by exactly one pass, with the hand-computed gram overlap 8/10
+    assert(two((100L, 101L)) === ((8L, 10L, 1L)))
+    // identical twins share both keys: surfaced by both passes
+    assert(two((200L, 201L))._3 === 2L)
+    // the union never loses a pass-1 pair (normalized order)
+    val norm1 = pass1.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    assert(norm1.subsetOf(two.keySet))
+  }
+
   test("x95 CMS join size: est >= exact always; sketch is mergeable; estimate matches a twin") {
     val li = Tables.load(spark, sf, "lineitem")
     val out = SparkEntry.queries("x95_cms_join_size")(spark, sf).collect()
