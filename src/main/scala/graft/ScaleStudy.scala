@@ -751,6 +751,13 @@ object ScaleStudy {
       val sec = (System.nanoTime() - t0) / 1e9
       val (ex, es) = (row.getLong(2), row.getLong(3))
       println(f"""{"op":"cms_join_size","scale":$k,"exact":$ex,"est":$es,"ratio":${es.toDouble / ex}%.3f,"wall_sec":$sec%.2f}""")
+      // the occupancy-sized variant: est/exact must stay ~constant where
+      // the fixed 8192-cell width above degrades with key growth
+      val t1 = System.nanoTime()
+      val rs = graft.operators.Sketch.sizedJoinSizeEstimate(liK).head
+      val secS = (System.nanoTime() - t1) / 1e9
+      val (exS, esS) = (rs.getLong(2), rs.getLong(5))
+      println(f"""{"op":"cms_join_size_sized","scale":$k,"exact":$exS,"est":$esS,"ratio":${esS.toDouble / exS}%.3f,"nd_est":${rs.getLong(3)},"width":${rs.getLong(4)},"wall_sec":$secS%.2f}""")
     }
     // BPE cost split at scale: the corpus is touched ONCE (the word-count
     // aggregate); every merge round then works on the word-TYPE

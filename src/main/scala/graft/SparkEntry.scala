@@ -463,6 +463,11 @@ object SparkEntry {
     // cells make even the ESTIMATE hash-gate, est >= exact guaranteed
     "x95_cms_join_size" -> ((s, d) =>
       graft.operators.Sketch.joinSizeEstimate(Tables.load(s, d, "lineitem"))),
+    // x95 with the width occupancy-sized from a deterministic hash-sample
+    // cardinality probe — est/exact stays constant as keys grow instead
+    // of x95's fixed-width fill degradation; width + estimate both replay
+    "x105_cms_sized" -> ((s, d) =>
+      graft.operators.Sketch.sizedJoinSizeEstimate(Tables.load(s, d, "lineitem"))),
     // FUZZY benchmark decontamination: near-dup match against the eval
     // slice via x4's exact LSH pipeline (one canonical "near" definition);
     // the exact-overlap complement of x33
@@ -1129,6 +1134,29 @@ object SparkEntry {
         |SELECT ex.n_keys, ex.n_rows, ex.exact_join_rows,
         |       CAST((SELECT min(est_i) FROM pr) AS BIGINT) AS est_join_rows
         |FROM ex""".stripMargin,
+    // the sizing probe (sampled linear counting), the integer width
+    // formula, and the estimate over the chosen width all replay exactly
+    "x105_cms_sized" ->
+      """WITH kc AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) * 64 AS BIGINT) AS nd_est FROM kc
+        |       WHERE ('0x' || substr(md5('ndk:' || CAST(k AS VARCHAR)), 1, 15))::BIGINT % 64 = 0),
+        |ws AS (SELECT nd_est,
+        |         least(1048576, greatest(1024, 1024 * ((8 * nd_est + 1023) // 1024))) AS width
+        |       FROM nd),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |              CAST(sum(c) AS BIGINT) AS n_rows,
+        |              CAST(sum(c * c) AS BIGINT) AS exact_join_rows FROM kc),
+        |cells AS (
+        |  SELECT i.i AS i,
+        |         ('0x' || substr(md5('cms' || CAST(i.i AS VARCHAR) || ':' ||
+        |            CAST(k AS VARCHAR)), 1, 15))::BIGINT % ws.width AS j,
+        |         CAST(sum(c) AS BIGINT) AS cell
+        |  FROM kc, generate_series(0, 4) AS i(i), ws GROUP BY 1, 2),
+        |pr AS (SELECT i, sum(cell * cell) AS est_i FROM cells GROUP BY 1)
+        |SELECT ex.n_keys, ex.n_rows, ex.exact_join_rows, ws.nd_est,
+        |       CAST(ws.width AS BIGINT) AS width,
+        |       CAST((SELECT min(est_i) FROM pr) AS BIGINT) AS est_join_rows
+        |FROM ex, ws""".stripMargin,
     // rank-definition quartiles over a full sort + the same integer fence
     // arithmetic — the gate decision (hence every count) replays exactly
     "x97_iqr_gate" ->

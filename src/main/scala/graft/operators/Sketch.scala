@@ -205,6 +205,47 @@ object Sketch {
         col("est_join_rows"))
   }
 
+  /** x105: [[joinSizeEstimate]] with the width OCCUPANCY-SIZED instead of
+    * fixed — the production default x95's own scale study demanded: with
+    * a fixed 8192-cell width, est/exact degraded 3.3 → 24.6 as 10× the
+    * keys packed the same cells (BASELINE.md's fill-degradation law).
+    * Here the width scales with the key cardinality (the way x51 sizes
+    * LSH bits from occupancy), so the collision inflation — roughly
+    * (1 + n_keys/width) for even counts — is pinned to a CONSTANT
+    * ≈ 1.125 at every corpus size until the 2²⁰ memory cap.
+    *
+    * The cardinality probe is a deterministic hash-sample estimator
+    * (keys whose md5 position ≡ 0 (mod 64), scaled back up — linear
+    * counting's sampled form): one extra aggregate over the already-
+    * reduced key-count relation, exact integer arithmetic, so BOTH the
+    * chosen width and the resulting estimate replay verbatim in the
+    * oracle. (`approx_count_distinct`/HLL — x27/x83 — is the same
+    * statistic, but its estimate is engine-specific; determinism is the
+    * reason the whole row can hash-gate.) Width sizing is pure integers:
+    * 8× the estimated cardinality rounded up to a 1024 multiple, clamped
+    * to [2¹⁰, 2²⁰]. The 1-row probe read is the convergence-probe idiom,
+    * never a data collect.
+    */
+  def sizedJoinSizeEstimate(li: DataFrame, depth: Int = 5): DataFrame = {
+    val keyCounts = graft.ckpt(li
+      .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("c")))
+    val ndEst = keyCounts
+      .filter(expr("cast(conv(substring(md5(concat('ndk:', cast(k as string))), " +
+        "1, 15), 16, 10) as bigint) % 64 = 0"))
+      .agg(count(lit(1))).head.getLong(0) * 64
+    val width = math.min(1048576L, math.max(1024L, 1024L * ((8 * ndEst + 1023) / 1024)))
+    val exact = keyCounts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("c")).as("n_rows"),
+      sum(col("c") * col("c")).as("exact_join_rows"))
+    val est = sketchCells(keyCounts, depth, width.toInt)
+      .groupBy(col("i")).agg(sum(col("cell") * col("cell")).as("est_i"))
+      .agg(min(col("est_i")).as("est_join_rows"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n_keys"), col("n_rows"), col("exact_join_rows"),
+        lit(ndEst).as("nd_est"), lit(width).as("width"), col("est_join_rows"))
+  }
+
   /** The deterministic CMS cell relation over a reduced `(k, c)` count
     * table: depth md5 positions per key, cell = Σ c. ≤ depth·width rows.
     */
