@@ -68,16 +68,28 @@ object BloomJoin {
         "wi -> coalesce(element_at(m, wi), cast(0 as bigint)))").as("bf"))
   }
 
-  /** Probe predicate against a `bf` column in scope: all [[Probes]] bits
-    * of `key` set. Codegen-friendly integer expressions only.
+  /** Probe predicate against a `bf` column in scope, from PRE-COMPUTED
+    * h1/h2 columns: each of the [[Probes]] positions is a cheap integer
+    * combination of the two hashes. Callers project the hashes ONCE per
+    * row ([[withProbeHashes]]) — building the predicate directly over
+    * `position(key, i)` would instantiate the md5 digest 2·[[Probes]]
+    * times per probed row and lean entirely on codegen subexpression
+    * elimination to deduplicate it.
     */
-  def mightContain(key: Column): Column =
+  private def mightContainFrom(h1v: Column, h2v: Column): Column =
     (0 until Probes).map { i =>
-      val p = position(key, i)
+      val p = pmod(h1v + lit(i.toLong) * h2v, lit(Bits))
       val word = element_at(col("bf"), floor(p / 64).cast("int") + 1)
       val bit = pmod(p, lit(64L)).cast("int")
       (call_function("shiftright", word, bit).bitwiseAND(lit(1L))) === 1L
     }.reduce(_ && _)
+
+  /** Projects `_h1`/`_h2` for `key` — one md5 per row, kept as real
+    * columns so the downstream multi-use cannot re-expand the digest
+    * (CollapseProject keeps non-cheap multi-referenced aliases).
+    */
+  private def withProbeHashes(df: DataFrame, key: Column): DataFrame =
+    df.withColumn("_h1", h1(key)).withColumn("_h2", h2(key))
 
   /** The production path: `fact` rows whose `factKey` survives the
     * bitmap, then the exact left-semi join that removes the false
@@ -88,9 +100,9 @@ object BloomJoin {
   def prunedSemiJoin(fact: DataFrame, factKey: String,
                      build: DataFrame, buildKey: String): DataFrame = {
     val bf = buildBitmap(build, buildKey)
-    fact.crossJoin(broadcast(bf))
-      .filter(mightContain(col(factKey)))
-      .drop("bf")
+    withProbeHashes(fact.crossJoin(broadcast(bf)), col(factKey))
+      .filter(mightContainFrom(col("_h1"), col("_h2")))
+      .drop("bf", "_h1", "_h2")
       .join(build.select(col(buildKey).as("_bk")).distinct(),
         col(factKey) === col("_bk"), "left_semi")
   }
@@ -106,8 +118,9 @@ object BloomJoin {
       .select(col("o_orderkey"))
     val bf = buildBitmap(build, "o_orderkey")
     val flags = build.select(col("o_orderkey").as("bk"), lit(true).as("is_match"))
-    lineitem.crossJoin(broadcast(bf))
-      .withColumn("bloom_pass", mightContain(col("l_orderkey")))
+    withProbeHashes(lineitem.crossJoin(broadcast(bf)), col("l_orderkey"))
+      .withColumn("bloom_pass", mightContainFrom(col("_h1"), col("_h2")))
+      .drop("_h1", "_h2")
       .join(flags, col("l_orderkey") === col("bk"), "left")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
