@@ -483,6 +483,11 @@ object SparkEntry {
     // comparison — the x31/x49 incremental posture for distribution shape
     "x98_kmeans_drift" -> ((s, d) =>
       graft.operators.KMeans.batchDriftProfile(Tables.load(s, d, "embeddings"))),
+    // x98 run CONTINUOUSLY: frozen-centroid assignment as a stateless
+    // streaming projection + a commutative per-cell count; stream = batch
+    // spec-pinned, and the row shares x98's oracle verbatim
+    "x106_stream_drift" -> ((s, d) =>
+      graft.queries.StreamingQueries.streamingDrift(s, d)),
     // video thumbnailing: every-2nd-frame sampling (before the decode
     // cost) + 2x nearest-neighbor decimation over really-decoded pixels;
     // the lossless plant makes even the RESIZED sums oracle-exact
@@ -1059,6 +1064,8 @@ object SparkEntry {
     // corpus-slice training + frozen-centroid serve, all unrolled; the
     // only floats are the two share divisions
     "x98_kmeans_drift" -> KMeansDriftOracle,
+    // the streaming monitor's contract IS x98's profile — same oracle
+    "x106_stream_drift" -> KMeansDriftOracle,
     // the full SNM replay: same blocking key, same global (bk, doc_id)
     // rank, same window, same distinct word-3-gram sets, same integer
     // 2·|A∩B| ≥ |A∪B| test — byte-for-byte pair parity

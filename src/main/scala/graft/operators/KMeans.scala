@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.CkptOps
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** x91: multi-iteration Lloyd k-means over the embedding corpus, in the
@@ -152,6 +152,46 @@ object KMeans {
         (col("n_batch").cast("double") / col("t_batch")).as("share_batch"))
       .orderBy("cell")
   }
+
+  /** The frozen drift-serve model x98 trains and x106's STREAMING
+    * monitor shares: the corpus's dominant dimensionality (the stream's
+    * ragged-vector gate), the k trained centroids COLLECTED as model
+    * parameters (k rows — the one thing that legitimately leaves the
+    * cluster, exactly like the BPE merge table), and the standing-corpus
+    * slice's per-cell occupancy under those frozen centroids (the
+    * baseline profile each live batch compares against).
+    */
+  def driftServeModel(emb: DataFrame, k: Int = 8, iterations: Int = 3)
+      : (Int, Array[(Int, Array[Double])], DataFrame) = {
+    val pts = quantizedPts(emb).ckpt()
+    val domSz = pts.select(size(col("fv")).as("d")).limit(1).head().getInt(0)
+    val corpus = pts.filter(!IncrementalAnn.isNewVec(col("vec_id")))
+    val cent = cellCentroids(lloyd(corpus, k, iterations)).ckpt()
+    val corpusCounts = corpus.crossJoin(broadcast(cent))
+      .withColumn("d2c", expr(Dist2Expr))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2c"), col("c_cell"))).as("m"))
+      .groupBy(col("m.c_cell").as("cell"))
+      .agg(count(lit(1)).as("n_corpus"))
+    val centArr = cent.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    (domSz, centArr, corpusCounts)
+  }
+
+  /** 1-NN cell of a quantized vector column under COLLECTED frozen
+    * centroids: `least` over k (d2, cell) structs — a pure STATELESS
+    * projection, so it runs inside a streaming plan where the
+    * aggregate-argmin form (a second stateful operator) cannot.
+    * Lexicographic struct comparison reproduces the (distance, cell)
+    * tie-break of the aggregate form exactly.
+    */
+  def assignCellExpr(fv: Column, cents: Array[(Int, Array[Double])]): Column =
+    least(cents.sortBy(_._1).map { case (cellId, c) =>
+      struct(
+        aggregate(zip_with(fv, typedlit(c), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, t) => a + t).cast("bigint").as("d2"),
+        lit(cellId).as("cell"))
+    }.toIndexedSeq: _*).getField("cell")
 
   /** Exact total inertia (Σ dist2) after `iterations` steps — Lloyd's
     * objective, monotonically non-increasing across iterations; pinned

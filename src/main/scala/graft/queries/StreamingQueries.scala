@@ -967,4 +967,77 @@ object StreamingQueries {
       trendingTopK(finalized)
     } finally deleteRecursively(spool)
   }
+
+  /** x106: STREAMING embedding-drift monitor — x98's frozen-centroid ops
+    * check run continuously, the live form a production pipeline actually
+    * deploys: the model (dominant dim + k centroids + the standing
+    * corpus's per-cell occupancy) is trained once in batch
+    * ([[graft.operators.KMeans.driftServeModel]]); the incoming batch
+    * slice then replays through the file spool as raw vectors and is
+    * quantized, dim-gated, and 1-NN-assigned per row by a STATELESS
+    * projection over the collected k-row centroid model
+    * ([[graft.operators.KMeans.assignCellExpr]] — `least` over (d2, cell)
+    * structs, the same tie-break as the batch argmin), so the only
+    * stateful operator is the per-cell COUNT (commutative — bit-identical
+    * under any arrival order or micro-batch placement). Complete-mode
+    * memory sink; the final profile joins the streaming occupancy against
+    * the frozen corpus baseline with x98's exact share arithmetic.
+    *
+    * Stream ≡ batch is the contract: the output equals
+    * `x98_kmeans_drift` row-for-row (spec-pinned; the ledger row shares
+    * x98's oracle verbatim).
+    */
+  def streamingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val (domSz, cents, corpusCounts) =
+      graft.operators.KMeans.driftServeModel(emb)
+    val baseline = corpusCounts.ckpt() // read by the join AND the totals
+    val feed = emb
+      .filter(graft.operators.IncrementalAnn.isNewVec(col("vec_id")))
+      .select(col("vec_id"), col("embedding"))
+    val spool = Files.createTempDirectory("graft_stream_drift")
+    val feedDir = spool.resolve("feed").toString
+    val name = s"graft_stream_drift_${runSeq.incrementAndGet()}"
+    try {
+      val t0 = System.nanoTime()
+      spoolChronological(feed, feedDir, FeedFiles, tsCol = "vec_id")
+      val tSpool = System.nanoTime()
+      val stream = spark.readStream
+        .schema(feed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feedDir)
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", streamParts)
+      val batchCounts =
+        try {
+          val assigned = stream
+            .select(expr("transform(cast(embedding as array<double>), " +
+              "x -> cast(floor(x * cast(1000000 as double)) as double))").as("fv"))
+            .filter(size(col("fv")) === domSz) // ragged vectors drop, as in batch
+            .select(graft.operators.KMeans.assignCellExpr(col("fv"), cents).as("cell"))
+          val q = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_batch"))
+            .writeStream.format("memory").queryName(name).outputMode("complete")
+            .option("checkpointLocation", spool.resolve("ckpt").toString)
+            .start()
+          try {
+            q.processAllAvailable()
+            streamCrumb("x106", t0, tSpool, q)
+            spark.table(name).ckpt()
+          } finally q.stop()
+        } finally {
+          spark.catalog.dropTempView(name)
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+      val counts = baseline.join(batchCounts, Seq("cell"), "full_outer")
+        .na.fill(0L, Seq("n_corpus", "n_batch"))
+        .ckpt() // ≤ k rows; read for the totals AND the share projection
+      val totals = counts.agg(sum(col("n_corpus")).as("t_corpus"),
+        sum(col("n_batch")).as("t_batch"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("cell"), col("n_corpus"), col("n_batch"),
+          (col("n_corpus").cast("double") / col("t_corpus")).as("share_corpus"),
+          (col("n_batch").cast("double") / col("t_batch")).as("share_batch"))
+        .orderBy("cell")
+    } finally deleteRecursively(spool)
+  }
 }

@@ -202,4 +202,14 @@ class StreamingAggSpec extends AnyFunSuite {
       assert(got == Seq("a", "b", "c"))
     } finally q.stop()
   }
+
+  test("x106 streaming drift monitor equals the batch x98 profile row-for-row") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSeq
+    val batch = rows(SparkEntry.queries("x98_kmeans_drift")(spark, sf))
+    val stream = rows(SparkEntry.queries("x106_stream_drift")(spark, sf))
+    assert(stream === batch)
+    assert(batch.nonEmpty)
+  }
 }
