@@ -866,9 +866,21 @@ object ScaleStudy {
           // 3.3× linear from exactly that; solo it is sublinear)
           System.gc()
           Thread.sleep(1000)
-          val t0 = System.nanoTime()
-          BenchHarness.consume(SparkEntry.queries(name)(spark, dirK))
-          val sec = (System.nanoTime() - t0) / 1e9
+          // Bench's protocol (one untimed warm run, min of two timed):
+          // the 1× bands the vs_linear column divides by are STEADY-STATE
+          // numbers, and a single cold draw at 10× carries a
+          // data-PROPORTIONAL interpreter/C1 warm-up tax before codegen
+          // compiles hot (x82 measured 193→152→65→30→40 s across five
+          // same-JVM 10× draws — the cold draw is 5-6× its own steady
+          // state, which round 14 misread as a scale residual). Warm +
+          // min-of-2 makes both ends of the ratio the same protocol.
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            BenchHarness.consume(SparkEntry.queries(name)(spark, dirK))
+            (System.nanoTime() - t0) / 1e9
+          }
+          once()
+          val sec = math.min(once(), once())
           val band = bands.getOrElse(name, Double.NaN)
           println(f"""{"op":"headline10x","query":"$name","sec":$sec%.2f,"band_1x":$band%.3f,"vs_linear":${sec / (band * k)}%.2f}""")
         }

@@ -12,12 +12,17 @@ object Verify {
       case Array(s, o, sub) => (s, o, Some(sub.split(",").toSet))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_CKPT_DIR flips every graft.ckpt call to RELIABLE
+    // checkpointing for the whole sweep — the cluster-durability posture
+    // proven at ledger scale, not just CheckpointSpec's toy plan.
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_CKPT_DIR")
+      .foreach(d => builder.config("spark.graft.checkpoint.dir", d))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
