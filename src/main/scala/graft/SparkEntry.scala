@@ -547,7 +547,17 @@ object SparkEntry {
     "x103_bpe_encode" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
       graft.operators.Bpe.encodeDocs(docs, graft.operators.Bpe.train(s, docs, BpeMerges))
-    })
+    }),
+    // product-quantization codebook training: independent fixed-point
+    // k-means per contiguous subspace (4x16 over the dominant 64-dim) —
+    // the compressed-index model behind memory-bounded ANN at corpus scale
+    "x107_pq_train" -> ((s, d) =>
+      graft.operators.ProductQuantization.codebook(Tables.load(s, d, "embeddings"))),
+    // IVFPQ-style ADC search: corpus-trained codebooks, sub-0 code as the
+    // coarse inverted-list key (~n/K candidates per query), exact-query-
+    // side LUT distances summed over the candidates' compressed codes
+    "x108_pq_adc_topk" -> ((s, d) =>
+      graft.operators.ProductQuantization.adcTopK(Tables.load(s, d, "embeddings")))
   )
 
   /** Merge-table depth shared by the x102/x103 Spark rows and their
@@ -973,6 +983,87 @@ object SparkEntry {
         |  CAST(n_batch AS DOUBLE) / t_batch AS share_batch
         |FROM cnts, tot ORDER BY cell""".stripMargin
 
+  /** Product-quantization training unrolled (x107/x108): the km base
+    * (fixed-point dominant-dim points) split into 4 contiguous 16-dim
+    * subspaces (spx), seeded `(vec_id + sub) % 4`, then `iters` Lloyd
+    * rounds run jointly across subspaces — per-(sub, cell) integral sums
+    * with one floored quotient per component (pct), exact-integer-d2
+    * argmin with (d2, cell) tie-break (pa). `trainFilter` scopes the
+    * training slice (x108 holds out vec_id % 10 = 7), mirroring
+    * kmeansOracleCte's slice-restriction pattern.
+    */
+  private def pqOracleCtes(trainFilter: String, iters: Int): String = {
+    val base =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |dd AS (SELECT len(v) AS dom_sz FROM e GROUP BY len(v) ORDER BY count(*) DESC, len(v) LIMIT 1),
+         |pts AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(v, x -> floor(x * CAST(1000000 AS DOUBLE))) AS fv
+         |  FROM e, dd WHERE len(v) = dom_sz),
+         |spx AS MATERIALIZED (
+         |  SELECT vec_id, CAST((di - 1) // 16 AS INT) AS sub,
+         |         CAST((di - 1) % 16 + 1 AS INT) AS sdi, xi
+         |  FROM (SELECT vec_id, unnest(generate_series(1, len(fv))) AS di, unnest(fv) AS xi FROM pts)),
+         |tspx AS MATERIALIZED (SELECT * FROM spx$trainFilter),
+         |pa0 AS MATERIALIZED (
+         |  SELECT DISTINCT vec_id, sub, CAST((vec_id + sub) % 4 AS INT) AS cell FROM tspx)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         |pcn$i AS (SELECT sub, cell, count(*) AS n FROM pa${i - 1} GROUP BY sub, cell),
+         |pct$i AS MATERIALIZED (
+         |  SELECT sx.sub, sx.cell, sx.sdi, floor(sx.s / pcn$i.n) AS ci
+         |  FROM (SELECT a.sub, a.cell, p.sdi, sum(p.xi) AS s
+         |        FROM pa${i - 1} a JOIN tspx p ON a.vec_id = p.vec_id AND a.sub = p.sub
+         |        GROUP BY 1, 2, 3) sx
+         |  JOIN pcn$i ON sx.sub = pcn$i.sub AND sx.cell = pcn$i.cell),
+         |pa$i AS MATERIALIZED (
+         |  SELECT p.vec_id, p.sub, c.cell,
+         |         CAST(sum((p.xi - c.ci) * (p.xi - c.ci)) AS BIGINT) AS d2
+         |  FROM tspx p JOIN pct$i c ON p.sub = c.sub AND p.sdi = c.sdi
+         |  GROUP BY p.vec_id, p.sub, c.cell
+         |  QUALIFY row_number() OVER (PARTITION BY p.vec_id, p.sub
+         |    ORDER BY CAST(sum((p.xi - c.ci) * (p.xi - c.ci)) AS BIGINT), c.cell) = 1)""".stripMargin
+    }.mkString
+    base + rounds
+  }
+
+  /** x107: full-corpus training; the surface is the final codebook
+    * (the centroid table the last assignment used), exploded to scalars.
+    */
+  private val PqTrainOracle: String =
+    pqOracleCtes("", 2) +
+      "\nSELECT sub, cell, sdi AS di, CAST(ci AS BIGINT) AS ci FROM pct2 ORDER BY sub, cell, di"
+
+  /** x108: corpus-slice training, held-out queries build an exact LUT
+    * against the final codebook, probe the sub-0 inverted list, and rank
+    * candidates by summed ADC distance with (adc_d2, c_id) tie-break.
+    */
+  private val PqAdcOracle: String =
+    pqOracleCtes(" WHERE vec_id % 10 <> 7", 2) +
+      """,
+        |lut AS MATERIALIZED (
+        |  SELECT q.vec_id AS q_id, c.sub, c.cell,
+        |         CAST(sum((q.xi - c.ci) * (q.xi - c.ci)) AS BIGINT) AS d2
+        |  FROM (SELECT * FROM spx WHERE vec_id % 10 = 7) q
+        |  JOIN pct2 c ON q.sub = c.sub AND q.sdi = c.sdi
+        |  GROUP BY 1, 2, 3),
+        |q0 AS MATERIALIZED (
+        |  SELECT q_id, cell FROM lut WHERE sub = 0
+        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d2, cell) = 1),
+        |cand AS MATERIALIZED (
+        |  SELECT q0.q_id, c0.vec_id AS c_id
+        |  FROM q0 JOIN pa2 c0 ON c0.sub = 0 AND c0.cell = q0.cell),
+        |adc AS MATERIALIZED (
+        |  SELECT cand.q_id, cand.c_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+        |  FROM cand
+        |  JOIN pa2 k ON k.vec_id = cand.c_id
+        |  JOIN lut l ON l.q_id = cand.q_id AND l.sub = k.sub AND l.cell = k.cell
+        |  GROUP BY 1, 2)
+        |SELECT q_id, rnk, c_id, adc_d2 FROM (
+        |  SELECT q_id, c_id, adc_d2,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, c_id) AS INT) AS rnk
+        |  FROM adc)
+        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
   /** BPE training unrolled (the x75/x91 pattern): w0 = per-word-type
     * symbol sequences (double-space encoding, `</w>` terminal) with exact
     * corpus frequencies; round i counts adjacent pairs (pc), picks the
@@ -1066,6 +1157,12 @@ object SparkEntry {
     "x98_kmeans_drift" -> KMeansDriftOracle,
     // the streaming monitor's contract IS x98's profile — same oracle
     "x106_stream_drift" -> KMeansDriftOracle,
+    // two unrolled fixed-point Lloyd rounds PER SUBSPACE — the learned
+    // PQ codebook replays component-for-component
+    "x107_pq_train" -> PqTrainOracle,
+    // corpus-slice training + exact query LUT + sub-0 inverted-list probe
+    // + summed ADC ranking, all integer-exact
+    "x108_pq_adc_topk" -> PqAdcOracle,
     // the full SNM replay: same blocking key, same global (bk, doc_id)
     // rank, same window, same distinct word-3-gram sets, same integer
     // 2·|A∩B| ≥ |A∪B| test — byte-for-byte pair parity

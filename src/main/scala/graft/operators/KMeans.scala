@@ -40,10 +40,10 @@ import org.apache.spark.sql.functions._
 object KMeans {
 
   /** Fixed-point quantized points at the dominant dimensionality:
-    * (vec_id, fv). Shared by [[assignments]] (x91) and
-    * [[batchDriftProfile]] (x98).
+    * (vec_id, fv). Shared by [[assignments]] (x91), [[batchDriftProfile]]
+    * (x98), and [[ProductQuantization]]'s subspace split (x107/x108).
     */
-  private def quantizedPts(emb: DataFrame): DataFrame = {
+  private[operators] def quantizedPts(emb: DataFrame): DataFrame = {
     graft.functions.ArrayExpressions.register(emb.sparkSession)
     val quantized = emb.select(col("vec_id"),
       expr("transform(cast(embedding as array<double>), " +

@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.CkptOps
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** x107/x108: product quantization — the memory-bounded ANN scale path
+  * (Jégou, Douze & Schmid 2011, "Product Quantization for Nearest
+  * Neighbor Search"). The d-dim embedding splits into `NumSub`
+  * contiguous subspaces; an independent k-means codebook is trained per
+  * subspace; a vector's code is its per-subspace nearest-centroid cells
+  * — `NumSub` small ints instead of d floats (here 4 bytes vs 256: a
+  * 64x index-memory cut, the property that lets a 100 TB corpus' ANN
+  * index fit a cluster's RAM). Queries score compressed codes via
+  * ADC (asymmetric distance computation): one exact lookup table of
+  * query-subvector-to-centroid distances, then a distance is just
+  * `NumSub` table adds.
+  *
+  * '''Determinism''' — everything rides x91's fixed-point frame:
+  * elements quantize once to floor(x·10⁶) integral doubles; per-subspace
+  * Lloyd iterations use exact integral sums, one floored IEEE quotient
+  * per centroid component, exact integer d2 argmins tie-broken by cell;
+  * seeding is `(vec_id + sub) % K` (pure function of the row — the +sub
+  * decorrelates subspace seeds). The codebook, the codes, the ADC
+  * distances and the top-k ranks therefore all hash-gate, and the whole
+  * train+search replays in DuckDB as unrolled MATERIALIZED CTEs.
+  *
+  * '''Scale shape''': training is x91's per-iteration plan run once over
+  * the subvector relation (n·NumSub rows): ONE map-side-combined
+  * aggregate for the per-(sub, cell) sums, ONE broadcast expansion
+  * (NumSub·K = 16 rows — a broadcast at any corpus size) whose argmin
+  * partial-aggregates to n·NumSub rows BEFORE the shuffle. Search is
+  * IVFPQ-shaped: the sub-0 code doubles as the coarse inverted-list key,
+  * so each query probes ~n/K candidates, not n; the ADC join touches
+  * candidate·NumSub code rows against the query's broadcast-joined LUT.
+  * Candidate lists are cell-bounded, so the per-query top-k window
+  * partitions are bounded by the largest inverted list, never the
+  * corpus. Per-round lineage truncates via `graft.ckpt`.
+  */
+object ProductQuantization {
+
+  /** Subspaces (the embedding's dominant dim 64 splits 4 x 16). */
+  val NumSub = 4
+
+  /** Dimensions per subspace. */
+  val SubDim = 16
+
+  /** Centroids per subspace codebook (codes are 2 bits here; production
+    * uses 256 — the plan is identical, only the broadcast grows to
+    * NumSub·256 rows).
+    */
+  val K = 4
+
+  /** Lloyd iterations per subspace (trained jointly in one relation). */
+  val Iters = 2
+
+  /** Subvector relation (vec_id, sub, sv): each dominant-dim fixed-point
+    * vector split into NumSub contiguous SubDim-slices.
+    */
+  private def subPts(emb: DataFrame): DataFrame =
+    KMeans.quantizedPts(emb).select(col("vec_id"),
+        explode(expr(s"transform(sequence(0, ${NumSub - 1}), " +
+          s"s -> struct(cast(s as int) AS sub, slice(fv, s * $SubDim + 1, $SubDim) AS sv))"))
+          .as("p"))
+      .select(col("vec_id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
+
+  /** Per-(sub, cell) fixed-point mean centroids of an assignment:
+    * (sub, c_cell, c) — at most NumSub·K rows, broadcast-sized always.
+    */
+  private def centroids(asg: DataFrame): DataFrame =
+    asg.groupBy(col("sub"), col("cell"))
+      .agg(graft.functions.ArrayExpressions.vectorSum(col("sv")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("sub"), col("cell").as("c_cell"),
+        expr("transform(s, x -> cast(floor(x / cast(n as double)) as double))").as("c"))
+
+  private val Dist2Expr =
+    "cast(aggregate(zip_with(sv, c, (x, y) -> (x - y) * (x - y)), " +
+      "cast(0 as double), (a, t) -> a + t) as bigint)"
+
+  /** `Iters` Lloyd rounds over the subvector relation from the
+    * `(vec_id + sub) % K` seeding. Returns (codebook, codes): the final
+    * centroid table (the one the last assignment used — the trained
+    * model) and the final per-(vec, sub) assignment.
+    */
+  private def train(sp: DataFrame): (DataFrame, DataFrame) = {
+    var asg = sp
+      .withColumn("cell", pmod(col("vec_id") + col("sub"), lit(K.toLong)).cast("int"))
+      .ckpt() // each round reads the previous assignment twice
+    var cb: DataFrame = asg // overwritten below (Iters >= 1)
+    for (_ <- 1 to Iters) {
+      // tiny (<= NumSub*K rows) but consumed by this round's argmin AND
+      // by the caller (x107 surface / x108 LUT) — ckpt, the ReuseExchange
+      // rule for multiply-consumed small aggregates
+      cb = centroids(asg).ckpt()
+      asg = sp.join(broadcast(cb), Seq("sub"))
+        .withColumn("d2c", expr(Dist2Expr))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d2c"), col("c_cell"), col("sv"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.sv").as("sv"),
+          col("m.c_cell").as("cell"), col("m.d2c").as("d2"))
+        .ckpt()
+    }
+    (cb, asg)
+  }
+
+  /** x107: the trained codebook over the full corpus, exploded to scalar
+    * rows for the hash gate: (sub, cell, di, ci) with di the 1-based
+    * dimension within the subspace and ci the fixed-point centroid
+    * component. NumSub·K·SubDim rows, ordered.
+    */
+  def codebook(emb: DataFrame): DataFrame = {
+    val (cb, _) = train(subPts(emb))
+    cb.select(col("sub"), col("c_cell").as("cell"), posexplode(col("c")))
+      .select(col("sub"), col("cell"), (col("pos") + 1).cast("int").as("di"),
+        col("col").cast("long").as("ci"))
+      .orderBy("sub", "cell", "di")
+  }
+
+  /** x108: IVFPQ-style ADC top-k search. Codebooks train on the corpus
+    * slice only (vec_id % 10 != 7 — x98's held-out split, so queries
+    * never leak into the model); corpus vectors compress to their
+    * NumSub-cell codes; each query builds its exact LUT against the
+    * broadcast codebook, probes the inverted list keyed by its nearest
+    * sub-0 cell (the coarse index — ~n/K candidates), and ranks
+    * candidates by the ADC distance (exact-query-side, quantized-corpus-
+    * side), ties by candidate id. (q_id, rnk, c_id, adc_d2).
+    */
+  def adcTopK(emb: DataFrame, topK: Int = 3): DataFrame = {
+    // read by training (Iters rounds) and the query-side LUT
+    val sp = subPts(emb).ckpt()
+    val isQuery = pmod(col("vec_id"), lit(10L)) === 7
+    val (cb, codes0) = train(sp.filter(!isQuery))
+    val codes = codes0.select(col("vec_id").as("c_id"), col("sub"), col("cell"))
+    // exact per-(query, sub, cell) distance table: |queries|*NumSub*K rows,
+    // consumed twice (coarse probe + ADC sum)
+    val lut = sp.filter(isQuery).join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", expr(Dist2Expr))
+      .select(col("vec_id").as("q_id"), col("sub"), col("c_cell").as("cell"), col("d2"))
+      .ckpt()
+    val q0 = lut.filter(col("sub") === 0)
+      .groupBy(col("q_id")).agg(min(struct(col("d2"), col("cell"))).as("m"))
+      .select(col("q_id"), col("m.cell").as("cell"))
+    val cand = q0
+      .join(codes.filter(col("sub") === 0).select(col("c_id"), col("cell")), Seq("cell"))
+      .select(col("q_id"), col("c_id"))
+    val adc = cand.join(codes, Seq("c_id"))
+      .join(lut, Seq("q_id", "sub", "cell"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("d2")).as("adc_d2"))
+    // per-query partitions are inverted-list-bounded, never corpus-sized
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("c_id"))
+    adc.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("adc_d2"))
+      .orderBy("q_id", "rnk")
+  }
+}

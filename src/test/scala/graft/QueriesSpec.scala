@@ -2273,6 +2273,72 @@ class QueriesSpec extends AnyFunSuite {
     assert(after("en")._2 >= got("en")._4 + 5, "planted extremes were not dropped high")
   }
 
+  test("x107/x108 product quantization: codebook and ADC top-k match a brute-force twin") {
+    import graft.operators.ProductQuantization.{K, NumSub, SubDim}
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).map(x => math.floor(x * 1e6)).toArray)
+    val domSz = vecs.groupBy(_._2.length).maxBy { case (sz, xs) => (xs.length, -sz) }._1
+    val pts = vecs.filter(_._2.length == domSz)
+    // (id, sub) -> subvector
+    def subv(fv: Array[Double], s: Int): Array[Double] = fv.slice(s * SubDim, (s + 1) * SubDim)
+    def dist2(a: Array[Double], c: Array[Double]): Long =
+      a.zip(c).map { case (x, y) => ((x - y) * (x - y)).toLong }.sum
+    // 2 Lloyd rounds from the (id + sub) % K seed over a training slice;
+    // returns (codebook: (sub, cell) -> centroid, codes: (id, sub) -> cell)
+    def train(slice: Array[(Long, Array[Double])])
+      : (Map[(Int, Int), Array[Double]], Map[(Long, Int), Int]) = {
+      var asg: Map[(Long, Int), Int] = (for ((id, _) <- slice; s <- 0 until NumSub)
+        yield (id, s) -> ((id + s) % K).toInt).toMap
+      var cb: Map[(Int, Int), Array[Double]] = Map.empty
+      for (_ <- 1 to 2) {
+        cb = asg.groupBy { case ((_, s), cell) => (s, cell) }.map { case (key, members) =>
+          val xs = members.keys.toSeq.sortBy(_._1)
+            .map { case (id, s) => subv(slice.find(_._1 == id).get._2, s) }
+          val n = xs.length.toDouble
+          key -> xs.transpose.map(colv => math.floor(colv.sum / n)).toArray
+        }
+        asg = (for ((id, fv) <- slice; s <- 0 until NumSub) yield {
+          val (cell, _) = cb.collect { case ((cs, cc), cv) if cs == s => (cc, dist2(subv(fv, s), cv)) }
+            .toSeq.minBy { case (c, d) => (d, c) }
+          (id, s) -> cell
+        }).toMap
+      }
+      (cb, asg)
+    }
+    // x107: full-corpus codebook, exploded
+    val (cbAll, _) = train(pts)
+    val gotCb = SparkEntry.queries("x107_pq_train")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    val expCb = cbAll.toSeq.flatMap { case ((s, c), cv) =>
+      cv.zipWithIndex.map { case (x, i) => (s, c, i + 1) -> x.toLong }
+    }.toMap
+    assert(gotCb == expCb)
+    // x108: corpus-trained, held-out queries, sub-0 inverted-list probe,
+    // summed ADC distance, top-3 by (adc_d2, c_id)
+    val corpus = pts.filter(_._1 % 10 != 7)
+    val queries = pts.filter(_._1 % 10 == 7)
+    val (cb, codes) = train(corpus)
+    val expTop = queries.flatMap { case (qid, qfv) =>
+      def lut(s: Int, cell: Int): Long = dist2(subv(qfv, s), cb((s, cell)))
+      val q0 = (0 until K).filter(c => cb.contains((0, c)))
+        .map(c => (c, lut(0, c))).minBy { case (c, d) => (d, c) }._1
+      val cand = corpus.filter { case (cid, _) => codes((cid, 0)) == q0 }
+      cand.map { case (cid, _) =>
+        (qid, cid, (0 until NumSub).map(s => lut(s, codes((cid, s)))).sum)
+      }.sortBy { case (_, cid, d) => (d, cid) }.take(3).zipWithIndex
+        .map { case ((q, c, d), i) => (q, i + 1, c, d) }
+    }.toSet
+    val gotTop = SparkEntry.queries("x108_pq_adc_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotTop == expTop)
+    // partitioning-independence: the fixed-point argument in practice
+    val emb = Tables.load(spark, sf, "embeddings")
+    val re = graft.operators.ProductQuantization.codebook(emb.repartition(7)).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(re == gotCb)
+  }
+
   test("x98 kmeans drift: matches a brute-force twin; occupancy totals partition both slices") {
     val k = 8
     val vecs = Tables.load(spark, sf, "embeddings")
