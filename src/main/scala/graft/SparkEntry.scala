@@ -557,7 +557,16 @@ object SparkEntry {
     // coarse inverted-list key (~n/K candidates per query), exact-query-
     // side LUT distances summed over the candidates' compressed codes
     "x108_pq_adc_topk" -> ((s, d) =>
-      graft.operators.ProductQuantization.adcTopK(Tables.load(s, d, "embeddings")))
+      graft.operators.ProductQuantization.adcTopK(Tables.load(s, d, "embeddings"))),
+    // trained quality classifier: 3 batch-perceptron rounds in exact
+    // integer arithmetic over weak labels — learned weights + per-round
+    // update counts replay round-for-round in SQL
+    "x109_perceptron_train" -> ((s, d) =>
+      graft.operators.Classifier.trainTable(s, Tables.load(s, d, "documents"))),
+    // the trained model scoring the whole corpus: per-source confusion
+    // counts of sign(w.x) against the weak labels — all integers
+    "x110_perceptron_gate" -> ((s, d) =>
+      graft.operators.Classifier.confusionBySource(Tables.load(s, d, "documents")))
   )
 
   /** Merge-table depth shared by the x102/x103 Spark rows and their
@@ -1064,6 +1073,70 @@ object SparkEntry {
         |  FROM adc)
         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
+  /** Batch-perceptron training unrolled (x109/x110): integer feature
+    * relation + weak labels (fy), then per round i a single-row update
+    * aggregate over the margin-<=0 set (g_i) and the updated weights
+    * (w_i) — all exact integer sums, replaying the Spark loop
+    * round-for-round. Shared by the train-trace and confusion oracles.
+    */
+  private def perceptronCtes(iters: Int): String = {
+    val base =
+      """WITH f AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    CAST(length(text) AS BIGINT) AS fc,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ft,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS fp,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS fd,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> list_contains(['the','a','and','of','to','in','is'], t))) AS BIGINT) AS fs
+        |  FROM documents),
+        |fy AS MATERIALIZED (
+        |  SELECT *, CASE WHEN 5 * fs >= ft AND 10 * fd <= fc THEN 1 ELSE -1 END AS y FROM f),
+        |w0 AS (SELECT CAST(0 AS BIGINT) AS wc, CAST(0 AS BIGINT) AS wt, CAST(0 AS BIGINT) AS wp,
+        |              CAST(0 AS BIGINT) AS wd, CAST(0 AS BIGINT) AS ws, CAST(0 AS BIGINT) AS wb)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         |g$i AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS nu,
+         |         CAST(coalesce(sum(y * fc), 0) AS BIGINT) AS gc,
+         |         CAST(coalesce(sum(y * ft), 0) AS BIGINT) AS gt,
+         |         CAST(coalesce(sum(y * fp), 0) AS BIGINT) AS gp,
+         |         CAST(coalesce(sum(y * fd), 0) AS BIGINT) AS gd,
+         |         CAST(coalesce(sum(y * fs), 0) AS BIGINT) AS gs,
+         |         CAST(coalesce(sum(y), 0) AS BIGINT) AS gb
+         |  FROM fy, w${i - 1}
+         |  WHERE y * (wc * fc + wt * ft + wp * fp + wd * fd + ws * fs + wb) <= 0),
+         |w$i AS MATERIALIZED (
+         |  SELECT wc + gc AS wc, wt + gt AS wt, wp + gp AS wp,
+         |         wd + gd AS wd, ws + gs AS ws, wb + gb AS wb
+         |  FROM w${i - 1}, g$i)""".stripMargin
+    }.mkString
+    base + rounds
+  }
+
+  private val PerceptronIters = 3
+
+  private val PerceptronTrainOracle: String =
+    perceptronCtes(PerceptronIters) + "\n" +
+      (1 to PerceptronIters).map(i =>
+        s"SELECT CAST($i AS INT) AS iter, g$i.nu AS n_updates, w$i.wc AS w_chars, w$i.wt AS w_tokens, " +
+          s"w$i.wp AS w_punct, w$i.wd AS w_digits, w$i.ws AS w_stop, w$i.wb AS w_bias FROM g$i, w$i")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY iter")
+
+  private val PerceptronGateOracle: String =
+    perceptronCtes(PerceptronIters) +
+      s""",
+         |scored AS (
+         |  SELECT source, y,
+         |         CASE WHEN wc * fc + wt * ft + wp * fp + wd * fd + ws * fs + wb >= 0
+         |              THEN 1 ELSE -1 END AS pred
+         |  FROM fy, w$PerceptronIters)
+         |SELECT source,
+         |  CAST(sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN y = -1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN y = -1 AND pred = -1 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |  CAST(sum(CASE WHEN y = 1 AND pred = -1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
   /** BPE training unrolled (the x75/x91 pattern): w0 = per-word-type
     * symbol sequences (double-space encoding, `</w>` terminal) with exact
     * corpus frequencies; round i counts adjacent pairs (pc), picks the
@@ -1163,6 +1236,11 @@ object SparkEntry {
     // corpus-slice training + exact query LUT + sub-0 inverted-list probe
     // + summed ADC ranking, all integer-exact
     "x108_pq_adc_topk" -> PqAdcOracle,
+    // three unrolled exact-integer batch-perceptron rounds — the learned
+    // weights and update counts replay round-for-round
+    "x109_perceptron_train" -> PerceptronTrainOracle,
+    // the same unroll + sign(w.x) scoring + per-source confusion rollup
+    "x110_perceptron_gate" -> PerceptronGateOracle,
     // the full SNM replay: same blocking key, same global (bk, doc_id)
     // rank, same window, same distinct word-3-gram sets, same integer
     // 2·|A∩B| ≥ |A∪B| test — byte-for-byte pair parity

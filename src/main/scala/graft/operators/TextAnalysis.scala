@@ -25,7 +25,7 @@ object TextAnalysis {
     */
   val LexiconOrder: Seq[String] = Seq("en", "es", "de", "fr")
 
-  private def hits(toks: Column, words: Seq[String]): Column =
+  private[operators] def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
   /** Per-document language prediction: argmax of stopword hits with a

@@ -2339,6 +2339,55 @@ class QueriesSpec extends AnyFunSuite {
     assert(re == gotCb)
   }
 
+  test("x109/x110 perceptron: matches a hand-computed twin on a corpus that exercises every feature") {
+    import spark.implicits._
+    // punctuation + digits present (the parquet fixture has neither), so
+    // all six weight coordinates move
+    val texts = Seq(
+      "the cat sat on the mat and the dog is here",
+      "a list of 100 items: 1, 2, 3, 4, 5, 6, 7!",
+      "to be or not to be is the question of a king",
+      "x9 z8 q7 w6 v5 u4 t3 s2 r1 p0",
+      "in the end a story of the sea is told to all",
+      "numbers 42 and 7 are of interest; the rest is noise")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", s"s${i % 2}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // plain-Scala twin with the exact same feature/label/update rules
+    val stop = Set("the", "a", "and", "of", "to", "in", "is")
+    val feats = texts.zipWithIndex.map { case (t, i) =>
+      val toks = t.split("\\s+", -1)
+      val x = Array[Long](t.length, toks.length, t.count(".,!?;:".contains(_)),
+        t.count(_.isDigit), toks.count(stop), 1L)
+      val y = if (5 * x(4) >= x(1) && 10 * x(3) <= x(0)) 1L else -1L
+      (i % 2, x, y)
+    }
+    var w = Array.fill(6)(0L)
+    val trace = (1 to 3).map { it =>
+      val upd = feats.filter { case (_, x, y) => y * x.zip(w).map { case (a, b) => a * b }.sum <= 0 }
+      w = w.zip((0 to 5).map(j => upd.map { case (_, x, y) => y * x(j) }.sum)).map { case (a, b) => a + b }
+      (it, upd.size.toLong, w.toSeq)
+    }
+    val gotTrace = graft.operators.Classifier.trainTable(spark, docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), (2 to 7).map(r.getLong)))
+    assert(gotTrace.toSeq == trace)
+    // every coordinate of the learned model moved on this corpus
+    assert(w.forall(_ != 0L), s"inert weight coordinate in ${w.toSeq}")
+    val conf = feats.map { case (src, x, y) =>
+      val pred = if (x.zip(w).map { case (a, b) => a * b }.sum >= 0) 1L else -1L
+      (src, y, pred)
+    }
+    val expConf = conf.groupBy(_._1).map { case (src, xs) =>
+      (s"s$src", xs.count(t => t._2 == 1 && t._3 == 1).toLong,
+        xs.count(t => t._2 == -1 && t._3 == 1).toLong,
+        xs.count(t => t._2 == -1 && t._3 == -1).toLong,
+        xs.count(t => t._2 == 1 && t._3 == -1).toLong)
+    }.toSet
+    val gotConf = graft.operators.Classifier.confusionBySource(docs.repartition(5)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(gotConf == expConf)
+  }
+
   test("x98 kmeans drift: matches a brute-force twin; occupancy totals partition both slices") {
     val k = 8
     val vecs = Tables.load(spark, sf, "embeddings")
