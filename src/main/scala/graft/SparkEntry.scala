@@ -566,7 +566,14 @@ object SparkEntry {
     // the trained model scoring the whole corpus: per-source confusion
     // counts of sign(w.x) against the weak labels — all integers
     "x110_perceptron_gate" -> ((s, d) =>
-      graft.operators.Classifier.confusionBySource(Tables.load(s, d, "documents")))
+      graft.operators.Classifier.confusionBySource(Tables.load(s, d, "documents"))),
+    // x38's packing layout denominated in REAL subword tokens (x103's
+    // trained tokenizer) — the layout a trainer actually consumes
+    "x111_bpe_packing" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      graft.operators.Sampling.bpeSequencePacking(docs,
+        graft.operators.Bpe.train(s, docs, BpeMerges))
+    })
   )
 
   /** Merge-table depth shared by the x102/x103 Spark rows and their
@@ -1182,7 +1189,12 @@ object SparkEntry {
     * position order; per-doc rollup LEFT-JOINed back so empty documents
     * keep a (0, md5('')) row like the Spark transform-lambda path.
     */
-  private val BpeEncodeOracle: String = {
+  /** Training unroll + the merge table pivoted to one row + the identical
+    * replace-chain encode applied to every word of every document in
+    * position order, ending at `we` (doc_id, p0, enc). Shared by the
+    * x103 encode and x111 token-denominated packing oracles.
+    */
+  private val BpeAppliedCtes: String = {
     val pivot = (1 to BpeMerges).map(i =>
       s"max(CASE WHEN i = $i THEN a END) AS a$i, max(CASE WHEN i = $i THEN b END) AS b$i")
       .mkString(",\n  ")
@@ -1204,16 +1216,44 @@ object SparkEntry {
          |            list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS arr
          |          FROM documents))),
          |we AS MATERIALIZED (
-         |  SELECT doc_id, p0, trim($applied) AS enc FROM wx, mrow),
-         |agg AS MATERIALIZED (
-         |  SELECT doc_id,
-         |         CAST(sum(len(string_split(enc, '  '))) AS BIGINT) AS n_tokens,
-         |         md5(string_agg(enc, '|' ORDER BY p0)) AS enc_md5
-         |  FROM we GROUP BY doc_id)
-         |SELECT d.doc_id, coalesce(a.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
-         |       coalesce(a.enc_md5, md5('')) AS enc_md5
-         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin
+         |  SELECT doc_id, p0, trim($applied) AS enc FROM wx, mrow)""".stripMargin
   }
+
+  private val BpeEncodeOracle: String =
+    BpeAppliedCtes +
+      """,
+        |agg AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         CAST(sum(len(string_split(enc, '  '))) AS BIGINT) AS n_tokens,
+        |         md5(string_agg(enc, '|' ORDER BY p0)) AS enc_md5
+        |  FROM we GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+        |       coalesce(a.enc_md5, md5('')) AS enc_md5
+        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  /** x111: the x38 packing window denominated in the trained tokenizer's
+    * subword counts (empty docs count 0 but still land at their offset's
+    * pack, x38's greatest(n, 1) rule).
+    */
+  private val BpePackingOracle: String =
+    BpeAppliedCtes +
+      """,
+        |tok AS MATERIALIZED (
+        |  SELECT doc_id, CAST(sum(len(string_split(enc, '  '))) AS BIGINT) AS n_tokens
+        |  FROM we GROUP BY doc_id),
+        |t AS (
+        |  SELECT d.source, d.doc_id, d.doc_id % 4 AS shard,
+        |         CAST(coalesce(tok.n_tokens, 0) AS BIGINT) AS n_tokens
+        |  FROM documents d LEFT JOIN tok USING (doc_id)),
+        |s AS (
+        |  SELECT source, shard, doc_id, n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM t)
+        |SELECT source, shard, doc_id, n_tokens, tok_start,
+        |       tok_start // 256 AS pack_id,
+        |       (tok_start + greatest(n_tokens, 1) - 1) // 256 - tok_start // 256 + 1 AS packs_spanned
+        |FROM s ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // ten unrolled exact merge rounds — the learned BPE table replays
@@ -1241,6 +1281,9 @@ object SparkEntry {
     "x109_perceptron_train" -> PerceptronTrainOracle,
     // the same unroll + sign(w.x) scoring + per-source confusion rollup
     "x110_perceptron_gate" -> PerceptronGateOracle,
+    // training unroll + replace-chain encode + the x38 packing window
+    // over the resulting subword counts
+    "x111_bpe_packing" -> BpePackingOracle,
     // the full SNM replay: same blocking key, same global (bk, doc_id)
     // rank, same window, same distinct word-3-gram sets, same integer
     // 2·|A∩B| ≥ |A∪B| test — byte-for-byte pair parity

@@ -122,6 +122,15 @@ object Bpe {
     merges.result()
   }
 
+  /** Subword token count of a text under a trained merge table — the
+    * column form of [[encodeDocs]]'s count, for token-denominated
+    * consumers (x111's packing): Σ over words of the encoded symbol
+    * count. Shuffle-free, codegen-friendly, 0 for empty documents.
+    */
+  def tokenCount(text: Column, merges: Seq[Merge]): Column =
+    aggregate(transform(words(text), w => trim(applyMerges(encodeWord(w), merges))),
+      lit(0L), (acc, e) => acc + size(split(e, "  ")))
+
   /** The learned merge table as a DataFrame — the x102 ledger surface:
     * (merge_rank, lhs, rhs, merged, pair_count) in rank order.
     */

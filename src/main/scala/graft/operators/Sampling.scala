@@ -236,7 +236,27 @@ object Sampling {
     * shuffle-partitioned on (source, shard) and sorted by doc_id — one
     * exchange, one sort, no join.
     */
-  def sequencePacking(docs: DataFrame, budget: Int = 256, nShards: Int = 4): DataFrame = {
+  def sequencePacking(docs: DataFrame, budget: Int = 256, nShards: Int = 4): DataFrame =
+    packBy(docs,
+      size(filter(graft.operators.TextAnalysis.tokens(lower(col("text"))),
+        t => t =!= "")),
+      budget, nShards)
+
+  /** x111: [[sequencePacking]] denominated in REAL subword tokens — the
+    * trainer-facing layout a pipeline actually ships once a tokenizer
+    * exists (x38's whitespace counts systematically under-fill packs vs
+    * the true token budget). Same deterministic layout arithmetic; the
+    * per-doc count is x103's shuffle-free replace-chain encode.
+    */
+  def bpeSequencePacking(docs: DataFrame, merges: Seq[Bpe.Merge],
+                         budget: Int = 256, nShards: Int = 4): DataFrame =
+    packBy(docs, Bpe.tokenCount(col("text"), merges), budget, nShards)
+
+  /** The packing core: lay documents end-to-end in doc_id order per
+    * (source, shard) under the given per-doc token-count column. The
+    * count column's type is preserved (x38 ships int, x111 long).
+    */
+  private def packBy(docs: DataFrame, nTokens: Column, budget: Int, nShards: Int): DataFrame = {
     require(budget > 0 && nShards > 0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"), col("shard"))
@@ -244,8 +264,7 @@ object Sampling {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     docs
       .select(col("source"), col("doc_id"), pmod(col("doc_id"), lit(nShards)).as("shard"),
-        size(filter(graft.operators.TextAnalysis.tokens(lower(col("text"))),
-          t => t =!= "")).as("n_tokens"))
+        nTokens.as("n_tokens"))
       .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       // an empty doc occupies no slots but still "lands" at its offset's
       // pack; greatest(n_tokens, 1) keeps the span formula total

@@ -2339,6 +2339,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(re == gotCb)
   }
 
+  test("x111 bpe packing: counts equal x103's encode; offsets are exact running sums; spans recompute") {
+    val got = SparkEntry.queries("x111_bpe_packing")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    val encCounts = SparkEntry.queries("x103_bpe_encode")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got.forall { case (_, _, id, n, _, _, _) => encCounts(id) == n })
+    // layout invariants per (source, shard): offsets are the exact running
+    // sum in doc_id order, and spans re-derive from the same arithmetic
+    got.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3)
+      var run = 0L
+      sorted.foreach { case (_, _, _, n, start, pack, span) =>
+        assert(start == run && pack == start / 256 &&
+          span == (start + math.max(n, 1) - 1) / 256 - start / 256 + 1)
+        run += n
+      }
+    }
+  }
+
   test("x109/x110 perceptron: matches a hand-computed twin on a corpus that exercises every feature") {
     import spark.implicits._
     // punctuation + digits present (the parquet fixture has neither), so
