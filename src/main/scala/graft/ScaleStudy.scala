@@ -68,7 +68,8 @@ object ScaleStudy {
     // study without paying for the full sweep): sections are
     // pairs / incremental / ann / annocc / x54 / pagerank / simdedup /
     // stream / trigram / triangles / containment / kmeans / bloom /
-    // quantiles / snm / cmsjoin / drift / bpe; no args = the full sweep (BASELINE.md)
+    // quantiles / snm / cmsjoin / drift / bpe / pq / perceptron;
+    // no args = the full sweep (BASELINE.md)
     val only = args.toSet
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
     // untimed warmup: codegen + JIT of the LSH plan, so the scale-1 row
@@ -784,6 +785,47 @@ object ScaleStudy {
         .agg(sum(col("n_tokens"))).head.getLong(0)
       val tEnc = (System.nanoTime() - t2) / 1e9
       println(f"""{"op":"bpe","scale":$k,"docs":$nDocs,"word_types":$nTypes,"total_tokens":$toks,"dict_sec":$tDict%.2f,"train_sec":$tTrain%.2f,"encode_sec":$tEnc%.2f}""")
+    }
+    // x107/x108 PQ at 1×/3×/10×: rotation replicas. Training is x91's
+    // per-iteration plan over the n·NumSub subvector relation (argmin
+    // partial-aggregates before the shuffle, NumSub·K-row broadcast);
+    // ADC search scopes candidates to the sub-0 inverted list (~n/K per
+    // query), so top-k rows grow with queries while per-query work grows
+    // with list size — wall must stay near-linear in the corpus.
+    if (want("pq")) for (k <- Seq(1, 3, 10)) {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val embK = expandEmbeddings(emb, k).localCheckpoint()
+      val nVec = embK.count()
+      val t0 = System.nanoTime()
+      graft.operators.ProductQuantization.codebook(embK).count()
+      val tTrain = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val agg = graft.operators.ProductQuantization.adcTopK(embK)
+        .agg(count(lit(1)), countDistinct(col("q_id"))).head
+      val tAdc = (System.nanoTime() - t1) / 1e9
+      println(f"""{"op":"pq","scale":$k,"vectors":$nVec,"queries":${agg.getLong(1)},"topk_rows":${agg.getLong(0)},"train_sec":$tTrain%.2f,"adc_sec":$tAdc%.2f}""")
+    }
+    // x109/x110 perceptron at 1×/3×/10×: cipher replicas (a synthetic
+    // source key re-attached — the study corpus ships only doc_id/text).
+    // Each training round is ONE map-side-combined 7-value aggregate and
+    // scoring is a stateless projection + per-source rollup, so both
+    // walls must track the corpus linearly; the final-round update count
+    // and total scored docs pin that the work actually grew k-fold.
+    if (want("perceptron")) for (k <- Seq(1, 3, 10)) {
+      val corpus = expand(docs, k)
+        .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(8L))))
+        .localCheckpoint()
+      val nDocs = corpus.count()
+      val t0 = System.nanoTime()
+      val lastRound = graft.operators.Classifier.trainTable(spark, corpus)
+        .orderBy(col("iter").desc).head
+      val tTrain = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val scored = graft.operators.Classifier.confusionBySource(corpus)
+        .agg(sum(col("tp") + col("fp") + col("tn") + col("fn"))).head.getLong(0)
+      val tGate = (System.nanoTime() - t1) / 1e9
+      println(f"""{"op":"perceptron","scale":$k,"docs":$nDocs,"last_round_updates":${lastRound.getLong(1)},"scored":$scored,"train_sec":$tTrain%.2f,"gate_sec":$tGate%.2f}""")
     }
     // HEADLINE rows at 10×: the 20 most expensive ledger queries run
     // EXACTLY as shipped (SparkEntry.queries, BenchHarness.consume)

@@ -83,25 +83,29 @@ object ProductQuantization {
   /** `Iters` Lloyd rounds over the subvector relation from the
     * `(vec_id + sub) % K` seeding. Returns (codebook, codes): the final
     * centroid table (the one the last assignment used — the trained
-    * model) and the final per-(vec, sub) assignment.
+    * model) and the final per-(vec, sub) assignment. Intermediate
+    * assignments ckpt per round (each is read by the next centroid
+    * update); the FINAL one is returned LAZY — eager ckpt here would
+    * make x107 (which consumes only the codebook) pay for an
+    * assignment pass it discards; x108 ckpts it at its two-read site.
     */
   private def train(sp: DataFrame): (DataFrame, DataFrame) = {
     var asg = sp
       .withColumn("cell", pmod(col("vec_id") + col("sub"), lit(K.toLong)).cast("int"))
-      .ckpt() // each round reads the previous assignment twice
+      .ckpt()
     var cb: DataFrame = asg // overwritten below (Iters >= 1)
-    for (_ <- 1 to Iters) {
+    for (i <- 1 to Iters) {
       // tiny (<= NumSub*K rows) but consumed by this round's argmin AND
       // by the caller (x107 surface / x108 LUT) — ckpt, the ReuseExchange
       // rule for multiply-consumed small aggregates
       cb = centroids(asg).ckpt()
-      asg = sp.join(broadcast(cb), Seq("sub"))
+      val next = sp.join(broadcast(cb), Seq("sub"))
         .withColumn("d2c", expr(Dist2Expr))
         .groupBy(col("vec_id"), col("sub"))
         .agg(min(struct(col("d2c"), col("c_cell"), col("sv"))).as("m"))
         .select(col("vec_id"), col("sub"), col("m.sv").as("sv"),
           col("m.c_cell").as("cell"), col("m.d2c").as("d2"))
-        .ckpt()
+      asg = if (i < Iters) next.ckpt() else next
     }
     (cb, asg)
   }
@@ -133,7 +137,8 @@ object ProductQuantization {
     val sp = subPts(emb).ckpt()
     val isQuery = pmod(col("vec_id"), lit(10L)) === 7
     val (cb, codes0) = train(sp.filter(!isQuery))
-    val codes = codes0.select(col("vec_id").as("c_id"), col("sub"), col("cell"))
+    // the lazy final assignment, read twice below (coarse list + ADC join)
+    val codes = codes0.select(col("vec_id").as("c_id"), col("sub"), col("cell")).ckpt()
     // exact per-(query, sub, cell) distance table: |queries|*NumSub*K rows,
     // consumed twice (coarse probe + ADC sum)
     val lut = sp.filter(isQuery).join(broadcast(cb), Seq("sub"))
