@@ -135,11 +135,19 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] bench_full.json: $e") }
     println(full)
 
-    val compactQs = results.map { case (k, v, _) => "\"" + shortKey(k) + "\":" + num(v, 2) }
-      .mkString("{", ",", "}")
     val sfName = Paths.get(sfDir).getFileName.toString
-    // LAST line: must stay under the ~2 KB stdout tail (see scaladoc).
-    println(s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$compactQs,"breach":$breachCompact,"sf":"$sfName"}""")
+    def compactLine(prec: Int): String = {
+      val qs = results.map { case (k, v, _) => "\"" + shortKey(k) + "\":" + num(v, prec) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs,"breach":$breachCompact,"sf":"$sfName"}"""
+    }
+    // LAST line: must stay under the ~2 KB stdout tail (see scaladoc) even
+    // after sbt's trailing [success] line. 164 rows at 2 decimals is
+    // ~1.89 KB — at the ceiling — so fall back to 1 decimal when the
+    // 2-decimal form would risk decapitation; full fidelity is always in
+    // bench_full.json and the earlier full-form line.
+    val two = compactLine(2)
+    println(if (two.length <= 1900) two else compactLine(1))
     spark.stop()
   }
 }
