@@ -789,7 +789,8 @@ object ScaleStudy {
     // x107/x108 PQ at 1×/3×/10×: rotation replicas. Training is x91's
     // per-iteration plan over the n·NumSub subvector relation (argmin
     // partial-aggregates before the shuffle, NumSub·K-row broadcast);
-    // ADC search scopes candidates to the sub-0 inverted list (~n/K per
+    // ADC search scopes candidates to the NProbe probed coarse inverted
+    // lists (~NProbe*n/CoarseK per
     // query), so top-k rows grow with queries while per-query work grows
     // with list size — wall must stay near-linear in the corpus.
     if (want("pq")) for (k <- Seq(1, 3, 10)) {

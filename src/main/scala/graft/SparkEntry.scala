@@ -1008,20 +1008,34 @@ object SparkEntry {
     * training slice (x108 holds out vec_id % 10 = 7), mirroring
     * kmeansOracleCte's slice-restriction pattern.
     */
-  private def pqOracleCtes(trainFilter: String, iters: Int): String = {
+  /** Shared PQ oracle base: fixed-point dominant-dim points. */
+  private val PqBaseCtes: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |dd AS (SELECT len(v) AS dom_sz FROM e GROUP BY len(v) ORDER BY count(*) DESC, len(v) LIMIT 1),
+      |pts AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(v, x -> floor(x * CAST(1000000 AS DOUBLE))) AS fv
+      |  FROM e, dd WHERE len(v) = dom_sz)""".stripMargin
+
+  /** Subspace split + `iters` unrolled Lloyd rounds over a per-dimension
+    * relation `pdx` (vec_id, di, xi) — raw components for x107, coarse
+    * residuals for x108. Geometry comes from the operator's own
+    * constants, so oracle and implementation cannot drift. Per round:
+    * per-(sub, cell) integral sums with one floored quotient per
+    * component (pct), exact-integer-d2 argmin with (d2, cell) tie-break
+    * (pa). `trainFilter` scopes the training slice.
+    */
+  private def pqTrainChain(trainFilter: String, iters: Int): String = {
+    val sd = graft.operators.ProductQuantization.SubDim
+    val k = graft.operators.ProductQuantization.K
     val base =
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |dd AS (SELECT len(v) AS dom_sz FROM e GROUP BY len(v) ORDER BY count(*) DESC, len(v) LIMIT 1),
-         |pts AS MATERIALIZED (
-         |  SELECT vec_id, list_transform(v, x -> floor(x * CAST(1000000 AS DOUBLE))) AS fv
-         |  FROM e, dd WHERE len(v) = dom_sz),
+      s""",
          |spx AS MATERIALIZED (
-         |  SELECT vec_id, CAST((di - 1) // 16 AS INT) AS sub,
-         |         CAST((di - 1) % 16 + 1 AS INT) AS sdi, xi
-         |  FROM (SELECT vec_id, unnest(generate_series(1, len(fv))) AS di, unnest(fv) AS xi FROM pts)),
+         |  SELECT vec_id, CAST((di - 1) // $sd AS INT) AS sub,
+         |         CAST((di - 1) % $sd + 1 AS INT) AS sdi, xi
+         |  FROM pdx),
          |tspx AS MATERIALIZED (SELECT * FROM spx$trainFilter),
          |pa0 AS MATERIALIZED (
-         |  SELECT DISTINCT vec_id, sub, CAST((vec_id + sub) % 4 AS INT) AS cell FROM tspx)""".stripMargin
+         |  SELECT DISTINCT vec_id, sub, CAST((vec_id + sub) % $k AS INT) AS cell FROM tspx)""".stripMargin
     val rounds = (1 to iters).map { i =>
       s""",
          |pcn$i AS (SELECT sub, cell, count(*) AS n FROM pa${i - 1} GROUP BY sub, cell),
@@ -1042,43 +1056,84 @@ object SparkEntry {
     base + rounds
   }
 
-  /** x107: full-corpus training; the surface is the final codebook
-    * (the centroid table the last assignment used), exploded to scalars.
+  /** x107: full-corpus training on RAW vectors; the surface is the final
+    * codebook (the centroid table the last assignment used), exploded.
     */
   private val PqTrainOracle: String =
-    pqOracleCtes("", 2) +
+    PqBaseCtes +
+      """,
+        |pdx AS MATERIALIZED (
+        |  SELECT vec_id, unnest(generate_series(1, len(fv))) AS di, unnest(fv) AS xi FROM pts)""".stripMargin +
+      pqTrainChain("", 2) +
       "\nSELECT sub, cell, sdi AS di, CAST(ci AS BIGINT) AS ci FROM pct2 ORDER BY sub, cell, di"
 
-  /** x108: corpus-slice training, held-out queries build an exact LUT
-    * against the final codebook, probe the sub-0 inverted list, and rank
-    * candidates by summed ADC distance with (adc_d2, c_id) tie-break.
+  /** x108 IVFADC: corpus-slice coarse quantizer (one exact centroid
+    * update from the vec_id % CoarseK seeding), corpus vectors 1-NN
+    * assigned to their home list and residualized, residual PQ trained
+    * on those residuals, held-out queries probe their NProbe nearest
+    * cells with a residual PER PROBED CELL, build an exact residual
+    * LUT, scan the probed inverted lists, and rank by summed ADC
+    * distance with (adc_d2, c_id) tie-break.
     */
-  private val PqAdcOracle: String =
-    pqOracleCtes(" WHERE vec_id % 10 <> 7", 2) +
-      """,
-        |lut AS MATERIALIZED (
-        |  SELECT q.vec_id AS q_id, c.sub, c.cell,
-        |         CAST(sum((q.xi - c.ci) * (q.xi - c.ci)) AS BIGINT) AS d2
-        |  FROM (SELECT * FROM spx WHERE vec_id % 10 = 7) q
-        |  JOIN pct2 c ON q.sub = c.sub AND q.sdi = c.sdi
-        |  GROUP BY 1, 2, 3),
-        |q0 AS MATERIALIZED (
-        |  SELECT q_id, cell FROM lut WHERE sub = 0
-        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d2, cell) = 1),
-        |cand AS MATERIALIZED (
-        |  SELECT q0.q_id, c0.vec_id AS c_id
-        |  FROM q0 JOIN pa2 c0 ON c0.sub = 0 AND c0.cell = q0.cell),
-        |adc AS MATERIALIZED (
-        |  SELECT cand.q_id, cand.c_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
-        |  FROM cand
-        |  JOIN pa2 k ON k.vec_id = cand.c_id
-        |  JOIN lut l ON l.q_id = cand.q_id AND l.sub = k.sub AND l.cell = k.cell
-        |  GROUP BY 1, 2)
-        |SELECT q_id, rnk, c_id, adc_d2 FROM (
-        |  SELECT q_id, c_id, adc_d2,
-        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, c_id) AS INT) AS rnk
-        |  FROM adc)
-        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+  private val PqAdcOracle: String = {
+    val ck = graft.operators.ProductQuantization.CoarseK
+    val np = graft.operators.ProductQuantization.NProbe
+    val sd = graft.operators.ProductQuantization.SubDim
+    PqBaseCtes +
+      s""",
+         |px AS MATERIALIZED (
+         |  SELECT vec_id, unnest(generate_series(1, len(fv))) AS di, unnest(fv) AS xi FROM pts),
+         |cc0 AS (SELECT vec_id, CAST(vec_id % $ck AS INT) AS ccell FROM pts WHERE vec_id % 10 <> 7),
+         |ccn AS (SELECT ccell, count(*) AS n FROM cc0 GROUP BY ccell),
+         |ccent AS MATERIALIZED (
+         |  SELECT sx.ccell, sx.di, floor(sx.s / ccn.n) AS ci
+         |  FROM (SELECT c.ccell, p.di, sum(p.xi) AS s
+         |        FROM cc0 c JOIN px p USING (vec_id) GROUP BY 1, 2) sx
+         |  JOIN ccn USING (ccell)),
+         |casg AS MATERIALIZED (
+         |  SELECT p.vec_id, c.ccell, CAST(sum((p.xi - c.ci) * (p.xi - c.ci)) AS BIGINT) AS d2
+         |  FROM (SELECT * FROM px WHERE vec_id % 10 <> 7) p JOIN ccent c USING (di)
+         |  GROUP BY p.vec_id, c.ccell
+         |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+         |    ORDER BY CAST(sum((p.xi - c.ci) * (p.xi - c.ci)) AS BIGINT), c.ccell) = 1),
+         |qpr AS MATERIALIZED (
+         |  SELECT p.vec_id, c.ccell, CAST(sum((p.xi - c.ci) * (p.xi - c.ci)) AS BIGINT) AS d2
+         |  FROM (SELECT * FROM px WHERE vec_id % 10 = 7) p JOIN ccent c USING (di)
+         |  GROUP BY p.vec_id, c.ccell
+         |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+         |    ORDER BY CAST(sum((p.xi - c.ci) * (p.xi - c.ci)) AS BIGINT), c.ccell) <= $np),
+         |pdx AS MATERIALIZED (
+         |  SELECT p.vec_id, p.di, p.xi - c.ci AS xi
+         |  FROM px p JOIN casg a ON p.vec_id = a.vec_id
+         |  JOIN ccent c ON c.ccell = a.ccell AND c.di = p.di)""".stripMargin +
+      pqTrainChain("", 2) +
+      s""",
+         |qsx AS MATERIALIZED (
+         |  SELECT p.vec_id, a.ccell, CAST((p.di - 1) // $sd AS INT) AS sub,
+         |         CAST((p.di - 1) % $sd + 1 AS INT) AS sdi, p.xi - c.ci AS xi
+         |  FROM px p JOIN qpr a ON p.vec_id = a.vec_id
+         |  JOIN ccent c ON c.ccell = a.ccell AND c.di = p.di),
+         |lut AS MATERIALIZED (
+         |  SELECT q.vec_id AS q_id, q.ccell, c.sub, c.cell,
+         |         CAST(sum((q.xi - c.ci) * (q.xi - c.ci)) AS BIGINT) AS d2
+         |  FROM qsx q JOIN pct2 c ON q.sub = c.sub AND q.sdi = c.sdi
+         |  GROUP BY 1, 2, 3, 4),
+         |cand AS MATERIALIZED (
+         |  SELECT qa.vec_id AS q_id, qa.ccell, ca.vec_id AS c_id
+         |  FROM qpr qa JOIN casg ca USING (ccell)),
+         |adc AS MATERIALIZED (
+         |  SELECT cand.q_id, cand.c_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+         |  FROM cand
+         |  JOIN pa2 k ON k.vec_id = cand.c_id
+         |  JOIN lut l ON l.q_id = cand.q_id AND l.ccell = cand.ccell
+         |            AND l.sub = k.sub AND l.cell = k.cell
+         |  GROUP BY 1, 2)
+         |SELECT q_id, rnk, c_id, adc_d2 FROM (
+         |  SELECT q_id, c_id, adc_d2,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, c_id) AS INT) AS rnk
+         |  FROM adc)
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+  }
 
   /** Batch-perceptron training unrolled (x109/x110): integer feature
     * relation + weak labels (fy), then per round i a single-row update

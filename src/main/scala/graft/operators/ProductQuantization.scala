@@ -30,10 +30,11 @@ import org.apache.spark.sql.functions._
   * '''Scale shape''': training is x91's per-iteration plan run once over
   * the subvector relation (n·NumSub rows): ONE map-side-combined
   * aggregate for the per-(sub, cell) sums, ONE broadcast expansion
-  * (NumSub·K = 16 rows — a broadcast at any corpus size) whose argmin
+  * (NumSub·K rows — a broadcast at any corpus size) whose argmin
   * partial-aggregates to n·NumSub rows BEFORE the shuffle. Search is
-  * IVFPQ-shaped: the sub-0 code doubles as the coarse inverted-list key,
-  * so each query probes ~n/K candidates, not n; the ADC join touches
+  * IVFADC: a CoarseK-cell full-dimension quantizer supplies both the
+  * inverted-list key and the residual each vector PQ-encodes, so each
+  * query probes ~n/CoarseK candidates, not n; the ADC join touches
   * candidate·NumSub code rows against the query's broadcast-joined LUT.
   * Candidate lists are cell-bounded, so the per-query top-k window
   * partitions are bounded by the largest inverted list, never the
@@ -41,17 +42,20 @@ import org.apache.spark.sql.functions._
   */
 object ProductQuantization {
 
-  /** Subspaces (the embedding's dominant dim 64 splits 4 x 16). */
-  val NumSub = 4
+  /** Subspaces (the embedding's dominant dim 64 splits 8 x 8). */
+  val NumSub = 8
 
   /** Dimensions per subspace. */
-  val SubDim = 16
+  val SubDim = 8
 
-  /** Centroids per subspace codebook (codes are 2 bits here; production
-    * uses 256 — the plan is identical, only the broadcast grows to
-    * NumSub·256 rows).
+  /** Centroids per subspace codebook — 4-bit codes, a 32-bit compressed
+    * vector in all (RecallStudy measures this sizing; the first cut,
+    * 4 subspaces x 2-bit codes = 8 bits per 64-dim vector, ranked
+    * near-randomly — resolution, not plan shape, is the recall knob).
+    * Production uses K=256: the plan is identical, only the broadcast
+    * grows to NumSub·256 rows.
     */
-  val K = 4
+  val K = 16
 
   /** Lloyd iterations per subspace (trained jointly in one relation). */
   val Iters = 2
@@ -59,8 +63,13 @@ object ProductQuantization {
   /** Subvector relation (vec_id, sub, sv): each dominant-dim fixed-point
     * vector split into NumSub contiguous SubDim-slices.
     */
-  private def subPts(emb: DataFrame): DataFrame =
-    KMeans.quantizedPts(emb).select(col("vec_id"),
+  private def subPts(emb: DataFrame): DataFrame = subPtsOf(KMeans.quantizedPts(emb))
+
+  /** Subspace split of any (vec_id, fv) relation — raw fixed-point
+    * vectors for the x107 codebook, coarse-cell RESIDUALS for x108.
+    */
+  private def subPtsOf(pts: DataFrame): DataFrame =
+    pts.select(col("vec_id"),
         explode(expr(s"transform(sequence(0, ${NumSub - 1}), " +
           s"s -> struct(cast(s as int) AS sub, slice(fv, s * $SubDim + 1, $SubDim) AS sv))"))
           .as("p"))
@@ -123,36 +132,139 @@ object ProductQuantization {
       .orderBy("sub", "cell", "di")
   }
 
-  /** x108: IVFPQ-style ADC top-k search. Codebooks train on the corpus
+  /** x108: IVFADC top-k search (coarse quantizer + residual PQ + ADC).
+    * The coarse quantizer and the PQ codebooks train on the corpus
     * slice only (vec_id % 10 != 7 — x98's held-out split, so queries
-    * never leak into the model); corpus vectors compress to their
-    * NumSub-cell codes; each query builds its exact LUT against the
-    * broadcast codebook, probes the inverted list keyed by its nearest
-    * sub-0 cell (the coarse index — ~n/K candidates), and ranks
-    * candidates by the ADC distance (exact-query-side, quantized-corpus-
-    * side), ties by candidate id. (q_id, rnk, c_id, adc_d2).
+    * never leak into the model); corpus vectors compress to (coarse
+    * cell, NumSub residual codes); each query residualizes against its
+    * probed coarse centroid, builds its exact LUT against the broadcast
+    * residual codebook, scans the single probed inverted list
+    * (~n/CoarseK candidates), and ranks candidates by the ADC distance
+    * (exact-query-side, quantized-corpus-side), ties by candidate id.
+    * (q_id, rnk, c_id, adc_d2). Multi-probe (visit the next-nearest
+    * coarse cells too) is the standard recall knob — same plan shape,
+    * the cand join keyed by a small per-query cell LIST instead of one.
     */
-  def adcTopK(emb: DataFrame, topK: Int = 3): DataFrame = {
-    // read by training (Iters rounds) and the query-side LUT
-    val sp = subPts(emb).ckpt()
+  /** Brute-force EXACT fixed-point L2 top-k over the same hold-out split
+    * as [[adcTopK]] — the recall baseline ([[graft.RecallStudy]]). Not a
+    * ledger row and not a production path: the all-pairs scan is
+    * precisely what PQ exists to avoid; it lives here so the baseline
+    * and the compressed search can never drift apart on split or
+    * distance definitions.
+    */
+  def exactTopK(emb: DataFrame, topK: Int = 3): DataFrame = {
+    val pts = KMeans.quantizedPts(emb)
     val isQuery = pmod(col("vec_id"), lit(10L)) === 7
-    val (cb, codes0) = train(sp.filter(!isQuery))
-    // the lazy final assignment, read twice below (coarse list + ADC join)
-    val codes = codes0.select(col("vec_id").as("c_id"), col("sub"), col("cell")).ckpt()
-    // exact per-(query, sub, cell) distance table: |queries|*NumSub*K rows,
-    // consumed twice (coarse probe + ADC sum)
-    val lut = sp.filter(isQuery).join(broadcast(cb), Seq("sub"))
-      .withColumn("d2", expr(Dist2Expr))
-      .select(col("vec_id").as("q_id"), col("sub"), col("c_cell").as("cell"), col("d2"))
+    val q = pts.filter(isQuery).select(col("vec_id").as("q_id"), col("fv").as("qv"))
+    val c = pts.filter(!isQuery).select(col("vec_id").as("c_id"), col("fv").as("cv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+    q.crossJoin(c)
+      .withColumn("d2", expr("cast(aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), " +
+        "cast(0 as double), (a, t) -> a + t) as bigint)"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("d2"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Coarse-quantizer cells (x8's IVF pattern: `vec_id % CoarseK`
+    * seeding over the corpus slice, ONE exact fixed-point centroid
+    * update). The inverted-list key of the IVFADC search.
+    */
+  val CoarseK = 8
+
+  /** Coarse cells each query visits — the standard IVF recall knob
+    * (recall ceiling ≈ P(true neighbor's home list is among the NProbe
+    * probed); scan cost NProbe/CoarseK of the corpus per query).
+    */
+  val NProbe = 2
+
+  private val CoarseDist2 =
+    "cast(aggregate(zip_with(fv, cc, (x, y) -> (x - y) * (x - y)), " +
+      "cast(0 as double), (a, t) -> a + t) as bigint)"
+
+  /** Training + probe state shared by [[adcTopK]] and the study-only
+    * [[candidates]] accessor: (lut, cand, codes).
+    *
+    * This is IVFADC proper (Jégou et al. 2011 §IV): a full-dimension
+    * coarse quantizer supplies the inverted lists AND the residuals —
+    * a corpus vector re-expresses as (home cell, fv − home centroid)
+    * and the PQ codebooks train on those RESIDUALS, the energy left
+    * after the coarse quantizer explains the vector's position; a query
+    * visits its NProbe nearest cells and residualizes PER PROBED CELL
+    * (the ADC distance in list L compares residuals in L's frame).
+    * The first cut of this operator probed on the sub-0 PQ code of raw
+    * vectors: RecallStudy measured its ceiling at ~0.17 (one 8-dim
+    * subspace barely predicts full-space proximity) — the
+    * coarse/residual split and the multi-probe are not optimizations
+    * but what makes PQ search work.
+    */
+  private def searchParts(emb: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val isQuery = pmod(col("vec_id"), lit(10L)) === 7
+    // consumed by the coarse update, both assignments, and the residuals
+    val pts = KMeans.quantizedPts(emb).ckpt()
+    // ONE exact centroid update from the corpus-slice seeding: CoarseK
+    // rows — a broadcast at any corpus size
+    val coarse = pts.filter(!isQuery)
+      .withColumn("ccell", pmod(col("vec_id"), lit(CoarseK.toLong)).cast("int"))
+      .groupBy(col("ccell"))
+      .agg(graft.functions.ArrayExpressions.vectorSum(col("fv")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("ccell"),
+        expr("transform(s, x -> cast(floor(x / cast(n as double)) as double))").as("cc"))
       .ckpt()
-    val q0 = lut.filter(col("sub") === 0)
-      .groupBy(col("q_id")).agg(min(struct(col("d2"), col("cell"))).as("m"))
-      .select(col("q_id"), col("m.cell").as("cell"))
-    val cand = q0
-      .join(codes.filter(col("sub") === 0).select(col("c_id"), col("cell")), Seq("cell"))
-      .select(col("q_id"), col("c_id"))
+    // corpus: 1-NN home cell + residual — the argmin partial-aggregates
+    // BEFORE the shuffle (n rows cross the broadcast, agg back to n)
+    val rCorpus = pts.filter(!isQuery).crossJoin(broadcast(coarse))
+      .withColumn("d2c", expr(CoarseDist2))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2c"), col("ccell"), col("fv"), col("cc"))).as("m"))
+      .select(col("vec_id"), col("m.ccell").as("ccell"),
+        expr("zip_with(m.fv, m.cc, (x, y) -> x - y)").as("fv"))
+      .ckpt() // read by PQ training and the candidate build
+    // queries: NProbe nearest cells, one residual PER PROBED CELL; the
+    // rank window partitions are CoarseK rows each (WindowGroupLimit
+    // cuts at NProbe), never corpus-sized
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("d2c"), col("ccell"))
+    val qProbe = pts.filter(isQuery).crossJoin(broadcast(coarse))
+      .withColumn("d2c", expr(CoarseDist2))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= NProbe)
+      .select(col("vec_id").as("q_id"), col("ccell"),
+        expr("zip_with(fv, cc, (x, y) -> x - y)").as("fv"))
+      .ckpt() // read by the LUT and the candidate build
+    val (cb, codes0) = train(subPtsOf(rCorpus))
+    // the lazy final assignment, read twice (ADC join sides)
+    val codes = codes0.select(col("vec_id").as("c_id"), col("sub"), col("cell")).ckpt()
+    // exact RESIDUAL distance table per (query, probed cell, sub, cell):
+    // |queries|*NProbe*NumSub*K rows
+    val qSub = qProbe.select(col("q_id"), col("ccell"),
+        explode(expr(s"transform(sequence(0, ${NumSub - 1}), " +
+          s"s -> struct(cast(s as int) AS sub, slice(fv, s * $SubDim + 1, $SubDim) AS sv))"))
+          .as("p"))
+      .select(col("q_id"), col("ccell"), col("p.sub").as("sub"), col("p.sv").as("sv"))
+    val lut = qSub.join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", expr(Dist2Expr))
+      .select(col("q_id"), col("ccell"), col("sub"), col("c_cell").as("cell"), col("d2"))
+    // candidates: the probed inverted lists (a corpus vector has ONE home
+    // cell, so (q_id, c_id) appears at most once across probes)
+    val cand = qProbe.select(col("q_id"), col("ccell"))
+      .join(rCorpus.select(col("vec_id").as("c_id"), col("ccell")), Seq("ccell"))
+      .select(col("q_id"), col("ccell"), col("c_id"))
+    (lut, cand, codes)
+  }
+
+  /** The coarse inverted-list membership (q_id, c_id) — study-only
+    * accessor: whatever the coarse probe does not list, ADC can never
+    * return, so this IS the recall ceiling RecallStudy measures.
+    */
+  private[graft] def candidates(emb: DataFrame): DataFrame =
+    searchParts(emb)._2.select(col("q_id"), col("c_id"))
+
+  def adcTopK(emb: DataFrame, topK: Int = 3): DataFrame = {
+    val (lut, cand, codes) = searchParts(emb)
     val adc = cand.join(codes, Seq("c_id"))
-      .join(lut, Seq("q_id", "sub", "cell"))
+      .join(lut, Seq("q_id", "ccell", "sub", "cell"))
       .groupBy(col("q_id"), col("c_id"))
       .agg(sum(col("d2")).as("adc_d2"))
     // per-query partitions are inverted-list-bounded, never corpus-sized

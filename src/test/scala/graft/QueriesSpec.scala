@@ -2314,20 +2314,36 @@ class QueriesSpec extends AnyFunSuite {
       cv.zipWithIndex.map { case (x, i) => (s, c, i + 1) -> x.toLong }
     }.toMap
     assert(gotCb == expCb)
-    // x108: corpus-trained, held-out queries, sub-0 inverted-list probe,
-    // summed ADC distance, top-3 by (adc_d2, c_id)
+    // x108 IVFADC: corpus-trained coarse quantizer (one centroid update
+    // from the vec_id % CoarseK seeding), corpus vectors residualized
+    // against their 1-NN home centroid, residual PQ on the corpus,
+    // NProbe-cell probes with a residual PER PROBED CELL, summed ADC
+    // distance, top-3 by (d, c_id)
+    import graft.operators.ProductQuantization.{CoarseK, NProbe}
     val corpus = pts.filter(_._1 % 10 != 7)
     val queries = pts.filter(_._1 % 10 == 7)
-    val (cb, codes) = train(corpus)
+    val coarse = (0 until CoarseK).flatMap { cell =>
+      val xs = corpus.filter(_._1 % CoarseK == cell).map(_._2)
+      if (xs.isEmpty) None
+      else Some(cell -> xs.transpose.map(colv => math.floor(colv.sum / xs.length)).toArray)
+    }.toMap
+    def rankedCells(fv: Array[Double]): Seq[Int] =
+      coarse.toSeq.map { case (c, cv) => (c, dist2(fv, cv)) }
+        .sortBy { case (c, d) => (d, c) }.map(_._1)
+    val rCorpus = corpus.map { case (id, fv) =>
+      id -> fv.zip(coarse(rankedCells(fv).head)).map { case (x, y) => x - y }
+    }
+    val (cb, codes) = train(rCorpus)
+    val corpusCells = corpus.map { case (id, fv) => id -> rankedCells(fv).head }.toMap
     val expTop = queries.flatMap { case (qid, qfv) =>
-      def lut(s: Int, cell: Int): Long = dist2(subv(qfv, s), cb((s, cell)))
-      val q0 = (0 until K).filter(c => cb.contains((0, c)))
-        .map(c => (c, lut(0, c))).minBy { case (c, d) => (d, c) }._1
-      val cand = corpus.filter { case (cid, _) => codes((cid, 0)) == q0 }
-      cand.map { case (cid, _) =>
-        (qid, cid, (0 until NumSub).map(s => lut(s, codes((cid, s)))).sum)
-      }.sortBy { case (_, cid, d) => (d, cid) }.take(3).zipWithIndex
-        .map { case ((q, c, d), i) => (q, i + 1, c, d) }
+      val cands = rankedCells(qfv).take(NProbe).flatMap { pc =>
+        val qr = qfv.zip(coarse(pc)).map { case (x, y) => x - y }
+        def lut(s: Int, cell: Int): Long = dist2(subv(qr, s), cb((s, cell)))
+        corpus.filter { case (cid, _) => corpusCells(cid) == pc }
+          .map { case (cid, _) => (cid, (0 until NumSub).map(s => lut(s, codes((cid, s)))).sum) }
+      }
+      cands.sortBy { case (cid, d) => (d, cid) }.take(3).zipWithIndex
+        .map { case ((c, d), i) => (qid, i + 1, c, d) }
     }.toSet
     val gotTop = SparkEntry.queries("x108_pq_adc_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
