@@ -143,11 +143,17 @@ object Bench {
     }
     // LAST line: must stay under the ~2 KB stdout tail (see scaladoc) even
     // after sbt's trailing [success] line. 164 rows at 2 decimals is
-    // ~1.89 KB — at the ceiling — so fall back to 1 decimal when the
-    // 2-decimal form would risk decapitation; full fidelity is always in
-    // bench_full.json and the earlier full-form line.
-    val two = compactLine(2)
-    println(if (two.length <= 1900) two else compactLine(1))
+    // ~1.89 KB — at the ceiling — so step precision down (2 → 1 → 0
+    // decimals) until the line fits; full fidelity is always in
+    // bench_full.json and the earlier full-form line. If even integer
+    // seconds overflow the tail (~330+ rows), warn loudly instead of
+    // silently shipping a decapitated record.
+    val line = (2 to 0 by -1).map(compactLine).find(_.length <= 1900)
+      .getOrElse {
+        System.err.println("[bench] WARN: compact tail exceeds 1900 chars even at 0 decimals - driver record may truncate")
+        compactLine(0)
+      }
+    println(line)
     spark.stop()
   }
 }

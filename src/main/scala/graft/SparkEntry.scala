@@ -999,15 +999,6 @@ object SparkEntry {
         |  CAST(n_batch AS DOUBLE) / t_batch AS share_batch
         |FROM cnts, tot ORDER BY cell""".stripMargin
 
-  /** Product-quantization training unrolled (x107/x108): the km base
-    * (fixed-point dominant-dim points) split into 4 contiguous 16-dim
-    * subspaces (spx), seeded `(vec_id + sub) % 4`, then `iters` Lloyd
-    * rounds run jointly across subspaces — per-(sub, cell) integral sums
-    * with one floored quotient per component (pct), exact-integer-d2
-    * argmin with (d2, cell) tie-break (pa). `trainFilter` scopes the
-    * training slice (x108 holds out vec_id % 10 = 7), mirroring
-    * kmeansOracleCte's slice-restriction pattern.
-    */
   /** Shared PQ oracle base: fixed-point dominant-dim points. */
   private val PqBaseCtes: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1024,16 +1015,17 @@ object SparkEntry {
     * component (pct), exact-integer-d2 argmin with (d2, cell) tie-break
     * (pa). `trainFilter` scopes the training slice.
     */
-  private def pqTrainChain(trainFilter: String, iters: Int): String = {
+  private def pqTrainChain(iters: Int): String = {
     val sd = graft.operators.ProductQuantization.SubDim
+    val ns = graft.operators.ProductQuantization.NumSub
     val k = graft.operators.ProductQuantization.K
     val base =
       s""",
          |spx AS MATERIALIZED (
          |  SELECT vec_id, CAST((di - 1) // $sd AS INT) AS sub,
          |         CAST((di - 1) % $sd + 1 AS INT) AS sdi, xi
-         |  FROM pdx),
-         |tspx AS MATERIALIZED (SELECT * FROM spx$trainFilter),
+         |  FROM pdx WHERE di <= ${ns * sd}),
+         |tspx AS MATERIALIZED (SELECT * FROM spx),
          |pa0 AS MATERIALIZED (
          |  SELECT DISTINCT vec_id, sub, CAST((vec_id + sub) % $k AS INT) AS cell FROM tspx)""".stripMargin
     val rounds = (1 to iters).map { i =>
@@ -1064,8 +1056,8 @@ object SparkEntry {
       """,
         |pdx AS MATERIALIZED (
         |  SELECT vec_id, unnest(generate_series(1, len(fv))) AS di, unnest(fv) AS xi FROM pts)""".stripMargin +
-      pqTrainChain("", 2) +
-      "\nSELECT sub, cell, sdi AS di, CAST(ci AS BIGINT) AS ci FROM pct2 ORDER BY sub, cell, di"
+      pqTrainChain(graft.operators.ProductQuantization.Iters) +
+      s"\nSELECT sub, cell, sdi AS di, CAST(ci AS BIGINT) AS ci FROM pct${graft.operators.ProductQuantization.Iters} ORDER BY sub, cell, di"
 
   /** x108 IVFADC: corpus-slice coarse quantizer (one exact centroid
     * update from the vec_id % CoarseK seeding), corpus vectors 1-NN
@@ -1079,6 +1071,8 @@ object SparkEntry {
     val ck = graft.operators.ProductQuantization.CoarseK
     val np = graft.operators.ProductQuantization.NProbe
     val sd = graft.operators.ProductQuantization.SubDim
+    val ns = graft.operators.ProductQuantization.NumSub
+    val it = graft.operators.ProductQuantization.Iters
     PqBaseCtes +
       s""",
          |px AS MATERIALIZED (
@@ -1106,17 +1100,18 @@ object SparkEntry {
          |  SELECT p.vec_id, p.di, p.xi - c.ci AS xi
          |  FROM px p JOIN casg a ON p.vec_id = a.vec_id
          |  JOIN ccent c ON c.ccell = a.ccell AND c.di = p.di)""".stripMargin +
-      pqTrainChain("", 2) +
+      pqTrainChain(graft.operators.ProductQuantization.Iters) +
       s""",
          |qsx AS MATERIALIZED (
          |  SELECT p.vec_id, a.ccell, CAST((p.di - 1) // $sd AS INT) AS sub,
          |         CAST((p.di - 1) % $sd + 1 AS INT) AS sdi, p.xi - c.ci AS xi
          |  FROM px p JOIN qpr a ON p.vec_id = a.vec_id
-         |  JOIN ccent c ON c.ccell = a.ccell AND c.di = p.di),
+         |  JOIN ccent c ON c.ccell = a.ccell AND c.di = p.di
+         |  WHERE p.di <= ${ns * sd}),
          |lut AS MATERIALIZED (
          |  SELECT q.vec_id AS q_id, q.ccell, c.sub, c.cell,
          |         CAST(sum((q.xi - c.ci) * (q.xi - c.ci)) AS BIGINT) AS d2
-         |  FROM qsx q JOIN pct2 c ON q.sub = c.sub AND q.sdi = c.sdi
+         |  FROM qsx q JOIN pct$it c ON q.sub = c.sub AND q.sdi = c.sdi
          |  GROUP BY 1, 2, 3, 4),
          |cand AS MATERIALIZED (
          |  SELECT qa.vec_id AS q_id, qa.ccell, ca.vec_id AS c_id
@@ -1124,7 +1119,7 @@ object SparkEntry {
          |adc AS MATERIALIZED (
          |  SELECT cand.q_id, cand.c_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
          |  FROM cand
-         |  JOIN pa2 k ON k.vec_id = cand.c_id
+         |  JOIN pa$it k ON k.vec_id = cand.c_id
          |  JOIN lut l ON l.q_id = cand.q_id AND l.ccell = cand.ccell
          |            AND l.sub = k.sub AND l.cell = k.cell
          |  GROUP BY 1, 2)
@@ -1175,7 +1170,7 @@ object SparkEntry {
     base + rounds
   }
 
-  private val PerceptronIters = 3
+  private val PerceptronIters = graft.operators.Classifier.Iters
 
   private val PerceptronTrainOracle: String =
     perceptronCtes(PerceptronIters) + "\n" +

@@ -31,9 +31,12 @@ import org.apache.spark.sql.functions._
   * UPDATE SET = rows with m ≤ 0 (w₀ = 0 makes round 1 the classic
   * all-rows sum); w ← w + Σ y·x over the update set (learning rate 1
   * keeps everything integral). Magnitude bound: |w| ≤ iters·n·|x|max
-  * and |w·x| ≤ 6·|w|·|x|max — at n = 10¹² docs and 3 rounds still
-  * ~10¹⁵, far inside int64, so the exactness argument survives any
-  * corpus the engine would meet.
+  * and |w·x| ≤ 6·|w|·|x|max ≈ 6·iters·n·|x|max² — int64-safe while
+  * n·|x|max² ≲ 5·10¹⁷, e.g. 10¹¹ docs of ≤ 10³ chars at 3 rounds.
+  * Past that, the production levers are the standard ones (clamp the
+  * count features to a cap, or scale the update by a power-of-two
+  * learning rate) — the exactness argument itself is unchanged, only
+  * the headroom arithmetic.
   *
   * '''Scale shape''': ONE map-side-combined aggregate per round over
   * the ckpt'd feature relation (6 sums + a count — bytes per partition
@@ -56,8 +59,10 @@ object Classifier {
 
   /** Integer feature relation: (doc_id, source, f_c, f_t, f_p, f_d,
     * f_s, y) — x10's count definitions plus the weak label.
+    * `private[graft]` so the scale study can time training and scoring
+    * separately over one materialized relation.
     */
-  private def features(docs: DataFrame): DataFrame = {
+  private[graft] def features(docs: DataFrame): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
     docs.select(col("doc_id"), col("source"),
         length(col("text")).cast("long").as("f_c"),
@@ -78,7 +83,7 @@ object Classifier {
   /** `iters` batch-perceptron rounds over the ckpt'd feature relation;
     * one 7-value aggregate per round.
     */
-  private def trainRounds(f: DataFrame, iters: Int): Seq[Round] = {
+  private[graft] def trainRounds(f: DataFrame, iters: Int): Seq[Round] = {
     var w = Array.fill(6)(0L)
     val rounds = Seq.newBuilder[Round]
     for (i <- 1 to iters) {
@@ -114,7 +119,14 @@ object Classifier {
     */
   def confusionBySource(docs: DataFrame): DataFrame = {
     val f = features(docs).ckpt() // read by 3 training rounds + scoring
-    val w = trainRounds(f, Iters).last.w
+    confusionGiven(f, trainRounds(f, Iters).last.w)
+  }
+
+  /** The scoring pass alone, given trained weights — one stateless
+    * projection + one per-source aggregate (what the scale study times
+    * as "gate", separate from training).
+    */
+  private[graft] def confusionGiven(f: DataFrame, w: Array[Long]): DataFrame =
     f.withColumn("pred", when(score(w) >= 0, 1L).otherwise(-1L))
       .groupBy(col("source"))
       .agg(
@@ -123,5 +135,4 @@ object Classifier {
         sum(when(col("y") === -1L && col("pred") === -1L, 1L).otherwise(0L)).as("tn"),
         sum(when(col("y") === 1L && col("pred") === -1L, 1L).otherwise(0L)).as("fn"))
       .orderBy("source")
-  }
 }

@@ -132,19 +132,6 @@ object ProductQuantization {
       .orderBy("sub", "cell", "di")
   }
 
-  /** x108: IVFADC top-k search (coarse quantizer + residual PQ + ADC).
-    * The coarse quantizer and the PQ codebooks train on the corpus
-    * slice only (vec_id % 10 != 7 — x98's held-out split, so queries
-    * never leak into the model); corpus vectors compress to (coarse
-    * cell, NumSub residual codes); each query residualizes against its
-    * probed coarse centroid, builds its exact LUT against the broadcast
-    * residual codebook, scans the single probed inverted list
-    * (~n/CoarseK candidates), and ranks candidates by the ADC distance
-    * (exact-query-side, quantized-corpus-side), ties by candidate id.
-    * (q_id, rnk, c_id, adc_d2). Multi-probe (visit the next-nearest
-    * coarse cells too) is the standard recall knob — same plan shape,
-    * the cand join keyed by a small per-query cell LIST instead of one.
-    */
   /** Brute-force EXACT fixed-point L2 top-k over the same hold-out split
     * as [[adcTopK]] — the recall baseline ([[graft.RecallStudy]]). Not a
     * ledger row and not a production path: the all-pairs scan is
@@ -183,23 +170,12 @@ object ProductQuantization {
     "cast(aggregate(zip_with(fv, cc, (x, y) -> (x - y) * (x - y)), " +
       "cast(0 as double), (a, t) -> a + t) as bigint)"
 
-  /** Training + probe state shared by [[adcTopK]] and the study-only
-    * [[candidates]] accessor: (lut, cand, codes).
-    *
-    * This is IVFADC proper (Jégou et al. 2011 §IV): a full-dimension
-    * coarse quantizer supplies the inverted lists AND the residuals —
-    * a corpus vector re-expresses as (home cell, fv − home centroid)
-    * and the PQ codebooks train on those RESIDUALS, the energy left
-    * after the coarse quantizer explains the vector's position; a query
-    * visits its NProbe nearest cells and residualizes PER PROBED CELL
-    * (the ADC distance in list L compares residuals in L's frame).
-    * The first cut of this operator probed on the sub-0 PQ code of raw
-    * vectors: RecallStudy measured its ceiling at ~0.17 (one 8-dim
-    * subspace barely predicts full-space proximity) — the
-    * coarse/residual split and the multi-probe are not optimizations
-    * but what makes PQ search work.
+  /** The coarse stage alone: (rCorpus, qProbe) — home-cell residuals
+    * for the corpus and per-probed-cell residuals for the queries.
+    * Split from [[searchParts]] so the study-only [[candidates]]
+    * accessor never pays for PQ training it does not consume.
     */
-  private def searchParts(emb: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  private def coarseParts(emb: DataFrame): (DataFrame, DataFrame) = {
     val isQuery = pmod(col("vec_id"), lit(10L)) === 7
     // consumed by the coarse update, both assignments, and the residuals
     val pts = KMeans.quantizedPts(emb).ckpt()
@@ -233,6 +209,27 @@ object ProductQuantization {
       .select(col("vec_id").as("q_id"), col("ccell"),
         expr("zip_with(fv, cc, (x, y) -> x - y)").as("fv"))
       .ckpt() // read by the LUT and the candidate build
+    (rCorpus, qProbe)
+  }
+
+  /** Training + probe state shared by [[adcTopK]] and the study-only
+    * [[candidates]] accessor: (lut, cand, codes).
+    *
+    * This is IVFADC proper (Jégou et al. 2011 §IV): a full-dimension
+    * coarse quantizer supplies the inverted lists AND the residuals —
+    * a corpus vector re-expresses as (home cell, fv − home centroid)
+    * and the PQ codebooks train on those RESIDUALS, the energy left
+    * after the coarse quantizer explains the vector's position; a query
+    * visits its NProbe nearest cells and residualizes PER PROBED CELL
+    * (the ADC distance in list L compares residuals in L's frame).
+    * The first cut of this operator probed on the sub-0 PQ code of raw
+    * vectors: RecallStudy measured its ceiling at ~0.17 (one 8-dim
+    * subspace barely predicts full-space proximity) — the
+    * coarse/residual split and the multi-probe are not optimizations
+    * but what makes PQ search work.
+    */
+  private def searchParts(emb: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val (rCorpus, qProbe) = coarseParts(emb)
     val (cb, codes0) = train(subPtsOf(rCorpus))
     // the lazy final assignment, read twice (ADC join sides)
     val codes = codes0.select(col("vec_id").as("c_id"), col("sub"), col("cell")).ckpt()
@@ -258,9 +255,25 @@ object ProductQuantization {
     * accessor: whatever the coarse probe does not list, ADC can never
     * return, so this IS the recall ceiling RecallStudy measures.
     */
-  private[graft] def candidates(emb: DataFrame): DataFrame =
-    searchParts(emb)._2.select(col("q_id"), col("c_id"))
+  private[graft] def candidates(emb: DataFrame): DataFrame = {
+    val (rCorpus, qProbe) = coarseParts(emb)
+    qProbe.select(col("q_id"), col("ccell"))
+      .join(rCorpus.select(col("vec_id").as("c_id"), col("ccell")), Seq("ccell"))
+      .select(col("q_id"), col("c_id"))
+  }
 
+  /** x108: IVFADC top-k search (coarse quantizer + residual PQ + ADC).
+    * The coarse quantizer and the PQ codebooks train on the corpus
+    * slice only (vec_id % 10 != 7 — x98's held-out split, so queries
+    * never leak into the model); corpus vectors compress to (home
+    * cell, NumSub residual codes); each query probes its NProbe
+    * nearest coarse cells, residualizes PER PROBED CELL, builds its
+    * exact LUT against the broadcast residual codebook, scans the
+    * probed inverted lists (~NProbe·n/CoarseK candidates), and ranks
+    * candidates by the ADC distance (exact-query-side,
+    * quantized-corpus-side), ties by candidate id.
+    * (q_id, rnk, c_id, adc_d2).
+    */
   def adcTopK(emb: DataFrame, topK: Int = 3): DataFrame = {
     val (lut, cand, codes) = searchParts(emb)
     val adc = cand.join(codes, Seq("c_id"))
