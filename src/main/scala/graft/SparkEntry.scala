@@ -553,9 +553,10 @@ object SparkEntry {
     // the compressed-index model behind memory-bounded ANN at corpus scale
     "x107_pq_train" -> ((s, d) =>
       graft.operators.ProductQuantization.codebook(Tables.load(s, d, "embeddings"))),
-    // IVFPQ-style ADC search: corpus-trained codebooks, sub-0 code as the
-    // coarse inverted-list key (~n/K candidates per query), exact-query-
-    // side LUT distances summed over the candidates' compressed codes
+    // IVFADC search: full-dimension coarse quantizer (CoarseK cells) with
+    // NProbe multi-probe as the inverted-list key, residual-trained PQ
+    // codebooks, exact-query-side LUT distances summed over the probed
+    // cells' compressed codes
     "x108_pq_adc_topk" -> ((s, d) =>
       graft.operators.ProductQuantization.adcTopK(Tables.load(s, d, "embeddings"))),
     // trained quality classifier: 3 batch-perceptron rounds in exact
@@ -1323,8 +1324,9 @@ object SparkEntry {
     // two unrolled fixed-point Lloyd rounds PER SUBSPACE — the learned
     // PQ codebook replays component-for-component
     "x107_pq_train" -> PqTrainOracle,
-    // corpus-slice training + exact query LUT + sub-0 inverted-list probe
-    // + summed ADC ranking, all integer-exact
+    // corpus-slice coarse-quantizer + residual-PQ training, exact query
+    // LUT, NProbe nearest-cell inverted-list probe + summed ADC ranking,
+    // all integer-exact
     "x108_pq_adc_topk" -> PqAdcOracle,
     // three unrolled exact-integer batch-perceptron rounds — the learned
     // weights and update counts replay round-for-round

@@ -99,7 +99,9 @@ object Bpe {
       .select(encodeWord(col("w")).as("enc"), col("freq"))
       .ckpt()
     val merges = Seq.newBuilder[Merge]
-    for (rank <- 1 to numMerges) {
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
       // Adjacent symbol pairs, frequency-weighted exact integer counts.
       val top = dict
         .withColumn("sy", symbols(col("enc")))
@@ -112,12 +114,23 @@ object Bpe {
         // deterministic winner: count desc, then lexicographic (a, b) —
         // limit(1) plans as TakeOrdered, never a full sort
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).head()
-      val m = Merge(rank, top.getString(0), top.getString(1), top.getLong(2))
-      merges += m
-      // Narrow per-row rewrite; ckpt truncates the growing replace chain
-      // so round i+1's pair scan reads materialized blocks, not lineage.
-      dict = dict.withColumn("enc", applyMerge(col("enc"), m)).ckpt()
+        .take(1).headOption
+      top match {
+        case None =>
+          // Tiny/empty corpus ran out of adjacent pairs before numMerges:
+          // every word is a single symbol, nothing left to merge. Stop
+          // cleanly — the oracle's per-round CTEs produce the same empty
+          // tail, so the truncated merge table still matches.
+          exhausted = true
+        case Some(row) =>
+          val m = Merge(rank, row.getString(0), row.getString(1), row.getLong(2))
+          merges += m
+          // Narrow per-row rewrite; ckpt truncates the growing replace
+          // chain so round i+1's pair scan reads materialized blocks, not
+          // lineage.
+          dict = dict.withColumn("enc", applyMerge(col("enc"), m)).ckpt()
+          rank += 1
+      }
     }
     merges.result()
   }

@@ -31,9 +31,17 @@ package object graft {
     * recomputes from scratch — the `RDD.checkpoint` scaladoc's own
     * warning), which would tax every iterative caller (PageRank ×10,
     * dup-cluster rounds, Lloyd ×3) ~2× per round whenever
-    * `spark.graft.checkpoint.dir` is set. The cache is dropped as soon
-    * as the checkpoint files exist — steady-state memory holds only the
-    * round in flight.
+    * `spark.graft.checkpoint.dir` is set. The checkpoint is taken
+    * through a RE-PLANNED twin of the input (`ds.as(ds.encoder)` — a
+    * fresh `QueryExecution` over the same logical plan): a caller that
+    * already forced `ds.queryExecution.executedPlan` before calling
+    * `ckpt` (e.g. a plan-capture probe) has memoized a physical plan
+    * that predates the persist and contains no `InMemoryTableScan`, so
+    * checkpointing `ds` itself would silently re-enable the
+    * double-compute. Re-planning after `persist` guarantees the cache
+    * substitution is seen regardless of the caller's planning history.
+    * The cache is dropped as soon as the checkpoint files exist —
+    * steady-state memory holds only the round in flight.
     */
   def ckpt[T](ds: Dataset[T]): Dataset[T] = {
     val sc = ds.sparkSession.sparkContext
@@ -42,7 +50,8 @@ package object graft {
         .foreach(sc.setCheckpointDir)
     if (sc.getCheckpointDir.isDefined) {
       ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try ds.checkpoint() finally ds.unpersist(blocking = false)
+      try ds.as[T](ds.encoder).checkpoint()
+      finally ds.unpersist(blocking = false)
     } else ds.localCheckpoint()
   }
 

@@ -89,4 +89,16 @@ class BpeSpec extends AnyFunSuite {
     assert(base(0L) === 12L) // 3 words x (3 chars + </w>)
     assert(base(2L) === 7L)
   }
+
+  test("training stops cleanly when the dictionary runs out of pairs") {
+    import spark.implicits._
+    // Single word type "a": round 1 merges (a, </w>) into one symbol,
+    // after which no adjacent pair exists — asking for 5 merges must
+    // return the 1 learnable merge, not throw on the empty round-2 scan.
+    val docs = Seq((0L, "a a a")).toDF("doc_id", "text")
+    val merges = Bpe.train(spark, docs, 5)
+    assert(merges === Seq(Merge(1, "a", Bpe.EndOfWord, 3L)))
+    // Degenerate corpus with no words at all: zero merges, no crash.
+    assert(Bpe.train(spark, Seq((0L, "   ")).toDF("doc_id", "text"), 3).isEmpty)
+  }
 }
