@@ -546,7 +546,8 @@ object SparkEntry {
     // md5 of the full encoded sequence pin the exact tokenization
     "x103_bpe_encode" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
-      graft.operators.Bpe.encodeDocs(docs, graft.operators.Bpe.train(s, docs, BpeMerges))
+      graft.operators.Bpe.encodeDocs(docs,
+        graft.operators.Bpe.trainFast(s, docs, BpeMerges))
     }),
     // product-quantization codebook training: independent fixed-point
     // k-means per contiguous subspace (4x16 over the dominant 64-dim) —
@@ -569,11 +570,24 @@ object SparkEntry {
     "x110_perceptron_gate" -> ((s, d) =>
       graft.operators.Classifier.confusionBySource(Tables.load(s, d, "documents"))),
     // x38's packing layout denominated in REAL subword tokens (x103's
-    // trained tokenizer) — the layout a trainer actually consumes
+    // trained tokenizer) — the layout a trainer actually consumes.
+    // trainFast ≡ train (BpeSpec pins it; this row's oracle re-gates it
+    // at corpus scale) but skips the per-merge shuffle cadence.
     "x111_bpe_packing" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
       graft.operators.Sampling.bpeSequencePacking(docs,
-        graft.operators.Bpe.train(s, docs, BpeMerges))
+        graft.operators.Bpe.trainFast(s, docs, BpeMerges))
+    }),
+    // BPE training at realistic merge depth: the pair-count/heap
+    // formulation (one distributed corpus pass → frequency-truncated
+    // dictionary → driver merge loop with incremental pair counts), asked
+    // for DeepBpeMerges=128 and stopping at dictionary exhaustion
+    // (106/107 learnable rounds on the fixtures) — gated merge-for-merge
+    // against the same unrolled oracle shape as x102
+    "x112_bpe_train_deep" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      graft.operators.Bpe.mergeTable(s,
+        graft.operators.Bpe.trainFast(s, docs, DeepBpeMerges))
     })
   )
 
@@ -581,6 +595,14 @@ object SparkEntry {
     * oracle unrolls — one constant, so they cannot drift.
     */
   private val BpeMerges = 10
+
+  /** Merge depth of the x112 deep-training row — past the fixtures'
+    * exhaustion point (106/107 learnable merges), so the row also gates
+    * the early-stop semantics: Spark's truncated merge table must equal
+    * the oracle's, whose post-exhaustion rounds go empty through the
+    * cross-join-with-empty-`m_i` chain.
+    */
+  private val DeepBpeMerges = 128
 
   /** DuckDB-equivalent SQL per query (same column names/types/order-by as
     * the Spark result — the driver sorts columns by name and hashes values).
@@ -1229,11 +1251,21 @@ object SparkEntry {
     base + iters
   }
 
+  private def bpeMergeTableSelect(rounds: Int): String =
+    (1 to rounds).map(i =>
+      s"SELECT CAST($i AS INT) AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_count FROM m$i")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY merge_rank")
+
   private val BpeTrainOracle: String =
-    BpeTrainCtes(BpeMerges) + "\n" +
-      (1 to BpeMerges).map(i =>
-        s"SELECT CAST($i AS INT) AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_count FROM m$i")
-        .mkString("", "\nUNION ALL\n", "\nORDER BY merge_rank")
+    BpeTrainCtes(BpeMerges) + "\n" + bpeMergeTableSelect(BpeMerges)
+
+  /** x112: the same unroll at [[DeepBpeMerges]] rounds. Rounds past the
+    * dictionary's exhaustion point contribute no merge-table rows: once
+    * `pc_i` is empty, `m_i` is empty, and `w_i = w_{i-1} CROSS JOIN m_i`
+    * is empty too — exactly the Spark trainer's early stop.
+    */
+  private val BpeDeepTrainOracle: String =
+    BpeTrainCtes(DeepBpeMerges) + "\n" + bpeMergeTableSelect(DeepBpeMerges)
 
   /** x103: the full training unroll, merges pivoted to one row, then the
     * identical replace chain applied to every word of every document in
@@ -1336,6 +1368,9 @@ object SparkEntry {
     // training unroll + replace-chain encode + the x38 packing window
     // over the resulting subword counts
     "x111_bpe_packing" -> BpePackingOracle,
+    // the x102 unroll continued to DeepBpeMerges rounds; empty tail past
+    // exhaustion on both engines (the early-stop gate)
+    "x112_bpe_train_deep" -> BpeDeepTrainOracle,
     // the full SNM replay: same blocking key, same global (bk, doc_id)
     // rank, same window, same distinct word-3-gram sets, same integer
     // 2·|A∩B| ≥ |A∪B| test — byte-for-byte pair parity

@@ -135,6 +135,175 @@ object Bpe {
     merges.result()
   }
 
+  /** Word types kept by [[trainFast]]'s frequency truncation. 2^16 covers
+    * every fixture corpus untruncated (31 types); at 100 TB it is the
+    * standard tokenizer-trainer bound (HuggingFace/SentencePiece style)
+    * that keeps driver memory O(maxTypes) regardless of corpus size.
+    */
+  val MaxDictTypes: Int = 1 << 16
+
+  /** BPE training at realistic merge counts — the pair-count/heap
+    * formulation. [[train]] runs one distributed pair-count shuffle PER
+    * MERGE, which is exact at any dictionary size but caps out around
+    * tens of merges (a 30k-merge production vocabulary would be 30k
+    * shuffles). This is how real tokenizer trainers solve it: the corpus
+    * is touched ONCE (the distributed word-type count, map-side
+    * combined), the dictionary is frequency-truncated to [[MaxDictTypes]]
+    * types (count desc, word asc — deterministic), and the merge loop
+    * runs on the driver over that bounded dictionary with
+    *
+    *  - a pair→count table updated INCREMENTALLY: each round rewrites
+    *    only the word types that actually contain the winning pair
+    *    (tracked by a pair→types inverted index), subtracting the old
+    *    adjacent-pair contributions and adding the new ones — exact, and
+    *    per-round work is bounded by the affected types, not the
+    *    dictionary;
+    *  - a lazy-deletion max-heap over (count, lhs, rhs) snapshots, so
+    *    winner selection is O(log P) amortized instead of a full
+    *    pair-table scan per round.
+    *
+    * Semantics are IDENTICAL to [[train]] — same greedy leftmost
+    * non-overlapping rewrite, same (count desc, lexicographic (lhs, rhs))
+    * winner, same early stop when no pair remains — so the same unrolled
+    * DuckDB oracle gates both ([[graft.BpeSpec]] additionally pins
+    * trainFast ≡ train round-for-round). Tie-break comparisons use
+    * UTF-8 byte order to match Spark's UTF8String / DuckDB's VARCHAR
+    * collation on any input, not just ASCII.
+    */
+  def trainFast(spark: SparkSession, docs: DataFrame, numMerges: Int,
+                maxTypes: Int = MaxDictTypes): Seq[Merge] = {
+    val dict = docs
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(maxTypes)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    trainInMemory(dict, numMerges)
+  }
+
+  /** UTF-8 unsigned-byte string comparison — Spark UTF8String / DuckDB
+    * VARCHAR order, which JVM String.compareTo (UTF-16 code units)
+    * diverges from above the BMP.
+    */
+  private def utf8Compare(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** The driver-side merge loop of [[trainFast]]: exact incremental
+    * pair counts + lazy-deletion heap over a bounded dictionary.
+    */
+  private[graft] def trainInMemory(types: Array[(String, Long)],
+                                   numMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    type Pair = (String, String)
+    // Word types as mutable symbol sequences; duplicates (possible after
+    // truncation of distinct words? no — input is distinct) irrelevant:
+    // counts sum over rows exactly like the relational formulation.
+    val seqs: Array[mutable.ArrayBuffer[String]] = types.map { case (w, _) =>
+      val b = mutable.ArrayBuffer.empty[String]
+      w.foreach(c => b += c.toString)
+      b += EndOfWord
+      b
+    }
+    val freqs: Array[Long] = types.map(_._2)
+    val counts = mutable.HashMap.empty[Pair, Long]
+    val where = mutable.HashMap.empty[Pair, mutable.HashSet[Int]]
+    // Max-heap of (count, lhs, rhs) SNAPSHOTS; stale entries (count no
+    // longer current) are discarded at pop time — the lazy-deletion idiom.
+    val heapOrd: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(x._1, y._1)
+          if (c != 0) c
+          else {
+            val a = utf8Compare(y._2, x._2) // smaller lhs wins ties
+            if (a != 0) a else utf8Compare(y._3, x._3)
+          }
+        }
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+    val touched = mutable.HashSet.empty[Pair]
+
+    // Add/remove word ti's adjacent-pair contributions. Counts move by
+    // freq per OCCURRENCE; membership (`where`) is per distinct pair —
+    // the remove side strips ti from every old pair's set, and the
+    // following re-add restores the pairs the rewritten word still has.
+    def contribute(ti: Int, sign: Long): Unit = {
+      val s = seqs(ti)
+      val f = freqs(ti) * sign
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val nc = counts.getOrElse(p, 0L) + f
+        if (nc == 0L) counts.remove(p) else counts(p) = nc
+        touched += p
+        if (sign > 0) where.getOrElseUpdate(p, mutable.HashSet.empty) += ti
+        else where.get(p).foreach(_.remove(ti))
+        i += 1
+      }
+    }
+
+    def flushHeap(): Unit = {
+      touched.foreach { p => heap.enqueue((counts.getOrElse(p, 0L), p._1, p._2)) }
+      touched.clear()
+    }
+
+    seqs.indices.foreach(contribute(_, 1L))
+    flushHeap()
+
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var done = numMerges <= 0
+    while (!done) {
+      // Pop to the first LIVE entry: snapshot count must equal the
+      // current count (stale snapshots are discarded).
+      var winner: Option[(Long, String, String)] = None
+      while (winner.isEmpty && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (e._1 > 0L && counts.getOrElse((e._2, e._3), 0L) == e._1)
+          winner = Some(e)
+      }
+      winner match {
+        case None => done = true // dictionary exhausted: no pair remains
+        case Some((cnt, a, b)) =>
+          merges += Merge(rank, a, b, cnt)
+          val merged = a + b
+          val affected = where.getOrElse((a, b), mutable.HashSet.empty).toArray
+          java.util.Arrays.sort(affected)
+          affected.foreach { ti =>
+            contribute(ti, -1L)
+            // greedy leftmost non-overlapping rewrite in place
+            val s = seqs(ti)
+            val out = mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+                out += merged; i += 2
+              } else { out += s(i); i += 1 }
+            }
+            seqs(ti) = out
+            contribute(ti, 1L)
+          }
+          // the merged pair itself must die even if `affected` was empty
+          // in pathological states; normal path: its count went to 0
+          flushHeap()
+          rank += 1
+          if (rank > numMerges) done = true
+      }
+    }
+    merges.result()
+  }
+
   /** Subword token count of a text under a trained merge table — the
     * column form of [[encodeDocs]]'s count, for token-denominated
     * consumers (x111's packing): Σ over words of the encoded symbol

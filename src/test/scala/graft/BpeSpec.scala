@@ -90,6 +90,40 @@ class BpeSpec extends AnyFunSuite {
     assert(base(2L) === 7L)
   }
 
+  test("trainFast (heap/incremental) is merge-for-merge identical to train") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "low low low low low lower lower newest newest"),
+      (1L, "newest newest newest newest widest widest widest low"),
+      (2L, "new new new era era the the the the era")
+    ).toDF("doc_id", "text")
+    // deep enough to hit exhaustion on this corpus: both trainers must
+    // agree on every (rank, lhs, rhs, count) INCLUDING tie-break rounds
+    // and must truncate at the same exhaustion point
+    val slow = Bpe.train(spark, docs, 60)
+    val fast = Bpe.trainFast(spark, docs, 60)
+    assert(fast === slow)
+    assert(slow.size < 60) // the corpus genuinely exhausts — the
+    // equivalence above covered the early-stop path, not just a prefix
+    // a strict prefix ask agrees too
+    assert(Bpe.trainFast(spark, docs, 7) === slow.take(7))
+  }
+
+  test("trainFast frequency truncation keeps the top types deterministically") {
+    import spark.implicits._
+    // freq: bb x3, aa x3, cc x2  — maxTypes=2 keeps {aa, bb} (count desc,
+    // word asc breaks the 3-3 tie in favour of aa, and bb beats cc on
+    // count), so no merge can ever involve 'c'
+    val docs = Seq((0L, "bb aa bb aa bb aa cc cc")).toDF("doc_id", "text")
+    val m = Bpe.trainFast(spark, docs, 10, maxTypes = 2)
+    assert(m.nonEmpty)
+    assert(!m.exists(x => x.lhs.contains("c") || x.rhs.contains("c")))
+    // dict " a  a  </w> " x3 and " b  b  </w> " x3 — pairs (a,a)=3,
+    // (a,</w>)=3, (b,b)=3, (b,</w>)=3: a four-way count tie whose
+    // byte-order winner is (a, </w>) ('<' = 0x3C sorts before 'a')
+    assert(m.head === Merge(1, "a", Bpe.EndOfWord, 3L))
+  }
+
   test("training stops cleanly when the dictionary runs out of pairs") {
     import spark.implicits._
     // Single word type "a": round 1 merges (a, </w>) into one symbol,
