@@ -68,7 +68,8 @@ object ScaleStudy {
     // study without paying for the full sweep): sections are
     // pairs / incremental / ann / annocc / x54 / pagerank / simdedup /
     // stream / trigram / triangles / containment / kmeans / bloom /
-    // quantiles / snm / cmsjoin / drift / bpe / pq / perceptron;
+    // quantiles / snm / cmsjoin / drift / bpe / pq / pqrecall /
+    // perceptron;
     // no args = the full sweep (BASELINE.md)
     val only = args.toSet
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
@@ -806,6 +807,38 @@ object ScaleStudy {
         .agg(count(lit(1)), countDistinct(col("q_id"))).head
       val tAdc = (System.nanoTime() - t1) / 1e9
       println(f"""{"op":"pq","scale":$k,"vectors":$nVec,"queries":${agg.getLong(1)},"topk_rows":${agg.getLong(0)},"train_sec":$tTrain%.2f,"adc_sec":$tAdc%.2f}""")
+    }
+    // x113 IVFADC recall on STRUCTURED neighbors: the clustered fixture
+    // (known within-cluster neighbor graph) at 1×/3×/10×, recall@10 of
+    // adcTopK vs the exact brute-force baseline over the same fixture,
+    // sweeping the (CoarseK, NProbe) trade. Also records the coarse-probe
+    // CEILING (exact neighbors whose home list is probed at all) — ADC
+    // ranking can never beat it, so ceiling − recall isolates PQ
+    // quantization loss from coarse-routing loss. The raw isotropic
+    // fixture made bulk recall unmeasurable (distance concentration);
+    // this is the honest number.
+    if (want("pqrecall")) for (k <- Seq(1, 3, 10)) {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val fix = graft.operators.ProductQuantization
+        .clusteredFixture(expandEmbeddings(emb, k)).localCheckpoint()
+      val nVec = fix.count()
+      val exact = graft.operators.ProductQuantization.exactTopK(fix, topK = 10)
+        .select("q_id", "c_id").localCheckpoint()
+      val nExact = exact.count()
+      val nQ = nExact / 10
+      for ((ck, np) <- Seq((8, 1), (8, 2), (8, 4), (32, 1), (32, 2), (32, 4))) {
+        val t0 = System.nanoTime()
+        val got = graft.operators.ProductQuantization.adcTopK(fix, 10, ck, np)
+          .select("q_id", "c_id").localCheckpoint()
+        val tAdc = (System.nanoTime() - t0) / 1e9
+        val hits = exact.join(got, Seq("q_id", "c_id"), "left_semi").count()
+        val cand = graft.operators.ProductQuantization.candidates(fix, ck, np)
+          .localCheckpoint()
+        val nCand = cand.count()
+        val ceil = exact.join(cand, Seq("q_id", "c_id"), "left_semi").count()
+        println(f"""{"op":"pq_clustered_recall","scale":$k,"vectors":$nVec,"queries":$nQ,"coarse_k":$ck,"n_probe":$np,"cand_per_query":${nCand.toDouble / nQ}%.1f,"recall_at10":${hits.toDouble / nExact}%.3f,"probe_ceiling":${ceil.toDouble / nExact}%.3f,"adc_sec":$tAdc%.2f}""")
+      }
     }
     // x109/x110 perceptron at 1×/3×/10×: cipher replicas (a synthetic
     // source key re-attached — the study corpus ships only doc_id/text).

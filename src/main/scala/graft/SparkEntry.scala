@@ -588,6 +588,19 @@ object SparkEntry {
       val docs = Tables.load(s, d, "documents")
       graft.operators.Bpe.mergeTable(s,
         graft.operators.Bpe.trainFast(s, docs, DeepBpeMerges))
+    }),
+    // IVFADC searched over the CLUSTERED-neighbor fixture (planted known
+    // neighbor graph derived deterministically from the corpus) at
+    // top-10, with the per-hit cluster-identity flag — pins that the
+    // index finds structure where structure exists, not just that the
+    // arithmetic replays; RecallStudy measures recall@10 vs exact on the
+    // same fixture at 1x/3x/10x
+    "x113_pq_clustered_topk" -> ((s, d) => {
+      val fix = graft.operators.ProductQuantization.clusteredFixture(
+        Tables.load(s, d, "embeddings"))
+      graft.operators.ProductQuantization.adcTopK(fix, topK = 10)
+        .withColumn("same_cluster", org.apache.spark.sql.functions.expr(
+          "cast(case when q_id div 1000 = c_id div 1000 then 1 else 0 end as int)"))
     })
   )
 
@@ -1022,13 +1035,43 @@ object SparkEntry {
         |  CAST(n_batch AS DOUBLE) / t_batch AS share_batch
         |FROM cnts, tot ORDER BY cell""".stripMargin
 
-  /** Shared PQ oracle base: fixed-point dominant-dim points. */
-  private val PqBaseCtes: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |dd AS (SELECT len(v) AS dom_sz FROM e GROUP BY len(v) ORDER BY count(*) DESC, len(v) LIMIT 1),
-      |pts AS MATERIALIZED (
-      |  SELECT vec_id, list_transform(v, x -> floor(x * CAST(1000000 AS DOUBLE))) AS fv
-      |  FROM e, dd WHERE len(v) = dom_sz)""".stripMargin
+  /** The raw source CTE every PQ oracle starts from: `e(vec_id, v)`
+    * straight off the embeddings table.
+    */
+  private val PqRawE: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+  /** x113's source CTE: the clustered-neighbor fixture derived in SQL —
+    * the same center-stride / member-count / ε / cyclic-shift geometry as
+    * `ProductQuantization.clusteredFixture`, constants interpolated from
+    * the operator so they cannot drift. One double mul + add per
+    * component from literal ε — bit-identical to the Spark derivation.
+    */
+  private val PqClusteredE: String = {
+    val stride = graft.operators.ProductQuantization.ClusterStride
+    val members = graft.operators.ProductQuantization.ClusterMembers
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dd0 AS (SELECT len(v) AS dom_sz FROM e0 GROUP BY len(v) ORDER BY count(*) DESC, len(v) LIMIT 1),
+       |cen AS MATERIALIZED (
+       |  SELECT vec_id AS g, v FROM e0, dd0 WHERE len(v) = dom_sz AND vec_id % $stride = 0),
+       |e AS MATERIALIZED (
+       |  SELECT g * 1000 + m AS vec_id,
+       |    list_transform(generate_series(1, len(v)), i ->
+       |      v[i] + (CAST(0.05 AS DOUBLE) + CAST(0.02 AS DOUBLE) * CAST(m % 7 AS DOUBLE))
+       |             * v[((i - 1 + m + 1) % len(v)) + 1]) AS v
+       |  FROM cen, (SELECT unnest(generate_series(0, ${members - 1})) AS m) mm)""".stripMargin
+  }
+
+  /** Shared PQ oracle base: fixed-point dominant-dim points over a
+    * caller-supplied `e(vec_id, v)` definition.
+    */
+  private def pqBaseCtes(eCtes: String): String =
+    eCtes +
+      """,
+        |dd AS (SELECT len(v) AS dom_sz FROM e GROUP BY len(v) ORDER BY count(*) DESC, len(v) LIMIT 1),
+        |pts AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(v, x -> floor(x * CAST(1000000 AS DOUBLE))) AS fv
+        |  FROM e, dd WHERE len(v) = dom_sz)""".stripMargin
 
   /** Subspace split + `iters` unrolled Lloyd rounds over a per-dimension
     * relation `pdx` (vec_id, di, xi) — raw components for x107, coarse
@@ -1075,7 +1118,7 @@ object SparkEntry {
     * codebook (the centroid table the last assignment used), exploded.
     */
   private val PqTrainOracle: String =
-    PqBaseCtes +
+    pqBaseCtes(PqRawE) +
       """,
         |pdx AS MATERIALIZED (
         |  SELECT vec_id, unnest(generate_series(1, len(fv))) AS di, unnest(fv) AS xi FROM pts)""".stripMargin +
@@ -1090,13 +1133,17 @@ object SparkEntry {
     * LUT, scan the probed inverted lists, and rank by summed ADC
     * distance with (adc_d2, c_id) tie-break.
     */
-  private val PqAdcOracle: String = {
+  private def pqAdcOracle(eCtes: String, topK: Int,
+                          sameCluster: Boolean): String = {
     val ck = graft.operators.ProductQuantization.CoarseK
     val np = graft.operators.ProductQuantization.NProbe
     val sd = graft.operators.ProductQuantization.SubDim
     val ns = graft.operators.ProductQuantization.NumSub
     val it = graft.operators.ProductQuantization.Iters
-    PqBaseCtes +
+    val extra = if (sameCluster)
+      ",\n  CAST(CASE WHEN q_id // 1000 = c_id // 1000 THEN 1 ELSE 0 END AS INT) AS same_cluster"
+    else ""
+    pqBaseCtes(eCtes) +
       s""",
          |px AS MATERIALIZED (
          |  SELECT vec_id, unnest(generate_series(1, len(fv))) AS di, unnest(fv) AS xi FROM pts),
@@ -1146,12 +1193,22 @@ object SparkEntry {
          |  JOIN lut l ON l.q_id = cand.q_id AND l.ccell = cand.ccell
          |            AND l.sub = k.sub AND l.cell = k.cell
          |  GROUP BY 1, 2)
-         |SELECT q_id, rnk, c_id, adc_d2 FROM (
+         |SELECT q_id, rnk, c_id, adc_d2$extra FROM (
          |  SELECT q_id, c_id, adc_d2,
          |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, c_id) AS INT) AS rnk
          |  FROM adc)
-         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+         |WHERE rnk <= $topK ORDER BY q_id, rnk""".stripMargin
   }
+
+  private val PqAdcOracle: String = pqAdcOracle(PqRawE, 3, sameCluster = false)
+
+  /** x113: the identical IVFADC chain over the SQL-derived clustered
+    * fixture at top-10, plus the cluster-identity flag — the gate that
+    * pins the planted neighbor structure end-to-end (fixture derivation,
+    * coarse lists, residual PQ, ADC ranking).
+    */
+  private val PqClusteredOracle: String =
+    pqAdcOracle(PqClusteredE, 10, sameCluster = true)
 
   /** Batch-perceptron training unrolled (x109/x110): integer feature
     * relation + weak labels (fy), then per round i a single-row update
@@ -1371,6 +1428,9 @@ object SparkEntry {
     // the x102 unroll continued to DeepBpeMerges rounds; empty tail past
     // exhaustion on both engines (the early-stop gate)
     "x112_bpe_train_deep" -> BpeDeepTrainOracle,
+    // the full IVFADC replay over the SQL-derived clustered fixture +
+    // cluster-identity flags
+    "x113_pq_clustered_topk" -> PqClusteredOracle,
     // the full SNM replay: same blocking key, same global (bk, doc_id)
     // rank, same window, same distinct word-3-gram sets, same integer
     // 2·|A∩B| ≥ |A∪B| test — byte-for-byte pair parity

@@ -174,15 +174,19 @@ object ProductQuantization {
     * for the corpus and per-probed-cell residuals for the queries.
     * Split from [[searchParts]] so the study-only [[candidates]]
     * accessor never pays for PQ training it does not consume.
+    * `coarseK`/`nProbe` default to the ledger constants; [[graft
+    * .ScaleStudy]]'s pqrecall section sweeps them to measure the
+    * probe-count/list-count recall trade on the clustered fixture.
     */
-  private def coarseParts(emb: DataFrame): (DataFrame, DataFrame) = {
+  private def coarseParts(emb: DataFrame, coarseK: Int = CoarseK,
+                          nProbe: Int = NProbe): (DataFrame, DataFrame) = {
     val isQuery = pmod(col("vec_id"), lit(10L)) === 7
     // consumed by the coarse update, both assignments, and the residuals
     val pts = KMeans.quantizedPts(emb).ckpt()
-    // ONE exact centroid update from the corpus-slice seeding: CoarseK
+    // ONE exact centroid update from the corpus-slice seeding: coarseK
     // rows — a broadcast at any corpus size
     val coarse = pts.filter(!isQuery)
-      .withColumn("ccell", pmod(col("vec_id"), lit(CoarseK.toLong)).cast("int"))
+      .withColumn("ccell", pmod(col("vec_id"), lit(coarseK.toLong)).cast("int"))
       .groupBy(col("ccell"))
       .agg(graft.functions.ArrayExpressions.vectorSum(col("fv")).as("s"),
         count(lit(1)).as("n"))
@@ -198,14 +202,14 @@ object ProductQuantization {
       .select(col("vec_id"), col("m.ccell").as("ccell"),
         expr("zip_with(m.fv, m.cc, (x, y) -> x - y)").as("fv"))
       .ckpt() // read by PQ training and the candidate build
-    // queries: NProbe nearest cells, one residual PER PROBED CELL; the
-    // rank window partitions are CoarseK rows each (WindowGroupLimit
-    // cuts at NProbe), never corpus-sized
+    // queries: nProbe nearest cells, one residual PER PROBED CELL; the
+    // rank window partitions are coarseK rows each (WindowGroupLimit
+    // cuts at nProbe), never corpus-sized
     val wq = Window.partitionBy(col("vec_id")).orderBy(col("d2c"), col("ccell"))
     val qProbe = pts.filter(isQuery).crossJoin(broadcast(coarse))
       .withColumn("d2c", expr(CoarseDist2))
       .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= NProbe)
+      .filter(col("rn") <= nProbe)
       .select(col("vec_id").as("q_id"), col("ccell"),
         expr("zip_with(fv, cc, (x, y) -> x - y)").as("fv"))
       .ckpt() // read by the LUT and the candidate build
@@ -228,8 +232,9 @@ object ProductQuantization {
     * coarse/residual split and the multi-probe are not optimizations
     * but what makes PQ search work.
     */
-  private def searchParts(emb: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val (rCorpus, qProbe) = coarseParts(emb)
+  private def searchParts(emb: DataFrame, coarseK: Int = CoarseK,
+                          nProbe: Int = NProbe): (DataFrame, DataFrame, DataFrame) = {
+    val (rCorpus, qProbe) = coarseParts(emb, coarseK, nProbe)
     val (cb, codes0) = train(subPtsOf(rCorpus))
     // the lazy final assignment, read twice (ADC join sides)
     val codes = codes0.select(col("vec_id").as("c_id"), col("sub"), col("cell")).ckpt()
@@ -255,8 +260,9 @@ object ProductQuantization {
     * accessor: whatever the coarse probe does not list, ADC can never
     * return, so this IS the recall ceiling RecallStudy measures.
     */
-  private[graft] def candidates(emb: DataFrame): DataFrame = {
-    val (rCorpus, qProbe) = coarseParts(emb)
+  private[graft] def candidates(emb: DataFrame, coarseK: Int = CoarseK,
+                                nProbe: Int = NProbe): DataFrame = {
+    val (rCorpus, qProbe) = coarseParts(emb, coarseK, nProbe)
     qProbe.select(col("q_id"), col("ccell"))
       .join(rCorpus.select(col("vec_id").as("c_id"), col("ccell")), Seq("ccell"))
       .select(col("q_id"), col("c_id"))
@@ -274,8 +280,53 @@ object ProductQuantization {
     * quantized-corpus-side), ties by candidate id.
     * (q_id, rnk, c_id, adc_d2).
     */
-  def adcTopK(emb: DataFrame, topK: Int = 3): DataFrame = {
-    val (lut, cand, codes) = searchParts(emb)
+  /** Members generated per planted cluster by [[clusteredFixture]]. */
+  val ClusterMembers = 20
+
+  /** Every `ClusterStride`-th corpus vector becomes a cluster center. */
+  val ClusterStride = 20
+
+  /** Deterministic CLUSTERED-NEIGHBOR fixture derived from the isotropic
+    * embeddings corpus — the evaluation substrate the raw fixture cannot
+    * be: iid draws in 64 dims have concentrated pairwise distances
+    * (~1.3× min-to-max), so "recall" over them measures distance
+    * concentration, not the index. Here every `ClusterStride`-th
+    * dominant-dim corpus vector v becomes a cluster CENTER that emits
+    * [[ClusterMembers]] members
+    *
+    *   w(m) = v + ε(m)·shift(v, m+1),   ε(m) = 0.05 + 0.02·(m % 7)
+    *
+    * (shift = cyclic component rotation — a deterministic, pure-columnar
+    * perturbation). Within-cluster distances are ≤ (ε_i+ε_j)·|v| ≈ 0.34·|v|
+    * while cross-cluster distances stay ≳ |v| (isotropic centers are
+    * near-orthogonal), so each member's exact top-k neighbors for
+    * k < members-per-cluster are its OWN cluster siblings, with a real
+    * ranked order induced by the varying ε — a known neighbor graph.
+    * Member ids are `center_id·1000 + m`, so the x98/x108 held-out rule
+    * (vec_id % 10 = 7) makes members m ∈ {7, 17} of every cluster the
+    * queries and the other 18 the corpus, and cluster identity is
+    * recoverable as `vec_id div 1000` by any engine. Double arithmetic
+    * is one mul + one add per component from literal ε — bit-identical
+    * in Spark and DuckDB, so the derivation (and everything trained on
+    * it) hash-gates.
+    */
+  def clusteredFixture(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val domDim = base.groupBy(size(col("v")).as("sz")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("sz")).limit(1).select(col("sz").as("dom_sz"))
+    base.join(broadcast(domDim), size(col("v")) === col("dom_sz"))
+      .filter(pmod(col("vec_id"), lit(ClusterStride.toLong)) === 0)
+      .select(col("vec_id").as("g"), col("v"),
+        explode(expr(s"sequence(0, ${ClusterMembers - 1})")).as("m"))
+      .select((col("g") * 1000 + col("m")).as("vec_id"),
+        expr("transform(v, (x, i) -> x + (0.05d + 0.02d * cast(m % 7 as double)) " +
+          "* element_at(v, ((i + m + 1) % size(v)) + 1))").as("embedding"))
+  }
+
+  def adcTopK(emb: DataFrame, topK: Int = 3, coarseK: Int = CoarseK,
+              nProbe: Int = NProbe): DataFrame = {
+    val (lut, cand, codes) = searchParts(emb, coarseK, nProbe)
     val adc = cand.join(codes, Seq("c_id"))
       .join(lut, Seq("q_id", "ccell", "sub", "cell"))
       .groupBy(col("q_id"), col("c_id"))

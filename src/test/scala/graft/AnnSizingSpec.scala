@@ -132,4 +132,37 @@ class AnnSizingSpec extends AnyFunSuite {
       graft.sources.LayoutCache.deleteTree(dirKPath)
     }
   }
+
+  test("clustered fixture plants a real neighbor graph and IVFADC recovers it") {
+    import graft.operators.ProductQuantization
+    val emb = Tables.load(spark, sf, "embeddings")
+    val fix = ProductQuantization.clusteredFixture(emb).localCheckpoint()
+    // 25 centers (vec_id % 20 = 0 over 500 dominant-dim vectors) x 20
+    // members; held-out rule picks members {7, 17} of every cluster
+    assert(fix.count() === 25L * ProductQuantization.ClusterMembers)
+    val exact = ProductQuantization.exactTopK(fix, topK = 10).localCheckpoint()
+    assert(exact.count() === 500L) // 50 queries x 10
+    // the PLANTED structure: every exact top-10 neighbor of every query
+    // is a cluster sibling — within-cluster distances (<= ~0.34|v|) never
+    // lose to cross-cluster ones (~|v| for near-orthogonal centers).
+    // This is what makes recall on this fixture meaningful: the truth
+    // set is structural, not a concentration artifact.
+    assert(exact.filter(expr("q_id div 1000 <> c_id div 1000")).count() === 0L)
+    // IVFADC at the ledger geometry, decomposed into its two losses:
+    // the coarse PROBE CEILING (neighbors whose home list is visited at
+    // all) must be near-lossless — routing works on structure — while
+    // end-to-end recall@10 sits quantization-limited at ~0.65 (K=16,
+    // 4-bit codes; the study's NProbe=4 rows pin that more probing buys
+    // nothing once the ceiling saturates — resolution, not routing, is
+    // the open knob, exactly the K=256 production note in the scaladoc).
+    // The isotropic fixture could measure neither (bulk recall ~0.10
+    // against a ~0.45 ceiling said nothing).
+    val ceiling = exact.join(ProductQuantization.candidates(fix),
+      Seq("q_id", "c_id"), "left_semi").count() / 500.0
+    assert(ceiling >= 0.95, s"coarse probe ceiling on structured neighbors was $ceiling")
+    val got = ProductQuantization.adcTopK(fix, topK = 10)
+      .select("q_id", "c_id").localCheckpoint()
+    val recall = exact.join(got, Seq("q_id", "c_id"), "left_semi").count() / 500.0
+    assert(recall >= 0.55, s"IVFADC recall@10 on structured neighbors was $recall")
+  }
 }

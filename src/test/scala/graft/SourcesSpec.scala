@@ -61,6 +61,54 @@ class SourcesSpec extends AnyFunSuite {
     assert(!TaxiText.warnIfNotSplittable(spark, "data.snappy.parquet"))
   }
 
+  test("recompress: gz text lands as splittable parquet with the byte-identity contract") {
+    import graft.sources.Recompress
+    val base = Files.createTempDirectory("graft-recompress")
+    base.toFile.deleteOnExit()
+    // two gz files with distinct content, incl. lines that stress the
+    // digest (empty line, repeated line, unicode)
+    def gz(name: String, lines: Seq[String]): String = {
+      val f = base.resolve(name)
+      val os = new java.util.zip.GZIPOutputStream(Files.newOutputStream(f))
+      os.write(lines.mkString("\n").getBytes("UTF-8"))
+      os.close()
+      f.toString
+    }
+    gz("a.txt.gz", Seq("alpha", "", "alpha", "omega éü", "tail"))
+    gz("b.txt.gz", (1 to 500).map(i => s"row $i payload ${i * 31}"))
+    val inGlob = base.toString + "/*.txt.gz"
+    // the warning path this tool answers fires on the compressed input...
+    assert(TaxiText.warnIfNotSplittable(spark, inGlob))
+    val outDir = base.resolve("landed").toString
+    val report = Recompress.textToParquet(spark, inGlob, outDir).collect()
+    // ...and does NOT apply to the landed copy
+    assert(!TaxiText.warnIfNotSplittable(spark, outDir + "/part-00000.snappy.parquet"))
+    assert(report.length === 2)
+    assert(report.forall(_.getAs[Boolean]("ok")),
+      s"byte-identity contract failed: ${report.mkString("; ")}")
+    val a = report.find(_.getAs[String]("src_file").endsWith("a.txt.gz")).get
+    assert(a.getAs[Long]("lines_in") === 5L)
+    val b = report.find(_.getAs[String]("src_file").endsWith("b.txt.gz")).get
+    assert(b.getAs[Long]("lines_in") === 500L)
+    // the landed copy reconstructs each file's exact line sequence
+    val rebuilt = spark.read.parquet(outDir)
+      .filter(col("src_file").endsWith("a.txt.gz"))
+      .orderBy("line_no").collect().map(_.getAs[String]("line")).toSeq
+    assert(rebuilt === Seq("alpha", "", "alpha", "omega éü", "tail"))
+    // a corrupted landing (dropped line) must fail the contract
+    val badDir = base.resolve("bad").toString
+    spark.read.parquet(outDir).filter(!(col("line_no") === 2 &&
+        col("src_file").endsWith("a.txt.gz")))
+      .write.mode("overwrite").parquet(badDir)
+    val badOut = Recompress.fingerprint(
+        spark.read.parquet(badDir).select("src_file", "line_no", "line"))
+      .filter(col("src_file").endsWith("a.txt.gz")).head()
+    val goodIn = Recompress.fingerprint(
+        spark.read.parquet(outDir).select("src_file", "line_no", "line"))
+      .filter(col("src_file").endsWith("a.txt.gz")).head()
+    assert(badOut.getAs[Long]("digest") !== goodIn.getAs[Long]("digest"))
+  }
+
   test("csv and json sinks round-trip a query result") {
     val df = SparkEntry.queries("q9_time_windows")(spark, "/root/testdata/sf0.001")
     val want = df.collect().map(_.toString).sorted
