@@ -38,9 +38,11 @@ object StreamingQueries {
   /** Number of time-range spool files = number of event micro-batches the
     * sessionizer sees (plus one for the sentinel flush). 3 keeps
     * cross-batch state handoff exercised without paying unbounded
-    * per-batch state-store fixed costs locally.
+    * per-batch state-store fixed costs locally. Overridable for
+    * measurement (-Dgraft.stream.feedfiles=N).
     */
-  private val FeedFiles = 3
+  private def FeedFiles: Int =
+    sys.props.getOrElse("graft.stream.feedfiles", "3").toInt
 
   /** Shuffle-partition count while a streaming stage runs (scoped per
     * query, restored after). Each partition opens/commits its state
@@ -53,6 +55,30 @@ object StreamingQueries {
     * for measurement (-Dgraft.stream.parts=N).
     */
   private def streamParts: String = sys.props.getOrElse("graft.stream.parts", "4")
+
+  /** Scratch root for spool + checkpoint of the streaming ledger rows.
+    * Prefers a tmpfs (`/dev/shm`) when one is writable: every micro-batch
+    * fsyncs the offset WAL, the commit log, and one delta file PER state
+    * store PER partition — on ext4 those fsyncs are the dominant
+    * streaming wall locally (measured on x50: state-store commit ≈
+    * 0.8 s/batch of a ≈1.1 s trigger). The checkpoint contract is
+    * unchanged: in production it points at durable DFS storage by
+    * configuration; locally, disk under java.io.tmpdir is no more
+    * durable across machine loss than tmpfs, so the bench measures
+    * compute instead of local fsync latency. Override with
+    * -Dgraft.stream.scratch=<dir>.
+    */
+  private def streamScratchDir(prefix: String): Path = {
+    val base = sys.props.get("graft.stream.scratch").map(java.nio.file.Paths.get(_))
+      .orElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (Files.isDirectory(shm) && Files.isWritable(shm)) Some(shm) else None
+      }
+    base match {
+      case Some(b) => Files.createTempDirectory(b, prefix)
+      case None => Files.createTempDirectory(prefix)
+    }
+  }
 
   /** Per-phase stderr breadcrumb for every streaming ledger row — the
     * `[q29]`/`[layout]` convention extended to the streaming band (r10
@@ -67,11 +93,15 @@ object StreamingQueries {
     val runMs = (System.nanoTime() - tSpool) / 1000000L
     val spoolMs = (tSpool - t0) / 1000000L
     val progress = q.recentProgress
-    val trig = progress.map(p =>
-      Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
+    def dur(key: String) = progress.map(p =>
+      Option(p.durationMs.get(key)).map(_.longValue).getOrElse(0L))
+    val trig = dur("triggerExecution")
     val commit = progress.map(p => p.stateOperators.map(_.commitTimeMs).sum)
     System.err.println(s"[$tag] spool=${spoolMs}ms run=${runMs}ms " +
-      s"batches=${trig.mkString("+")}ms stateCommit=${commit.mkString("+")}ms")
+      s"batches=${trig.mkString("+")}ms stateCommit=${commit.mkString("+")}ms " +
+      s"plan=${dur("queryPlanning").sum}ms addBatch=${dur("addBatch").sum}ms " +
+      s"wal=${(dur("walCommit"), dur("commitOffsets")).zipped.map(_ + _).sum}ms " +
+      s"getBatch=${(dur("getBatch"), dur("latestOffset")).zipped.map(_ + _).sum}ms")
   }
 
   private def deleteRecursively(p: Path): Unit =
@@ -142,7 +172,7 @@ object StreamingQueries {
     val events = Tables.load(spark, dir, "events")
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
-    val spool = Files.createTempDirectory("graft_stream_touch")
+    val spool = streamScratchDir("graft_stream_touch")
     val feedDir = spool.resolve("feed").toString
     val name = s"graft_stream_touch_${runSeq.incrementAndGet()}"
     try {
@@ -193,7 +223,7 @@ object StreamingQueries {
     val events = Tables.load(spark, dir, "events")
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
         col("event_type"), col("value"))
-    val spool = Files.createTempDirectory("graft_stream_cdc")
+    val spool = streamScratchDir("graft_stream_cdc")
     val feedDir = spool.resolve("feed").toString
     val name = s"graft_stream_cdc_${runSeq.incrementAndGet()}"
     try {
@@ -250,7 +280,7 @@ object StreamingQueries {
       .filter(col("event_id") % 8 === 0) // q50's sparse slice, shared
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_id"), col("event_type"))
-    val spool = Files.createTempDirectory("graft_stream_funnel")
+    val spool = streamScratchDir("graft_stream_funnel")
     val feedDir = spool.resolve("feed").toString
     val name = s"graft_stream_funnel_${runSeq.incrementAndGet()}"
     try {
@@ -307,7 +337,7 @@ object StreamingQueries {
     val fps = graft.operators.Dedup.simhashRaw(docs)
       .select(col("doc_id"), col("simhash64"),
         col("band0"), col("band1"), col("band2"), col("band3"))
-    val spool = Files.createTempDirectory("graft_stream_simdedup")
+    val spool = streamScratchDir("graft_stream_simdedup")
     val feedDir = spool.resolve("feed").toString
     val name = s"graft_stream_simdedup_${runSeq.incrementAndGet()}"
     try {
@@ -427,7 +457,7 @@ object StreamingQueries {
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_id"), col("event_type"))
-    val spool = Files.createTempDirectory("graft_stream_join")
+    val spool = streamScratchDir("graft_stream_join")
     val feedDir = spool.resolve("feed").toString
     val name = s"graft_stream_join_${runSeq.incrementAndGet()}"
     try {
@@ -538,7 +568,7 @@ object StreamingQueries {
         struct(lit(-2L).as("user_id"), col("us"), lit(-2L).as("event_id"),
           lit("purchase").as("event_type")))).as("s"))
       .select(col("s.user_id"), col("s.us"), col("s.event_id"), col("s.event_type"))
-    val spool = Files.createTempDirectory("graft_stream_ojoin")
+    val spool = streamScratchDir("graft_stream_ojoin")
     val feedDir = spool.resolve("feed").toString
     val name = s"graft_stream_ojoin_${runSeq.incrementAndGet()}"
     try {
@@ -596,7 +626,7 @@ object StreamingQueries {
       .join(Tables.load(spark, dir, "nation"),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name"))
-    val spool = Files.createTempDirectory("graft_stream_enrich")
+    val spool = streamScratchDir("graft_stream_enrich")
     val feedDir = spool.resolve("feed").toString
     try {
       val t0 = System.nanoTime()
@@ -660,7 +690,7 @@ object StreamingQueries {
           "x45 requires globally unique event_id: %d rows, %d distinct",
           col("n"), col("d"))))
         .otherwise(lit(1L)).as("ok"))
-    val spool = Files.createTempDirectory("graft_stream_xonce")
+    val spool = streamScratchDir("graft_stream_xonce")
     val feedDir = spool.resolve("feed").toString
     try {
       val t0 = System.nanoTime()
@@ -739,7 +769,7 @@ object StreamingQueries {
           col("mnu")))).otherwise(lit(-1L)).as("user_id"),
         (col("mx") + 1000L * 3600 * 1000000).as("us"),
         lit(0L).as("cents"))
-    val spool = Files.createTempDirectory("graft_stream_spool")
+    val spool = streamScratchDir("graft_stream_spool")
     val feedDir = spool.resolve("feed").toString
     val name = s"graft_stream_gap_${runSeq.incrementAndGet()}"
     try {
@@ -844,7 +874,7 @@ object StreamingQueries {
           "yyyy-MM-dd HH:mm:ss").as("tsS"),
         lit("37.70000").as("latS"), lit("-122.40000").as("longS"), lit("E").as("status"))
 
-    val spool = Files.createTempDirectory("graft_stream_taxi")
+    val spool = streamScratchDir("graft_stream_taxi")
     val feedDir = spool.resolve("feed").toString
     val name = s"graft_stream_taxi_${runSeq.incrementAndGet()}"
     try {
@@ -936,7 +966,7 @@ object StreamingQueries {
           raise_error(lit("x63 sentinel event_type collides with a real event_type")))
         .otherwise(col("mx") + lit(2L * 3600 * 1000000)).as("us"),
         lit(TrendingSentinelType).as("event_type"))
-    val spool = Files.createTempDirectory("graft_stream_trend")
+    val spool = streamScratchDir("graft_stream_trend")
     val feedDir = spool.resolve("feed").toString
     val name = s"graft_stream_trend_${runSeq.incrementAndGet()}"
     try {
@@ -995,7 +1025,7 @@ object StreamingQueries {
     val feed = emb
       .filter(graft.operators.IncrementalAnn.isNewVec(col("vec_id")))
       .select(col("vec_id"), col("embedding"))
-    val spool = Files.createTempDirectory("graft_stream_drift")
+    val spool = streamScratchDir("graft_stream_drift")
     val feedDir = spool.resolve("feed").toString
     val name = s"graft_stream_drift_${runSeq.incrementAndGet()}"
     try {
