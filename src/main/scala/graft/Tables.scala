@@ -47,11 +47,24 @@ object Tables {
         val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
         val prev = spark.conf.getOption(key)
         spark.conf.set(key, "false")
-        try spark.read.parquet(path) // schema resolves eagerly here, under the conf
-        finally prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None    => spark.conf.unset(key)
-        }
+        val reread =
+          try spark.read.parquet(path) // schema resolves eagerly here, under the conf
+          finally prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None    => spark.conf.unset(key)
+          }
+        if (reread.schema("ts").dataType.isInstanceOf[TimestampNTZType]) {
+          // SPARK-written file (e.g. a GenScaleTree tree): the embedded
+          // Spark schema pins TIMESTAMP_NTZ regardless of the inference
+          // conf, so the re-read trick cannot demote it. The wall-clock
+          // IS the UTC instant; the cast below is lossless exactly when
+          // the session timezone is UTC — which every graft session pins
+          // (BenchHarness/Verify) — enforced here so a non-UTC session
+          // fails fast instead of silently shifting instants.
+          require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+            "events.ts NTZ→TIMESTAMP normalization requires a UTC session timezone")
+          reread.withColumn("ts", col("ts").cast("timestamp"))
+        } else reread
       case _ => raw // already TIMESTAMP: trust it
     }
   }
