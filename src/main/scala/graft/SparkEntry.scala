@@ -1308,6 +1308,36 @@ object SparkEntry {
     base + iters
   }
 
+  /** Unrolled pointer-doubling min-label propagation over a symmetric
+    * MATERIALIZED edge CTE `edge(src, dst)` — the oracle twin of
+    * `Dedup.dupClusters`' own algorithm. Replaces the old naive
+    * `WITH RECURSIVE reach(id, r)` whose working set is the per-component
+    * ALL-PAIRS (vertex, label) relation: on the sf1 sweep's giant
+    * near-dup component (4,497 docs) that recursion carried ~20 M rows
+    * through a dense-edge join per iteration (>1 h in DuckDB), while
+    * doubling converges in O(log n) MATERIALIZED rounds of O(V + E)
+    * each. Round update: l ← least(l, min over neighbours' l, l of l) —
+    * `rounds` = 20 converges for any component ≤ 2^20 vertices (an
+    * unconverged run produces labels ≠ the engine's min-labels and the
+    * gate goes RED, never silently wrong). Emits `reach(id, r)` with
+    * one row per vertex, so the downstream `min(r) GROUP BY id` selects
+    * are unchanged.
+    */
+  private def minLabelReach(edge: String, rounds: Int = 20): String = {
+    val chain = (1 to rounds).map { i =>
+      s"""lp$i AS MATERIALIZED (
+         |  SELECT h.v, least(h.l, coalesce(nb.m, h.l), hh.l) AS l
+         |  FROM lp${i - 1} h
+         |  LEFT JOIN (SELECT e2.src AS v, min(h2.l) AS m
+         |             FROM $edge e2 JOIN lp${i - 1} h2 ON e2.dst = h2.v
+         |             GROUP BY 1) nb USING (v)
+         |  JOIN lp${i - 1} hh ON h.l = hh.v),""".stripMargin
+    }.mkString("\n")
+    s"""lp0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS l FROM $edge),
+       |$chain
+       |reach AS (SELECT v AS id, l AS r FROM lp$rounds)""".stripMargin
+  }
+
   private def bpeMergeTableSelect(rounds: Int): String =
     (1 to rounds).map(i =>
       s"SELECT CAST($i AS INT) AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_count FROM m$i")
@@ -2894,7 +2924,7 @@ object SparkEntry {
         |       round(avg(cos_drift), 12) AS avg_cos_drift
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
     "x20_dup_clusters_exact" ->
-      """WITH RECURSIVE d AS (
+      ("""WITH d AS (
         |  SELECT doc_id,
         |         list_distinct(list_transform(range(1, length(text) - 1),
         |                       i -> substring(text, CAST(i AS int), 3))) AS sh
@@ -2904,17 +2934,14 @@ object SparkEntry {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS double)
         |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
-        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
-        |reach(id, r) AS (
-        |  SELECT src, src FROM e
-        |  UNION
-        |  SELECT e2.src, reach.r FROM e e2 JOIN reach ON e2.dst = reach.id)
-        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+        |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+        |""".stripMargin + minLabelReach("e") + """
+        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
     // x65: x20's reachability clusters + x10's rounded quality gate +
     // window argmax (quality desc, doc_id asc) — the keeper decision
     // replayed end to end
     "x65_dedup_keeper" ->
-      """WITH RECURSIVE d AS (
+      ("""WITH d AS (
         |  SELECT doc_id,
         |         list_distinct(list_transform(range(1, length(text) - 1),
         |                       i -> substring(text, CAST(i AS int), 3))) AS sh
@@ -2924,11 +2951,8 @@ object SparkEntry {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS double)
         |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
-        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
-        |reach(id, r) AS (
-        |  SELECT src, src FROM e
-        |  UNION
-        |  SELECT e2.src, reach.r FROM e e2 JOIN reach ON e2.dst = reach.id),
+        |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+        |""".stripMargin + minLabelReach("e") + """,
         |c AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
         |q AS (
         |  SELECT doc_id,
@@ -2946,12 +2970,12 @@ object SparkEntry {
         |                              ORDER BY quality_score DESC, doc_id) AS rn
         |    FROM j) WHERE rn = 1)
         |SELECT j.doc_id, j.cluster_id, j.quality_score, j.doc_id = k.keeper AS is_keeper
-        |FROM j JOIN k USING (cluster_id) ORDER BY j.doc_id""".stripMargin,
+        |FROM j JOIN k USING (cluster_id) ORDER BY j.doc_id""".stripMargin),
     // x56: the same reachability oracle over the exact cosine near-dup
     // graph (x6's pair shape at 0.3) — clustering checked on an input
     // independent of both the text shingles and the LSH replay
     "x56_cosine_dup_clusters" ->
-      """WITH RECURSIVE e0 AS (
+      ("""WITH e0 AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings WHERE vec_id % 5 = 0),
         |p AS MATERIALIZED (
@@ -2959,26 +2983,19 @@ object SparkEntry {
         |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
         |  WHERE NOT isnan(list_cosine_similarity(a.v, b.v))
         |    AND list_cosine_similarity(a.v, b.v) >= 0.3),
-        |e AS (SELECT vec_a AS src, vec_b AS dst FROM p UNION SELECT vec_b, vec_a FROM p),
-        |reach(id, r) AS (
-        |  SELECT src, src FROM e
-        |  UNION
-        |  SELECT e2.src, reach.r FROM e e2 JOIN reach ON e2.dst = reach.id)
-        |SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+        |e AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM p UNION SELECT vec_b, vec_a FROM p),
+        |""".stripMargin + minLabelReach("e") + """
+        |SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY vec_id""".stripMargin),
     // the RAW LSH cluster labels: the replayed pipeline's pairs resolved
-    // to min-label components by the same recursive CTE as x20. The edge
-    // list is MATERIALIZED so the recursion doesn't re-run the LSH replay
-    // per iteration.
+    // to min-label components by the same unrolled doubling as x20. The
+    // edge list is MATERIALIZED so the rounds never re-run the LSH replay.
     "x18_dup_clusters" ->
       (MinhashLshCte(0.62) +
         """,
           |e AS MATERIALIZED (
           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
           |  UNION SELECT doc_b, doc_a FROM pairs),
-          |reach(id, r) AS (
-          |  SELECT src, src FROM e
-          |  UNION
-          |  SELECT e2.src, reach.r FROM e e2 JOIN reach ON e2.dst = reach.id)
+          |""".stripMargin + minLabelReach("e") + """
           |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
     // the composed curation pipeline, fully oracled: LSH losers from the
     // replayed pipeline, the x10 quality-score formula, the embeddings
@@ -3376,7 +3393,7 @@ object SparkEntry {
     // 1-NN cell assignment, in-cell cosine pairs at 0.3, x56's
     // recursive-CTE reachability, keeper = min cos-to-centroid window
     "x87_semdedup" ->
-      """WITH RECURSIVE e AS (
+      ("""WITH RECURSIVE e AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |dd AS (
         |  SELECT len(v) AS dom_sz FROM e GROUP BY len(v) ORDER BY count(*) DESC, len(v) LIMIT 1),
@@ -3402,16 +3419,13 @@ object SparkEntry {
         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |  WHERE NOT isnan(list_cosine_similarity(a.v, b.v))
         |    AND list_cosine_similarity(a.v, b.v) >= 0.3),
-        |ed AS (SELECT va AS src, vb AS dst FROM p UNION SELECT vb, va FROM p),
-        |reach(id, r) AS (
-        |  SELECT src, src FROM ed
-        |  UNION
-        |  SELECT e2.src, reach.r FROM ed e2 JOIN reach ON e2.dst = reach.id),
+        |ed AS MATERIALIZED (SELECT va AS src, vb AS dst FROM p UNION SELECT vb, va FROM p),
+        |""".stripMargin + minLabelReach("ed") + """,
         |comp AS (SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id)
         |SELECT c.vec_id, a.cell, c.component, round(a.cc, 4) AS cos_cent,
         |       row_number() OVER (PARTITION BY c.component ORDER BY a.cc ASC, c.vec_id) = 1 AS is_keeper
         |FROM comp c JOIN asg a ON a.vec_id = c.vec_id
-        |ORDER BY c.vec_id""".stripMargin,
+        |ORDER BY c.vec_id""".stripMargin),
     // x88: byte-for-byte gram replay + the identical gaps-and-islands
     // merge — every quantity integer arithmetic, zero float tolerance
     "x88_substring_dedup" ->
