@@ -50,6 +50,22 @@ object GenScaleTree {
     s.substring(n) + s.substring(0, n)
   }
 
+  /** Per-replica embedding rotation amount, pairwise distinct for
+    * r ∈ 1..dim-1. The step must be COPRIME with dim-1 or rotations
+    * repeat with period (dim-1)/gcd — the first cut's fixed step 7 had
+    * gcd(7, 63) = 7 at dim 64, so replicas r and r+9 beyond k=10 would
+    * have collided into exact duplicate vector sets (r16 ADVICE),
+    * silently breaking the replica-disjoint property dedup/ANN pair
+    * structure rides on. `r·step mod (dim-1)` is a bijection on
+    * 0..dim-2 under coprimality and lands in 1..dim-2 for r ≥ 1, so
+    * every replica's rotation is distinct and never the identity.
+    */
+  private[graft] def rotationOf(r: Int, dim: Int): Int = {
+    val m = dim - 1
+    val step = (7 to 7 + m).find(s => BigInt(s).gcd(BigInt(m)) == 1).getOrElse(1)
+    1 + ((((r * step - 1) % m) + m) % m)
+  }
+
   /** `id → id·k + r` as a Column, type-preserving for long keys. */
   private def key(c: String, k: Int, r: Int) =
     (col(c) * k + lit(r)).as(c)
@@ -94,8 +110,10 @@ object GenScaleTree {
           col("lang"), col("source"), col("n_chars")))
       case "embeddings" =>
         val dim = t.select(min(size(col("embedding")))).head().getInt(0)
+        require(dim < 2 || k <= dim - 1,
+          s"embeddings support at most dim-1 = ${dim - 1} replica-disjoint rotations; k=$k")
         replicate(t, k) { (d, r) =>
-          val rt = if (r == 0 || dim < 2) 0 else 1 + ((r * 7 - 1) % (dim - 1))
+          val rt = if (r == 0 || dim < 2) 0 else rotationOf(r, dim)
           d.select(key("vec_id", k, r),
             (if (rt == 0) col("embedding")
              else expr(s"concat(slice(embedding, ${rt + 1}, size(embedding) - $rt), " +

@@ -60,9 +60,10 @@ object RecallStudy {
       // CEILING (exact neighbors outside the query's sub-0 inverted list
       // are unreachable by construction). Recall is a function of
       // codebook resolution: the first cut (4 subspaces x 2-bit codes)
-      // ranked near-randomly (~0.02-0.04); the shipped 8x4-bit sizing is
-      // measured here; production (K=256, multi-probe) raises it further
-      // with the identical plan shape.
+      // ranked near-randomly (~0.02-0.04), the 8x4-bit intermediate
+      // reached 0.66-0.68 on the clustered fixture against a 0.98-1.00
+      // routing ceiling; the SHIPPED sizing is the production 8x8-bit
+      // (K=256) — measured here with the identical plan shape.
       import graft.operators.ProductQuantization
       val pqTop = ProductQuantization.adcTopK(emb)
         .select(col("q_id"), col("c_id")).localCheckpoint()

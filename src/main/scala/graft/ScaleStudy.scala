@@ -42,7 +42,10 @@ object ScaleStudy {
   def expandEmbeddings(emb: DataFrame, k: Int): DataFrame = {
     val dim = math.max(emb.select(min(size(col("v")))).head.getInt(0), 1)
     (0 until k).map { r =>
-      val rot = if (r == 0 || dim < 2) 0 else 1 + ((r * 7 - 1) % (dim - 1))
+      // coprime-step rotation (GenScaleTree.rotationOf): the old fixed
+      // step 7 repeated with period 9 at dim 64, colliding replicas
+      // beyond k=10 into identical vector sets
+      val rot = if (r == 0 || dim < 2) 0 else GenScaleTree.rotationOf(r, dim)
       emb.select((col("vec_id") * k + lit(r)).as("vec_id"),
         (if (rot == 0) col("v")
          else expr(s"concat(slice(v, ${rot + 1}, size(v) - $rot), slice(v, 1, $rot))"))
@@ -68,7 +71,7 @@ object ScaleStudy {
     // study without paying for the full sweep): sections are
     // pairs / incremental / ann / annocc / x54 / pagerank / simdedup /
     // stream / trigram / triangles / containment / kmeans / bloom /
-    // quantiles / snm / cmsjoin / drift / bpe / pq / pqrecall /
+    // quantiles / snm / cmsjoin / drift / bpe / bpedeep / pq / pqrecall /
     // perceptron;
     // no args = the full sweep (BASELINE.md)
     val only = args.toSet
@@ -787,6 +790,33 @@ object ScaleStudy {
       val tEnc = (System.nanoTime() - t2) / 1e9
       println(f"""{"op":"bpe","scale":$k,"docs":$nDocs,"word_types":$nTypes,"total_tokens":$toks,"dict_sec":$tDict%.2f,"train_sec":$tTrain%.2f,"encode_sec":$tEnc%.2f}""")
     }
+    // x112's driver merge loop at PRODUCTION merge depth (r16 verdict #7):
+    // the fixture corpus has 31 word types and exhausts at ~107 merges, so
+    // the 30k-merge question (does the incremental pair table + the now-
+    // compacting lazy-deletion heap stay tractable at a real tokenizer's
+    // vocabulary size?) needs a dictionary that can SUSTAIN 30k merges:
+    // 60k distinct word types (bijective base-20 encodings — near the
+    // MaxDictTypes=65,536 bound trainFast truncates to) under a Zipf
+    // frequency law (rank r → ~5e6/r, the shape real word counts have,
+    // so early merges touch many types — the worst case for the
+    // incremental update). Driver-side by design: this measures exactly
+    // the component that runs on the driver in production.
+    if (want("bpedeep")) {
+      val alphabet = "abcdefghijklmnopqrst"
+      def wordOf(i: Int): String = {
+        var v = i + 20 // ≥ 20 so every word has ≥ 2 chars
+        val sb = new StringBuilder
+        while (v > 0) { sb.append(alphabet.charAt(v % 20)); v /= 20 }
+        sb.result() // bijective: distinct i → distinct digit string
+      }
+      val types = Array.tabulate(60000)(i => (wordOf(i), 1L + 5000000L / (i + 1)))
+      for (m <- Seq(1000, 5000, 10000, 30000)) {
+        val t0 = System.nanoTime()
+        val merges = graft.operators.Bpe.trainInMemory(types, m)
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"bpe_deep","word_types":${types.length},"merges_asked":$m,"merges_learned":${merges.length},"train_sec":$t%.2f}""")
+      }
+    }
     // x107/x108 PQ at 1×/3×/10×: rotation replicas. Training is x91's
     // per-iteration plan over the n·NumSub subvector relation (argmin
     // partial-aggregates before the shuffle, NumSub·K-row broadcast);
@@ -827,7 +857,12 @@ object ScaleStudy {
         .select("q_id", "c_id").localCheckpoint()
       val nExact = exact.count()
       val nQ = nExact / 10
-      for ((ck, np) <- Seq((8, 1), (8, 2), (8, 4), (32, 1), (32, 2), (32, 4))) {
+      // production sizing: CoarseK = √(corpus slice) — the adcTopKSized
+      // default; measured beside the fixed grid so the trade is explicit
+      val nCorpus = nVec - nQ
+      val ckSized = graft.operators.ProductQuantization.sizedCoarseK(nCorpus)
+      for ((ck, np) <- Seq((8, 1), (8, 2), (8, 4), (32, 1), (32, 2), (32, 4),
+        (ckSized, 2)).distinct) {
         val t0 = System.nanoTime()
         val got = graft.operators.ProductQuantization.adcTopK(fix, 10, ck, np)
           .select("q_id", "c_id").localCheckpoint()

@@ -600,7 +600,8 @@ object SparkEntry {
         Tables.load(s, d, "embeddings"))
       graft.operators.ProductQuantization.adcTopK(fix, topK = 10)
         .withColumn("same_cluster", org.apache.spark.sql.functions.expr(
-          "cast(case when q_id div 1000 = c_id div 1000 then 1 else 0 end as int)"))
+          s"cast(case when q_id div ${graft.operators.ProductQuantization.IdStride} " +
+            s"= c_id div ${graft.operators.ProductQuantization.IdStride} then 1 else 0 end as int)"))
     })
   )
 
@@ -1048,16 +1049,17 @@ object SparkEntry {
     * component from literal ε — bit-identical to the Spark derivation.
     */
   private val PqClusteredE: String = {
-    val stride = graft.operators.ProductQuantization.ClusterStride
-    val members = graft.operators.ProductQuantization.ClusterMembers
+    val pq = graft.operators.ProductQuantization
+    val stride = pq.ClusterStride
+    val members = pq.ClusterMembers
     s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |dd0 AS (SELECT len(v) AS dom_sz FROM e0 GROUP BY len(v) ORDER BY count(*) DESC, len(v) LIMIT 1),
        |cen AS MATERIALIZED (
        |  SELECT vec_id AS g, v FROM e0, dd0 WHERE len(v) = dom_sz AND vec_id % $stride = 0),
        |e AS MATERIALIZED (
-       |  SELECT g * 1000 + m AS vec_id,
+       |  SELECT g * ${pq.IdStride} + m AS vec_id,
        |    list_transform(generate_series(1, len(v)), i ->
-       |      v[i] + (CAST(0.05 AS DOUBLE) + CAST(0.02 AS DOUBLE) * CAST(m % 7 AS DOUBLE))
+       |      v[i] + (CAST(${pq.EpsBase} AS DOUBLE) + CAST(${pq.EpsStep} AS DOUBLE) * CAST(m % ${pq.EpsMod} AS DOUBLE))
        |             * v[((i - 1 + m + 1) % len(v)) + 1]) AS v
        |  FROM cen, (SELECT unnest(generate_series(0, ${members - 1})) AS m) mm)""".stripMargin
   }
@@ -1140,8 +1142,9 @@ object SparkEntry {
     val sd = graft.operators.ProductQuantization.SubDim
     val ns = graft.operators.ProductQuantization.NumSub
     val it = graft.operators.ProductQuantization.Iters
+    val ids = graft.operators.ProductQuantization.IdStride
     val extra = if (sameCluster)
-      ",\n  CAST(CASE WHEN q_id // 1000 = c_id // 1000 THEN 1 ELSE 0 END AS INT) AS same_cluster"
+      s",\n  CAST(CASE WHEN q_id // $ids = c_id // $ids THEN 1 ELSE 0 END AS INT) AS same_cluster"
     else ""
     pqBaseCtes(eCtes) +
       s""",
@@ -1317,13 +1320,18 @@ object SparkEntry {
     * through a dense-edge join per iteration (>1 h in DuckDB), while
     * doubling converges in O(log n) MATERIALIZED rounds of O(V + E)
     * each. Round update: l ← least(l, min over neighbours' l, l of l) —
-    * `rounds` = 20 converges for any component ≤ 2^20 vertices (an
-    * unconverged run produces labels ≠ the engine's min-labels and the
-    * gate goes RED, never silently wrong). Emits `reach(id, r)` with
-    * one row per vertex, so the downstream `min(r) GROUP BY id` selects
-    * are unchanged.
+    * the label-of-label hop doubles the effective reach per round in the
+    * friendly case, so after t rounds reach is ~2^(t-1): `rounds` = 24
+    * covers ~2^23-vertex label chains with slack (r16 ADVICE corrected
+    * the earlier 20 ⇒ 2^20 claim — 20 rounds proves only 2^19, and
+    * adversarial id layouts have no tight bound; post-convergence rounds
+    * are row-for-row no-ops, so the four extra rounds cost four cheap
+    * O(V + E) CTE passes). An unconverged run produces labels ≠ the
+    * engine's min-labels and the gate goes RED, never silently wrong.
+    * Emits `reach(id, r)` with one row per vertex, so the downstream
+    * `min(r) GROUP BY id` selects are unchanged.
     */
-  private def minLabelReach(edge: String, rounds: Int = 20): String = {
+  private def minLabelReach(edge: String, rounds: Int = 24): String = {
     val chain = (1 to rounds).map { i =>
       s"""lp$i AS MATERIALIZED (
          |  SELECT h.v, least(h.l, coalesce(nb.m, h.l), hh.l) AS l

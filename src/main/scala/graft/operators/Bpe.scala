@@ -171,15 +171,28 @@ object Bpe {
     * collation on any input, not just ASCII.
     */
   def trainFast(spark: SparkSession, docs: DataFrame, numMerges: Int,
-                maxTypes: Int = MaxDictTypes): Seq[Merge] = {
+                maxTypes: Int = MaxDictTypes,
+                failOnTruncate: Boolean = true): Seq[Merge] = {
+    // limit(maxTypes + 1) so an over-budget corpus is DETECTED, not
+    // silently truncated: the DuckDB oracle (BpeTrainCtes) builds from
+    // ALL word types, so a truncation the oracle does not model would
+    // surface as a confusing merge-table diff many rounds downstream
+    // (r16 ADVICE). One extra collected row buys a loud, immediate
+    // failure naming the actual lever. A production trainer that WANTS
+    // the HF/SentencePiece-style truncation (no oracle in the loop)
+    // passes failOnTruncate = false; the ledger rows use the default.
     val dict = docs
       .select(explode(words(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("w"))
-      .limit(maxTypes)
+      .limit(maxTypes + 1)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    trainInMemory(dict, numMerges)
+    require(!failOnTruncate || dict.length <= maxTypes,
+      s"trainFast: corpus has > $maxTypes distinct word types; the ledger oracle " +
+        "models NO truncation - raise maxTypes (driver memory is O(maxTypes)) or " +
+        "pass failOnTruncate=false to accept count-desc/word-asc truncation")
+    trainInMemory(dict.take(maxTypes), numMerges)
   }
 
   /** UTF-8 unsigned-byte string comparison — Spark UTF8String / DuckDB
@@ -233,6 +246,21 @@ object Bpe {
       }
     val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
     val touched = mutable.HashSet.empty[Pair]
+
+    // Lazy deletion never removes superseded snapshots, so over a long
+    // run the heap accumulates stale entries — at 30k merges the un-
+    // compacted heap grows ~linearly with total pair churn while the LIVE
+    // pair table stays bounded by the dictionary. When stale entries
+    // dominate (heap > 4x live pairs, past a floor that keeps tiny runs
+    // rebuild-free), rebuild the heap from the live table: O(P) vs the
+    // O(churn · log churn) of popping through the backlog. Semantics are
+    // untouched — the live-count check at pop time already ignores every
+    // entry a rebuild would drop.
+    def compactIfStale(): Unit =
+      if (heap.size > 4096 && heap.size > 4 * counts.size) {
+        heap.clear()
+        counts.foreach { case ((a, b), c) => heap.enqueue((c, a, b)) }
+      }
 
     // Add/remove word ti's adjacent-pair contributions. Counts move by
     // freq per OCCURRENCE; membership (`where`) is per distinct pair —
@@ -297,6 +325,7 @@ object Bpe {
           // the merged pair itself must die even if `affected` was empty
           // in pathological states; normal path: its count went to 0
           flushHeap()
+          compactIfStale()
           rank += 1
           if (rank > numMerges) done = true
       }

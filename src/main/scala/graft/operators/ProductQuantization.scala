@@ -48,14 +48,19 @@ object ProductQuantization {
   /** Dimensions per subspace. */
   val SubDim = 8
 
-  /** Centroids per subspace codebook — 4-bit codes, a 32-bit compressed
-    * vector in all (RecallStudy measures this sizing; the first cut,
-    * 4 subspaces x 2-bit codes = 8 bits per 64-dim vector, ranked
-    * near-randomly — resolution, not plan shape, is the recall knob).
-    * Production uses K=256: the plan is identical, only the broadcast
-    * grows to NumSub·256 rows.
+  /** Centroids per subspace codebook — 8-bit codes, byte-per-subspace:
+    * the production PQ sizing (Jégou et al. 2011 use k* = 256 throughout;
+    * it is also what FAISS ships as the default). A 64-dim vector
+    * compresses to NumSub = 8 bytes. Earlier cuts measured the resolution
+    * ladder on the clustered fixture (RecallStudy/ScaleStudy pqrecall):
+    * 4 subspaces x 2-bit codes ranked near-randomly, K=16 (4-bit) reached
+    * recall@10 0.66-0.68 against a 0.98-1.00 coarse-probe ceiling — the
+    * gap was PQ resolution, not routing. K=256 is the same plan with a
+    * NumSub·256-row broadcast (still trivially broadcast-sized), and the
+    * distances stay exact integers, so every hash gate is unchanged in
+    * kind.
     */
-  val K = 16
+  val K = 256
 
   /** Lloyd iterations per subspace (trained jointly in one relation). */
   val Iters = 2
@@ -165,6 +170,33 @@ object ProductQuantization {
     * probed); scan cost NProbe/CoarseK of the corpus per query).
     */
   val NProbe = 2
+
+  /** PRODUCTION coarse-list sizing: CoarseK ∝ √n (the x105 occupancy-
+    * sizing precedent applied to IVF). With CoarseK fixed, per-query
+    * candidate work is NProbe·n/CoarseK — linear in the corpus; with
+    * CoarseK = √n it is NProbe·√n, and the per-query routing cost
+    * (distance to every coarse centroid) is also √n — the classic IVF
+    * balance point where neither side dominates as n grows (FAISS's own
+    * guideline). The ScaleStudy pqrecall table measured the trade on the
+    * clustered fixture: CoarseK=32@NProbe=2 matched CoarseK=8's recall on
+    * ~40% fewer candidates at 10×. Floored at the fixed ledger constant
+    * so tiny corpora keep non-degenerate lists; the hash-gated ledger
+    * rows (x108/x113) keep the FIXED geometry — their oracles interpolate
+    * CoarseK — while [[adcTopKSized]] is the entry point a production
+    * pipeline calls.
+    */
+  def sizedCoarseK(corpusSize: Long): Int =
+    math.max(CoarseK, math.round(math.sqrt(corpusSize.toDouble)).toInt)
+
+  /** [[adcTopK]] with the coarse stage sized to the corpus: ONE 1-row
+    * driver count (the documented sizing probe, same as
+    * [[Similarity.sizedNearDup]]'s), then the identical IVFADC plan.
+    */
+  def adcTopKSized(emb: DataFrame, topK: Int = 3, nProbe: Int = NProbe): DataFrame = {
+    val n = KMeans.quantizedPts(emb)
+      .filter(pmod(col("vec_id"), lit(10L)) =!= 7).count()
+    adcTopK(emb, topK, sizedCoarseK(n), nProbe)
+  }
 
   private val CoarseDist2 =
     "cast(aggregate(zip_with(fv, cc, (x, y) -> (x - y) * (x - y)), " +
@@ -286,6 +318,23 @@ object ProductQuantization {
   /** Every `ClusterStride`-th corpus vector becomes a cluster center. */
   val ClusterStride = 20
 
+  /** [[clusteredFixture]] member perturbation ε(m) = EpsBase + EpsStep·(m
+    * % EpsMod) — hoisted so the Spark derivation and the x113 oracle CTE
+    * interpolate ONE definition and cannot drift (the same rule as
+    * ClusterStride/ClusterMembers). EpsMod < ClusterMembers on purpose:
+    * ε repeats within a cluster, giving ties the (d2, id) break must
+    * resolve deterministically.
+    */
+  val EpsBase = "0.05"
+  val EpsStep = "0.02"
+  val EpsMod = 7
+
+  /** Member ids are `center_id · IdStride + m`; cluster identity is
+    * recoverable as `vec_id div IdStride` by any engine (the x113
+    * same_cluster flag on both sides of the gate).
+    */
+  val IdStride = 1000
+
   /** Deterministic CLUSTERED-NEIGHBOR fixture derived from the isotropic
     * embeddings corpus — the evaluation substrate the raw fixture cannot
     * be: iid draws in 64 dims have concentrated pairwise distances
@@ -319,8 +368,8 @@ object ProductQuantization {
       .filter(pmod(col("vec_id"), lit(ClusterStride.toLong)) === 0)
       .select(col("vec_id").as("g"), col("v"),
         explode(expr(s"sequence(0, ${ClusterMembers - 1})")).as("m"))
-      .select((col("g") * 1000 + col("m")).as("vec_id"),
-        expr("transform(v, (x, i) -> x + (0.05d + 0.02d * cast(m % 7 as double)) " +
+      .select((col("g") * IdStride + col("m")).as("vec_id"),
+        expr(s"transform(v, (x, i) -> x + (${EpsBase}d + ${EpsStep}d * cast(m % $EpsMod as double)) " +
           "* element_at(v, ((i + m + 1) % size(v)) + 1))").as("embedding"))
   }
 

@@ -74,9 +74,51 @@ object StreamingQueries {
         val shm = java.nio.file.Paths.get("/dev/shm")
         if (Files.isDirectory(shm) && Files.isWritable(shm)) Some(shm) else None
       }
+    base.foreach(b => sweepOnce(b))
     base match {
       case Some(b) => Files.createTempDirectory(b, prefix)
       case None => Files.createTempDirectory(prefix)
+    }
+  }
+
+  /** Crash-leak sweep (r16 verdict #8): a crash between `start()` and the
+    * finally-block cleanup leaves its spool + checkpoint dir behind — on
+    * the tmpfs default that is leaked RAM that survives the JVM. Every
+    * scratch dir this object creates matches `graft_stream_*`, and live
+    * ones are seconds old (each streaming ledger row runs and cleans up
+    * within one call), so at the FIRST scratch allocation of a session we
+    * delete any matching dir older than [[StaleScratchMs]] — stale by
+    * construction, because nothing in this JVM created it. Once per JVM:
+    * a sweep per allocation could race a slow concurrent row.
+    */
+  private[graft] val StaleScratchMs: Long = 60L * 60 * 1000
+
+  private val sweptBases = java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
+
+  private def sweepOnce(base: Path): Unit =
+    if (sweptBases.add(base)) {
+      val n = sweepStaleScratch(base, StaleScratchMs)
+      if (n > 0) System.err.println(s"[stream-scratch] swept $n stale graft_stream_* dir(s) under $base")
+    }
+
+  /** Delete `graft_stream_*` dirs under `base` whose mtime is older than
+    * `maxAgeMs`; returns how many were removed. Exposed for the hardening
+    * spec, which plants a backdated dir and asserts the sweep takes it
+    * (and leaves fresh ones alone).
+    */
+  private[graft] def sweepStaleScratch(base: Path, maxAgeMs: Long): Int = {
+    if (!Files.isDirectory(base)) 0
+    else {
+      val cutoff = System.currentTimeMillis() - maxAgeMs
+      val listing = Files.list(base)
+      val stale =
+        try listing
+          .filter(p => p.getFileName.toString.startsWith("graft_stream_") &&
+            Files.isDirectory(p) && Files.getLastModifiedTime(p).toMillis < cutoff)
+          .toArray(new Array[Path](_))
+        finally listing.close()
+      stale.foreach(deleteRecursively)
+      stale.length
     }
   }
 

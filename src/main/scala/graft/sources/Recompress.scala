@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * the same normalization the reference's `TextInputFormat` applies).
   * [[fingerprint]] computes the order-SENSITIVE exact-integer digest
   *
-  *   per file: (n_lines, Σ (line_no + 1) · h(line) mod 2^61,  Σ bytes)
+  *   per file: (n_lines, Σ (line_no + 1) · h(line) mod 2^61,  Σ UTF-8 octets)
   *
   * with h = the md5-prefix integer idiom — addition is order-free so the
   * digest distributes, but the positional weight makes any reorder,
@@ -83,7 +83,11 @@ object Recompress {
       .agg(count(lit(1)).as("n_lines"),
         sum(expr(s"cast(line_no + 1 as decimal(38,0)) * pmod(h, ${1L << 31})"))
           .as("dsum"),
-        sum(length(col("line")).cast("long")).as("n_bytes"))
+        // octet_length, not length: length() counts CHARACTERS, which
+        // understates on-disk size for any non-ASCII line (r16 ADVICE) —
+        // the contract compares identically either way, but the reported
+        // bytes_in/bytes_out should mean what they say
+        sum(expr("octet_length(line)").cast("long")).as("n_bytes"))
       .select(col("src_file"), col("n_lines"),
         expr(s"cast(pmod(dsum, cast($Mod as decimal(38,0))) as bigint)").as("digest"),
         col("n_bytes"))
@@ -95,11 +99,20 @@ object Recompress {
     */
   def textToParquet(spark: SparkSession, inPath: String, outDir: String): DataFrame = {
     TaxiText.warnIfNotSplittable(spark, inPath) // the warning this answers
-    readLines(spark, inPath)
+    // ONE decompression per input file (r16 verdict #6): readLines pins
+    // its rows via localCheckpoint, so the landing write and the
+    // input-side fingerprint read the SAME materialized pass instead of
+    // re-inflating every .gz twice — at ingest scale the double
+    // decompression was the one cost this tool exists to pay once. The
+    // landed-side fingerprint below still re-reads the parquet from disk:
+    // that independence IS the contract (it would catch a write-path
+    // corruption a shared plan could mask).
+    val lines = readLines(spark, inPath)
+    lines
       .write.mode("overwrite")
       .option("compression", "zstd")
       .parquet(outDir)
-    val in = fingerprint(readLines(spark, inPath))
+    val in = fingerprint(lines)
       .withColumnRenamed("digest", "digest_in")
       .withColumnRenamed("n_lines", "lines_in")
       .withColumnRenamed("n_bytes", "bytes_in")

@@ -234,4 +234,28 @@ class StreamingHardeningSpec extends AnyFunSuite {
         s"maxStateTotal=${stateTotals.max} removed=$removed")
     } finally graft.sources.LayoutCache.deleteTree(root)
   }
+
+  test("scratch sweep: a stale graft_stream_* dir is removed; fresh and foreign dirs survive") {
+    // the r16 crash-leak scenario: a previous JVM died between start()
+    // and cleanup, leaving a RAM-backed scratch dir on the tmpfs. The
+    // sweep must take exactly the stale graft_stream_* dirs — not fresh
+    // ones (a concurrent row's live scratch), not foreign names.
+    val base = Files.createTempDirectory("graft_sweep_base")
+    try {
+      val stale = Files.createDirectory(base.resolve("graft_stream_funnel_crashed"))
+      Files.write(stale.resolve("wal"), "orphan".getBytes("UTF-8"))
+      val fresh = Files.createDirectory(base.resolve("graft_stream_join_live"))
+      val foreign = Files.createDirectory(base.resolve("unrelated_old_dir"))
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * graft.queries.StreamingQueries.StaleScratchMs)
+      Files.setLastModifiedTime(stale, old)
+      Files.setLastModifiedTime(foreign, old)
+      val n = graft.queries.StreamingQueries.sweepStaleScratch(
+        base, graft.queries.StreamingQueries.StaleScratchMs)
+      assert(n == 1, s"expected exactly the planted stale dir swept, got $n")
+      assert(!Files.exists(stale), "stale graft_stream_* dir must be deleted (files included)")
+      assert(Files.exists(fresh), "a fresh graft_stream_* dir (live concurrent row) must survive")
+      assert(Files.exists(foreign), "non-graft_stream_* dirs are not ours to delete")
+    } finally graft.sources.LayoutCache.deleteTree(base)
+  }
 }

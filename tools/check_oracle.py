@@ -50,7 +50,9 @@ def main():
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_bad = 0
     import glob
+    import time
     for name in sorted(x.split("/")[-1] for x in glob.glob(f"{outdir}/*") if not x.endswith(".json")):
+        t0 = time.time()
         got_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
         got_rows, got_cols = canon(got_rel.fetchall(), got_rel.columns)
         if name not in oracle:
@@ -116,7 +118,7 @@ def main():
             elif not rows_ok:
                 print(f"    got head:  {got_rows[:2]}\n    want head: {want_rows[:2]}")
         if status == "OK":
-            print(f"  {name}: OK ({len(got_rows)} rows)")
+            print(f"  {name}: OK ({len(got_rows)} rows, {time.time() - t0:.1f}s)", flush=True)
     print(f"== {n_ok} ok, {n_bad} mismatch ==")
 
 
