@@ -76,6 +76,58 @@ object ArrayExpressions {
       copy(left = l, right = r)
   }
 
+  /** Exact fixed-point squared L2 distance of two integral double arrays
+    * as ONE fused primitive loop, returning bigint — the hot inner
+    * kernel of every Lloyd argmin and ADC table build (x91/x98/x107/
+    * x108/x113). Replaces the interpreted
+    * `cast(aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0d, +) as
+    * bigint)` chain, whose per-element lambda dispatch dominated the PQ
+    * rows once K went to the production 256 (the candidate relation is
+    * n·NumSub·K rows). Bit-identical to that formulation on the data
+    * these operators feed it: operands are integral fixed-point values
+    * whose partial sums stay below 2^53, so the double accumulation is
+    * exact, and the final truncation matches cast-to-bigint.
+    */
+  case class FixedPointDist2(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "fixed_point_dist2"
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayOf(DoubleType, children, prettyName)
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x.getDouble(i) - y.getDouble(i)
+        s += d * d
+        i += 1
+      }
+      s.toLong
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val s = ctx.freshName("s"); val d = ctx.freshName("d")
+        s"""
+           |int $n = Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = $a.getDouble($i) - $b.getDouble($i);
+           |  $s += $d * $d;
+           |}
+           |${ev.value} = (long) $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Cosine similarity of two double arrays in one fused primitive loop
     * (dot, |a|², |b|² in a single pass). NaN on zero-norm input, like the
     * mathematical definition's 0/0.
@@ -1198,6 +1250,8 @@ object ArrayExpressions {
       es => SortedLongIntersectCount(es.head, es(1))),
     entry("cosine_similarity", classOf[CosineSimilarity].getName, 2)(
       es => CosineSimilarity(es.head, es(1))),
+    entry("fixed_point_dist2", classOf[FixedPointDist2].getName, 2)(
+      es => FixedPointDist2(es.head, es(1))),
     entry("minhash_signature", classOf[MinHashSignature].getName, 2)(
       es => MinHashSignature(es.head, intArg(es(1)))),
     entry("shingle_hashes_sorted", classOf[ShingleHashesSorted].getName, 2)(
@@ -1250,6 +1304,10 @@ object ArrayExpressions {
 
   def cosineSim(a: Column, b: Column): Column =
     call_function("cosine_similarity", a, b)
+
+  /** Exact fixed-point squared L2 distance as bigint ([[FixedPointDist2]]). */
+  def fixedPointDist2(a: Column, b: Column): Column =
+    call_function("fixed_point_dist2", a, b)
 
   def minhashSignature(hashes: Column, numPerms: Int): Column =
     call_function("minhash_signature", hashes, org.apache.spark.sql.functions.lit(numPerms))

@@ -66,9 +66,9 @@ object KMeans {
       .select(col("cell").as("c_cell"),
         expr("transform(s, x -> cast(floor(x / cast(n as double)) as double))").as("c"))
 
-  private val Dist2Expr =
-    "cast(aggregate(zip_with(fv, c, (x, y) -> (x - y) * (x - y)), " +
-      "cast(0 as double), (a, t) -> a + t) as bigint)"
+  // fused codegen kernel (ArrayExpressions.FixedPointDist2) — exact
+  // integers, identical result to the zip_with+aggregate formulation
+  private val Dist2Expr = "fixed_point_dist2(fv, c)"
 
   /** `iterations` Lloyd steps over `pts` from the `vec_id % k` seeding;
     * returns the final (vec_id, fv, cell, d2) assignment. Each argmin is

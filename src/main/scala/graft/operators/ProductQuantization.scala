@@ -90,9 +90,10 @@ object ProductQuantization {
       .select(col("sub"), col("cell").as("c_cell"),
         expr("transform(s, x -> cast(floor(x / cast(n as double)) as double))").as("c"))
 
-  private val Dist2Expr =
-    "cast(aggregate(zip_with(sv, c, (x, y) -> (x - y) * (x - y)), " +
-      "cast(0 as double), (a, t) -> a + t) as bigint)"
+  // the fused codegen kernel (ArrayExpressions.FixedPointDist2), not the
+  // zip_with+aggregate lambda chain: at K=256 the argmin relation is
+  // n·NumSub·K rows and per-element lambda dispatch dominated the wall
+  private val Dist2Expr = "fixed_point_dist2(sv, c)"
 
   /** `Iters` Lloyd rounds over the subvector relation from the
     * `(vec_id + sub) % K` seeding. Returns (codebook, codes): the final
@@ -151,8 +152,7 @@ object ProductQuantization {
     val c = pts.filter(!isQuery).select(col("vec_id").as("c_id"), col("fv").as("cv"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
     q.crossJoin(c)
-      .withColumn("d2", expr("cast(aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), " +
-        "cast(0 as double), (a, t) -> a + t) as bigint)"))
+      .withColumn("d2", expr("fixed_point_dist2(qv, cv)"))
       .withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= topK)
       .select(col("q_id"), col("rnk"), col("c_id"), col("d2"))
@@ -198,9 +198,7 @@ object ProductQuantization {
     adcTopK(emb, topK, sizedCoarseK(n), nProbe)
   }
 
-  private val CoarseDist2 =
-    "cast(aggregate(zip_with(fv, cc, (x, y) -> (x - y) * (x - y)), " +
-      "cast(0 as double), (a, t) -> a + t) as bigint)"
+  private val CoarseDist2 = "fixed_point_dist2(fv, cc)"
 
   /** The coarse stage alone: (rCorpus, qProbe) — home-cell residuals
     * for the corpus and per-probed-cell residuals for the queries.
