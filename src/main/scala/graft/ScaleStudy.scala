@@ -874,6 +874,15 @@ object ScaleStudy {
         val ceil = exact.join(cand, Seq("q_id", "c_id"), "left_semi").count()
         println(f"""{"op":"pq_clustered_recall","scale":$k,"vectors":$nVec,"queries":$nQ,"coarse_k":$ck,"n_probe":$np,"cand_per_query":${nCand.toDouble / nQ}%.1f,"recall_at10":${hits.toDouble / nExact}%.3f,"probe_ceiling":${ceil.toDouble / nExact}%.3f,"adc_sec":$tAdc%.2f}""")
       }
+      // x114: exact re-rank over the ADC shortlist (IVFADC-R) — recall
+      // must reach the probe ceiling (the ADC code separates clusters;
+      // ordering within them comes from the exact pass)
+      val tR = System.nanoTime()
+      val gotR = graft.operators.ProductQuantization.adcRerankTopK(fix, 10)
+        .select("q_id", "c_id").localCheckpoint()
+      val tRerank = (System.nanoTime() - tR) / 1e9
+      val hitsR = exact.join(gotR, Seq("q_id", "c_id"), "left_semi").count()
+      println(f"""{"op":"pq_rerank_recall","scale":$k,"vectors":$nVec,"queries":$nQ,"recall_at10":${hitsR.toDouble / nExact}%.3f,"rerank_sec":$tRerank%.2f}""")
     }
     // x109/x110 perceptron at 1×/3×/10×: cipher replicas (a synthetic
     // source key re-attached — the study corpus ships only doc_id/text).

@@ -602,6 +602,20 @@ object SparkEntry {
         .withColumn("same_cluster", org.apache.spark.sql.functions.expr(
           s"cast(case when q_id div ${graft.operators.ProductQuantization.IdStride} " +
             s"= c_id div ${graft.operators.ProductQuantization.IdStride} then 1 else 0 end as int)"))
+    }),
+    // IVFADC with exact re-ranking over the ADC shortlist (IVFADC-R) —
+    // the production top-k configuration: ADC separates neighbors from
+    // non-neighbors (99% of x113's hits land in the right cluster) but
+    // saturates at ~0.66-0.70 recall@10 ORDERING them at ANY code size
+    // (K=16 and K=256 measure the same); the 4x-topK exact re-rank
+    // restores ordering fidelity at per-query-constant cost
+    "x114_pq_rerank_topk" -> ((s, d) => {
+      val fix = graft.operators.ProductQuantization.clusteredFixture(
+        Tables.load(s, d, "embeddings"))
+      graft.operators.ProductQuantization.adcRerankTopK(fix, topK = 10)
+        .withColumn("same_cluster", org.apache.spark.sql.functions.expr(
+          s"cast(case when q_id div ${graft.operators.ProductQuantization.IdStride} " +
+            s"= c_id div ${graft.operators.ProductQuantization.IdStride} then 1 else 0 end as int)"))
     })
   )
 
@@ -1136,7 +1150,7 @@ object SparkEntry {
     * distance with (adc_d2, c_id) tie-break.
     */
   private def pqAdcOracle(eCtes: String, topK: Int,
-                          sameCluster: Boolean): String = {
+                          sameCluster: Boolean, rerank: Int = 0): String = {
     val ck = graft.operators.ProductQuantization.CoarseK
     val np = graft.operators.ProductQuantization.NProbe
     val sd = graft.operators.ProductQuantization.SubDim
@@ -1195,12 +1209,36 @@ object SparkEntry {
          |  JOIN pa$it k ON k.vec_id = cand.c_id
          |  JOIN lut l ON l.q_id = cand.q_id AND l.ccell = cand.ccell
          |            AND l.sub = k.sub AND l.cell = k.cell
-         |  GROUP BY 1, 2)
-         |SELECT q_id, rnk, c_id, adc_d2$extra FROM (
-         |  SELECT q_id, c_id, adc_d2,
-         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, c_id) AS INT) AS rnk
-         |  FROM adc)
-         |WHERE rnk <= $topK ORDER BY q_id, rnk""".stripMargin
+         |  GROUP BY 1, 2)""".stripMargin +
+      (if (rerank <= 0)
+        s"""
+           |SELECT q_id, rnk, c_id, adc_d2$extra FROM (
+           |  SELECT q_id, c_id, adc_d2,
+           |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, c_id) AS INT) AS rnk
+           |  FROM adc)
+           |WHERE rnk <= $topK ORDER BY q_id, rnk""".stripMargin
+      else
+        // x114: ADC keeps a per-query shortlist of `rerank` ids; only those
+        // re-rank by EXACT fixed-point distance on the stored full vectors
+        s""",
+           |short AS MATERIALIZED (
+           |  SELECT q_id, c_id FROM (
+           |    SELECT q_id, c_id,
+           |           row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, c_id) AS srnk
+           |    FROM adc)
+           |  WHERE srnk <= $rerank),
+           |exd AS MATERIALIZED (
+           |  SELECT s.q_id, s.c_id,
+           |         CAST(sum((pq.xi - pc.xi) * (pq.xi - pc.xi)) AS BIGINT) AS d2
+           |  FROM short s
+           |  JOIN px pq ON pq.vec_id = s.q_id
+           |  JOIN px pc ON pc.vec_id = s.c_id AND pc.di = pq.di
+           |  GROUP BY 1, 2)
+           |SELECT q_id, rnk, c_id, d2$extra FROM (
+           |  SELECT q_id, c_id, d2,
+           |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS INT) AS rnk
+           |  FROM exd)
+           |WHERE rnk <= $topK ORDER BY q_id, rnk""".stripMargin)
   }
 
   private val PqAdcOracle: String = pqAdcOracle(PqRawE, 3, sameCluster = false)
@@ -1212,6 +1250,14 @@ object SparkEntry {
     */
   private val PqClusteredOracle: String =
     pqAdcOracle(PqClusteredE, 10, sameCluster = true)
+
+  /** x114: the identical IVFADC chain, ADC kept as a 4·topK shortlist and
+    * re-ranked by exact full-vector distance (the operator's
+    * RerankFactor, interpolated so the two sides cannot drift).
+    */
+  private val PqRerankOracle: String =
+    pqAdcOracle(PqClusteredE, 10, sameCluster = true,
+      rerank = graft.operators.ProductQuantization.RerankFactor * 10)
 
   /** Batch-perceptron training unrolled (x109/x110): integer feature
     * relation + weak labels (fy), then per round i a single-row update
@@ -1469,6 +1515,7 @@ object SparkEntry {
     // the full IVFADC replay over the SQL-derived clustered fixture +
     // cluster-identity flags
     "x113_pq_clustered_topk" -> PqClusteredOracle,
+    "x114_pq_rerank_topk" -> PqRerankOracle,
     // the full SNM replay: same blocking key, same global (bk, doc_id)
     // rank, same window, same distinct word-3-gram sets, same integer
     // 2·|A∩B| ≥ |A∪B| test — byte-for-byte pair parity

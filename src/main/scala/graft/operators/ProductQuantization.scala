@@ -373,16 +373,70 @@ object ProductQuantization {
 
   def adcTopK(emb: DataFrame, topK: Int = 3, coarseK: Int = CoarseK,
               nProbe: Int = NProbe): DataFrame = {
-    val (lut, cand, codes) = searchParts(emb, coarseK, nProbe)
-    val adc = cand.join(codes, Seq("c_id"))
-      .join(lut, Seq("q_id", "ccell", "sub", "cell"))
-      .groupBy(col("q_id"), col("c_id"))
-      .agg(sum(col("d2")).as("adc_d2"))
+    val adc = adcScores(emb, coarseK, nProbe)
     // per-query partitions are inverted-list-bounded, never corpus-sized
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("c_id"))
     adc.withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= topK)
       .select(col("q_id"), col("rnk"), col("c_id"), col("adc_d2"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Summed ADC distances over the probed inverted lists: (q_id, c_id,
+    * adc_d2) — the scoring stage [[adcTopK]] and [[adcRerankTopK]] share.
+    */
+  private def adcScores(emb: DataFrame, coarseK: Int, nProbe: Int): DataFrame = {
+    val (lut, cand, codes) = searchParts(emb, coarseK, nProbe)
+    cand.join(codes, Seq("c_id"))
+      .join(lut, Seq("q_id", "ccell", "sub", "cell"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("d2")).as("adc_d2"))
+  }
+
+  /** ADC-shortlist size multiple used by [[adcRerankTopK]]'s default
+    * (shortlist = RerankFactor · topK).
+    */
+  val RerankFactor = 4
+
+  /** x114: IVFADC search WITH exact re-ranking (Jégou et al. 2011 §V's
+    * refinement step, the "IVFADC-R" production configuration). The
+    * measurement that motivates it: on the clustered fixture the coarse
+    * probe ceiling is 0.98-1.00 and 99% of returned hits land in the
+    * RIGHT cluster, yet ADC-ranked recall@10 saturates at ~0.66 at BOTH
+    * K=16 and K=256 — the residual code (any practical size) cannot
+    * resolve the ε-graded ordering BETWEEN true neighbors, only separate
+    * neighbors from non-neighbors. So resolution is recovered where it
+    * is cheap: ADC ranks the probed lists and keeps a per-query
+    * shortlist of `shortlist` ids (RerankFactor·topK by default), and
+    * only those re-rank by EXACT fixed-point distance against the
+    * stored full vectors.
+    *
+    * '''Scale shape''': the shortlist join touches shortlist·|queries|
+    * full vectors — a per-query CONSTANT (not corpus-scaled) re-read,
+    * the standard memory/recall trade every production IVFADC deployment
+    * ships. Everything stays exact integers, so the whole chain
+    * (coarse → residual PQ → ADC shortlist → exact re-rank) hash-gates
+    * and replays in DuckDB.
+    */
+  def adcRerankTopK(emb: DataFrame, topK: Int = 3, coarseK: Int = CoarseK,
+                    nProbe: Int = NProbe, shortlist: Int = 0): DataFrame = {
+    val l = if (shortlist > 0) shortlist else RerankFactor * topK
+    val adc = adcScores(emb, coarseK, nProbe)
+    val ws = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("c_id"))
+    val short = adc.withColumn("srnk", row_number().over(ws))
+      .filter(col("srnk") <= l)
+      .select(col("q_id"), col("c_id"))
+    // exact re-rank against the STORED full fixed-point vectors — the
+    // same quantizedPts relation every stage upstream derives from
+    val pts = KMeans.quantizedPts(emb)
+    val ex = short
+      .join(pts.select(col("vec_id").as("q_id"), col("fv").as("qv")), Seq("q_id"))
+      .join(pts.select(col("vec_id").as("c_id"), col("fv").as("cv")), Seq("c_id"))
+      .withColumn("d2", expr("fixed_point_dist2(qv, cv)"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+    ex.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("d2"))
       .orderBy("q_id", "rnk")
   }
 }
