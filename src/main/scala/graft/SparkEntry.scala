@@ -2978,13 +2978,17 @@ object SparkEntry {
         |SELECT label, count(*) AS n_vecs, round(avg(mse), 12) AS avg_mse,
         |       round(avg(cos_drift), 12) AS avg_cos_drift
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    // d and p MUST be MATERIALIZED: e references p twice (the UNION's two
+    // directions) and p references d twice (the self-join) — inlined, the
+    // brute-force all-pairs Jaccard join (12.5 M pairs at sf1) runs TWICE,
+    // which stalled the sf1 gate on exactly this row (r17)
     "x20_dup_clusters_exact" ->
-      ("""WITH d AS (
+      ("""WITH d AS MATERIALIZED (
         |  SELECT doc_id,
         |         list_distinct(list_transform(range(1, length(text) - 1),
         |                       i -> substring(text, CAST(i AS int), 3))) AS sh
         |  FROM documents WHERE doc_id % 10 = 0),
-        |p AS (
+        |p AS MATERIALIZED (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS double)
@@ -2996,12 +3000,12 @@ object SparkEntry {
     // window argmax (quality desc, doc_id asc) — the keeper decision
     // replayed end to end
     "x65_dedup_keeper" ->
-      ("""WITH d AS (
+      ("""WITH d AS MATERIALIZED (
         |  SELECT doc_id,
         |         list_distinct(list_transform(range(1, length(text) - 1),
         |                       i -> substring(text, CAST(i AS int), 3))) AS sh
         |  FROM documents WHERE doc_id % 10 = 0),
-        |p AS (
+        |p AS MATERIALIZED (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS double)
