@@ -2989,10 +2989,12 @@ object SparkEntry {
         |                       i -> substring(text, CAST(i AS int), 3))) AS sh
         |  FROM documents WHERE doc_id % 10 = 0),
         |p AS MATERIALIZED (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS double)
-        |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |           len(list_intersect(a.sh, b.sh)) AS i,
+        |           len(a.sh) AS la, len(b.sh) AS lb
+        |    FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |  WHERE CAST(i AS double) / (la + lb - i) >= 0.5),
         |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
         |""".stripMargin + minLabelReach("e") + """
         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
@@ -3006,10 +3008,12 @@ object SparkEntry {
         |                       i -> substring(text, CAST(i AS int), 3))) AS sh
         |  FROM documents WHERE doc_id % 10 = 0),
         |p AS MATERIALIZED (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS double)
-        |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |           len(list_intersect(a.sh, b.sh)) AS i,
+        |           len(a.sh) AS la, len(b.sh) AS lb
+        |    FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |  WHERE CAST(i AS double) / (la + lb - i) >= 0.5),
         |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
         |""".stripMargin + minLabelReach("e") + """,
         |c AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
