@@ -3787,7 +3787,7 @@ object SparkEntry {
     "x43_schema_evolution" ->
       """SELECT source, count(*) AS n_docs,
         |       count(CASE WHEN doc_id % 10 = 7 THEN 1 END) AS n_with_quality,
-        |       sum(CASE WHEN doc_id % 10 = 7 THEN n_chars % 7 END) AS sum_quality,
+        |       CAST(sum(CASE WHEN doc_id % 10 = 7 THEN n_chars % 7 END) AS BIGINT) AS sum_quality,
         |       bit_xor(doc_id) AS id_xor
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "x15_length_quantiles" ->
