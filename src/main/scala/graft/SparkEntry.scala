@@ -3042,10 +3042,11 @@ object SparkEntry {
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings WHERE vec_id % 5 = 0),
         |p AS MATERIALIZED (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
-        |  WHERE NOT isnan(list_cosine_similarity(a.v, b.v))
-        |    AND list_cosine_similarity(a.v, b.v) >= 0.3),
+        |  SELECT vec_a, vec_b FROM (
+        |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |           list_cosine_similarity(a.v, b.v) AS c
+        |    FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id)
+        |  WHERE NOT isnan(c) AND c >= 0.3),
         |e AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM p UNION SELECT vec_b, vec_a FROM p),
         |""".stripMargin + minLabelReach("e") + """
         |SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY vec_id""".stripMargin),
