@@ -1,15 +1,32 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check_oracle.py [sfdir] [verify_outdir]
+Usage: python3 tools/check_oracle.py [sfdir] [verify_outdir] [only]
 
 Reads each <outdir>/<query>/ parquet (written by graft.Verify), runs the
 matching oracle SQL from <outdir>/oracle_sql.json in DuckDB over the sfdir
 parquet tables, sorts columns by name and rows by value, and reports
 row/schema/value match per query.
+
+Optional 3rd arg `only`: a comma-separated name list, or a path to a file
+with one query name per line — restricts the sweep to those rows (resume
+support for the multi-hour sf1 gate).
+
+Oracle-result cache (VERDICT r17 #7): the quadratic ground-truth oracles
+(x20/x65/x3 ~29 min each at sf1) recompute identical small result sets
+every sweep over an identical fixture tree. With ORACLE_CACHE_DIR set,
+each oracle result is materialized once to parquet, keyed on
+sha256(name + oracle SQL + fixture-tree fingerprint) where the
+fingerprint covers every table parquet's (name, size, mtime_ns) — so
+GenScaleTree regeneration invalidates it. A cache entry is kept only if
+the parquet round-trip reproduces the direct result's values AND pandas
+dtypes exactly (DuckDB's HUGEINT does not round-trip parquet losslessly;
+such rows are verified-then-discarded rather than cached wrong).
 """
+import hashlib
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -41,9 +58,32 @@ def values_match(a, b):
     return True
 
 
+def fixture_fingerprint(sfdir):
+    parts = []
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        try:
+            st = os.stat(p)
+            parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+        except FileNotFoundError:
+            parts.append(f"{t}:absent")
+    return "|".join(parts)
+
+
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    only = None
+    if len(sys.argv) > 3:
+        arg = sys.argv[3]
+        if os.path.isfile(arg):
+            only = {l.strip() for l in open(arg) if l.strip()}
+        else:
+            only = set(arg.split(","))
+    cache_dir = os.environ.get("ORACLE_CACHE_DIR")
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+    fp = fixture_fingerprint(sfdir)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
@@ -52,6 +92,8 @@ def main():
     import glob
     import time
     for name in sorted(x.split("/")[-1] for x in glob.glob(f"{outdir}/*") if not x.endswith(".json")):
+        if only is not None and name not in only:
+            continue
         t0 = time.time()
         got_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
         got_rows, got_cols = canon(got_rel.fetchall(), got_rel.columns)
@@ -68,12 +110,46 @@ def main():
         # that is not a single SELECT, raises here. Fall back to the direct
         # relation for that query (paying its double execution) instead of
         # crashing the whole ledger.
+        cache_file = None
+        cache_hit = False
+        if cache_dir:
+            key = hashlib.sha256(
+                (name + "\x00" + oracle[name] + "\x00" + fp).encode()).hexdigest()
+            cache_file = f"{cache_dir}/{key}.parquet"
+            cache_hit = os.path.isfile(cache_file)
         try:
-            con.execute(f"CREATE OR REPLACE TEMP TABLE _want AS {oracle[name]}")
+            if cache_hit:
+                con.execute(
+                    f"CREATE OR REPLACE TEMP TABLE _want AS SELECT * FROM read_parquet('{cache_file}')")
+            else:
+                con.execute(f"CREATE OR REPLACE TEMP TABLE _want AS {oracle[name]}")
             want_src = "SELECT * FROM _want"
         except duckdb.Error as e:
             print(f"  {name}: temp-table materialization failed ({e}); direct-relation fallback")
             want_src = oracle[name]
+            cache_file = None
+        if cache_file and not cache_hit and want_src == "SELECT * FROM _want":
+            # Write-then-verify: keep the entry only if the parquet
+            # round-trip is value- and dtype-lossless vs the live result.
+            tmp = cache_file + ".tmp"
+            try:
+                con.execute(f"COPY _want TO '{tmp}' (FORMAT PARQUET)")
+                direct_rows = con.sql("SELECT * FROM _want").fetchall()
+                direct_dt = {c: str(t) for c, t in con.sql("SELECT * FROM _want").df().dtypes.items()}
+                rt_rel = con.sql(f"SELECT * FROM read_parquet('{tmp}')")
+                rt_rows = rt_rel.fetchall()
+                rt_dt = {c: str(t) for c, t in con.sql(f"SELECT * FROM read_parquet('{tmp}')").df().dtypes.items()}
+                if rt_rows == direct_rows and rt_dt == direct_dt:
+                    os.replace(tmp, cache_file)
+                else:
+                    os.remove(tmp)
+                    print(f"  {name}: cache skipped (parquet round-trip not lossless)")
+            except Exception as e:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+                print(f"  {name}: cache write failed ({e}); continuing uncached")
         want_rel = con.sql(want_src)
         want_rows, want_cols = canon(want_rel.fetchall(), want_rel.columns)
         schema_ok = got_cols == want_cols
