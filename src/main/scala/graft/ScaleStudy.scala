@@ -41,6 +41,11 @@ object ScaleStudy {
     */
   def expandEmbeddings(emb: DataFrame, k: Int): DataFrame = {
     val dim = math.max(emb.select(min(size(col("v")))).head.getInt(0), 1)
+    // same guard as GenScaleTree's embeddings case: rotationOf maps into
+    // [1, dim-1], so r and r + (dim-1) collide — beyond dim-1 replicas
+    // the corpus silently duplicates and bucket occupancy spikes k-fold
+    require(dim < 2 || k <= dim - 1,
+      s"embeddings support at most dim-1 = ${dim - 1} replica-disjoint rotations; k=$k")
     (0 until k).map { r =>
       // coprime-step rotation (GenScaleTree.rotationOf): the old fixed
       // step 7 repeated with period 9 at dim 64, colliding replicas
@@ -876,13 +881,21 @@ object ScaleStudy {
       }
       // x114: exact re-rank over the ADC shortlist (IVFADC-R) — recall
       // must reach the probe ceiling (the ADC code separates clusters;
-      // ordering within them comes from the exact pass)
-      val tR = System.nanoTime()
-      val gotR = graft.operators.ProductQuantization.adcRerankTopK(fix, 10)
-        .select("q_id", "c_id").localCheckpoint()
-      val tRerank = (System.nanoTime() - tR) / 1e9
-      val hitsR = exact.join(gotR, Seq("q_id", "c_id"), "left_semi").count()
-      println(f"""{"op":"pq_rerank_recall","scale":$k,"vectors":$nVec,"queries":$nQ,"recall_at10":${hitsR.toDouble / nExact}%.3f,"rerank_sec":$tRerank%.2f}""")
+      // ordering within them comes from the exact pass). Measured at the
+      // ledger geometry (fixed CoarseK) AND as the composed PRODUCTION
+      // default adcRerankTopKSized (√n coarse + re-rank): same ~0.99
+      // recall at the √n candidate counts the sized grid row records.
+      for ((label, run) <- Seq(
+        ("pq_rerank_recall" ->
+          (() => graft.operators.ProductQuantization.adcRerankTopK(fix, 10))),
+        ("pq_rerank_sized_recall" ->
+          (() => graft.operators.ProductQuantization.adcRerankTopKSized(fix, 10))))) {
+        val tR = System.nanoTime()
+        val gotR = run().select("q_id", "c_id").localCheckpoint()
+        val tRerank = (System.nanoTime() - tR) / 1e9
+        val hitsR = exact.join(gotR, Seq("q_id", "c_id"), "left_semi").count()
+        println(f"""{"op":"$label%s","scale":$k,"vectors":$nVec,"queries":$nQ,"coarse_k_sized":$ckSized,"recall_at10":${hitsR.toDouble / nExact}%.3f,"rerank_sec":$tRerank%.2f}""")
+      }
     }
     // x109/x110 perceptron at 1×/3×/10×: cipher replicas (a synthetic
     // source key re-attached — the study corpus ships only doc_id/text).

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.CkptOps
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -65,6 +65,21 @@ object ProductQuantization {
   /** Lloyd iterations per subspace (trained jointly in one relation). */
   val Iters = 2
 
+  /** The x98 held-out query/corpus split: `vec_id % QueryMod == QueryRem`
+    * rows are QUERIES, everything else is the searchable corpus (models
+    * train on the corpus slice only, so queries never leak in). Aliases
+    * of [[IncrementalAnn.NewMod]]/`NewRem` — the x31 "new day" slice IS
+    * the same rule — so the sizing probe, the recall baseline, the
+    * coarse stage and the oracle CTEs all interpolate ONE definition and
+    * the split cannot drift between the search path and its gates (the
+    * EpsBase/IdStride precedent).
+    */
+  val QueryMod: Int = IncrementalAnn.NewMod
+  val QueryRem: Int = IncrementalAnn.NewRem
+
+  /** The split as a Column predicate over `vec_id`. */
+  def isQueryCol: Column = IncrementalAnn.isNewVec(col("vec_id"))
+
   /** Subvector relation (vec_id, sub, sv): each dominant-dim fixed-point
     * vector split into NumSub contiguous SubDim-slices.
     */
@@ -73,7 +88,7 @@ object ProductQuantization {
   /** Subspace split of any (vec_id, fv) relation — raw fixed-point
     * vectors for the x107 codebook, coarse-cell RESIDUALS for x108.
     */
-  private def subPtsOf(pts: DataFrame): DataFrame =
+  private[operators] def subPtsOf(pts: DataFrame): DataFrame =
     pts.select(col("vec_id"),
         explode(expr(s"transform(sequence(0, ${NumSub - 1}), " +
           s"s -> struct(cast(s as int) AS sub, slice(fv, s * $SubDim + 1, $SubDim) AS sv))"))
@@ -83,7 +98,7 @@ object ProductQuantization {
   /** Per-(sub, cell) fixed-point mean centroids of an assignment:
     * (sub, c_cell, c) — at most NumSub·K rows, broadcast-sized always.
     */
-  private def centroids(asg: DataFrame): DataFrame =
+  private[operators] def centroids(asg: DataFrame): DataFrame =
     asg.groupBy(col("sub"), col("cell"))
       .agg(graft.functions.ArrayExpressions.vectorSum(col("sv")).as("s"),
         count(lit(1)).as("n"))
@@ -93,7 +108,7 @@ object ProductQuantization {
   // the fused codegen kernel (ArrayExpressions.FixedPointDist2), not the
   // zip_with+aggregate lambda chain: at K=256 the argmin relation is
   // n·NumSub·K rows and per-element lambda dispatch dominated the wall
-  private val Dist2Expr = "fixed_point_dist2(sv, c)"
+  private[operators] val Dist2Expr = "fixed_point_dist2(sv, c)"
 
   /** `Iters` Lloyd rounds over the subvector relation from the
     * `(vec_id + sub) % K` seeding. Returns (codebook, codes): the final
@@ -104,7 +119,7 @@ object ProductQuantization {
     * make x107 (which consumes only the codebook) pay for an
     * assignment pass it discards; x108 ckpts it at its two-read site.
     */
-  private def train(sp: DataFrame): (DataFrame, DataFrame) = {
+  private[operators] def train(sp: DataFrame): (DataFrame, DataFrame) = {
     var asg = sp
       .withColumn("cell", pmod(col("vec_id") + col("sub"), lit(K.toLong)).cast("int"))
       .ckpt()
@@ -147,9 +162,8 @@ object ProductQuantization {
     */
   def exactTopK(emb: DataFrame, topK: Int = 3): DataFrame = {
     val pts = KMeans.quantizedPts(emb)
-    val isQuery = pmod(col("vec_id"), lit(10L)) === 7
-    val q = pts.filter(isQuery).select(col("vec_id").as("q_id"), col("fv").as("qv"))
-    val c = pts.filter(!isQuery).select(col("vec_id").as("c_id"), col("fv").as("cv"))
+    val q = pts.filter(isQueryCol).select(col("vec_id").as("q_id"), col("fv").as("qv"))
+    val c = pts.filter(!isQueryCol).select(col("vec_id").as("c_id"), col("fv").as("cv"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
     q.crossJoin(c)
       .withColumn("d2", expr("fixed_point_dist2(qv, cv)"))
@@ -192,13 +206,29 @@ object ProductQuantization {
     * driver count (the documented sizing probe, same as
     * [[Similarity.sizedNearDup]]'s), then the identical IVFADC plan.
     */
-  def adcTopKSized(emb: DataFrame, topK: Int = 3, nProbe: Int = NProbe): DataFrame = {
-    val n = KMeans.quantizedPts(emb)
-      .filter(pmod(col("vec_id"), lit(10L)) =!= 7).count()
-    adcTopK(emb, topK, sizedCoarseK(n), nProbe)
-  }
+  def adcTopKSized(emb: DataFrame, topK: Int = 3, nProbe: Int = NProbe): DataFrame =
+    adcTopK(emb, topK, sizedCoarseK(corpusCount(emb)), nProbe)
 
-  private val CoarseDist2 = "fixed_point_dist2(fv, cc)"
+  /** The 1-row driver sizing probe both sized entry points share
+    * (documented pattern: [[Similarity.sizedNearDup]]).
+    */
+  private def corpusCount(emb: DataFrame): Long =
+    KMeans.quantizedPts(emb).filter(!isQueryCol).count()
+
+  /** PRODUCTION DEFAULT ANN entry point — the composed IVFADC-R
+    * configuration: √n-sized coarse lists ([[sizedCoarseK]] — per-query
+    * candidate AND routing cost both O(√n)) plus exact re-ranking over
+    * the ADC shortlist ([[adcRerankTopK]] — recall@10 ≈ 0.99 at the
+    * probe ceiling where plain ADC ranking saturates at ~0.66). A caller
+    * wanting "the ANN search" calls THIS; [[adcTopK]]/[[adcTopKSized]]
+    * return the unrefined ADC ranking and exist as the hash-gated
+    * fixed-geometry ledger surfaces and as the shortlist stage.
+    */
+  def adcRerankTopKSized(emb: DataFrame, topK: Int = 3,
+                         nProbe: Int = NProbe): DataFrame =
+    adcRerankTopK(emb, topK, sizedCoarseK(corpusCount(emb)), nProbe)
+
+  private[operators] val CoarseDist2 = "fixed_point_dist2(fv, cc)"
 
   /** The coarse stage alone: (rCorpus, qProbe) — home-cell residuals
     * for the corpus and per-probed-cell residuals for the queries.
@@ -210,7 +240,7 @@ object ProductQuantization {
     */
   private def coarseParts(emb: DataFrame, coarseK: Int = CoarseK,
                           nProbe: Int = NProbe): (DataFrame, DataFrame) = {
-    val isQuery = pmod(col("vec_id"), lit(10L)) === 7
+    val isQuery = isQueryCol
     // consumed by the coarse update, both assignments, and the residuals
     val pts = KMeans.quantizedPts(emb).ckpt()
     // ONE exact centroid update from the corpus-slice seeding: coarseK
@@ -309,6 +339,11 @@ object ProductQuantization {
     * candidates by the ADC distance (exact-query-side,
     * quantized-corpus-side), ties by candidate id.
     * (q_id, rnk, c_id, adc_d2).
+    *
+    * NOTE: this is the hash-gated ledger surface (fixed geometry), NOT
+    * the production default — plain ADC ranking saturates at recall@10
+    * ≈ 0.66 on the clustered fixture. Production callers want
+    * [[adcRerankTopKSized]] (√n coarse sizing + exact re-rank, ≈ 0.99).
     */
   /** Members generated per planted cluster by [[clusteredFixture]]. */
   val ClusterMembers = 20
