@@ -86,11 +86,16 @@ object ArrayExpressions {
     * n·NumSub·K rows). Bit-identical to that formulation on the data
     * these operators feed it: operands are integral fixed-point values
     * whose partial sums stay below 2^53, so the double accumulation is
-    * exact, and the final truncation matches cast-to-bigint.
+    * exact, and the final truncation matches cast-to-bigint. Unequal
+    * lengths return NULL — exactly the replaced chain's semantics
+    * (`zip_with` null-pads the shorter array and the product of a NULL
+    * pad poisons the aggregate), so a ragged caller gets the same
+    * visible NULL, never a silently truncated distance.
     */
   case class FixedPointDist2(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = LongType
+    override def nullable: Boolean = true
     override def prettyName: String = "fixed_point_dist2"
     override def checkInputDataTypes(): TypeCheckResult =
       checkArrayOf(DoubleType, children, prettyName)
@@ -98,7 +103,8 @@ object ArrayExpressions {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (y.numElements() != n) return null
       var s = 0.0
       var i = 0
       while (i < n) {
@@ -114,13 +120,17 @@ object ArrayExpressions {
         val i = ctx.freshName("i"); val n = ctx.freshName("n")
         val s = ctx.freshName("s"); val d = ctx.freshName("d")
         s"""
-           |int $n = Math.min($a.numElements(), $b.numElements());
-           |double $s = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  double $d = $a.getDouble($i) - $b.getDouble($i);
-           |  $s += $d * $d;
+           |int $n = $a.numElements();
+           |if ($b.numElements() != $n) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $d = $a.getDouble($i) - $b.getDouble($i);
+           |    $s += $d * $d;
+           |  }
+           |  ${ev.value} = (long) $s;
            |}
-           |${ev.value} = (long) $s;
          """.stripMargin
       })
 

@@ -101,24 +101,43 @@ object StreamingQueries {
       if (n > 0) System.err.println(s"[stream-scratch] swept $n stale graft_stream_* dir(s) under $base")
     }
 
-  /** Delete `graft_stream_*` dirs under `base` whose mtime is older than
-    * `maxAgeMs`; returns how many were removed. Exposed for the hardening
-    * spec, which plants a backdated dir and asserts the sweep takes it
-    * (and leaves fresh ones alone).
+  /** Delete `graft_stream_*` dirs under `base` that are stale — NEWEST
+    * mtime anywhere in the tree older than `maxAgeMs` — and returns how
+    * many were removed. Newest-in-tree, not the top-level dir's mtime
+    * (r17 ADVICE): a long-running concurrent job's scratch dir keeps its
+    * creation mtime while writes land in checkpoint subdirs, so a
+    * top-level test could sweep a LIVE dir out from under it. Each
+    * removal is individually fault-tolerant: two JVMs sweeping the same
+    * stale dir race benignly (`deleteIfExists` + a catch that logs and
+    * continues), never failing the allocating caller's `scratchDir()`.
+    * Exposed for the hardening spec, which plants a backdated dir and
+    * asserts the sweep takes it (and leaves fresh ones alone).
     */
   private[graft] def sweepStaleScratch(base: Path, maxAgeMs: Long): Int = {
     if (!Files.isDirectory(base)) 0
     else {
       val cutoff = System.currentTimeMillis() - maxAgeMs
+      def newestMtime(p: Path): Long = {
+        val s = Files.walk(p)
+        try s.mapToLong(f => Files.getLastModifiedTime(f).toMillis).max.orElse(Long.MinValue)
+        finally s.close()
+      }
       val listing = Files.list(base)
       val stale =
         try listing
           .filter(p => p.getFileName.toString.startsWith("graft_stream_") &&
-            Files.isDirectory(p) && Files.getLastModifiedTime(p).toMillis < cutoff)
+            Files.isDirectory(p))
           .toArray(new Array[Path](_))
+          .filter(p => try newestMtime(p) < cutoff
+            catch { case _: java.io.IOException | _: java.io.UncheckedIOException => false })
         finally listing.close()
-      stale.foreach(deleteRecursively)
-      stale.length
+      stale.count { p =>
+        try { deleteRecursively(p); true }
+        catch { case e @ (_: java.io.IOException | _: java.io.UncheckedIOException) =>
+          System.err.println(s"[stream-scratch] sweep of $p lost a race (${e.getClass.getSimpleName}); continuing")
+          false
+        }
+      }
     }
   }
 

@@ -246,15 +246,26 @@ class StreamingHardeningSpec extends AnyFunSuite {
       Files.write(stale.resolve("wal"), "orphan".getBytes("UTF-8"))
       val fresh = Files.createDirectory(base.resolve("graft_stream_join_live"))
       val foreign = Files.createDirectory(base.resolve("unrelated_old_dir"))
+      // a >StaleScratchMs-running CONCURRENT job: the top-level dir keeps
+      // its creation mtime (writes land in subdirs) but its newest file
+      // is fresh — the r17-ADVICE live-sweep hazard; must survive
+      val longRunning = Files.createDirectory(base.resolve("graft_stream_agg_longrunning"))
+      Files.write(longRunning.resolve("state"), "live".getBytes("UTF-8"))
       val old = java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() - 2 * graft.queries.StreamingQueries.StaleScratchMs)
+      // backdate the WHOLE planted tree (child before parent — touching
+      // the child refreshes the parent): a crashed JVM's files are all old
+      Files.setLastModifiedTime(stale.resolve("wal"), old)
       Files.setLastModifiedTime(stale, old)
       Files.setLastModifiedTime(foreign, old)
+      Files.setLastModifiedTime(longRunning, old) // top-level only; child stays fresh
       val n = graft.queries.StreamingQueries.sweepStaleScratch(
         base, graft.queries.StreamingQueries.StaleScratchMs)
       assert(n == 1, s"expected exactly the planted stale dir swept, got $n")
       assert(!Files.exists(stale), "stale graft_stream_* dir must be deleted (files included)")
       assert(Files.exists(fresh), "a fresh graft_stream_* dir (live concurrent row) must survive")
+      assert(Files.exists(longRunning.resolve("state")),
+        "a long-running job's dir (old top-level mtime, fresh tree) must survive")
       assert(Files.exists(foreign), "non-graft_stream_* dirs are not ours to delete")
     } finally graft.sources.LayoutCache.deleteTree(base)
   }
