@@ -616,7 +616,16 @@ object SparkEntry {
         .withColumn("same_cluster", org.apache.spark.sql.functions.expr(
           s"cast(case when q_id div ${graft.operators.ProductQuantization.IdStride} " +
             s"= c_id div ${graft.operators.ProductQuantization.IdStride} then 1 else 0 end as int)"))
-    })
+    }),
+    // incremental IVFADC (the x31/x49 posture for the production index):
+    // coarse centroids + residual codebooks + day-0 inverted lists are
+    // PERSISTED stores trained without the batch slice; per run only the
+    // new batch coarse-assigns and PQ-encodes against the frozen
+    // broadcast model, its codes union into the scanned lists, and the
+    // held-out queries search the merged index — the corpus is never
+    // re-read, re-residualized or re-trained
+    "x115_incremental_ivfadc" -> ((s, d) =>
+      graft.operators.IncrementalPq.incrementalAdcTopK(s, d))
   )
 
   /** Merge-table depth shared by the x102/x103 Spark rows and their
@@ -824,12 +833,12 @@ object SparkEntry {
        |  FROM $rel WHERE length(text) >= 3
        |),
        |pairs AS MATERIALIZED (
-       |  SELECT doc_a, doc_b,
-       |    round(CAST(len(list_intersect(a.s, b.s)) AS double)
-       |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
-       |  FROM cand JOIN sets a ON cand.doc_a = a.doc_id JOIN sets b ON cand.doc_b = b.doc_id
-       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS double)
-       |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= $threshold
+       |  SELECT doc_a, doc_b, round(CAST(ix AS double) / (la + lb - ix), 6) AS jaccard
+       |  FROM (
+       |    SELECT doc_a, doc_b, len(list_intersect(a.s, b.s)) AS ix,
+       |           len(a.s) AS la, len(b.s) AS lb
+       |    FROM cand JOIN sets a ON cand.doc_a = a.doc_id JOIN sets b ON cand.doc_b = b.doc_id)
+       |  WHERE CAST(ix AS double) / (la + lb - ix) >= $threshold
        |)""".stripMargin
 
   /** DuckDB replica of the hyperplane index
@@ -1009,6 +1018,16 @@ object SparkEntry {
        |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
        |    ORDER BY CAST(sum((p.xi - c.ci) * (p.xi - c.ci)) AS BIGINT), c.cell) = 1)""".stripMargin
 
+  /** The x98 held-out query/corpus split as SQL, interpolating
+    * [[graft.operators.ProductQuantization.QueryMod]]/`QueryRem` — the
+    * oracle CTEs and the engine predicate share ONE definition and
+    * cannot drift (r17 verdict #5; the EpsBase/IdStride precedent).
+    */
+  private def isQuerySql(c: String = "vec_id"): String =
+    s"$c % ${graft.operators.ProductQuantization.QueryMod} = ${graft.operators.ProductQuantization.QueryRem}"
+  private def isCorpusSql(c: String = "vec_id"): String =
+    s"$c % ${graft.operators.ProductQuantization.QueryMod} <> ${graft.operators.ProductQuantization.QueryRem}"
+
   /** Base + `iters` unrolled Lloyd iterations over the `trainFilter`ed
     * slice, ending at a{iters}. Training assignments join px through the
     * a(i−1) ids, so the slice restriction carries through every stage.
@@ -1036,12 +1055,12 @@ object SparkEntry {
     * under those frozen centroids and the per-cell occupancy rolls up.
     */
   private val KMeansDriftOracle: String =
-    kmeansOracleCte(" WHERE vec_id % 10 <> 7", 3) +
+    kmeansOracleCte(s" WHERE ${isCorpusSql()}", 3) +
       kmCentroidCtes(4) + kmAssignCte("srv", 4, "px") +
-      """,
+      s""",
         |cnts AS (SELECT cell,
-        |    CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus,
-        |    CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_batch
+        |    CAST(sum(CASE WHEN ${isCorpusSql()} THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus,
+        |    CAST(sum(CASE WHEN ${isQuerySql()} THEN 1 ELSE 0 END) AS BIGINT) AS n_batch
         |  FROM srv GROUP BY cell),
         |tot AS (SELECT CAST(sum(n_corpus) AS BIGINT) AS t_corpus,
         |               CAST(sum(n_batch) AS BIGINT) AS t_batch FROM cnts)
@@ -1095,9 +1114,11 @@ object SparkEntry {
     * constants, so oracle and implementation cannot drift. Per round:
     * per-(sub, cell) integral sums with one floored quotient per
     * component (pct), exact-integer-d2 argmin with (d2, cell) tie-break
-    * (pa). `trainFilter` scopes the training slice.
+    * (pa). `trainFilter` scopes the training slice (x115: the frozen
+    * model trains WITHOUT the new batch, while spx keeps every index
+    * vector's residual components for the post-training encode).
     */
-  private def pqTrainChain(iters: Int): String = {
+  private def pqTrainChain(iters: Int, trainFilter: String = ""): String = {
     val sd = graft.operators.ProductQuantization.SubDim
     val ns = graft.operators.ProductQuantization.NumSub
     val k = graft.operators.ProductQuantization.K
@@ -1107,7 +1128,7 @@ object SparkEntry {
          |  SELECT vec_id, CAST((di - 1) // $sd AS INT) AS sub,
          |         CAST((di - 1) % $sd + 1 AS INT) AS sdi, xi
          |  FROM pdx WHERE di <= ${ns * sd}),
-         |tspx AS MATERIALIZED (SELECT * FROM spx),
+         |tspx AS MATERIALIZED (SELECT * FROM spx$trainFilter),
          |pa0 AS MATERIALIZED (
          |  SELECT DISTINCT vec_id, sub, CAST((vec_id + sub) % $k AS INT) AS cell FROM tspx)""".stripMargin
     val rounds = (1 to iters).map { i =>
@@ -1150,7 +1171,8 @@ object SparkEntry {
     * distance with (adc_d2, c_id) tie-break.
     */
   private def pqAdcOracle(eCtes: String, topK: Int,
-                          sameCluster: Boolean, rerank: Int = 0): String = {
+                          sameCluster: Boolean, rerank: Int = 0,
+                          batchPred: Option[String] = None): String = {
     val ck = graft.operators.ProductQuantization.CoarseK
     val np = graft.operators.ProductQuantization.NProbe
     val sd = graft.operators.ProductQuantization.SubDim
@@ -1160,11 +1182,23 @@ object SparkEntry {
     val extra = if (sameCluster)
       s",\n  CAST(CASE WHEN q_id // $ids = c_id // $ids THEN 1 ELSE 0 END AS INT) AS same_cluster"
     else ""
+    // x115 (batchPred set): the model — coarse seeding AND the PQ
+    // training chain — excludes the batch slice; the batch still
+    // coarse-assigns (casg), residualizes (pdx/spx) and PQ-encodes (enc)
+    // against the FROZEN model, and its codes merge into the scanned
+    // lists. batchPred = None is the x108/x113/x114 whole-corpus chain,
+    // byte-identical to before the parameter existed.
+    val trainPred = batchPred.map(b => s" AND NOT ($b)").getOrElse("")
+    // codes relation the ADC scan reads: the training assignment for the
+    // all-corpus chain; the frozen-codebook encode of EVERY index vector
+    // for the incremental chain (for trained vectors the two coincide —
+    // the last Lloyd round assigns against the same final codebook)
+    val codesRel = if (batchPred.isEmpty) s"pa$it" else "enc"
     pqBaseCtes(eCtes) +
       s""",
          |px AS MATERIALIZED (
          |  SELECT vec_id, unnest(generate_series(1, len(fv))) AS di, unnest(fv) AS xi FROM pts),
-         |cc0 AS (SELECT vec_id, CAST(vec_id % $ck AS INT) AS ccell FROM pts WHERE vec_id % 10 <> 7),
+         |cc0 AS (SELECT vec_id, CAST(vec_id % $ck AS INT) AS ccell FROM pts WHERE ${isCorpusSql()}$trainPred),
          |ccn AS (SELECT ccell, count(*) AS n FROM cc0 GROUP BY ccell),
          |ccent AS MATERIALIZED (
          |  SELECT sx.ccell, sx.di, floor(sx.s / ccn.n) AS ci
@@ -1173,13 +1207,13 @@ object SparkEntry {
          |  JOIN ccn USING (ccell)),
          |casg AS MATERIALIZED (
          |  SELECT p.vec_id, c.ccell, CAST(sum((p.xi - c.ci) * (p.xi - c.ci)) AS BIGINT) AS d2
-         |  FROM (SELECT * FROM px WHERE vec_id % 10 <> 7) p JOIN ccent c USING (di)
+         |  FROM (SELECT * FROM px WHERE ${isCorpusSql()}) p JOIN ccent c USING (di)
          |  GROUP BY p.vec_id, c.ccell
          |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
          |    ORDER BY CAST(sum((p.xi - c.ci) * (p.xi - c.ci)) AS BIGINT), c.ccell) = 1),
          |qpr AS MATERIALIZED (
          |  SELECT p.vec_id, c.ccell, CAST(sum((p.xi - c.ci) * (p.xi - c.ci)) AS BIGINT) AS d2
-         |  FROM (SELECT * FROM px WHERE vec_id % 10 = 7) p JOIN ccent c USING (di)
+         |  FROM (SELECT * FROM px WHERE ${isQuerySql()}) p JOIN ccent c USING (di)
          |  GROUP BY p.vec_id, c.ccell
          |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
          |    ORDER BY CAST(sum((p.xi - c.ci) * (p.xi - c.ci)) AS BIGINT), c.ccell) <= $np),
@@ -1187,7 +1221,17 @@ object SparkEntry {
          |  SELECT p.vec_id, p.di, p.xi - c.ci AS xi
          |  FROM px p JOIN casg a ON p.vec_id = a.vec_id
          |  JOIN ccent c ON c.ccell = a.ccell AND c.di = p.di)""".stripMargin +
-      pqTrainChain(graft.operators.ProductQuantization.Iters) +
+      pqTrainChain(graft.operators.ProductQuantization.Iters,
+        batchPred.map(b => s" WHERE NOT ($b)").getOrElse("")) +
+      batchPred.map(_ =>
+        s""",
+           |enc AS MATERIALIZED (
+           |  SELECT p.vec_id, p.sub, c.cell
+           |  FROM spx p JOIN pct$it c ON p.sub = c.sub AND p.sdi = c.sdi
+           |  GROUP BY p.vec_id, p.sub, c.cell
+           |  QUALIFY row_number() OVER (PARTITION BY p.vec_id, p.sub
+           |    ORDER BY CAST(sum((p.xi - c.ci) * (p.xi - c.ci)) AS BIGINT), c.cell) = 1)""".stripMargin)
+        .getOrElse("") +
       s""",
          |qsx AS MATERIALIZED (
          |  SELECT p.vec_id, a.ccell, CAST((p.di - 1) // $sd AS INT) AS sub,
@@ -1206,7 +1250,7 @@ object SparkEntry {
          |adc AS MATERIALIZED (
          |  SELECT cand.q_id, cand.c_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
          |  FROM cand
-         |  JOIN pa$it k ON k.vec_id = cand.c_id
+         |  JOIN $codesRel k ON k.vec_id = cand.c_id
          |  JOIN lut l ON l.q_id = cand.q_id AND l.ccell = cand.ccell
          |            AND l.sub = k.sub AND l.cell = k.cell
          |  GROUP BY 1, 2)""".stripMargin +
@@ -1258,6 +1302,17 @@ object SparkEntry {
   private val PqRerankOracle: String =
     pqAdcOracle(PqClusteredE, 10, sameCluster = true,
       rerank = graft.operators.ProductQuantization.RerankFactor * 10)
+
+  /** x115: the incremental-IVFADC replay — coarse seeding and the PQ
+    * training chain exclude the batch slice (the frozen model), the
+    * batch still residualizes and encodes against it (enc), and the ADC
+    * scan reads the merged lists. Slice rule interpolated from the
+    * operator, so engine and oracle cannot drift.
+    */
+  private val PqAdcIncOracle: String =
+    pqAdcOracle(PqRawE, 3, sameCluster = false,
+      batchPred = Some(s"vec_id % ${graft.operators.IncrementalPq.BatchMod}" +
+        s" = ${graft.operators.IncrementalPq.BatchRem}"))
 
   /** Batch-perceptron training unrolled (x109/x110): integer feature
     * relation + weak labels (fy), then per round i a single-row update
@@ -1516,6 +1571,10 @@ object SparkEntry {
     // cluster-identity flags
     "x113_pq_clustered_topk" -> PqClusteredOracle,
     "x114_pq_rerank_topk" -> PqRerankOracle,
+    // the incremental chain: frozen (batch-excluded) model, batch encode
+    // against it, merged-list ADC scan — store staleness is separately
+    // pinned by the x115 store-vs-fresh restriction-equality spec
+    "x115_incremental_ivfadc" -> PqAdcIncOracle,
     // the full SNM replay: same blocking key, same global (bk, doc_id)
     // rank, same window, same distinct word-3-gram sets, same integer
     // 2·|A∩B| ≥ |A∪B| test — byte-for-byte pair parity
@@ -2598,19 +2657,24 @@ object SparkEntry {
       """SELECT md5(substring(text, 1, 40)) AS norm_key, count(*) AS n_docs,
         |       min(doc_id) AS keeper_doc_id, CAST(sum(n_chars) AS bigint) AS total_chars
         |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY norm_key""".stripMargin,
+    // intersect projected ONCE through an inner-subquery alias (the r17
+    // x56/x20/x65 sf1 lesson: the repeated expression re-evaluates per
+    // mention — 4x here — and the all-pairs base makes that hours at 10x)
     "x3_dedup_ngram_jaccard" ->
       """WITH d AS (
         |  SELECT doc_id,
         |         list_distinct(list_transform(range(1, length(text) - 1),
         |                       i -> substring(text, CAST(i AS int), 3))) AS sh
-        |  FROM documents WHERE doc_id % 10 = 0)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       round(CAST(len(list_intersect(a.sh, b.sh)) AS double)
-        |             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-        |FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS double)
-        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |q AS MATERIALIZED (
+        |  SELECT doc_a, doc_b, round(CAST(ix AS double) / (la + lb - ix), 6) AS jaccard
+        |  FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |           len(list_intersect(a.sh, b.sh)) AS ix,
+        |           len(a.sh) AS la, len(b.sh) AS lb
+        |    FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |  WHERE CAST(ix AS double) / (la + lb - ix) >= 0.6)
+        |SELECT doc_a, doc_b, jaccard FROM q ORDER BY doc_a, doc_b""".stripMargin,
     // x55: overlap coefficient |A∩B| / min(|A|,|B|) on the same trigram
     // sets — integer counts + one IEEE division, replayed exactly
     "x55_ngram_containment" ->
@@ -2619,14 +2683,15 @@ object SparkEntry {
         |         list_distinct(list_transform(range(1, length(text) - 1),
         |                       i -> substring(text, CAST(i AS int), 3))) AS sh
         |  FROM documents WHERE doc_id % 5 = 0),
-        |f AS (SELECT doc_id, sh FROM d WHERE len(sh) >= 10)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       CAST(len(list_intersect(a.sh, b.sh)) AS double)
-        |             / least(len(a.sh), len(b.sh)) AS overlap
-        |FROM f a JOIN f b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS double)
-        |      / least(len(a.sh), len(b.sh)) >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |f AS (SELECT doc_id, sh FROM d WHERE len(sh) >= 10),
+        |q AS MATERIALIZED (
+        |  SELECT doc_a, doc_b, overlap FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |           CAST(len(list_intersect(a.sh, b.sh)) AS double)
+        |                 / least(len(a.sh), len(b.sh)) AS overlap
+        |    FROM f a JOIN f b ON a.doc_id < b.doc_id)
+        |  WHERE overlap >= 0.8)
+        |SELECT doc_a, doc_b, overlap FROM q ORDER BY doc_a, doc_b""".stripMargin,
     // the RAW LSH pair set: the full pipeline replayed in SQL — every
     // (doc_a, doc_b, jaccard) row independently recomputed by DuckDB
     "x4_dedup_minhash_lsh" ->
@@ -2886,11 +2951,11 @@ object SparkEntry {
     // (not just the index math) breaks the hash gate
     "x49_incremental_ann" ->
       (HyperplaneCte +
-        """,
+        s""",
           |cand AS (
           |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
           |  FROM tb p JOIN tb c ON p.t = c.t AND p.bucket = c.bucket AND p.sz = c.sz
-          |  WHERE p.vec_id % 10 = 7 AND c.vec_id % 10 <> 7
+          |  WHERE ${isQuerySql("p.vec_id")} AND ${isCorpusSql("c.vec_id")}
           |)""".stripMargin + AnnRankSql),
     "x23_sample_per_group" ->
       """SELECT source, doc_id FROM (
@@ -3266,12 +3331,14 @@ object SparkEntry {
           |sig AS (
           |  SELECT f.doc_id, CAST((fpu // 281474976710656) % 65536 AS BIGINT) AS band0,
           |         substr(d.text, 1, 64) AS pfx
-          |  FROM fps f JOIN documents d ON f.doc_id = d.doc_id)
-          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          |       CAST(levenshtein(a.pfx, b.pfx) AS INT) AS lev
-          |FROM sig a JOIN sig b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
-          |WHERE levenshtein(a.pfx, b.pfx) <= 20
-          |ORDER BY doc_a, doc_b""".stripMargin),
+          |  FROM fps f JOIN documents d ON f.doc_id = d.doc_id),
+          |lv AS MATERIALIZED (
+          |  SELECT doc_a, doc_b, lev FROM (
+          |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |           CAST(levenshtein(a.pfx, b.pfx) AS INT) AS lev
+          |    FROM sig a JOIN sig b ON a.band0 = b.band0 AND a.doc_id < b.doc_id)
+          |  WHERE lev <= 20)
+          |SELECT doc_a, doc_b, lev FROM lv ORDER BY doc_a, doc_b""".stripMargin),
     // both engines DERIVE the decomposed text (e -> e + U+0301), so the
     // normalize/strip round-trip is pinned end-to-end: nfc_normalize and
     // strip_accents are DuckDB built-ins, the engine side is the
@@ -3623,12 +3690,14 @@ object SparkEntry {
         |  SELECT DISTINCT least(s.doc_id, a.doc_id) AS doc_a,
         |                  greatest(s.doc_id, a.doc_id) AS doc_b
         |  FROM sig s JOIN ex a ON s.g = a.g
-        |  WHERE s.sz < a.sz OR (s.sz = a.sz AND s.doc_id < a.doc_id))
-        |SELECT c.doc_a, c.doc_b,
-        |  CAST(len(list_intersect(x.sh, y.sh)) AS double) / least(x.sz, y.sz) AS overlap
-        |FROM cand c JOIN f x ON x.doc_id = c.doc_a JOIN f y ON y.doc_id = c.doc_b
-        |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS double) / least(x.sz, y.sz) >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |  WHERE s.sz < a.sz OR (s.sz = a.sz AND s.doc_id < a.doc_id)),
+        |q AS MATERIALIZED (
+        |  SELECT doc_a, doc_b, overlap FROM (
+        |    SELECT c.doc_a, c.doc_b,
+        |      CAST(len(list_intersect(x.sh, y.sh)) AS double) / least(x.sz, y.sz) AS overlap
+        |    FROM cand c JOIN f x ON x.doc_id = c.doc_a JOIN f y ON y.doc_id = c.doc_b)
+        |  WHERE overlap >= 0.8)
+        |SELECT doc_a, doc_b, overlap FROM q ORDER BY doc_a, doc_b""".stripMargin,
     // the shuffle hash is plain integer arithmetic (% == pmod on the
     // fixture's non-negative ids — the x23/x30 precedent), so the oracle
     // reproduces the manifest row for row

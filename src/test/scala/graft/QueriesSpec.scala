@@ -2560,5 +2560,35 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x115 incremental IVFADC: store-backed search equals the fresh no-store computation; stores hold only the frozen day-0 slice") {
+    import graft.operators.{IncrementalPq, ProductQuantization}
+    graft.functions.ArrayExpressions.register(spark)
+    val emb = Tables.load(spark, sf, "embeddings")
+    // store-backed (the x115 ledger path) vs the identical math derived
+    // in one lineage with NO stores: staleness or key drift in any of
+    // the three persisted stores breaks this row-for-row equality
+    val inc = IncrementalPq.incrementalAdcTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val fresh = IncrementalPq.freshAdcTopK(emb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(inc.nonEmpty, "fixture produced no incremental IVFADC results")
+    assert(inc.toSeq == fresh.toSeq, "store-backed != fresh")
+    // slice hygiene: the persisted lists hold ONLY the day-0 training
+    // slice — no batch (appended per run) and no query vectors
+    val storedIds = spark.table(IncrementalPq.codesStore(spark, sf))
+      .select("c_id").distinct().collect().map(_.getLong(0))
+    assert(storedIds.nonEmpty)
+    assert(!storedIds.exists(id => id % IncrementalPq.BatchMod == IncrementalPq.BatchRem),
+      "batch vectors leaked into the persisted lists")
+    assert(!storedIds.exists(id =>
+      id % ProductQuantization.QueryMod == ProductQuantization.QueryRem),
+      "query vectors leaked into the persisted lists")
+    // the merged search actually reads the batch: every batch id is
+    // searchable, so at least one must surface in some query's top-k
+    // (sf0.001 has ~10% batch vectors across 50 queries x top-3)
+    assert(inc.exists(_._3 % IncrementalPq.BatchMod == IncrementalPq.BatchRem),
+      "no batch vector surfaced in any top-k — the union side is dead")
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
