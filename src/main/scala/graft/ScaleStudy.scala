@@ -867,7 +867,7 @@ object ScaleStudy {
       val nCorpus = nVec - nQ
       val ckSized = graft.operators.ProductQuantization.sizedCoarseK(nCorpus)
       for ((ck, np) <- Seq((8, 1), (8, 2), (8, 4), (32, 1), (32, 2), (32, 4),
-        (ckSized, 2)).distinct) {
+        (ckSized, 2), (ckSized, 4), (ckSized, 8)).distinct) {
         val t0 = System.nanoTime()
         val got = graft.operators.ProductQuantization.adcTopK(fix, 10, ck, np)
           .select("q_id", "c_id").localCheckpoint()

@@ -215,17 +215,29 @@ object ProductQuantization {
   private def corpusCount(emb: DataFrame): Long =
     KMeans.quantizedPts(emb).filter(!isQueryCol).count()
 
+  /** Probes for the SIZED coarse geometry. With √n lists each list holds
+    * ~√n vectors and a planted neighborhood spans a couple of them, so
+    * NProbe = 2 leaves routing recall on the table; the ScaleStudy
+    * pqrecall grid measured the ceiling at (√n lists, nProbe) on the
+    * clustered fixture at 1×/3×/10×: np=2 → 0.972/0.975/0.951,
+    * np=4 → 1.000/0.999/0.992 at candidate counts still growing ~√n
+    * (212/321/741 cand/q). 4 is the knee.
+    */
+  val SizedNProbe = 4
+
   /** PRODUCTION DEFAULT ANN entry point — the composed IVFADC-R
     * configuration: √n-sized coarse lists ([[sizedCoarseK]] — per-query
-    * candidate AND routing cost both O(√n)) plus exact re-ranking over
-    * the ADC shortlist ([[adcRerankTopK]] — recall@10 ≈ 0.99 at the
-    * probe ceiling where plain ADC ranking saturates at ~0.66). A caller
-    * wanting "the ANN search" calls THIS; [[adcTopK]]/[[adcTopKSized]]
-    * return the unrefined ADC ranking and exist as the hash-gated
+    * candidate AND routing cost both O(√n)) probed at [[SizedNProbe]],
+    * plus exact re-ranking over the ADC shortlist ([[adcRerankTopK]]).
+    * The re-rank recovers ALL recall the routing admits (measured
+    * recall ≡ probe ceiling at every scale), so composed recall@10 ≈
+    * 0.99 where plain ADC ranking saturates at ~0.66. A caller wanting
+    * "the ANN search" calls THIS; [[adcTopK]]/[[adcTopKSized]] return
+    * the unrefined ADC ranking and exist as the hash-gated
     * fixed-geometry ledger surfaces and as the shortlist stage.
     */
   def adcRerankTopKSized(emb: DataFrame, topK: Int = 3,
-                         nProbe: Int = NProbe): DataFrame =
+                         nProbe: Int = SizedNProbe): DataFrame =
     adcRerankTopK(emb, topK, sizedCoarseK(corpusCount(emb)), nProbe)
 
   private[operators] val CoarseDist2 = "fixed_point_dist2(fv, cc)"
