@@ -213,11 +213,12 @@ object IncrementalPq {
     * (q_id, rnk, c_id, adc_d2).
     */
   def incrementalAdcTopK(spark: SparkSession, dir: String, topK: Int = 3,
-                         nProbe: Int = ProductQuantization.NProbe): DataFrame = {
+                         nProbe: Int = ProductQuantization.NProbe,
+                         coarseK: Int = ProductQuantization.CoarseK): DataFrame = {
     graft.functions.ArrayExpressions.register(spark)
-    val coarse = spark.table(coarseStore(spark, dir))
-    val cb = spark.table(codebookStore(spark, dir))
-    val stored = spark.table(codesStore(spark, dir))
+    val coarse = spark.table(coarseStore(spark, dir, coarseK))
+    val cb = spark.table(codebookStore(spark, dir, coarseK))
+    val stored = spark.table(codesStore(spark, dir, coarseK))
     val pts = KMeans.quantizedPts(Tables.load(spark, dir, "embeddings")).ckpt()
     val codes = stored.unionByName(batchCodes(pts, coarse, cb))
     adcSearch(pts, coarse, cb, codes, topK, nProbe)
@@ -230,8 +231,8 @@ object IncrementalPq {
     * QueriesSpec pins `incrementalAdcTopK == freshAdcTopK` row for row.
     */
   def freshAdcTopK(emb: DataFrame, topK: Int = 3,
-                   nProbe: Int = ProductQuantization.NProbe): DataFrame = {
-    val coarseK = ProductQuantization.CoarseK
+                   nProbe: Int = ProductQuantization.NProbe,
+                   coarseK: Int = ProductQuantization.CoarseK): DataFrame = {
     val pts = KMeans.quantizedPts(emb).ckpt()
     val coarse = coarseOf(trainSlice(pts), coarseK).ckpt()
     val rTrain = residuals(trainSlice(pts), coarse).ckpt()
