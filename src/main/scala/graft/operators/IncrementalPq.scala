@@ -192,8 +192,11 @@ object IncrementalPq {
       .withColumn("d2", expr(ProductQuantization.Dist2Expr))
       .select(col("q_id"), col("ccell"), col("sub"), col("c_cell").as("cell"), col("d2"))
     // codes rows carry their list key, so the probed-list scan is ONE
-    // join on ccell (probed lists only move), then the LUT lookup
-    val adc = qProbe.select(col("q_id"), col("ccell"))
+    // join on ccell (probed lists only move), then the LUT lookup. The
+    // probe side is |queries|·nProbe rows — broadcast it so the merged
+    // code table (O(corpus) rows) STREAMS through the join instead of
+    // shuffling on ccell
+    val adc = broadcast(qProbe.select(col("q_id"), col("ccell")))
       .join(codes, Seq("ccell"))
       .join(lut, Seq("q_id", "ccell", "sub", "cell"))
       .groupBy(col("q_id"), col("c_id"))
@@ -219,7 +222,13 @@ object IncrementalPq {
     val coarse = spark.table(coarseStore(spark, dir, coarseK))
     val cb = spark.table(codebookStore(spark, dir, coarseK))
     val stored = spark.table(codesStore(spark, dir, coarseK))
-    val pts = KMeans.quantizedPts(Tables.load(spark, dir, "embeddings")).ckpt()
+    // ONLY the batch + query slices of the corpus are ever read on this
+    // path (the stored lists carry everything else), so the scan filters
+    // BEFORE the lineage-truncating ckpt — materializing full quantizedPts
+    // here would be exactly the O(corpus) pass the store exists to avoid
+    val pts = KMeans.quantizedPts(Tables.load(spark, dir, "embeddings"))
+      .filter(isBatchVec(col("vec_id")) || ProductQuantization.isQueryCol)
+      .ckpt()
     val codes = stored.unionByName(batchCodes(pts, coarse, cb))
     adcSearch(pts, coarse, cb, codes, topK, nProbe)
   }
