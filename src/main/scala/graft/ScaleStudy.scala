@@ -885,16 +885,16 @@ object ScaleStudy {
       // ledger geometry (fixed CoarseK) AND as the composed PRODUCTION
       // default adcRerankTopKSized (√n coarse + re-rank): same ~0.99
       // recall at the √n candidate counts the sized grid row records.
-      for ((label, run) <- Seq(
-        ("pq_rerank_recall" ->
+      for ((label, ckUsed, run) <- Seq(
+        ("pq_rerank_recall", graft.operators.ProductQuantization.CoarseK,
           (() => graft.operators.ProductQuantization.adcRerankTopK(fix, 10))),
-        ("pq_rerank_sized_recall" ->
+        ("pq_rerank_sized_recall", ckSized,
           (() => graft.operators.ProductQuantization.adcRerankTopKSized(fix, 10))))) {
         val tR = System.nanoTime()
         val gotR = run().select("q_id", "c_id").localCheckpoint()
         val tRerank = (System.nanoTime() - tR) / 1e9
         val hitsR = exact.join(gotR, Seq("q_id", "c_id"), "left_semi").count()
-        println(f"""{"op":"$label%s","scale":$k,"vectors":$nVec,"queries":$nQ,"coarse_k_sized":$ckSized,"recall_at10":${hitsR.toDouble / nExact}%.3f,"rerank_sec":$tRerank%.2f}""")
+        println(f"""{"op":"$label%s","scale":$k,"vectors":$nVec,"queries":$nQ,"coarse_k":$ckUsed,"recall_at10":${hitsR.toDouble / nExact}%.3f,"rerank_sec":$tRerank%.2f}""")
       }
     }
     // x115 incremental IVFADC at 1×/3×/10×: the persisted-store economics.

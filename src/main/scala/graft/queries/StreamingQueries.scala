@@ -122,14 +122,29 @@ object StreamingQueries {
         try s.mapToLong(f => Files.getLastModifiedTime(f).toMillis).max.orElse(Long.MinValue)
         finally s.close()
       }
+      // a dir whose tree can't be walked (dangling symlink, unreadable
+      // entry from a crashed run) must not become sweep-exempt forever:
+      // NoSuchFileException = a concurrent sweep/cleanup won the race —
+      // treat as fresh (it's being handled); any other walk failure
+      // falls back to the top-level mtime, which a crashed producer
+      // never refreshes, so the leak is still reclaimed
+      def staleness(p: Path): Long =
+        try newestMtime(p)
+        catch {
+          case _: java.nio.file.NoSuchFileException => Long.MaxValue
+          case e: java.io.UncheckedIOException
+            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => Long.MaxValue
+          case _: java.io.IOException | _: java.io.UncheckedIOException =>
+            try Files.getLastModifiedTime(p).toMillis
+            catch { case _: java.io.IOException => Long.MaxValue }
+        }
       val listing = Files.list(base)
       val stale =
         try listing
           .filter(p => p.getFileName.toString.startsWith("graft_stream_") &&
             Files.isDirectory(p))
           .toArray(new Array[Path](_))
-          .filter(p => try newestMtime(p) < cutoff
-            catch { case _: java.io.IOException | _: java.io.UncheckedIOException => false })
+          .filter(p => staleness(p) < cutoff)
         finally listing.close()
       stale.count { p =>
         try { deleteRecursively(p); true }

@@ -83,7 +83,19 @@ def main():
     cache_dir = os.environ.get("ORACLE_CACHE_DIR")
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
-    fp = fixture_fingerprint(sfdir)
+        # a run killed mid-COPY leaves <key>.parquet.tmp behind; sweep
+        # them at startup (concurrent shard processes only ever touch
+        # their own disjoint name subsets, so nothing live matches)
+        for stale in os.listdir(cache_dir):
+            if stale.endswith(".tmp"):
+                try:
+                    os.remove(os.path.join(cache_dir, stale))
+                except OSError:
+                    pass
+    # the key includes the duckdb version: an engine upgrade can change a
+    # result's dtypes (HUGEINT/BIGINT inference), and a cache entry
+    # verified under the old engine must not keep serving as the 'want'
+    fp = fixture_fingerprint(sfdir) + "|duckdb=" + duckdb.__version__
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
