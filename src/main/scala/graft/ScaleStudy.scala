@@ -916,9 +916,13 @@ object ScaleStudy {
         expandEmbeddings(embK, k)
           .write.mode("overwrite").parquet(s"$dirK/embeddings.parquet")
         val t0 = System.nanoTime()
-        stores = Seq(graft.operators.IncrementalPq.coarseStore(spark, dirK),
-          graft.operators.IncrementalPq.codebookStore(spark, dirK),
-          graft.operators.IncrementalPq.codesStore(spark, dirK))
+        // appended one by one: if a later builder throws, the finally
+        // block still drops whatever was actually created (r18 ADVICE —
+        // the sweep prefix embeds this run's tempdir scope, so nothing
+        // else ever reclaims a leaked store)
+        stores = stores :+ graft.operators.IncrementalPq.coarseStore(spark, dirK)
+        stores = stores :+ graft.operators.IncrementalPq.codebookStore(spark, dirK)
+        stores = stores :+ graft.operators.IncrementalPq.codesStore(spark, dirK)
         val tStore = (System.nanoTime() - t0) / 1e9
         val t1 = System.nanoTime()
         val nInc = graft.operators.IncrementalPq.incrementalAdcTopK(spark, dirK).count()
@@ -941,11 +945,10 @@ object ScaleStudy {
         val ckS = graft.operators.ProductQuantization.sizedCoarseK(nCorpus)
         val npS = graft.operators.ProductQuantization.SizedNProbe
         val t3 = System.nanoTime()
-        val sStores = Seq(graft.operators.IncrementalPq.coarseStore(spark, dirK, ckS),
-          graft.operators.IncrementalPq.codebookStore(spark, dirK, ckS),
-          graft.operators.IncrementalPq.codesStore(spark, dirK, ckS))
+        stores = stores :+ graft.operators.IncrementalPq.coarseStore(spark, dirK, ckS)
+        stores = stores :+ graft.operators.IncrementalPq.codebookStore(spark, dirK, ckS)
+        stores = stores :+ graft.operators.IncrementalPq.codesStore(spark, dirK, ckS)
         val tStoreS = (System.nanoTime() - t3) / 1e9
-        stores = stores ++ sStores
         val t4 = System.nanoTime()
         val nIncS = graft.operators.IncrementalPq
           .incrementalAdcTopK(spark, dirK, 3, npS, ckS).count()

@@ -253,7 +253,7 @@ object IncrementalPq {
       .filter(isBatchVec(col("vec_id")) || ProductQuantization.isQueryCol)
       .select(col("vec_id"),
         expr("transform(cast(embedding as array<double>), " +
-          "x -> cast(floor(x * cast(1000000 as double)) as double))").as("fv"))
+          s"x -> cast(floor(x * cast(${KMeans.FixedPointScale} as double)) as double))").as("fv"))
       .join(broadcast(domDim), size(col("fv")) === col("dom_sz"))
       .drop("dom_sz")
       .ckpt()

@@ -39,6 +39,14 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
+  /** The x91 fixed-point quantization scale (floor(x·10⁶)). ONE
+    * definition interpolated by every quantization site — [[quantizedPts]]
+    * and [[IncrementalPq]]'s slice-filtered per-cycle scan — so a scale
+    * change cannot silently drift the incremental path from the stores,
+    * the fresh twin, or the oracle (r18 ADVICE).
+    */
+  private[operators] val FixedPointScale = 1000000L
+
   /** Fixed-point quantized points at the dominant dimensionality:
     * (vec_id, fv). Shared by [[assignments]] (x91), [[batchDriftProfile]]
     * (x98), and [[ProductQuantization]]'s subspace split (x107/x108).
@@ -47,7 +55,7 @@ object KMeans {
     graft.functions.ArrayExpressions.register(emb.sparkSession)
     val quantized = emb.select(col("vec_id"),
       expr("transform(cast(embedding as array<double>), " +
-        "x -> cast(floor(x * cast(1000000 as double)) as double))").as("fv"))
+        s"x -> cast(floor(x * cast($FixedPointScale as double)) as double))").as("fv"))
     val domDim = quantized.groupBy(size(col("fv")).as("sz")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("sz")).limit(1)
       .select(col("sz").as("dom_sz"))

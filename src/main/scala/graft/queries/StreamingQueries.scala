@@ -117,9 +117,13 @@ object StreamingQueries {
     if (!Files.isDirectory(base)) 0
     else {
       val cutoff = System.currentTimeMillis() - maxAgeMs
-      def newestMtime(p: Path): Long = {
+      // liveness short-circuits on the FIRST fresh file (r18 ADVICE:
+      // computing the full newest-mtime max stats every file of every
+      // live checkpoint tree on every scratchDir() allocation — an
+      // O(total files) stat storm; one fresh file already proves live)
+      def anyFresh(p: Path): Boolean = {
         val s = Files.walk(p)
-        try s.mapToLong(f => Files.getLastModifiedTime(f).toMillis).max.orElse(Long.MinValue)
+        try s.anyMatch(f => Files.getLastModifiedTime(f).toMillis >= cutoff)
         finally s.close()
       }
       // a dir whose tree can't be walked (dangling symlink, unreadable
@@ -128,15 +132,15 @@ object StreamingQueries {
       // treat as fresh (it's being handled); any other walk failure
       // falls back to the top-level mtime, which a crashed producer
       // never refreshes, so the leak is still reclaimed
-      def staleness(p: Path): Long =
-        try newestMtime(p)
+      def isStale(p: Path): Boolean =
+        try !anyFresh(p)
         catch {
-          case _: java.nio.file.NoSuchFileException => Long.MaxValue
+          case _: java.nio.file.NoSuchFileException => false
           case e: java.io.UncheckedIOException
-            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => Long.MaxValue
+            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => false
           case _: java.io.IOException | _: java.io.UncheckedIOException =>
-            try Files.getLastModifiedTime(p).toMillis
-            catch { case _: java.io.IOException => Long.MaxValue }
+            try Files.getLastModifiedTime(p).toMillis < cutoff
+            catch { case _: java.io.IOException => false }
         }
       val listing = Files.list(base)
       val stale =
@@ -144,7 +148,7 @@ object StreamingQueries {
           .filter(p => p.getFileName.toString.startsWith("graft_stream_") &&
             Files.isDirectory(p))
           .toArray(new Array[Path](_))
-          .filter(p => staleness(p) < cutoff)
+          .filter(p => isStale(p))
         finally listing.close()
       stale.count { p =>
         try { deleteRecursively(p); true }

@@ -84,12 +84,17 @@ def main():
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
         # a run killed mid-COPY leaves <key>.parquet.tmp behind; sweep
-        # them at startup (concurrent shard processes only ever touch
-        # their own disjoint name subsets, so nothing live matches)
+        # them at startup. AGE-GATED: a shard starting while another is
+        # mid-COPY would otherwise reap the live shard's in-flight tmp
+        # (graceful but silently uncached) — only tmp files no live
+        # writer can still own are removed
+        import time as _time
         for stale in os.listdir(cache_dir):
             if stale.endswith(".tmp"):
+                p = os.path.join(cache_dir, stale)
                 try:
-                    os.remove(os.path.join(cache_dir, stale))
+                    if _time.time() - os.path.getmtime(p) > 600:
+                        os.remove(p)
                 except OSError:
                     pass
     # the key includes the duckdb version: an engine upgrade can change a
