@@ -2027,6 +2027,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.filter(_.getBoolean(3)).map(_.getLong(0)).toSet == ranked)
   }
 
+  test("x90/x100 plan shape: the selection rank plans with NO unpartitioned window (two-phase offset form)") {
+    // the r18 verdict's one scale flag: dsirSelect's old top-frac rank
+    // was row_number over Window.orderBy(...) with no partitionBy — a
+    // single-task global sort of the doc-level weight relation. The
+    // two-phase offset rewrite must leave zero unpartitioned Window
+    // nodes anywhere in the final plan segment of x90 or of x100 (which
+    // inherits the selection via the curation funnel).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (n <- Seq("x90_dsir_select", "x100_curation_v2")) {
+      val bad = SparkEntry.queries(n)(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$n plans ${bad.size} unpartitioned window(s): " +
+          bad.headOption.fold("")(_.simpleString(160)))
+    }
+  }
+
   test("x91 kmeans: exact match against a brute-force single-node twin; inertia non-increasing") {
     val k = 8
     val vecs = Tables.load(spark, sf, "embeddings")
