@@ -625,7 +625,33 @@ object SparkEntry {
     // held-out queries search the merged index — the corpus is never
     // re-read, re-residualized or re-trained
     "x115_incremental_ivfadc" -> ((s, d) =>
-      graft.operators.IncrementalPq.incrementalAdcTopK(s, d))
+      graft.operators.IncrementalPq.incrementalAdcTopK(s, d)),
+    // incremental IVFADC WITH exact re-ranking (IVFADC-R against frozen
+    // stores): x115's store-backed merged-list search composed with
+    // x114's refinement — the per-query ADC shortlist re-ranks by exact
+    // fixed-point distance against a FOURTH persisted store (the day-0
+    // original vectors, bucketed by their home-list key) plus the
+    // in-flight batch's own vectors, so daily ingest gets
+    // retrieval-grade recall without re-reading, re-residualizing or
+    // retraining the corpus
+    "x116_incremental_rerank" -> ((s, d) =>
+      graft.operators.IncrementalPq.incrementalRerankTopK(s, d)),
+    // multi-day maintenance of the incremental index: day-1/day-2 code
+    // deltas appended idempotently against the frozen model, compacted
+    // with last-writer-wins per (c_id, sub) into ONE bounded-file
+    // generation; the search reads the compacted lists with NO per-run
+    // encode — the days partition the x115 batch, so the values equal
+    // x115's by construction and the compactor sits inside the hash gate
+    "x117_multiday_compaction" -> ((s, d) =>
+      graft.operators.IncrementalPq.compactedAdcTopK(s, d)),
+    // x115's ingest run CONTINUOUSLY (the x106 posture for the
+    // production index): arriving vectors encode per micro-batch against
+    // the frozen broadcast model in a stateless foreachBatch map with
+    // idempotent per-batch delta dirs — zero streaming state — and the
+    // merged search consumes the stream-encoded codes, so the row
+    // shares x115's oracle verbatim
+    "x118_stream_pq_encode" -> ((s, d) =>
+      graft.queries.StreamingQueries.streamingIncrementalPq(s, d))
   )
 
   /** Merge-table depth shared by the x102/x103 Spark rows and their
@@ -1314,6 +1340,20 @@ object SparkEntry {
       batchPred = Some(s"vec_id % ${graft.operators.IncrementalPq.BatchMod}" +
         s" = ${graft.operators.IncrementalPq.BatchRem}"))
 
+  /** x116: the incremental chain (frozen model trained without the
+    * batch, batch encoded against it, merged lists scanned) COMPOSED
+    * with the x114 refinement (ADC shortlist of RerankFactor·topK per
+    * query, exact full-vector re-rank) — `px` spans day-0 AND batch
+    * vectors exactly as the engine's vectors-store + batch-side union
+    * does. Slice rule and shortlist factor interpolated from the
+    * operators, so engine and oracle cannot drift.
+    */
+  private val PqAdcIncRerankOracle: String =
+    pqAdcOracle(PqRawE, 3, sameCluster = false,
+      rerank = graft.operators.ProductQuantization.RerankFactor * 3,
+      batchPred = Some(s"vec_id % ${graft.operators.IncrementalPq.BatchMod}" +
+        s" = ${graft.operators.IncrementalPq.BatchRem}"))
+
   /** Batch-perceptron training unrolled (x109/x110): integer feature
     * relation + weak labels (fy), then per round i a single-row update
     * aggregate over the margin-<=0 set (g_i) and the updated weights
@@ -1575,6 +1615,17 @@ object SparkEntry {
     // against it, merged-list ADC scan — store staleness is separately
     // pinned by the x115 store-vs-fresh restriction-equality spec
     "x115_incremental_ivfadc" -> PqAdcIncOracle,
+    // x115's chain + the x114 refinement: exact re-rank of the ADC
+    // shortlist over day-0 + batch full vectors — vectors-store
+    // staleness is separately pinned by the x116 store-vs-fresh spec
+    "x116_incremental_rerank" -> PqAdcIncRerankOracle,
+    // the compacted multi-day lists hold exactly day-0 ∪ batch (the two
+    // appended days partition the batch residue), so the oracle is
+    // x115's verbatim — append/compact/last-writer must be value-neutral
+    "x117_multiday_compaction" -> PqAdcIncOracle,
+    // stream-encoded codes ≡ batch codes (per-vector math, batching-
+    // independent), so the streaming ingest shares x115's oracle too
+    "x118_stream_pq_encode" -> PqAdcIncOracle,
     // the full SNM replay: same blocking key, same global (bk, doc_id)
     // rank, same window, same distinct word-3-gram sets, same integer
     // 2·|A∩B| ≥ |A∪B| test — byte-for-byte pair parity

