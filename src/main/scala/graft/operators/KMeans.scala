@@ -43,9 +43,10 @@ object KMeans {
     * definition interpolated by every quantization site — [[quantizedPts]]
     * and [[IncrementalPq]]'s slice-filtered per-cycle scan — so a scale
     * change cannot silently drift the incremental path from the stores,
-    * the fresh twin, or the oracle (r18 ADVICE).
+    * the fresh twin, or the oracle (r18 ADVICE). private[graft]: the
+    * x106/x118 streaming quantize sites interpolate it too.
     */
-  private[operators] val FixedPointScale = 1000000L
+  private[graft] val FixedPointScale = 1000000L
 
   /** Fixed-point quantized points at the dominant dimensionality:
     * (vec_id, fv). Shared by [[assignments]] (x91), [[batchDriftProfile]]

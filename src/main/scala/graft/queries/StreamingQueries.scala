@@ -1122,7 +1122,7 @@ object StreamingQueries {
         try {
           val assigned = stream
             .select(expr("transform(cast(embedding as array<double>), " +
-              "x -> cast(floor(x * cast(1000000 as double)) as double))").as("fv"))
+              s"x -> cast(floor(x * cast(${graft.operators.KMeans.FixedPointScale} as double)) as double))").as("fv"))
             .filter(size(col("fv")) === domSz) // ragged vectors drop, as in batch
             .select(graft.operators.KMeans.assignCellExpr(col("fv"), cents).as("cell"))
           val q = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_batch"))
