@@ -341,7 +341,6 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_feats"),
         sum(col("cnt") * col("lam")).as("weight_micro"))
-    val nRaw = wdoc.agg(count(lit(1)).as("n_raw"))
     // global (weight desc, doc_id) rank WITHOUT any single-partition
     // window (the r18 verdict's x90 flag): range-repartition so
     // partition p holds ranks strictly before partition p+1, rank
@@ -349,9 +348,12 @@ object TextAnalysis {
     // The offsets are a driver-side prefix sum over the per-partition
     // counts — a CONFIG-bounded relation (≤ spark.sql.shuffle.partitions
     // rows, data-INdependent: the documented sizing-probe family), so
-    // even the offset step plans with zero unpartitioned windows. The
-    // pid→count pairing must come from ONE materialization (ckpt):
-    // recomputing `parts` could re-sample different range boundaries.
+    // even the offset step plans with zero unpartitioned windows; the
+    // same sum yields n_raw for free, so the weight pipeline evaluates
+    // exactly ONCE (into the ckpt — the old global-window form paid a
+    // second full evaluation for its count side). The pid→count pairing
+    // must come from ONE materialization (ckpt): recomputing `parts`
+    // could re-sample different range boundaries.
     val parts = wdoc.repartitionByRange(col("weight_micro").desc, col("doc_id"))
       .sortWithinPartitions(col("weight_micro").desc, col("doc_id"))
       .withColumn("pid", spark_partition_id())
@@ -360,6 +362,7 @@ object TextAnalysis {
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offRows = cnts.map { case (pid, n) => val o = acc; acc += n; (pid, o) }
+    val cut = math.ceil(frac * acc).toLong // same IEEE product+ceil as the SQL form
     val ss = docs.sparkSession
     import ss.implicits._
     val offs = offRows.toSeq.toDF("pid", "off")
@@ -367,8 +370,7 @@ object TextAnalysis {
       .orderBy(col("weight_micro").desc, col("doc_id"))
     parts.join(broadcast(offs), "pid")
       .withColumn("rn", col("off") + row_number().over(wIn))
-      .crossJoin(broadcast(nRaw))
-      .withColumn("selected", col("rn") <= ceil(lit(frac) * col("n_raw")))
+      .withColumn("selected", col("rn") <= lit(cut))
       .select(col("doc_id"), col("n_feats"), col("weight_micro"), col("selected"))
       .orderBy("doc_id")
   }
