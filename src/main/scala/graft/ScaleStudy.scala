@@ -999,8 +999,13 @@ object ScaleStudy {
         stores = stores :+ graft.operators.IncrementalPq.vectorsStore(spark, dirK, ckS)
         val tStore = (System.nanoTime() - t0) / 1e9
         val t1 = System.nanoTime()
+        // geometry passed explicitly (ckS is already in hand): the sized
+        // convenience entry re-derives it with an O(corpus) count, which
+        // would contaminate cycle_sec with corpus-scaled work unrelated
+        // to the search (r19 review)
         val got = graft.operators.IncrementalPq
-          .incrementalRerankTopKSized(spark, dirK, 10)
+          .incrementalRerankTopK(spark, dirK, 10,
+            graft.operators.ProductQuantization.SizedNProbe, ckS)
           .select("q_id", "c_id").localCheckpoint()
         val tCycle = (System.nanoTime() - t1) / 1e9
         val hits = exact.join(got, Seq("q_id", "c_id"), "left_semi").count()

@@ -690,12 +690,13 @@ object Dedup {
     * integer test 2·|A∩B| ≥ |A∪B| — no float anywhere.
     *
     * Scale shape: ONE range-partitioned sort; the global contiguous rank
-    * is the two-phase offset pattern (per-partition row_number + a
-    * broadcast of per-partition counts — the only global window runs
-    * over the ≤#partitions-row count relation, never over data; the
-    * range exchange is ckpt'd because spark_partition_id is only
-    * meaningful for ONE materialization of nondeterministically-sampled
-    * range boundaries, while the rank itself is boundary-invariant).
+    * is the two-phase offset pattern ([[GlobalRank.withRank]]:
+    * per-partition row_number + driver-prefix-summed per-partition
+    * offsets over the config-bounded count relation — zero unpartitioned
+    * windows anywhere; the range exchange is ckpt'd because
+    * spark_partition_id is only meaningful for ONE materialization of
+    * nondeterministically-sampled range boundaries, while the rank
+    * itself is boundary-invariant).
     * Neighbor pairs come from q18's binned range join — each left row
     * lands in ≤2 rank buckets of size `window`, the right side in one,
     * so the join is equi on the bucket with constant fan-out: no nested
@@ -767,20 +768,10 @@ object Dedup {
     * (da, db, inter, uni) in rank order, threshold 2·inter ≥ uni applied.
     */
   private def snmVerifiedNeighbors(base: DataFrame, window: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val parts = base.repartitionByRange(col("bk"), col("doc_id"))
-      .sortWithinPartitions(col("bk"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .ckpt() // pid→rank must come from ONE materialization (see scaladoc)
-    val counts = parts.groupBy(col("pid")).agg(count(lit(1)).as("n"))
-    val wOff = Window.orderBy(col("pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = counts
-      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
-      .select(col("pid"), col("off"))
-    val wIn = Window.partitionBy(col("pid")).orderBy(col("bk"), col("doc_id"))
-    val ranked = parts.join(broadcast(offs), "pid")
-      .withColumn("rn", col("off") + row_number().over(wIn))
+    // the shared two-phase offset rank (r19: extracted to GlobalRank,
+    // whose driver-prefix-sum offsets also removed this method's one
+    // remaining unpartitioned window over the counts relation)
+    val ranked = GlobalRank.withRank(base, col("bk"), col("doc_id"))._1
       .select(col("doc_id"), col("g"), col("rn"))
       .ckpt() // both sides of the binned self-join
     val a = ranked

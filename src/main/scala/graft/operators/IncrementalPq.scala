@@ -584,7 +584,9 @@ object IncrementalPq {
     val coarse = spark.table(coarseStore(spark, dir, coarseK))
     val cb = spark.table(codebookStore(spark, dir, coarseK))
     val stored = spark.table(codesStore(spark, dir, coarseK))
-    val pts = cycleSlice(spark, dir, coarse)
+    // queries ONLY: the batch is already encoded in `bCodes` — scanning
+    // the batch slice here would be pure dead weight (r19 review)
+    val pts = cycleSlice(spark, dir, coarse, ProductQuantization.isQueryCol)
     adcSearch(pts, coarse, cb, Seq(stored, bCodes), topK, nProbe)
   }
 

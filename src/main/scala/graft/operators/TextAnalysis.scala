@@ -302,16 +302,16 @@ object TextAnalysis {
     * unlike the convention-banned data-dependent broadcasts); bigram
     * bucketing reduces per doc BEFORE the model shuffle (≤ B distinct
     * features per doc cross the wire). The selection rank over the
-    * doc-LEVEL weight relation is DISTRIBUTED via the two-phase offset
-    * pattern ([[Dedup]]'s snm rank): range-repartition by (weight desc,
-    * doc_id), per-partition row_number, plus broadcast per-partition
-    * counts — no single-partition global window anywhere (a top-⌈frac·n⌉
-    * cut is itself corpus-scaled, so x22's bounded heap cannot express
-    * it; the r18 verdict flagged the old `Window.orderBy` form as the
-    * one scale-killer in the curation funnel).
+    * doc-LEVEL weight relation is DISTRIBUTED via [[GlobalRank]] (the
+    * two-phase offset pattern shared with the SNM rank): range-
+    * repartition by (weight desc, doc_id), per-partition row_number,
+    * plus driver-prefix-summed per-partition offsets — no single-
+    * partition global window anywhere (a top-⌈frac·n⌉ cut is itself
+    * corpus-scaled, so x22's bounded heap cannot express it; the r18
+    * verdict flagged the old `Window.orderBy` form as the one
+    * scale-killer in the curation funnel).
     */
   def dsirSelect(docs: DataFrame, buckets: Int = 1024, frac: Double = 0.2): DataFrame = {
-    import graft.CkptOps
     import org.apache.spark.sql.expressions.Window
     val wseq = Window.partitionBy("doc_id").orderBy("p0")
     val toks = docs
@@ -342,34 +342,15 @@ object TextAnalysis {
       .agg(sum(col("cnt")).as("n_feats"),
         sum(col("cnt") * col("lam")).as("weight_micro"))
     // global (weight desc, doc_id) rank WITHOUT any single-partition
-    // window (the r18 verdict's x90 flag): range-repartition so
-    // partition p holds ranks strictly before partition p+1, rank
-    // WITHIN each partition, then add per-partition prefix offsets.
-    // The offsets are a driver-side prefix sum over the per-partition
-    // counts — a CONFIG-bounded relation (≤ spark.sql.shuffle.partitions
-    // rows, data-INdependent: the documented sizing-probe family), so
-    // even the offset step plans with zero unpartitioned windows; the
-    // same sum yields n_raw for free, so the weight pipeline evaluates
-    // exactly ONCE (into the ckpt — the old global-window form paid a
-    // second full evaluation for its count side). The pid→count pairing
-    // must come from ONE materialization (ckpt): recomputing `parts`
-    // could re-sample different range boundaries.
-    val parts = wdoc.repartitionByRange(col("weight_micro").desc, col("doc_id"))
-      .sortWithinPartitions(col("weight_micro").desc, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .ckpt()
-    val cnts = parts.groupBy(col("pid")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offRows = cnts.map { case (pid, n) => val o = acc; acc += n; (pid, o) }
-    val cut = math.ceil(frac * acc).toLong // same IEEE product+ceil as the SQL form
-    val ss = docs.sparkSession
-    import ss.implicits._
-    val offs = offRows.toSeq.toDF("pid", "off")
-    val wIn = Window.partitionBy(col("pid"))
-      .orderBy(col("weight_micro").desc, col("doc_id"))
-    parts.join(broadcast(offs), "pid")
-      .withColumn("rn", col("off") + row_number().over(wIn))
+    // window (the r18 verdict's x90 flag): [[GlobalRank.withRank]] —
+    // the two-phase offset pattern shared with the SNM rank. Its
+    // prefix-sum total doubles as n_raw, so the weight pipeline
+    // evaluates exactly ONCE (the old global-window form paid a second
+    // full evaluation for its count side).
+    val (ranked, nRaw) = GlobalRank.withRank(wdoc,
+      col("weight_micro").desc, col("doc_id"))
+    val cut = math.ceil(frac * nRaw).toLong // same IEEE product+ceil as the SQL form
+    ranked
       .withColumn("selected", col("rn") <= lit(cut))
       .select(col("doc_id"), col("n_feats"), col("weight_micro"), col("selected"))
       .orderBy("doc_id")

@@ -2639,10 +2639,20 @@ class QueriesSpec extends AnyFunSuite {
         .select(col("c_id"), col("ccell").as("ccell2")).distinct(), "c_id")
       .filter(col("ccell") =!= col("ccell2")).count()
     assert(mism == 0, s"$mism vectors-store home cells disagree with the codes store")
-    // the composition refines: exact re-ranked distances are exact L2 —
-    // re-derive one query's row brute-force over the returned ids
-    val byQ = inc.groupBy(_._1)
-    byQ.foreach { case (_, rows) =>
+    // exactness: every returned distance re-derived brute-force from
+    // the raw embeddings (floor(x·1e6) fixed point, exact integer L2) —
+    // a mis-scaled or wrong-column distance would be monotone too
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).map(x => math.floor(x * 1e6)).toArray)
+      .toMap
+    inc.foreach { case (q, _, c, d2) =>
+      val (qv, cv) = (vecs(q), vecs(c))
+      val want = qv.zip(cv).map { case (a, b) => ((a - b) * (a - b)).toLong }.sum
+      assert(d2 == want, s"re-ranked d2 for ($q,$c) is $d2, brute-force $want")
+    }
+    // and the ranking is that exact distance's order
+    inc.groupBy(_._1).foreach { case (_, rows) =>
       assert(rows.sortBy(_._2).map(_._4).sliding(2).forall(p => p.length < 2 || p.head <= p(1)),
         "re-ranked distances not non-decreasing in rank")
     }
