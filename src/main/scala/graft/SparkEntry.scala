@@ -651,7 +651,15 @@ object SparkEntry {
     // merged search consumes the stream-encoded codes, so the row
     // shares x115's oracle verbatim
     "x118_stream_pq_encode" -> ((s, d) =>
-      graft.queries.StreamingQueries.streamingIncrementalPq(s, d))
+      graft.queries.StreamingQueries.streamingIncrementalPq(s, d)),
+    // the full-circle maintenance composition: the compacted multi-day
+    // index (x117) searched WITH exact re-ranking (x116) — day vector
+    // deltas compact beside the code deltas, so the index keeps
+    // retrieval-grade recall through append/compact/delete cycles
+    // instead of silently demoting to plain-ADC ordering; default
+    // horizon equals x116's values, sharing its oracle
+    "x119_multiday_rerank" -> ((s, d) =>
+      graft.operators.IncrementalPq.compactedRerankTopK(s, d))
   )
 
   /** Merge-table depth shared by the x102/x103 Spark rows and their
@@ -1626,6 +1634,10 @@ object SparkEntry {
     // stream-encoded codes ≡ batch codes (per-vector math, batching-
     // independent), so the streaming ingest shares x115's oracle too
     "x118_stream_pq_encode" -> PqAdcIncOracle,
+    // compacted lists AND compacted vectors both equal day-0 ∪ batch at
+    // the default horizon, so the re-ranked multi-day search shares
+    // x116's oracle — both compactors must be value-neutral
+    "x119_multiday_rerank" -> PqAdcIncRerankOracle,
     // the full SNM replay: same blocking key, same global (bk, doc_id)
     // rank, same window, same distinct word-3-gram sets, same integer
     // 2·|A∩B| ≥ |A∪B| test — byte-for-byte pair parity

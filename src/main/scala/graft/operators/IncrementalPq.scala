@@ -441,7 +441,8 @@ object IncrementalPq {
   def freshRerankTopK(emb: DataFrame, topK: Int = 3,
                       nProbe: Int = ProductQuantization.NProbe,
                       coarseK: Int = ProductQuantization.CoarseK,
-                      shortlist: Int = 0): DataFrame = {
+                      shortlist: Int = 0,
+                      exclude: Column = lit(false)): DataFrame = {
     val l = if (shortlist > 0) shortlist else ProductQuantization.RerankFactor * topK
     val pts = KMeans.quantizedPts(emb).ckpt()
     val coarse = coarseOf(trainSlice(pts), coarseK).ckpt()
@@ -450,9 +451,13 @@ object IncrementalPq {
     val (cb0, _) = ProductQuantization.train(ProductQuantization.subPtsOf(rTrain))
     val cb = cb0.ckpt()
     val aBatch = assigned(pts.filter(isBatchVec(col("vec_id"))), coarse).ckpt()
+    // `exclude` (a predicate over c_id) models delete tombstones on
+    // BOTH the lists and the re-rank vectors — the x119 fresh twin
     val adc = mergedAdcScores(pts, coarse, cb,
-      Seq(codesOf(rTrain, cb), codesOf(residualOf(aBatch), cb)), nProbe)
-    rerank(adc, l, topK, Seq(vecsOf(aTrain), vecsOf(aBatch)), pts)
+      Seq(codesOf(rTrain, cb), codesOf(residualOf(aBatch), cb)).map(_.filter(!exclude)),
+      nProbe)
+    rerank(adc, l, topK,
+      Seq(vecsOf(aTrain), vecsOf(aBatch)).map(_.filter(!exclude)), pts)
   }
 
   // ------------- multi-day maintenance: append / compact / delete -------------
@@ -532,6 +537,49 @@ object IncrementalPq {
     }
   }
 
+  /** Idempotently persist day `day`'s ORIGINAL vectors as a DELTA in
+    * the vectors-store shape (c_id, ccell, cv), bucketed by the list
+    * key; returns the table name. The re-rank side of a day append —
+    * without it a compacted index can serve only plain-ADC recall
+    * (x117); with it the multi-day index keeps the x116 refinement
+    * path. Per append only the day slice is read.
+    */
+  def dayVectorsStore(spark: SparkSession, dir: String, day: Int,
+                      coarseK: Int = ProductQuantization.CoarseK): String =
+    Bucketed.materializedBucketedTable(spark, s"pqv${day}_" + DirTag.dirScope(dir) + "_",
+      s"pqv${day}_" + DirTag(dir, "embeddings") + s"_k$coarseK", "ccell", StoreBuckets) {
+      graft.functions.ArrayExpressions.register(spark)
+      val coarse = spark.table(coarseStore(spark, dir, coarseK))
+      val slice = cycleSlice(spark, dir, coarse, isDayVec(day)(col("vec_id")))
+      vecsOf(assigned(slice, coarse))
+    }
+
+  /** Idempotently COMPACT the day-0 vectors store plus the day vector
+    * deltas up to `days` into one re-bucketed generation — the q30
+    * last-writer posture per c_id (a re-ingested vector's newest copy
+    * wins), tombstones dropped with `withDeletes`; returns the table
+    * name. [[StoreBuckets]] files out regardless of accumulated deltas,
+    * the same x42 contract as [[compactedCodesStore]].
+    */
+  def compactedVectorsStore(spark: SparkSession, dir: String, days: Int = 2,
+                            withDeletes: Boolean = false,
+                            coarseK: Int = ProductQuantization.CoarseK): String = {
+    val variant = s"w$days" + (if (withDeletes) "t" else "")
+    Bucketed.materializedBucketedTable(spark, s"pq$variant" + "_" + DirTag.dirScope(dir) + "_",
+      s"pq$variant" + "_" + DirTag(dir, "embeddings") + s"_k$coarseK", "ccell", StoreBuckets) {
+      import org.apache.spark.sql.expressions.Window
+      val base = spark.table(vectorsStore(spark, dir, coarseK)).withColumn("gen", lit(0))
+      val all = (1 to days).foldLeft(base) { (acc, d) =>
+        acc.unionByName(
+          spark.table(dayVectorsStore(spark, dir, d, coarseK)).withColumn("gen", lit(d)))
+      }
+      val w = Window.partitionBy(col("c_id")).orderBy(col("gen").desc)
+      val lastWriter = all.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn", "gen")
+      if (withDeletes) lastWriter.filter(!isDeletedVec(col("c_id"))) else lastWriter
+    }
+  }
+
   /** x117: ADC top-k of the held-out queries against the COMPACTED
     * multi-day index. Per run ONLY the query slice is read — the model
     * comes from the frozen stores and every list entry (day-0 plus all
@@ -550,6 +598,33 @@ object IncrementalPq {
     val store = spark.table(compactedCodesStore(spark, dir, days, withDeletes, coarseK))
     val pts = cycleSlice(spark, dir, coarse, ProductQuantization.isQueryCol)
     adcSearch(pts, coarse, cb, Seq(store), topK, nProbe)
+  }
+
+  /** x119: the full-circle composition — the COMPACTED multi-day index
+    * (x117) searched WITH exact re-ranking (x116): ADC over the
+    * compacted lists, shortlist re-ranked against the compacted vectors
+    * generation. Per run only the query slice is read; a production
+    * deployment doing daily ingest + periodic compaction + deletes
+    * keeps retrieval-grade recall through every maintenance cycle —
+    * without this, compaction silently demoted the index to plain-ADC
+    * ordering (~0.66 recall ceiling). Default horizon shares the x116
+    * oracle (the lists and vectors equal day-0 ∪ batch), putting the
+    * vector compactor inside the hash gate too.
+    */
+  def compactedRerankTopK(spark: SparkSession, dir: String, topK: Int = 3,
+                          nProbe: Int = ProductQuantization.NProbe,
+                          coarseK: Int = ProductQuantization.CoarseK,
+                          days: Int = 2, withDeletes: Boolean = false,
+                          shortlist: Int = 0): DataFrame = {
+    graft.functions.ArrayExpressions.register(spark)
+    val l = if (shortlist > 0) shortlist else ProductQuantization.RerankFactor * topK
+    val coarse = spark.table(coarseStore(spark, dir, coarseK))
+    val cb = spark.table(codebookStore(spark, dir, coarseK))
+    val codes = spark.table(compactedCodesStore(spark, dir, days, withDeletes, coarseK))
+    val vecs = spark.table(compactedVectorsStore(spark, dir, days, withDeletes, coarseK))
+    val pts = cycleSlice(spark, dir, coarse, ProductQuantization.isQueryCol)
+    val adc = mergedAdcScores(pts, coarse, cb, Seq(codes), nProbe)
+    rerank(adc, l, topK, Seq(vecs), pts)
   }
 
   // ------------- streaming-ingest hooks (x118) -------------

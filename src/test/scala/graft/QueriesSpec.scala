@@ -2711,5 +2711,42 @@ class QueriesSpec extends AnyFunSuite {
     assert(delRows != comp)
   }
 
+  test("x119 multi-day re-rank: compacted index + exact refinement equals the fresh twin, with and without tombstones; vector compaction is file-bounded") {
+    import graft.operators.IncrementalPq
+    graft.functions.ArrayExpressions.register(spark)
+    val emb = Tables.load(spark, sf, "embeddings")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    // default horizon: compacted lists + compacted vectors == the
+    // no-store fresh re-rank (== x116's values, which the oracle pins)
+    val comp = rows(IncrementalPq.compactedRerankTopK(spark, sf))
+    val fresh = rows(IncrementalPq.freshRerankTopK(emb))
+    assert(comp.nonEmpty && comp == fresh, "compacted re-rank != fresh twin")
+    // tombstoned horizon: equals the fresh twin with the same exclusion
+    // on BOTH lists and vectors; no deleted id survives anywhere
+    val del = rows(IncrementalPq.compactedRerankTopK(spark, sf, withDeletes = true))
+    val freshDel = rows(IncrementalPq.freshRerankTopK(emb,
+      exclude = IncrementalPq.isDeletedVec(col("c_id"))))
+    assert(del == freshDel, "tombstoned compacted re-rank != fresh with exclusion")
+    assert(del.forall(_._3 % IncrementalPq.BatchMod != IncrementalPq.DeleteRem))
+    assert(spark.table(IncrementalPq.compactedVectorsStore(spark, sf, withDeletes = true))
+      .filter(IncrementalPq.isDeletedVec(col("c_id"))).count() == 0)
+    assert(del != comp, "tombstones changed nothing in the re-ranked answer")
+    // the vector generation collapses to StoreBuckets files like the
+    // codes generation (x42's contract)
+    def partCount(tbl: String): Long = {
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_bucketed", tbl)
+      val s = java.nio.file.Files.list(dir)
+      try s.filter(_.getFileName.toString.startsWith("part-")).count()
+      finally s.close()
+    }
+    val nComp = partCount(IncrementalPq.compactedVectorsStore(spark, sf))
+    val nSrc = Seq(IncrementalPq.vectorsStore(spark, sf),
+      IncrementalPq.dayVectorsStore(spark, sf, 1),
+      IncrementalPq.dayVectorsStore(spark, sf, 2)).map(partCount).sum
+    assert(nComp <= IncrementalPq.StoreBuckets && nComp < nSrc)
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }
