@@ -991,6 +991,10 @@ object ScaleStudy {
           .select("q_id", "c_id").localCheckpoint()
         val nExact = exact.count()
         val nQ = nExact / 10
+        // geometry via the persisted catalog (the production read path);
+        // the store is appended FIRST so the finally block retires it
+        // with the rest even if a later builder throws
+        stores = stores :+ graft.operators.IncrementalPq.sizedGeometryStore(spark, dirK)
         val ckS = graft.operators.IncrementalPq.sizedGeometry(spark, dirK)
         val t0 = System.nanoTime()
         stores = stores :+ graft.operators.IncrementalPq.coarseStore(spark, dirK, ckS)

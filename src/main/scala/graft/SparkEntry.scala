@@ -659,7 +659,17 @@ object SparkEntry {
     // instead of silently demoting to plain-ADC ordering; default
     // horizon equals x116's values, sharing its oracle
     "x119_multiday_rerank" -> ((s, d) =>
-      graft.operators.IncrementalPq.compactedRerankTopK(s, d))
+      graft.operators.IncrementalPq.compactedRerankTopK(s, d)),
+    // stream-fed maintenance (the r19 verdict's last seam): both day
+    // deltas of the multi-day index arrive THROUGH the x118 streaming
+    // encode and persist in the day-store shape, the x117 compactor
+    // merges them into one bounded-file generation, and the search reads
+    // the compacted lists — "stream all day, compact at night" in one
+    // hash gate; values equal x115's by construction (days partition the
+    // batch; stream-encode is micro-batch-placement-independent), so the
+    // row shares its oracle verbatim
+    "x120_stream_fed_compaction" -> ((s, d) =>
+      graft.queries.StreamingQueries.streamingCompactedPq(s, d))
   )
 
   /** Merge-table depth shared by the x102/x103 Spark rows and their
@@ -1638,6 +1648,11 @@ object SparkEntry {
     // the default horizon, so the re-ranked multi-day search shares
     // x116's oracle — both compactors must be value-neutral
     "x119_multiday_rerank" -> PqAdcIncRerankOracle,
+    // stream-FED compaction: stream-encoded day deltas (≡ batch codes,
+    // x118's guarantee) compacted into the searched generation still
+    // hold exactly day-0 ∪ batch, so the whole ingest-by-stream →
+    // compact → search chain shares x115's oracle verbatim
+    "x120_stream_fed_compaction" -> PqAdcIncOracle,
     // the full SNM replay: same blocking key, same global (bk, doc_id)
     // rank, same window, same distinct word-3-gram sets, same integer
     // 2·|A∩B| ≥ |A∪B| test — byte-for-byte pair parity

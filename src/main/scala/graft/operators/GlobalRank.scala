@@ -33,6 +33,17 @@ private[graft] object GlobalRank {
 
   /** Rank `df` by the total order `order` (include a unique tie-break
     * column). Returns (`df` + 1-based global `rn`, total row count).
+    *
+    * EAGER AT CONSTRUCTION (r19 ADVICE, documented trade): the ckpt of
+    * the repartitioned input and the per-partition-count collect are
+    * Spark jobs that run when this method is CALLED, not at the first
+    * action on the returned frame — merely building an x90/x100 plan
+    * (explain, a plan-shape probe, a dry `SparkEntry.queries` listing)
+    * executes the whole upstream pipeline. That is the repo's standard
+    * eager-ckpt convention (the pid→count pairing is only sound against
+    * frozen blocks, see object doc), so it stays; callers needing a
+    * construction-time-cheap path must rank lazily themselves and give
+    * up the determinism guarantee.
     */
   def withRank(df: DataFrame, order: Column*): (DataFrame, Long) = {
     val parts = df.repartitionByRange(order: _*)

@@ -390,20 +390,46 @@ object IncrementalPq {
     * [[ProductQuantization.SizedNProbe]]) against frozen stores with
     * exact re-rank. The geometry is a property of the STORES (their
     * tags embed coarseK; a re-size retires and rebuilds them), so the
-    * sizing count is paid when the stores are built; the recount here
-    * re-derives the same number on the unchanged day-0 slice — a real
-    * deployment reads the built geometry from its catalog instead.
+    * sizing count is paid exactly once, when [[sizedGeometryStore]]
+    * first builds for the fixture stamp; every later call — this JVM or
+    * another — reads the built geometry back from the catalog (a 1-row
+    * store read), never re-counting the corpus on the path whose whole
+    * argument is "never touch the corpus per cycle" (r19 verdict item 1).
     */
   def incrementalRerankTopKSized(spark: SparkSession, dir: String, topK: Int = 3,
                                  nProbe: Int = ProductQuantization.SizedNProbe): DataFrame =
     incrementalRerankTopK(spark, dir, topK, nProbe, sizedGeometry(spark, dir))
 
-  /** The coarse geometry the sized entry points derive for `dir`'s
-    * stores — √(day-0 training slice). Exposed so [[graft.ScaleStudy]]
-    * can name (and afterwards retire) the exact store tags the sized
-    * search builds.
+  /** The coarse geometry the sized entry points use for `dir`'s stores —
+    * √(day-0 training slice), read from the persisted geometry catalog
+    * ([[sizedGeometryStore]]); the corpus-scaled count runs only on the
+    * catalog's cold build. Exposed so [[graft.ScaleStudy]] can name (and
+    * afterwards retire) the exact store tags the sized search builds.
     */
-  private[graft] def sizedGeometry(spark: SparkSession, dir: String): Int = {
+  private[graft] def sizedGeometry(spark: SparkSession, dir: String): Int =
+    spark.table(sizedGeometryStore(spark, dir))
+      .head.getAs[Number]("coarse_k").intValue()
+
+  /** Idempotently persist the sized coarse geometry for `dir`'s stores
+    * as a 1-row catalog table (coarse_k) keyed by the fixture stamp —
+    * the geometry IS store metadata (every sized store tag embeds it),
+    * so it lives in the same [[Bucketed.materializedBucketedTable]]
+    * family as the stores themselves: cross-JVM cached, stale stamps
+    * swept, a regenerated fixture re-derives it. The builder is the ONE
+    * place the O(corpus) sizing count is paid; returns the table name
+    * (exposed so [[graft.ScaleStudy]] retires it with the stores).
+    */
+  private[graft] def sizedGeometryStore(spark: SparkSession, dir: String): String =
+    Bucketed.materializedBucketedTable(spark, "pqsz_" + DirTag.dirScope(dir) + "_",
+      "pqsz_" + DirTag(dir, "embeddings"), "coarse_k", 1) {
+      spark.range(1).select(lit(recountGeometry(spark, dir)).as("coarse_k"))
+    }
+
+  /** The direct √(day-0 training slice) derivation — an O(corpus) count.
+    * Only [[sizedGeometryStore]]'s cold build pays it; kept callable so
+    * the catalog-vs-recount equality is a pinned spec, not an assumption.
+    */
+  private[graft] def recountGeometry(spark: SparkSession, dir: String): Int = {
     graft.functions.ArrayExpressions.register(spark)
     ProductQuantization.sizedCoarseK(
       trainSlice(KMeans.quantizedPts(Tables.load(spark, dir, "embeddings"))).count())
@@ -517,18 +543,30 @@ object IncrementalPq {
     * ONE bucketed layout of [[StoreBuckets]] files (x42's compaction
     * contract: content identity, file count collapsed), so search-side
     * read amplification stays bounded across maintenance cycles.
+    *
+    * `dayStore` supplies the day deltas — defaults to the batch-built
+    * [[dayCodesStore]]; the streaming ingest twin (x120,
+    * [[graft.queries.StreamingQueries.streamingCompactedPq]]) passes its
+    * stream-encoded day stores instead, with its own `variantTag` so the
+    * stream-fed generation coexists with (and is spec-compared against)
+    * the batch-fed one. The compactor itself is provider-blind: deltas
+    * in the (c_id, ccell, sub, cell) shape compact identically however
+    * they arrived — the seam that lets "stream all day, compact at
+    * night" reuse the maintenance path unchanged.
     */
   def compactedCodesStore(spark: SparkSession, dir: String, days: Int = 2,
                           withDeletes: Boolean = false,
-                          coarseK: Int = ProductQuantization.CoarseK): String = {
-    val variant = s"g$days" + (if (withDeletes) "t" else "")
+                          coarseK: Int = ProductQuantization.CoarseK,
+                          dayStore: (SparkSession, String, Int, Int) => String = dayCodesStore,
+                          variantTag: String = "g"): String = {
+    val variant = s"$variantTag$days" + (if (withDeletes) "t" else "")
     Bucketed.materializedBucketedTable(spark, s"pq$variant" + "_" + DirTag.dirScope(dir) + "_",
       s"pq$variant" + "_" + DirTag(dir, "embeddings") + s"_k$coarseK", "ccell", StoreBuckets) {
       import org.apache.spark.sql.expressions.Window
       val base = spark.table(codesStore(spark, dir, coarseK)).withColumn("gen", lit(0))
       val all = (1 to days).foldLeft(base) { (acc, d) =>
         acc.unionByName(
-          spark.table(dayCodesStore(spark, dir, d, coarseK)).withColumn("gen", lit(d)))
+          spark.table(dayStore(spark, dir, d, coarseK)).withColumn("gen", lit(d)))
       }
       val w = Window.partitionBy(col("c_id"), col("sub")).orderBy(col("gen").desc)
       val lastWriter = all.withColumn("rn", row_number().over(w))
@@ -591,11 +629,14 @@ object IncrementalPq {
   def compactedAdcTopK(spark: SparkSession, dir: String, topK: Int = 3,
                        nProbe: Int = ProductQuantization.NProbe,
                        coarseK: Int = ProductQuantization.CoarseK,
-                       days: Int = 2, withDeletes: Boolean = false): DataFrame = {
+                       days: Int = 2, withDeletes: Boolean = false,
+                       dayStore: (SparkSession, String, Int, Int) => String = dayCodesStore,
+                       variantTag: String = "g"): DataFrame = {
     graft.functions.ArrayExpressions.register(spark)
     val coarse = spark.table(coarseStore(spark, dir, coarseK))
     val cb = spark.table(codebookStore(spark, dir, coarseK))
-    val store = spark.table(compactedCodesStore(spark, dir, days, withDeletes, coarseK))
+    val store = spark.table(
+      compactedCodesStore(spark, dir, days, withDeletes, coarseK, dayStore, variantTag))
     val pts = cycleSlice(spark, dir, coarse, ProductQuantization.isQueryCol)
     adcSearch(pts, coarse, cb, Seq(store), topK, nProbe)
   }

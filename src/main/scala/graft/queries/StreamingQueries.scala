@@ -5,7 +5,7 @@ import graft.streaming.{GapEvent, StreamingGapSessionize}
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 import java.util.concurrent.atomic.AtomicInteger
 
@@ -1212,8 +1212,67 @@ object StreamingQueries {
       try {
         q.processAllAvailable()
         streamCrumb("x118", t0, tSpool, q)
-        spark.read.parquet(outDir).drop("b").ckpt()
+        // Empty-feed guard (r19 ADVICE): zero micro-batches mean no
+        // b=<id> dir ever lands and the bare read throws "unable to
+        // infer schema" — degrade to an empty codes relation instead,
+        // with the schema derived from the SAME encode chain over a
+        // zero-row feed, so the shape cannot drift from the real path.
+        val anyBatch = Files.isDirectory(Paths.get(outDir)) && {
+          val s = Files.list(Paths.get(outDir))
+          try s.anyMatch(p => p.getFileName.toString.startsWith("b="))
+          finally s.close()
+        }
+        if (anyBatch) spark.read.parquet(outDir).drop("b").ckpt()
+        else graft.operators.IncrementalPq.encodeSlice(
+          feed.limit(0), coarse, cb, domSz).ckpt()
       } finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
+
+  /** x120's ingest half: day `day`'s code delta for the incremental
+    * index, built BY STREAM — the x118 micro-batch encode (stateless
+    * foreachBatch against the frozen broadcast model, idempotent
+    * per-batch delta dirs) persisted in [[graft.operators.IncrementalPq
+    * .dayCodesStore]]'s exact shape: (c_id, ccell, sub, cell) bucketed
+    * by the list key `ccell`, tag keyed by (fixture stamp, geometry),
+    * idempotent re-run, stale stamps swept. This is the seam the r19
+    * verdict named: x118 proved streaming ENCODE ≡ batch encode but its
+    * deltas died with the run, so maintenance still needed a batch
+    * re-encode of the day; now the stream's own output is a first-class
+    * day generation the x117 compactor consumes unchanged. Returns the
+    * table name. The spool is scratch — the codes are checkpointed
+    * before it dies, and the STORE is the durable artifact.
+    */
+  def streamedDayCodesStore(spark: SparkSession, dir: String, day: Int,
+                            coarseK: Int = graft.operators.ProductQuantization.CoarseK): String =
+    graft.sources.Bucketed.materializedBucketedTable(spark,
+      s"pqe${day}_" + graft.sources.DirTag.dirScope(dir) + "_",
+      s"pqe${day}_" + graft.sources.DirTag(dir, "embeddings") + s"_k$coarseK",
+      "ccell", graft.operators.IncrementalPq.StoreBuckets) {
+      val (coarse, cb, domSz) =
+        graft.operators.IncrementalPq.frozenModel(spark, dir, coarseK)
+      val feed = Tables.load(spark, dir, "embeddings")
+        .filter(graft.operators.IncrementalPq.isDayVec(day)(col("vec_id")))
+        .select(col("vec_id"), col("embedding"))
+      val spool = streamScratchDir("graft_stream_daypq")
+      try streamEncodedCodes(spark, spool, feed, coarse, cb, domSz)
+      finally deleteRecursively(spool)
+    }
+
+  /** x120: STREAM-FED multi-day maintenance — the composition closing
+    * the r19 verdict's remaining seam ("a production deployment streams
+    * all day and compacts at night"): both day deltas arrive through the
+    * streaming encode ([[streamedDayCodesStore]]), the x117 compactor
+    * merges them with day-0 under the same last-writer rule into one
+    * bounded-file generation (variant tag `s`, coexisting with the
+    * batch-fed `g` generation), and the search reads the compacted lists
+    * with no per-run encode. The days partition the x115 batch slice and
+    * stream-encode ≡ batch-encode is micro-batch-placement-independent
+    * (x118), so the values equal x115's by construction — the row shares
+    * its oracle verbatim, putting ingest-by-stream, compaction and
+    * search in ONE hash gate.
+    */
+  def streamingCompactedPq(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.IncrementalPq.compactedAdcTopK(spark, dir,
+      dayStore = streamedDayCodesStore, variantTag = "s")
 }

@@ -2748,5 +2748,113 @@ class QueriesSpec extends AnyFunSuite {
     assert(nComp <= IncrementalPq.StoreBuckets && nComp < nSrc)
   }
 
+  test("sized incremental geometry: catalog-derived equals the recount, lives as a 1-row store, and the warm path is a catalog read") {
+    import graft.operators.IncrementalPq
+    val tbl = IncrementalPq.sizedGeometryStore(spark, sf)
+    val g = IncrementalPq.sizedGeometry(spark, sf)
+    // the pinned equality (r19 verdict item 1): the persisted catalog
+    // value IS the direct √(day-0 slice) derivation — the O(corpus)
+    // count moved to the cold build, it did not change the geometry
+    assert(g == IncrementalPq.recountGeometry(spark, sf),
+      "catalog geometry drifted from the recount")
+    val stored = spark.table(tbl).collect()
+    assert(stored.length == 1 && stored.head.getAs[Number]("coarse_k").intValue() == g)
+    // the warm read path never touches the corpus: its plan scans the
+    // 1-row geometry store, not the embeddings fixture
+    val warmPlan = spark.table(tbl).queryExecution.executedPlan.toString
+    assert(!warmPlan.contains("embeddings"),
+      "warm geometry read still scans the embeddings fixture")
+    assert(IncrementalPq.sizedGeometry(spark, sf) == g)
+  }
+
+  test("x116/x119 recall floor: incremental re-rank at the sized geometry holds recall@10 >= 0.95 vs exact on the clustered fixture") {
+    import graft.operators.{IncrementalPq, ProductQuantization}
+    graft.functions.ArrayExpressions.register(spark)
+    // the ScaleStudy incpqrecall claim (recall ≡ the retrain default),
+    // pinned at fixture scale so a silent recall regression in the
+    // incremental re-rank chain fails the suite (the x8/x48 pattern) —
+    // through the SIZED convenience entry, so the catalog-geometry path
+    // gets end-to-end exercise too
+    val dirP = java.nio.file.Files.createTempDirectory("graft_incpq_recall_spec")
+    val dir = dirP.toString
+    var stores = Seq.empty[String]
+    try {
+      ProductQuantization.clusteredFixture(Tables.load(spark, sf, "embeddings"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val fix = Tables.load(spark, dir, "embeddings")
+      val exact = ProductQuantization.exactTopK(fix, topK = 10)
+        .select("q_id", "c_id").localCheckpoint()
+      val nExact = exact.count()
+      assert(nExact > 0)
+      stores = stores :+ IncrementalPq.sizedGeometryStore(spark, dir)
+      val ckS = IncrementalPq.sizedGeometry(spark, dir)
+      stores = stores :+ IncrementalPq.coarseStore(spark, dir, ckS)
+      stores = stores :+ IncrementalPq.codebookStore(spark, dir, ckS)
+      stores = stores :+ IncrementalPq.codesStore(spark, dir, ckS)
+      stores = stores :+ IncrementalPq.vectorsStore(spark, dir, ckS)
+      val got = IncrementalPq.incrementalRerankTopKSized(spark, dir, 10)
+        .select("q_id", "c_id").localCheckpoint()
+      val hits = exact.join(got, Seq("q_id", "c_id"), "left_semi").count()
+      val recall = hits.toDouble / nExact
+      assert(recall >= 0.95,
+        f"incremental re-rank recall@10 $recall%.3f below the 0.95 floor")
+    } finally {
+      stores.foreach { tbl =>
+        spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        graft.sources.LayoutCache.deleteTree(java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_bucketed", tbl))
+      }
+      graft.sources.LayoutCache.deleteTree(dirP)
+    }
+  }
+
+  test("pq store sweep hygiene: after building every x108-x120 store family, no stale-stamp catalog entries or layout dirs remain for this fixture") {
+    import graft.operators.IncrementalPq
+    graft.functions.ArrayExpressions.register(spark)
+    // build (or warm-hit) every persisted pq* family the engine mints
+    // for a fixture dir: model stores, lists, vectors, day deltas (batch
+    // and stream-fed), compacted generations (all variants), geometry
+    IncrementalPq.coarseStore(spark, sf)
+    IncrementalPq.codebookStore(spark, sf)
+    IncrementalPq.codesStore(spark, sf)
+    IncrementalPq.vectorsStore(spark, sf)
+    (1 to 2).foreach { d =>
+      IncrementalPq.dayCodesStore(spark, sf, d)
+      IncrementalPq.dayVectorsStore(spark, sf, d)
+      graft.queries.StreamingQueries.streamedDayCodesStore(spark, sf, d)
+    }
+    IncrementalPq.compactedCodesStore(spark, sf)
+    IncrementalPq.compactedCodesStore(spark, sf, withDeletes = true)
+    IncrementalPq.compactedVectorsStore(spark, sf)
+    IncrementalPq.compactedVectorsStore(spark, sf, withDeletes = true)
+    IncrementalPq.compactedCodesStore(spark, sf,
+      dayStore = graft.queries.StreamingQueries.streamedDayCodesStore,
+      variantTag = "s")
+    IncrementalPq.sizedGeometryStore(spark, sf)
+    // every live catalog entry and layout dir of this fixture's scope
+    // must carry the CURRENT stamp — an older stamp is an orphan the
+    // registration sweeps should have retired (the r5 q27 lesson, at 7×
+    // the store surface)
+    val scope = graft.sources.DirTag.dirScope(sf)
+    val cur = graft.sources.DirTag(sf, "embeddings")
+    val cat = spark.sessionState.catalog.listTables("default", s"pq*${scope}*")
+      .map(_.table)
+    assert(cat.nonEmpty, "no pq stores registered — the builders above went nowhere")
+    val staleCat = cat.filterNot(_.contains(cur))
+    assert(staleCat.isEmpty, s"stale-stamp catalog entries: ${staleCat.mkString(", ")}")
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_bucketed")
+    val listing = java.nio.file.Files.list(root)
+    val onDisk =
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala.map(_.getFileName.toString).toList
+      } finally listing.close()
+    val mine = onDisk.filter(n => n.startsWith("pq") && n.contains(scope))
+    assert(mine.nonEmpty)
+    val staleDisk = mine.filterNot(n => n.contains(cur) || n.contains(".tmp"))
+    assert(staleDisk.isEmpty, s"stale-stamp layout dirs: ${staleDisk.mkString(", ")}")
+  }
+
   private def queries(name: String) = SparkEntry.queries(name)(spark, sf).collect()
 }

@@ -242,4 +242,63 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
     assert(stream === batch)
   }
+
+  test("x118 empty feed degrades to an empty codes relation with the real schema, not an exception") {
+    import graft.operators.IncrementalPq
+    val (coarse, cb, domSz) = IncrementalPq.frozenModel(spark, sf)
+    // zero-row feed: no micro-batch ever writes a b=<id> delta dir, so
+    // the unguarded read would die on schema inference (r19 ADVICE)
+    val feed = Tables.load(spark, sf, "embeddings")
+      .filter(IncrementalPq.isBatchVec(col("vec_id")))
+      .select(col("vec_id"), col("embedding"))
+      .limit(0)
+    val spool = java.nio.file.Files.createTempDirectory("graft_stream_incpq_empty")
+    val out =
+      try graft.queries.StreamingQueries
+        .streamEncodedCodes(spark, spool, feed, coarse, cb, domSz)
+      finally graft.sources.LayoutCache.deleteTree(spool)
+    assert(out.columns.toSeq == Seq("c_id", "ccell", "sub", "cell"))
+    assert(out.count() == 0)
+  }
+
+  test("x120 stream-fed compaction: stream-built day deltas equal batch-built ones, compact to the same generation, and the search equals x117 and the fresh twin") {
+    import graft.operators.IncrementalPq
+    graft.functions.ArrayExpressions.register(spark)
+    def canon(tbl: String) = spark.table(tbl)
+      .select(concat_ws(",", col("c_id"), col("ccell"), col("sub"), col("cell")))
+      .collect().map(_.getString(0)).toSet
+    // delta level: each day generation built BY STREAM holds exactly the
+    // rows of the batch-built one (x118's encode equality, now pinned on
+    // the PERSISTED store artifacts the compactor actually consumes)
+    for (day <- 1 to 2) {
+      val streamed = canon(
+        graft.queries.StreamingQueries.streamedDayCodesStore(spark, sf, day))
+      val batch = canon(IncrementalPq.dayCodesStore(spark, sf, day))
+      assert(streamed.nonEmpty)
+      assert(streamed === batch, s"stream-fed day-$day delta != batch delta")
+    }
+    // generation level: stream-fed compaction == batch-fed compaction
+    val sGen = IncrementalPq.compactedCodesStore(spark, sf,
+      dayStore = graft.queries.StreamingQueries.streamedDayCodesStore,
+      variantTag = "s")
+    assert(canon(sGen) === canon(IncrementalPq.compactedCodesStore(spark, sf)),
+      "stream-fed compacted generation != batch-fed generation")
+    // ...and file-bounded like the batch one (x42's contract)
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_bucketed", sGen)
+    val s = java.nio.file.Files.list(dir)
+    val nFiles =
+      try s.filter(_.getFileName.toString.startsWith("part-")).count()
+      finally s.close()
+    assert(nFiles <= IncrementalPq.StoreBuckets, s"stream-fed generation has $nFiles files")
+    // ledger level: the x120 row equals x117's search and the no-store twin
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val x120 = rows(SparkEntry.queries("x120_stream_fed_compaction")(spark, sf))
+    val x117 = rows(IncrementalPq.compactedAdcTopK(spark, sf))
+    val fresh = rows(IncrementalPq.freshAdcTopK(Tables.load(spark, sf, "embeddings")))
+    assert(x120.nonEmpty)
+    assert(x120 === x117, "x120 search != x117 search")
+    assert(x120 === fresh, "x120 search != fresh-over-union twin")
+  }
 }

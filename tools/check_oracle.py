@@ -83,17 +83,36 @@ def main():
     cache_dir = os.environ.get("ORACLE_CACHE_DIR")
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
-        # a run killed mid-COPY leaves <key>.parquet.tmp behind; sweep
-        # them at startup. AGE-GATED: a shard starting while another is
-        # mid-COPY would otherwise reap the live shard's in-flight tmp
-        # (graceful but silently uncached) — only tmp files no live
-        # writer can still own are removed
+        # a run killed mid-COPY leaves <key>.parquet.<pid>.tmp behind;
+        # sweep them at startup. OWNER-SCOPED (r19 ADVICE): the name
+        # embeds the writing pid, so a tmp is reaped exactly when its
+        # owner is dead — a concurrent shard's in-flight COPY is safe no
+        # matter how long it runs. Legacy un-scoped *.tmp (no pid in the
+        # name) keep the old 600s age gate.
+        import re as _re
         import time as _time
+
+        def _owner_dead(name):
+            m = _re.search(r"\.(\d+)\.tmp$", name)
+            if not m:
+                return None  # legacy name: no owner recorded
+            try:
+                os.kill(int(m.group(1)), 0)
+                return False  # alive (ours or another user's shard)
+            except ProcessLookupError:
+                return True
+            except PermissionError:
+                return False  # alive under another uid
+            except OSError:
+                return None
         for stale in os.listdir(cache_dir):
             if stale.endswith(".tmp"):
                 p = os.path.join(cache_dir, stale)
+                dead = _owner_dead(stale)
                 try:
-                    if _time.time() - os.path.getmtime(p) > 600:
+                    if dead is True or (
+                            dead is None and
+                            _time.time() - os.path.getmtime(p) > 600):
                         os.remove(p)
                 except OSError:
                     pass
@@ -148,7 +167,9 @@ def main():
         if cache_file and not cache_hit and want_src == "SELECT * FROM _want":
             # Write-then-verify: keep the entry only if the parquet
             # round-trip is value- and dtype-lossless vs the live result.
-            tmp = cache_file + ".tmp"
+            # owner-scoped: the pid in the name is what the startup
+            # sweep keys liveness on (see _owner_dead above)
+            tmp = f"{cache_file}.{os.getpid()}.tmp"
             try:
                 con.execute(f"COPY _want TO '{tmp}' (FORMAT PARQUET)")
                 direct_rows = con.sql("SELECT * FROM _want").fetchall()
