@@ -1189,9 +1189,15 @@ object StreamingQueries {
     */
   private[graft] def streamEncodedCodes(spark: SparkSession, spool: Path,
                                         feed: DataFrame, coarse: DataFrame,
-                                        cb: DataFrame, domSz: Int): DataFrame = {
+                                        cb: DataFrame, domSz: Int,
+                                        durableOut: Option[String] = None): DataFrame = {
     val feedDir = spool.resolve("feed").toString
-    val outDir = spool.resolve("codes").toString
+    // `durableOut` is the ingest-DAEMON posture: the per-batch delta dirs
+    // outlive the run (caller-owned directory) instead of dying with the
+    // spool, so a later store boundary can re-bucket them WITHOUT
+    // re-running the encode. Same idempotent overwrite-by-batch-id
+    // contract either way.
+    val outDir = durableOut.getOrElse(spool.resolve("codes").toString)
     val t0 = System.nanoTime()
     spoolChronological(feed, feedDir, FeedFiles, tsCol = "vec_id")
     val tSpool = System.nanoTime()
@@ -1222,8 +1228,13 @@ object StreamingQueries {
           try s.anyMatch(p => p.getFileName.toString.startsWith("b="))
           finally s.close()
         }
-        if (anyBatch) spark.read.parquet(outDir).drop("b").ckpt()
-        else graft.operators.IncrementalPq.encodeSlice(
+        // durable deltas need no ckpt — the files themselves survive the
+        // spool teardown; the scratch path must ckpt before the finally
+        // deletes what the plan would lazily re-read
+        if (anyBatch) {
+          val codes = spark.read.parquet(outDir).drop("b")
+          if (durableOut.isDefined) codes else codes.ckpt()
+        } else graft.operators.IncrementalPq.encodeSlice(
           feed.limit(0), coarse, cb, domSz).ckpt()
       } finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -1257,6 +1268,59 @@ object StreamingQueries {
       val spool = streamScratchDir("graft_stream_daypq")
       try streamEncodedCodes(spark, spool, feed, coarse, cb, domSz)
       finally deleteRecursively(spool)
+    }
+
+  /** The long-running half of the ingest-DAEMON shape (the r19 advice
+    * seam): run the x118 micro-batch encode for day `day` but land the
+    * per-batch code deltas under the caller's DURABLE `deltaRoot`
+    * (`deltaRoot/day=<day>/b=<batchId>`) instead of run-scoped scratch.
+    * In production this process runs all day against the live feed and
+    * only its OUTPUT survives; here the feed is the day slice replayed
+    * chronologically (the input spool is harness, standing in for the
+    * broker — the deltas are the durable artifact, so unlike
+    * [[streamedDayCodesStore]] nothing re-reads the day feed at the
+    * store boundary). Re-running a day is idempotent: each micro-batch
+    * overwrites its own `b=<id>` dir and the batch count is
+    * deterministic ([[FeedFiles]] files, one per trigger). Returns the
+    * day's delta dir.
+    */
+  def persistStreamDeltas(spark: SparkSession, dir: String, day: Int,
+                          deltaRoot: String,
+                          coarseK: Int = graft.operators.ProductQuantization.CoarseK): String = {
+    val (coarse, cb, domSz) =
+      graft.operators.IncrementalPq.frozenModel(spark, dir, coarseK)
+    val feed = Tables.load(spark, dir, "embeddings")
+      .filter(graft.operators.IncrementalPq.isDayVec(day)(col("vec_id")))
+      .select(col("vec_id"), col("embedding"))
+    val out = Paths.get(deltaRoot, s"day=$day")
+    val spool = streamScratchDir("graft_stream_daemon")
+    try streamEncodedCodes(spark, spool, feed, coarse, cb, domSz, Some(out.toString))
+    finally deleteRecursively(spool)
+    out.toString
+  }
+
+  /** The store-boundary half of the daemon shape: register day `day`'s
+    * bucketed generation DIRECTLY from the persisted stream deltas. The
+    * builder reads ONLY `deltaDir` — no model load, no fixture scan, no
+    * feed re-spool, no re-encode: the encode cost was paid once while
+    * the data arrived, and the nightly boundary pays only the re-bucket
+    * into the dayCodesStore shape (this is the half the in-process
+    * [[streamedDayCodesStore]] twin compresses into one call for the
+    * self-contained ledger row, at the cost of re-running the stream in
+    * the builder — the daemon split halves the day's I/O). Content is
+    * identical by construction (same encode chain wrote the deltas);
+    * the spec pins it against both the spooled twin and the batch day
+    * store, and pins that the x117 compactor consumes the delta-fed
+    * generation unchanged. Returns the table name.
+    */
+  def dayCodesStoreFromDeltas(spark: SparkSession, dir: String, day: Int,
+                              deltaDir: String,
+                              coarseK: Int = graft.operators.ProductQuantization.CoarseK): String =
+    graft.sources.Bucketed.materializedBucketedTable(spark,
+      s"pqn${day}_" + graft.sources.DirTag.dirScope(dir) + "_",
+      s"pqn${day}_" + graft.sources.DirTag(dir, "embeddings") + s"_k$coarseK",
+      "ccell", graft.operators.IncrementalPq.StoreBuckets) {
+      spark.read.parquet(deltaDir).drop("b")
     }
 
   /** x120: STREAM-FED multi-day maintenance — the composition closing

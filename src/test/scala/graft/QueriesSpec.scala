@@ -2830,6 +2830,17 @@ class QueriesSpec extends AnyFunSuite {
     IncrementalPq.compactedCodesStore(spark, sf,
       dayStore = graft.queries.StreamingQueries.streamedDayCodesStore,
       variantTag = "s")
+    // the daemon-shape family: durable stream deltas -> registered day
+    // stores (pqn) -> delta-fed compacted generation (pqz)
+    val daemonRoot = java.nio.file.Files.createTempDirectory("graft_daemon_hyg")
+    try {
+      val deltaDirs = (1 to 2).map(d => d -> graft.queries.StreamingQueries
+        .persistStreamDeltas(spark, sf, d, daemonRoot.toString)).toMap
+      IncrementalPq.compactedCodesStore(spark, sf,
+        dayStore = (s, d, day, k) => graft.queries.StreamingQueries
+          .dayCodesStoreFromDeltas(s, d, day, deltaDirs(day), k),
+        variantTag = "z")
+    } finally graft.sources.LayoutCache.deleteTree(daemonRoot)
     IncrementalPq.sizedGeometryStore(spark, sf)
     // every live catalog entry and layout dir of this fixture's scope
     // must carry the CURRENT stamp — an older stamp is an orphan the

@@ -301,4 +301,51 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(x120 === x117, "x120 search != x117 search")
     assert(x120 === fresh, "x120 search != fresh-over-union twin")
   }
+
+  test("ingest daemon shape: persisted stream deltas outlive the run, register as the day store with no re-encode, and feed the compactor") {
+    import graft.operators.IncrementalPq
+    graft.functions.ArrayExpressions.register(spark)
+    def canon(tbl: String) = spark.table(tbl)
+      .select(concat_ws(",", col("c_id"), col("ccell"), col("sub"), col("cell")))
+      .collect().map(_.getString(0)).toSet
+    val root = java.nio.file.Files.createTempDirectory("graft_daemon_deltas")
+    try {
+      // the all-day half: the stream encodes as data arrives, landing
+      // durable per-batch delta dirs under the caller's root
+      val deltaDirs = (1 to 2).map(day => day ->
+        graft.queries.StreamingQueries.persistStreamDeltas(spark, sf, day, root.toString)).toMap
+      for ((day, d) <- deltaDirs) {
+        val p = java.nio.file.Paths.get(d)
+        assert(java.nio.file.Files.isDirectory(p), s"day $day delta dir missing")
+        val s = java.nio.file.Files.list(p)
+        val bs =
+          try s.filter(_.getFileName.toString.startsWith("b=")).count()
+          finally s.close()
+        assert(bs > 0, s"day $day persisted no b=<id> delta dirs")
+      }
+      // the nightly half: registration re-buckets the deltas only —
+      // content equals both the spooled stream twin and the batch store
+      for (day <- 1 to 2) {
+        val reg = canon(graft.queries.StreamingQueries
+          .dayCodesStoreFromDeltas(spark, sf, day, deltaDirs(day)))
+        assert(reg.nonEmpty)
+        assert(reg === canon(IncrementalPq.dayCodesStore(spark, sf, day)),
+          s"delta-registered day-$day store != batch day store")
+        assert(reg === canon(graft.queries.StreamingQueries
+          .streamedDayCodesStore(spark, sf, day)),
+          s"delta-registered day-$day store != spooled stream store")
+      }
+      // the compactor is provider-blind: the delta-fed generation equals
+      // the batch-fed one, still bounded to StoreBuckets files
+      val provider: (org.apache.spark.sql.SparkSession, String, Int, Int) => String =
+        (s, d, day, k) => graft.queries.StreamingQueries
+          .dayCodesStoreFromDeltas(s, d, day, deltaDirs(day), k)
+      val zGen = IncrementalPq.compactedCodesStore(spark, sf,
+        dayStore = provider, variantTag = "z")
+      assert(canon(zGen) === canon(IncrementalPq.compactedCodesStore(spark, sf)),
+        "delta-fed compacted generation != batch-fed generation")
+      assert(spark.table(zGen).inputFiles.length <= IncrementalPq.StoreBuckets,
+        "delta-fed generation exceeds the StoreBuckets file bound")
+    } finally graft.sources.LayoutCache.deleteTree(root)
+  }
 }
