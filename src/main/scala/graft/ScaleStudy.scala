@@ -77,7 +77,7 @@ object ScaleStudy {
     // pairs / incremental / ann / annocc / x54 / pagerank / simdedup /
     // stream / trigram / triangles / containment / kmeans / bloom /
     // quantiles / snm / cmsjoin / drift / bpe / bpedeep / pq / pqrecall /
-    // incpq / incpqrecall / perceptron;
+    // incpq / incpqrecall / daemon / perceptron;
     // no args = the full sweep (BASELINE.md)
     val only = args.toSet
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
@@ -1028,6 +1028,59 @@ object ScaleStudy {
           graft.sources.LayoutCache.deleteTree(java.nio.file.Paths.get(
             System.getProperty("java.io.tmpdir"), "graft_bucketed", tbl))
         }
+        graft.sources.LayoutCache.deleteTree(dirKPath)
+      }
+    }
+    // Ingest-daemon split at 1×/3×/10× (late r20): the spooled twin
+    // (streamedDayCodesStore) pays feed spool + stream encode INSIDE the
+    // store builder every time the store is built; the daemon split pays
+    // the encode while the data arrives (persistStreamDeltas — in
+    // production a process that runs all day) and the store boundary
+    // only re-buckets the persisted codes (dayCodesStoreFromDeltas). The
+    // claim under measurement: boundary_sec stays a small fraction of
+    // spooled_sec at every scale (the encode+spool cost left the nightly
+    // path), while ingest_sec ≈ spooled_sec (the same stream, relocated
+    // to arrival time where it overlaps the day instead of the boundary).
+    if (want("daemon")) for (k <- Seq(1, 3, 10)) {
+      val dirKPath = java.nio.file.Files.createTempDirectory("graft_scale_daemon")
+      val dirK = dirKPath.toString
+      val deltaRoot = java.nio.file.Files.createTempDirectory("graft_scale_daemon_dl")
+      var stores = Seq.empty[String]
+      try {
+        val embK = Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        expandEmbeddings(embK, k)
+          .write.mode("overwrite").parquet(s"$dirK/embeddings.parquet")
+        // frozen model shared by both paths — built untimed, appended
+        // first so the finally block retires whatever exists
+        stores = stores :+ graft.operators.IncrementalPq.coarseStore(spark, dirK)
+        stores = stores :+ graft.operators.IncrementalPq.codebookStore(spark, dirK)
+        val t0 = System.nanoTime()
+        val spooled = graft.queries.StreamingQueries.streamedDayCodesStore(spark, dirK, 1)
+        stores = stores :+ spooled
+        val tSpooled = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val deltaDir = graft.queries.StreamingQueries
+          .persistStreamDeltas(spark, dirK, 2, deltaRoot.toString)
+        val tIngest = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        val reg = graft.queries.StreamingQueries
+          .dayCodesStoreFromDeltas(spark, dirK, 2, deltaDir)
+        stores = stores :+ reg
+        val tBoundary = (System.nanoTime() - t2) / 1e9
+        // day 1 and day 2 slices are equal-volume residue classes, so the
+        // row counts double as the linear-growth pin
+        val nSpooled = spark.table(spooled).count()
+        val nReg = spark.table(reg).count()
+        require(nReg > 0 && nSpooled > 0, "empty day store in daemon study")
+        println(f"""{"op":"daemon_split","scale":$k,"spooled_rows":$nSpooled,"daemon_rows":$nReg,"spooled_store_sec":$tSpooled%.2f,"daemon_ingest_sec":$tIngest%.2f,"daemon_boundary_sec":$tBoundary%.2f}""")
+      } finally {
+        stores.foreach { tbl =>
+          spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+          graft.sources.LayoutCache.deleteTree(java.nio.file.Paths.get(
+            System.getProperty("java.io.tmpdir"), "graft_bucketed", tbl))
+        }
+        graft.sources.LayoutCache.deleteTree(deltaRoot)
         graft.sources.LayoutCache.deleteTree(dirKPath)
       }
     }
