@@ -10,6 +10,36 @@ package graft
   * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS.
   */
 object Profile {
+
+  /** `--stages` collector: per-stage wall, task time and shuffle bytes,
+    * so a slow query's seconds can be attributed to specific operators
+    * (stage names carry the callsite). Guide §1: measure first.
+    */
+  private final class StageLog extends org.apache.spark.scheduler.SparkListener {
+    final case class Row(id: Int, name: String, wallMs: Long, taskMs: Long,
+                         shReadB: Long, shWriteB: Long, tasks: Int)
+    val rows = new scala.collection.concurrent.TrieMap[Int, Row]()
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val si = e.stageInfo
+      val wall = (for (a <- si.submissionTime; b <- si.completionTime) yield b - a).getOrElse(0L)
+      val tm = si.taskMetrics
+      rows(si.stageId) = Row(si.stageId, si.name.linesIterator.next(), wall,
+        tm.executorRunTime,
+        tm.shuffleReadMetrics.localBytesRead + tm.shuffleReadMetrics.remoteBytesRead,
+        tm.shuffleWriteMetrics.bytesWritten, si.numTasks)
+    }
+    def report(): Unit = {
+      val all = rows.values.toSeq.sortBy(-_.wallMs)
+      val totW = all.map(_.wallMs).sum
+      println(f"[stages] ${all.size} stages, sum-of-stage-wall ${totW / 1e3}%.2f s")
+      all.take(40).foreach { r =>
+        println(f"[stages] ${r.wallMs}%6d ms wall ${r.taskMs}%7d ms task ${r.tasks}%4d t " +
+          f"shR ${r.shReadB / 1024}%8d KiB shW ${r.shWriteB / 1024}%8d KiB  s${r.id}%-5d ${r.name.take(110)}")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.props.getOrElse("graft.profile.reps", "5").toInt
@@ -19,7 +49,8 @@ object Profile {
     // -D flag: sbt runMain forks, so sbt-side system properties never
     // reach this JVM.
     val explainFlag = args.contains("--explain")
-    val qArgs = args.toSeq.filterNot(_ == "--explain")
+    val stagesFlag = args.contains("--stages")
+    val qArgs = args.toSeq.filterNot(a => a == "--explain" || a == "--stages")
     val names = if (qArgs.nonEmpty) qArgs else SparkEntry.queries.keys.toSeq.sorted
     val unknown = names.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty,
@@ -33,6 +64,19 @@ object Profile {
       if (explain) {
         println(s"===== $name =====")
         fn(spark, sfDir).explain("formatted")
+      } else if (stagesFlag) {
+        // one warm run (codegen/JIT), then one instrumented run
+        BenchHarness.consume(fn(spark, sfDir))
+        val log = new StageLog
+        spark.sparkContext.addSparkListener(log)
+        val t0 = System.nanoTime()
+        BenchHarness.consume(fn(spark, sfDir))
+        val sec = (System.nanoTime() - t0) / 1e9
+        // listener bus is async; let the tail events drain
+        Thread.sleep(300)
+        spark.sparkContext.removeSparkListener(log)
+        println(f"===== $name: $sec%.3f s =====")
+        log.report()
       } else {
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()

@@ -76,6 +76,60 @@ object ArrayExpressions {
       copy(left = l, right = r)
   }
 
+  /** a ∩ b MEMBERS for two SORTED long arrays (merge walk) — the
+    * element-returning sibling of [[SortedLongIntersectCount]]. Used by
+    * the triangle closer (x82): the intersection of two oriented
+    * adjacency lists IS the set of triangle apexes over that edge, so
+    * returning members lets per-node counts come from one explode of
+    * actual triangles instead of materializing and shuffling every wedge.
+    * Output is sorted ascending (inputs are), duplicates impossible on
+    * set-valued inputs.
+    */
+  case class SortedLongIntersect(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "sorted_long_intersect"
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayOf(LongType, children, prettyName)
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val nx = x.numElements(); val ny = y.numElements()
+      val out = new Array[Long](math.min(nx, ny))
+      var i = 0; var j = 0; var n = 0
+      while (i < nx && j < ny) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { out(n) = xv; n += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        java.util.Arrays.copyOf(out, n))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val n = ctx.freshName("n"); val buf = ctx.freshName("buf")
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        s"""
+           |int $i = 0; int $j = 0; int $n = 0;
+           |long[] $buf = new long[Math.min($a.numElements(), $b.numElements())];
+           |while ($i < $a.numElements() && $j < $b.numElements()) {
+           |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+           |  if ($xv == $yv) { $buf[$n++] = $xv; $i++; $j++; }
+           |  else if ($xv < $yv) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  java.util.Arrays.copyOf($buf, $n));
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Exact fixed-point squared L2 distance of two integral double arrays
     * as ONE fused primitive loop, returning bigint — the hot inner
     * kernel of every Lloyd argmin and ADC table build (x91/x98/x107/
@@ -1258,6 +1312,8 @@ object ArrayExpressions {
   val functionBuilders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     entry("sorted_long_intersect_count", classOf[SortedLongIntersectCount].getName, 2)(
       es => SortedLongIntersectCount(es.head, es(1))),
+    entry("sorted_long_intersect", classOf[SortedLongIntersect].getName, 2)(
+      es => SortedLongIntersect(es.head, es(1))),
     entry("cosine_similarity", classOf[CosineSimilarity].getName, 2)(
       es => CosineSimilarity(es.head, es(1))),
     entry("fixed_point_dist2", classOf[FixedPointDist2].getName, 2)(
@@ -1311,6 +1367,10 @@ object ArrayExpressions {
   /** Column wrappers (require [[register]] on the active session). */
   def sortedLongIntersectCount(a: Column, b: Column): Column =
     call_function("sorted_long_intersect_count", a, b)
+
+  /** Intersection MEMBERS of two sorted long arrays ([[SortedLongIntersect]]). */
+  def sortedLongIntersect(a: Column, b: Column): Column =
+    call_function("sorted_long_intersect", a, b)
 
   def cosineSim(a: Column, b: Column): Column =
     call_function("cosine_similarity", a, b)

@@ -100,6 +100,12 @@ object Dedup {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         graft.functions.ArrayExpressions.shingleHashesSorted(col("text"), 3).as("sh"))
+      // materialize ONCE: both self-join sides read the shingled relation
+      // (without the barrier each side re-shingles the subset), and the
+      // min-shingle gate must sit ABOVE it — pushed below the repartition
+      // it would re-run the shingle kernel on the single-partition map
+      // side (the shingledDocs pushdown gotcha)
+      .ckpt()
       .filter(size(col("sh")) >= minShingles)
     val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -172,6 +178,10 @@ object Dedup {
     * at verify.
     */
   private[graft] def shingledDocs(docs: DataFrame, minShingles: Int): DataFrame = docs
+    // spread the CPU-heavy word-5-gram shingling across every core before
+    // computing it (r21 stage profile: this ckpt ran 4.4 s as ONE task off
+    // the single-file scan) — same idiom + rationale as shingleFingerprints
+    .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
     .select(col("doc_id"),
       filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("t"))
     .select(col("doc_id"), expr(
@@ -180,8 +190,15 @@ object Dedup {
         "i -> array_join(slice(t, i, 5), ' ')) else array() end, " +
         "g -> xxhash64(g))))").as("sh"))
     .withColumn("sz", size(col("sh")))
-    .filter(col("sz") >= minShingles)
     .ckpt()
+    // the min-shingle gate sits ABOVE the ckpt barrier: below it,
+    // PushPredicateThroughNonJoin pushes the (deterministic) predicate
+    // through the RepartitionByExpression, substituting the whole shingle
+    // chain into the condition — which re-serializes the CPU-heavy
+    // shingling onto the single-partition map side (r21 stage profile:
+    // one 3.75 s task doing exactly that). Filtering the materialized
+    // relation costs one int compare per row.
+    .filter(col("sz") >= minShingles)
 
   /** x85's candidate generation over a [[shingledDocs]] relation, split
     * out so ScaleStudy can A/B the two pruning levels:
@@ -292,8 +309,11 @@ object Dedup {
     .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
     .select(col("doc_id"),
       graft.functions.ArrayExpressions.shingleHashesSorted(col("text"), 3).as("hashes"))
-    .filter(size(col("hashes")) > 0)
     .ckpt()
+    // above the barrier for the same reason as [[shingledDocs]]: pushed
+    // below the repartition, this predicate would re-run the shingle
+    // kernel on the single-partition map side
+    .filter(size(col("hashes")) > 0)
 
   /** (doc_id, band, sig) band signatures from fingerprints — all numPerms
     * permuted minima in ONE fused pass (custom expression), then each
@@ -359,7 +379,17 @@ object Dedup {
     // off the member rows — no membership array of any size.
     val starPairs = members.filter(col("n") > maxBucket && col("doc_id") =!= col("hub"))
       .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
-    smallPairs.unionByName(starPairs).distinct()
+    // Explicit-width repartition on the FULL distinct key: the aggregate
+    // rides it (hash(doc_a,doc_b) satisfies the distinct's required
+    // distribution — same exchange count), but a user repartition is
+    // never AQE-coalesced, where the bare distinct's small-bytes exchange
+    // was squeezed to ONE partition and serialized the downstream
+    // merge-walk verification (r21 stage profile: a 0.55 s single-task
+    // intersect stage in x4). Small bytes here ≠ small CPU (guide §2.5).
+    smallPairs.unionByName(starPairs)
+      .repartition(fingerprints.sparkSession.sparkContext.defaultParallelism,
+        col("doc_a"), col("doc_b"))
+      .distinct()
   }
 
   /** The candidate stage alone (no exact verification) — the quantity the

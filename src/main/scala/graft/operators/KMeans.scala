@@ -54,7 +54,22 @@ object KMeans {
     */
   private[operators] def quantizedPts(emb: DataFrame): DataFrame = {
     graft.functions.ArrayExpressions.register(emb.sparkSession)
-    val quantized = emb.select(col("vec_id"),
+    // Spread across every core BEFORE the CPU-heavy derivations (shingle
+    // of the dedup family — r21 stage profile: the Lloyd/coarse argmin
+    // chains of x108 ran as ONE task off the single-file local scan, 3 s
+    // of the row serial on one core). Hash by vec_id (deterministic under
+    // retry, guide §2.5), and by the SAME key most downstream groupBys
+    // use. SCALE-ADAPTIVE: only when the input is UNDER-parallel — at
+    // 100 TB the scan is already thousands of splits and an unconditional
+    // repartition here would re-shuffle the full raw-vector corpus for
+    // nothing. (`.rdd` only plans; `emb` is always a scan/filter subtree,
+    // so no stages execute.)
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (emb.rdd.getNumPartitions < par) emb.repartition(par, col("vec_id"))
+      else emb
+    val quantized = spread
+      .select(col("vec_id"),
       expr("transform(cast(embedding as array<double>), " +
         s"x -> cast(floor(x * cast($FixedPointScale as double)) as double))").as("fv"))
     val domDim = quantized.groupBy(size(col("fv")).as("sz")).agg(count(lit(1)).as("n"))

@@ -34,10 +34,19 @@ object PageRank {
     * directions, w = number of orders containing both parts.
     */
   private[graft] def coPurchaseEdges(li: DataFrame): DataFrame = {
-    val op = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val pairs = op.as("a").join(op.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+    // One groupBy collects each order's distinct parts (sorted), then the
+    // C(width, 2) pairs explode map-side — TWO exchanges total (group by
+    // order, group by pair) where the old distinct + self-join + aggregate
+    // paid FOUR (r21, guide §2.4). Pair volume is unchanged (bounded by
+    // order width), and sort_array + i<j slicing reproduces the a.pk<b.pk
+    // pair set exactly, so w per (pa, pb) is bit-identical.
+    val pairs = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps) - i - 1), y -> struct(x AS pa, y AS pb))))"))
+        .as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .agg(count(lit(1)).as("w"))
     pairs.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
       .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
@@ -45,24 +54,33 @@ object PageRank {
 
   /** Ten fixed-point iterations; top-`k` nodes by (rank desc, node). */
   def topRanks(li: DataFrame, iterations: Int = 10, k: Int = 20): DataFrame = {
+    // Hash-partition the iteration-INVARIANT join side by its join key
+    // BEFORE the checkpoint (the x18 label-propagation pattern — ckpt
+    // preserves outputPartitioning through LogicalRDD): without it, the
+    // r21 stage profile showed the full 32 MB edge relation re-exchanged
+    // in EVERY one of the ten iterations; with it, only the tiny rank
+    // table moves per round (guide §2.4). The shuffle_hash hint replaces
+    // the default sort-merge: ranks is the k-node table, hashing it beats
+    // re-sorting the edge side every iteration.
+    val par = li.sparkSession.sparkContext.defaultParallelism
     val edges = coPurchaseEdges(li).ckpt()
     // per-source total outgoing weight (the division base of every
     // contribution this source sends)
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    val withOut = edges.join(outW, "src").ckpt()
+    val withOut = edges.join(outW, "src").repartition(par, col("src")).ckpt()
     var ranks = outW.select(col("src").as("node"), lit(Scale).as("r"))
-      .ckpt()
+      .repartition(par, col("node")).ckpt()
     for (_ <- 1 to iterations) {
       val contrib = withOut
-        .join(ranks, col("src") === col("node"))
+        .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
         .select(col("dst"), expr("CAST(r * w DIV wout AS BIGINT)").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
       ranks = ranks.select(col("node"))
-        .join(contrib, col("node") === col("dst"), "left")
+        .join(contrib.hint("shuffle_hash"), col("node") === col("dst"), "left")
         .select(col("node"),
           expr("CAST(150000 + 85 * coalesce(s, 0) DIV 100 AS BIGINT)").as("r"))
-        .ckpt()
+        .ckpt() // left join preserves Hash(node, par) — no re-exchange
     }
     ranks.orderBy(col("r").desc, col("node")).limit(k)
       .select(col("node").as("l_partkey"), col("r").as("rank_scaled"))

@@ -11,20 +11,22 @@ import org.apache.spark.sql.functions._
   * degree-ordered orientation of the node-iterator family (Schank &
   * Wagner's forward algorithm; Suri & Vassilvitskii's MapReduce
   * adaptation): orient every undirected edge from its lower-(degree, id)
-  * endpoint to the higher one, enumerate wedges only at each triangle's
-  * MINIMUM-rank vertex, and close them with a join against the oriented
-  * edge set.
+  * endpoint to the higher one, then close each oriented edge u→v by
+  * intersecting the sorted out-adjacency lists N+(u) ∩ N+(v) — each
+  * member w is a triangle u<v<w (by rank), found exactly once.
   *
-  * Why the orientation matters at 100 TB: the naive wedge join pays
-  * Σ_v C(d(v), 2) — a single celebrity hub with 10⁷ neighbors
+  * Why the orientation matters at 100 TB: the naive wedge enumeration
+  * pays Σ_v C(d(v), 2) — a single celebrity hub with 10⁷ neighbors
   * contributes 5·10¹³ wedges and the job never finishes. Orientation
-  * caps every out-degree at O(√m), so wedge work is bounded by
+  * caps every out-degree at O(√m), so intersection work is bounded by
   * O(m^1.5) TOTAL and is hub-proof — the difference between a plan
   * that survives a power-law graph and one that dies on its first hot
-  * key. Every stage is joins + map-side-combined aggregates on keyed
-  * shuffles; the triangle SET is orientation-invariant, so the DuckDB
-  * oracle replays it with plain id-ordering and must match exactly —
-  * count per node and in total.
+  * key. The edge-iterator form (r21) additionally never materializes
+  * wedges as ROWS: the only corpus-scaled shuffle carries each edge
+  * with its endpoint adjacency lists (Σ outdeg² longs), and the
+  * intersection is one fused merge-walk kernel. The triangle SET is
+  * orientation-invariant, so the DuckDB oracle replays it with plain
+  * id-ordering and must match exactly — count per node and in total.
   */
 object Triangles {
 
@@ -32,11 +34,12 @@ object Triangles {
     * count riding every row (broadcast 1-row join — the q29/x8 class).
     */
   def topTriangleNodes(li: DataFrame, k: Int = 20): DataFrame = {
+    graft.functions.ArrayExpressions.register(li.sparkSession)
     // undirected simple edges, one row per {a < b} pair
     val e = PageRank.coPurchaseEdges(li)
       .filter(col("src") < col("dst"))
       .select(col("src").as("a"), col("dst").as("b"))
-      .ckpt() // read three times below (degrees + two wedge sides)
+      .ckpt() // read three times below (degrees + both orientation joins)
     val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     // rank(v) = (d, v) lexicographic; orient u -> v iff rank(u) < rank(v)
@@ -45,24 +48,33 @@ object Triangles {
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
       .select(
         when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
-          struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
-          .otherwise(struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v")))
           .as("o"))
-      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
-      .ckpt() // the wedge self-join reads it twice, the closer once
-    // wedges at the minimum-rank vertex: (u -> y), (u -> z), rank(y) < rank(z)
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2"),
-        col("e1.u") === col("e2.u") &&
-          (col("e1.dv") < col("e2.dv") ||
-            (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
-      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
-    // a wedge closes iff the oriented edge y -> z exists (rank(y) < rank(z)
-    // holds by construction, so the closing edge can only be oriented this way)
-    val tris = wedges.join(
-      oriented.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"), "left_semi")
-    val perNode = tris
-      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .select(col("o.u").as("u"), col("o.v").as("v"))
+      .ckpt() // read by the adjacency build AND the edge probe
+    // EDGE-ITERATOR closer (r21, guide §2.3 "shuffle fewer bytes"): instead
+    // of materializing every wedge (u→y, u→z) and semi-joining the closing
+    // edge — which shuffled ~380 MB of wedge rows at sf0.1 — attach each
+    // oriented out-adjacency list to both endpoints of every oriented edge
+    // and take the sorted-merge intersection: for edge u→v the members of
+    // N+(u) ∩ N+(v) are exactly the triangle apexes w with rank u < v < w,
+    // so each triangle is found ONCE (at its min-rank edge) and only
+    // Σ outdeg² LONGS move (the wedge ROW count never exists as rows).
+    // The orientation cap (outdeg ≤ O(√m)) bounds both list sizes and the
+    // merge walk, keeping the plan hub-proof at 100 TB.
+    val adj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    val tri = oriented
+      .join(adj, "u")
+      .withColumnRenamed("nbrs", "au")
+      .join(adj.select(col("u").as("v"), col("nbrs").as("av")), "v")
+      .select(col("u"), col("v"),
+        graft.functions.ArrayExpressions.sortedLongIntersect(col("au"), col("av")).as("ws"))
+      .filter(size(col("ws")) > 0)
+    // one row per (triangle, member): u (min), v (mid), each apex w (max)
+    val perNode = tri
+      .select(explode(expr("flatten(transform(ws, w -> array(u, v, w)))")).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
       .ckpt() // tiny (nodes-in-triangles); read for top-k AND total
     val total = perNode
