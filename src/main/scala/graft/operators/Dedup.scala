@@ -450,17 +450,22 @@ object Dedup {
     // unique (doc_a < doc_b) pairs cannot collide, and min-label
     // propagation is idempotent to duplicate edges anyway — the old
     // distinct was a full extra shuffle + materialization for nothing.
-    // Hash-partition by dst BEFORE the checkpoint: graft.ckpt
-    // preserves outputPartitioning through LogicalRDD, so every round's
-    // edges⋈labels join reuses this layout and only the (tiny) label side
-    // moves — without it the full edge list re-shuffles once per round.
+    // Edge layout, measured three ways in r21 (x20/x56/x65/x87 profile
+    // mins): layout-visible edges + labels (graft.ckptBy both, SHJ hint)
+    // 10.4 s, layout-visible edges only 12.4 s, this exchange-per-round
+    // form 9.3 s — on local[32] the per-round re-exchange of the small
+    // edge list (AQE-coalesced, balanced) beats LogicalRDD-direct join
+    // stages. On a real cluster swap to `.ckptBy(par, "dst")` to make
+    // the layout visible and keep the edge list from re-shuffling every
+    // round (the ckpt'd LogicalRDD reports UnknownPartitioning under
+    // AQE, so the repartition below is otherwise planner-invisible).
+    val par = pairs.sparkSession.sparkContext.defaultParallelism
     val edges = pairs
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .repartition(pairs.sparkSession.sparkContext.defaultParallelism, col("dst"))
-      .ckpt()
+      .repartition(par, col("dst")).ckpt()
     // Seed labels with the neighbor minimum directly (labels(x) = x
     // initially, so the first propagation needs no join — one groupBy).
     var labels = edges.groupBy(col("src"))

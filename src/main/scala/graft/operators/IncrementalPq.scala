@@ -146,7 +146,7 @@ object IncrementalPq {
     Bucketed.materializedBucketedTable(spark, "pqcc_" + DirTag.dirScope(dir) + "_",
       "pqcc_" + DirTag(dir, "embeddings") + s"_k$coarseK", "ccell", StoreBuckets) {
       graft.functions.ArrayExpressions.register(spark)
-      coarseOf(trainSlice(KMeans.quantizedPts(Tables.load(spark, dir, "embeddings"))),
+      coarseOf(trainSlice(KMeans.quantizedPts(Tables.load(spark, dir, "embeddings"), spreadInput = false)),
         coarseK)
     }
 
@@ -159,7 +159,7 @@ object IncrementalPq {
       "pqcb_" + DirTag(dir, "embeddings") + s"_k$coarseK", "sub", StoreBuckets) {
       graft.functions.ArrayExpressions.register(spark)
       val coarse = spark.table(coarseStore(spark, dir, coarseK))
-      val pts = KMeans.quantizedPts(Tables.load(spark, dir, "embeddings"))
+      val pts = KMeans.quantizedPts(Tables.load(spark, dir, "embeddings"), spreadInput = false)
       val r = residuals(trainSlice(pts), coarse).ckpt()
       val (cb, _) = ProductQuantization.train(ProductQuantization.subPtsOf(r))
       cb
@@ -181,7 +181,7 @@ object IncrementalPq {
       graft.functions.ArrayExpressions.register(spark)
       val coarse = spark.table(coarseStore(spark, dir, coarseK))
       val cb = spark.table(codebookStore(spark, dir, coarseK))
-      val pts = KMeans.quantizedPts(Tables.load(spark, dir, "embeddings"))
+      val pts = KMeans.quantizedPts(Tables.load(spark, dir, "embeddings"), spreadInput = false)
       codesOf(residuals(trainSlice(pts), coarse).ckpt(), cb)
     }
 
@@ -202,7 +202,7 @@ object IncrementalPq {
       "pqvx_" + DirTag(dir, "embeddings") + s"_k$coarseK", "ccell", StoreBuckets) {
       graft.functions.ArrayExpressions.register(spark)
       val coarse = spark.table(coarseStore(spark, dir, coarseK))
-      val pts = KMeans.quantizedPts(Tables.load(spark, dir, "embeddings"))
+      val pts = KMeans.quantizedPts(Tables.load(spark, dir, "embeddings"), spreadInput = false)
       vecsOf(assigned(trainSlice(pts), coarse))
     }
 
@@ -432,7 +432,7 @@ object IncrementalPq {
   private[graft] def recountGeometry(spark: SparkSession, dir: String): Int = {
     graft.functions.ArrayExpressions.register(spark)
     ProductQuantization.sizedCoarseK(
-      trainSlice(KMeans.quantizedPts(Tables.load(spark, dir, "embeddings"))).count())
+      trainSlice(KMeans.quantizedPts(Tables.load(spark, dir, "embeddings"), spreadInput = false)).count())
   }
 
   /** The identical math with NO stores — model, lists and batch all
@@ -445,7 +445,7 @@ object IncrementalPq {
                    nProbe: Int = ProductQuantization.NProbe,
                    coarseK: Int = ProductQuantization.CoarseK,
                    exclude: Column = lit(false)): DataFrame = {
-    val pts = KMeans.quantizedPts(emb).ckpt()
+    val pts = KMeans.quantizedPts(emb, spreadInput = false).ckpt()
     val coarse = coarseOf(trainSlice(pts), coarseK).ckpt()
     val rTrain = residuals(trainSlice(pts), coarse).ckpt()
     val (cb0, _) = ProductQuantization.train(ProductQuantization.subPtsOf(rTrain))
@@ -470,7 +470,7 @@ object IncrementalPq {
                       shortlist: Int = 0,
                       exclude: Column = lit(false)): DataFrame = {
     val l = if (shortlist > 0) shortlist else ProductQuantization.RerankFactor * topK
-    val pts = KMeans.quantizedPts(emb).ckpt()
+    val pts = KMeans.quantizedPts(emb, spreadInput = false).ckpt()
     val coarse = coarseOf(trainSlice(pts), coarseK).ckpt()
     val aTrain = assigned(trainSlice(pts), coarse).ckpt()
     val rTrain = residualOf(aTrain)

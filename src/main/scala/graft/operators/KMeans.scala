@@ -52,21 +52,27 @@ object KMeans {
     * (vec_id, fv). Shared by [[assignments]] (x91), [[batchDriftProfile]]
     * (x98), and [[ProductQuantization]]'s subspace split (x107/x108).
     */
-  private[operators] def quantizedPts(emb: DataFrame): DataFrame = {
+  private[operators] def quantizedPts(emb: DataFrame,
+                                      spreadInput: Boolean = true): DataFrame = {
     graft.functions.ArrayExpressions.register(emb.sparkSession)
     // Spread across every core BEFORE the CPU-heavy derivations (shingle
     // of the dedup family — r21 stage profile: the Lloyd/coarse argmin
     // chains of x108 ran as ONE task off the single-file local scan, 3 s
     // of the row serial on one core). Hash by vec_id (deterministic under
     // retry, guide §2.5), and by the SAME key most downstream groupBys
-    // use. SCALE-ADAPTIVE: only when the input is UNDER-parallel — at
-    // 100 TB the scan is already thousands of splits and an unconditional
-    // repartition here would re-shuffle the full raw-vector corpus for
-    // nothing. (`.rdd` only plans; `emb` is always a scan/filter subtree,
-    // so no stages execute.)
+    // use. SCALE-ADAPTIVE twice over: only when the input is
+    // UNDER-parallel (at 100 TB the scan is already thousands of splits
+    // and an unconditional repartition would re-shuffle the full
+    // raw-vector corpus for nothing; `.rdd` only plans — `emb` is always
+    // a scan/filter subtree, so no stages execute), and only when the
+    // CALLER wants it: the PQ train/top-k chains (x107/x108/x113/x114)
+    // win 0.5-2 s each from the spread, while per-slice incremental
+    // encodes (IncrementalPq) and the tiny x91 Lloyd lose ~0.5 s of pure
+    // exchange overhead — those pass spreadInput = false.
     val par = emb.sparkSession.sparkContext.defaultParallelism
     val spread =
-      if (emb.rdd.getNumPartitions < par) emb.repartition(par, col("vec_id"))
+      if (spreadInput && emb.rdd.getNumPartitions < par)
+        emb.repartition(par, col("vec_id"))
       else emb
     val quantized = spread
       .select(col("vec_id"),
@@ -123,7 +129,7 @@ object KMeans {
     * centroid. Ordered by vec_id.
     */
   def assignments(emb: DataFrame, k: Int = 8, iterations: Int = 3): DataFrame =
-    lloyd(quantizedPts(emb), k, iterations)
+    lloyd(quantizedPts(emb, spreadInput = false), k, iterations)
       .select(col("vec_id"), col("cell"), col("d2").as("dist2"))
       .orderBy("vec_id")
 

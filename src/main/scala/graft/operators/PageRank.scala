@@ -54,13 +54,18 @@ object PageRank {
 
   /** Ten fixed-point iterations; top-`k` nodes by (rank desc, node). */
   def topRanks(li: DataFrame, iterations: Int = 10, k: Int = 20): DataFrame = {
-    // Hash-partition the iteration-INVARIANT join side by its join key
-    // BEFORE the checkpoint (the x18 label-propagation pattern — ckpt
-    // preserves outputPartitioning through LogicalRDD): without it, the
-    // r21 stage profile showed the full 32 MB edge relation re-exchanged
-    // in EVERY one of the ten iterations; with it, only the tiny rank
-    // table moves per round (guide §2.4). The shuffle_hash hint replaces
-    // the default sort-merge: ranks is the k-node table, hashing it beats
+    // Iteration layout, measured both ways in r21: the layout-visible
+    // variant (graft.ckptBy on withOut — exchange-free contribution join,
+    // only the per-round aggregate output moves) profiled 7.1-7.3 s here,
+    // while this exchange-per-round form profiles 6.4-6.5 s on local[32]:
+    // with AQE coalescing the two fresh exchanges to ~13 balanced
+    // partitions, the re-exchange of the ~16 MB edge relation is cheaper
+    // than the fixed-width LogicalRDD-direct join stages it avoids. On a
+    // real cluster the tradeoff flips with network cost — swap the line
+    // below to `.ckptBy(par, "src")` to make the layout visible and drop
+    // the per-iteration edge shuffle entirely (x82 keeps ckptBy because
+    // it wins there even locally). The shuffle_hash hint replaces the
+    // default sort-merge: ranks is the node-rank table, hashing it beats
     // re-sorting the edge side every iteration.
     val par = li.sparkSession.sparkContext.defaultParallelism
     val edges = coPurchaseEdges(li).ckpt()
@@ -69,7 +74,7 @@ object PageRank {
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     val withOut = edges.join(outW, "src").repartition(par, col("src")).ckpt()
     var ranks = outW.select(col("src").as("node"), lit(Scale).as("r"))
-      .repartition(par, col("node")).ckpt()
+      .ckpt()
     for (_ <- 1 to iterations) {
       val contrib = withOut
         .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
@@ -80,7 +85,7 @@ object PageRank {
         .join(contrib.hint("shuffle_hash"), col("node") === col("dst"), "left")
         .select(col("node"),
           expr("CAST(150000 + 85 * coalesce(s, 0) DIV 100 AS BIGINT)").as("r"))
-        .ckpt() // left join preserves Hash(node, par) — no re-exchange
+        .ckpt() // truncate the per-round lineage (rank side only)
     }
     ranks.orderBy(col("r").desc, col("node")).limit(k)
       .select(col("node").as("l_partkey"), col("r").as("rank_scaled"))

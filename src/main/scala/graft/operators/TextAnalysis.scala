@@ -791,24 +791,31 @@ object TextAnalysis {
     */
   def charTrigramNovelty(docs: DataFrame, rareMax: Int = 50): DataFrame = {
     val spark = docs.sparkSession
-    val tris = docs
+    // One exploded row per trigram POSITION. Spread the raw docs (cheap
+    // rows) across cores first — the explode and both partial aggregates
+    // below then run 32-wide off the single-file scan. NO repartition on
+    // the exploded rows themselves: the r18 exchange-reuse formulation
+    // shipped every position (~chars(corpus) short strings) through a
+    // full shuffle + two sort-merge sorts; shuffling BEFORE aggregation
+    // also disabled map-side partial aggregation (guide §2.2).
+    def tris = docs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), lower(col("text")).as("tx"))
       .select(col("doc_id"), explode(expr(
         "case when length(tx) >= 3 then transform(sequence(1, length(tx) - 2), " +
           "i -> substring(tx, i, 3)) else array() end")).as("tri"))
-      .repartition(spark.sparkContext.defaultParallelism, col("tri"))
-    // occurrence count per trigram; max(doc_id) is consumed-then-dropped
-    // purely so this branch's subtree stays canonically identical to the
-    // probe side below the exchange (the boilerplateRemove trick). The
-    // `_mx.isNotNull` filter is a tautology (doc_id is the table PK,
-    // never null, and every group has >= 1 row) whose only job is to
-    // keep max(doc_id) ALIVE through ColumnPruning — an unreferenced
-    // aggregate gets eliminated, which prunes doc_id from this branch
-    // and breaks the exchange reuse.
-    val freq = tris.groupBy(col("tri"))
-      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("_mx"))
-      .filter(col("_mx").isNotNull).select(col("tri"), col("n"))
-    tris.join(freq.hint("merge"), "tri")
+    // Occurrence count per trigram. The relation is BOUNDED by the
+    // corpus's |alphabet|^3 (the very property the row demonstrates), so
+    // after map-side partial aggregation the exchange carries at most
+    // |alphabet|^3 rows per partition, and the finished table broadcasts
+    // safely at ANY corpus size — this is a config-bounded broadcast,
+    // not a data-scaled one.
+    val freq = tris.groupBy(col("tri")).agg(count(lit(1)).as("n"))
+    // Probe map-side against the broadcast table; the only corpus-scaled
+    // exchange left is the per-doc aggregate (3 longs per doc). The
+    // corpus is scanned twice (freq build + probe) — at scale two scans
+    // are far cheaper than one position-scale shuffle.
+    tris.join(broadcast(freq), "tri")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tri"),
         sum(when(col("n") < rareMax, 1L).otherwise(0L)).as("n_rare"))

@@ -52,7 +52,11 @@ object Triangles {
           .otherwise(struct(col("b").as("u"), col("a").as("v")))
           .as("o"))
       .select(col("o.u").as("u"), col("o.v").as("v"))
-      .ckpt() // read by the adjacency build AND the edge probe
+      // materialize keyed by u with the layout VISIBLE (graft.ckptBy):
+      // the adjacency groupBy(u) AND the first closer join on u then run
+      // exchange-free over it (plain ckpt reports UnknownPartitioning
+      // under AQE and both would re-shuffle the edge relation)
+      .ckptBy(li.sparkSession.sparkContext.defaultParallelism, "u")
     // EDGE-ITERATOR closer (r21, guide §2.3 "shuffle fewer bytes"): instead
     // of materializing every wedge (u→y, u→z) and semi-joining the closing
     // edge — which shuffled ~380 MB of wedge rows at sf0.1 — attach each

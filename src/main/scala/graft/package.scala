@@ -20,10 +20,15 @@ package object graft {
     *  - otherwise (local dev, bench) keep `localCheckpoint()`: identical
     *    cut-the-lineage semantics, no distributed-FS round trip.
     *
-    * Both paths are eager, return the same rows ([[CheckpointSpec]] pins
-    * this), and preserve the input's partitioning — callers that
-    * repartition BEFORE checkpointing (e.g. the x18 label-propagation
-    * loop) keep their co-location either way.
+    * Both paths are eager and return the same rows ([[CheckpointSpec]]
+    * pins this). NOTE (r21): under AQE neither path preserves the
+    * input's `outputPartitioning` — `Dataset.checkpoint` captures the
+    * `AdaptiveSparkPlanExec` root, whose `outputPartitioning` is the
+    * `SparkPlan` default `UnknownPartitioning` — so a caller that
+    * repartitioned BEFORE checkpointing has silently lost its layout.
+    * Iterative callers that rely on a stable keyed layout (PageRank,
+    * the x18 label loop, the triangle closer) use [[ckptBy]], which
+    * restores the known `HashPartitioning` on the returned `LogicalRDD`.
     *
     * Reliable mode persists the plan around the `checkpoint()` call:
     * eager `Dataset.checkpoint()` on an UNPERSISTED plan computes it
@@ -55,10 +60,29 @@ package object graft {
     } else ds.localCheckpoint()
   }
 
+  /** Materialize `ds` hash-partitioned by `cols` into `n` parts AND keep
+    * that layout visible to the planner: `repartition(n, cols)` → [[ckpt]]
+    * → rewrap the returned `LogicalRDD` with the true `HashPartitioning`
+    * (see [[org.apache.spark.sql.graft.Bridge.withKnownHashPartitioning]]
+    * for why ckpt alone loses it under AQE). Downstream joins/aggregates
+    * keyed on `cols` then reuse the layout instead of re-exchanging —
+    * the iteration-invariant-side idiom of every loop operator. The
+    * claimed layout is guaranteed true because the checkpoint sits
+    * immediately above the user-specified repartition, which AQE never
+    * rewrites.
+    */
+  def ckptBy(ds: Dataset[_], n: Int, cols: String*): org.apache.spark.sql.DataFrame = {
+    val df = ds.toDF()
+    org.apache.spark.sql.graft.Bridge.withKnownHashPartitioning(
+      ckpt(df.repartition(n, cols.map(df.col): _*)), cols, n)
+  }
+
   /** `.ckpt()` postfix form of [[ckpt]] — in scope throughout `graft.*`
     * via this enclosing package object.
     */
   implicit class CkptOps[T](private val ds: Dataset[T]) extends AnyVal {
     def ckpt(): Dataset[T] = graft.ckpt(ds)
+    def ckptBy(n: Int, cols: String*): org.apache.spark.sql.DataFrame =
+      graft.ckptBy(ds, n, cols: _*)
   }
 }

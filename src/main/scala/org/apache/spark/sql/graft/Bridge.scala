@@ -14,4 +14,36 @@ object Bridge {
 
   def planOf(df: DataFrame): LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
+
+  /** Restore a KNOWN hash layout on a checkpointed relation.
+    *
+    * `Dataset.checkpoint`/`localCheckpoint` try to carry the physical
+    * plan's `outputPartitioning` into the `LogicalRDD` they return, but
+    * under AQE the captured root is an `AdaptiveSparkPlanExec`, whose
+    * `outputPartitioning` is `SparkPlan`'s default `UnknownPartitioning`
+    * — so a `repartition(n, cols).checkpoint()` silently loses its
+    * layout and every downstream join/aggregate on those keys pays a
+    * fresh exchange (measured in r21: PageRank re-shuffled its whole
+    * edge relation every one of its ten iterations). The caller
+    * GUARANTEES the wrapped RDD really is hash-partitioned by `cols`
+    * into `n` parts — true whenever the checkpoint was taken immediately
+    * above a user-specified `repartition(n, cols)`, which AQE never
+    * rewrites. We rewrap the `LogicalRDD` with that `HashPartitioning`,
+    * preserving the origin statistics and constraints.
+    */
+  def withKnownHashPartitioning(df: DataFrame, cols: Seq[String], n: Int): DataFrame =
+    planOf(df) match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val attrs = cols.map(c => lr.output.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"withKnownHashPartitioning: no column '$c' in ${lr.output.map(_.name)}")))
+        val part = org.apache.spark.sql.catalyst.plans.physical
+          .HashPartitioning(attrs, n)
+        // re-seed origin stats/constraints from the public accessors
+        // (lr.stats resolves to the origin stats when present)
+        ofRows(df.sparkSession, lr.copy(outputPartitioning = part)(
+          df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          Some(lr.stats), Some(lr.constraints)))
+      case _ => df
+    }
 }
