@@ -681,6 +681,10 @@ object Dedup {
   def substringSpanStats(docs: DataFrame, L: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g2 = docs.filter(length(col("text")) >= L)
+      // spread the raw docs before the per-position window explode: off
+      // the single-file scan this stage ran as ONE 2 s task writing the
+      // full 34 MB gram exchange (r21 stage profile — the x85 class)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - (L - 1))).as("pos"),
         col("text"))
@@ -818,6 +822,13 @@ object Dedup {
         expr(s"rb div $window").as("bkt"))
     a.join(b, Seq("bkt"))
       .filter(col("rb") > col("ra") && col("rb") <= col("ra") + lit(window - 1))
+      // IMPLIED size prefilter (verifiedJaccard's trick, r21): the kept
+      // predicate 2·inter >= uni forces 2·min(|ga|,|gb|) >= 2·inter >=
+      // uni >= max(|ga|,|gb|), so pairs failing it can be dropped BEFORE
+      // the O(|ga|+|gb|) string-array intersection — result-identical,
+      // and most w·n window neighbors die on two size reads.
+      .filter(least(size(col("ga")), size(col("gb"))) * 2 >=
+        greatest(size(col("ga")), size(col("gb"))))
       .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
       .withColumn("uni", size(col("ga")) + size(col("gb")) - col("inter"))
       .filter(col("uni") > 0 && col("inter") * 2 >= col("uni"))

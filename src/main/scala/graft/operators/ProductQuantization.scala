@@ -273,7 +273,14 @@ object ProductQuantization {
       .agg(min(struct(col("d2c"), col("ccell"), col("fv"), col("cc"))).as("m"))
       .select(col("vec_id"), col("m.ccell").as("ccell"),
         expr("zip_with(m.fv, m.cc, (x, y) -> x - y)").as("fv"))
-      .ckpt() // read by PQ training and the candidate build
+      // read by PQ training and the candidate build. ckptBy, NOT ckpt:
+      // AQE coalesces the small-bytes argmin exchange to ONE partition,
+      // and a plain ckpt freezes that width — every Lloyd iteration of
+      // the residual PQ training then ran as a single 0.9-1.4 s task
+      // (r21 stage profile of x108/x113/x114). The explicit-width
+      // repartition inside ckptBy is never coalesced, so the CPU-heavy
+      // train loop stays spread across every core.
+      .ckptBy(emb.sparkSession.sparkContext.defaultParallelism, "vec_id")
     // queries: nProbe nearest cells, one residual PER PROBED CELL; the
     // rank window partitions are coarseK rows each (WindowGroupLimit
     // cuts at nProbe), never corpus-sized
@@ -308,8 +315,13 @@ object ProductQuantization {
                           nProbe: Int = NProbe): (DataFrame, DataFrame, DataFrame) = {
     val (rCorpus, qProbe) = coarseParts(emb, coarseK, nProbe)
     val (cb, codes0) = train(subPtsOf(rCorpus))
-    // the lazy final assignment, read twice (ADC join sides)
-    val codes = codes0.select(col("vec_id").as("c_id"), col("sub"), col("cell")).ckpt()
+    // the lazy final assignment, read twice (ADC join sides). ckptBy
+    // keyed on the ADC join key: pins the width AQE would coalesce away
+    // (the corpus encode otherwise materializes as one ~10 MB block and
+    // single-task stages) AND makes the layout visible to the
+    // cand⋈codes join.
+    val codes = codes0.select(col("vec_id").as("c_id"), col("sub"), col("cell"))
+      .ckptBy(emb.sparkSession.sparkContext.defaultParallelism, "c_id")
     // exact RESIDUAL distance table per (query, probed cell, sub, cell):
     // |queries|*NProbe*NumSub*K rows
     val qSub = qProbe.select(col("q_id"), col("ccell"),

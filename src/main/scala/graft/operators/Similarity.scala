@@ -664,14 +664,22 @@ object Similarity {
     val (centroids, domDim) = fixedPointCentroids(withV0)
     val withV = withV0.join(broadcast(domDim), size(col("v")) === col("dom_sz"))
       .drop("dom_sz")
-    val wa = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_label"))
+    // argmax as a map-side-combined struct MAX (KMeans.lloyd's idiom),
+    // NOT a row_number window: the window formulation sort-shuffled the
+    // full n·k crossJoin expansion, where the aggregate partial-combines
+    // each vector's k candidate rows back to ONE before the exchange
+    // (guide §2.2 — shuffle n rows, not n·k). max of (csim, -c_label)
+    // reproduces the window's (csim DESC, c_label ASC) winner exactly:
+    // csim is NaN-filtered so double struct ordering is total, and
+    // c_label is int32 so the negation cannot overflow.
     withV.crossJoin(broadcast(centroids))
       .withColumn("csim", cosine(col("v"), col("centroid")))
       .filter(!isnan(col("csim")))
-      .withColumn("ark", row_number().over(wa))
-      .filter(col("ark") === 1)
-      .select(col("vec_id"), col("v"), col("c_label").as("cell"),
-        col("csim").as("cos_cent"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim"), (-col("c_label")).as("nlbl"),
+        col("c_label"), col("v"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.c_label").as("cell"),
+        col("m.csim").as("cos_cent"))
       .ckpt() // read three times: both pair sides + the keeper join
   }
 
