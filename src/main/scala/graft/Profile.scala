@@ -50,7 +50,12 @@ object Profile {
     // reach this JVM.
     val explainFlag = args.contains("--explain")
     val stagesFlag = args.contains("--stages")
-    val qArgs = args.toSeq.filterNot(a => a == "--explain" || a == "--stages")
+    // --no-ckpt (with --explain): disable every graft.ckpt so the dump
+    // shows the full end-to-end plan instead of post-checkpoint stubs.
+    // Plan-audit only — see the switch's scaladoc in graft.ckpt.
+    val noCkptFlag = args.contains("--no-ckpt")
+    val qArgs = args.toSeq.filterNot(a =>
+      a == "--explain" || a == "--stages" || a == "--no-ckpt")
     val names = if (qArgs.nonEmpty) qArgs else SparkEntry.queries.keys.toSeq.sorted
     val unknown = names.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty,
@@ -58,6 +63,7 @@ object Profile {
 
     val spark = BenchHarness.session("graft-profile")
     BenchHarness.warmup(spark)
+    if (noCkptFlag) spark.conf.set("spark.graft.ckpt.disable", "true")
     val explain = explainFlag
     names.foreach { name =>
       val fn = SparkEntry.queries(name)

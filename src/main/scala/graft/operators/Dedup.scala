@@ -756,7 +756,7 @@ object Dedup {
     * Jaccard).
     */
   def snmPairs(docs: DataFrame, window: Int = 8): DataFrame =
-    snmVerifiedNeighbors(snmKeyed(docs, st => substring(st, 1, 24)), window)
+    snmVerifiedNeighbors(snmKeyed(snmBase(docs), st => substring(st, 1, 24)), window)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         col("inter").cast("long").as("n_inter"), col("uni").cast("long").as("n_union"))
       .orderBy("doc_a", "doc_b")
@@ -774,8 +774,12 @@ object Dedup {
     * of the sort-based geometry under skew.
     */
   def snmPairsTwoPass(docs: DataFrame, window: Int = 8): DataFrame = {
-    val p1 = snmVerifiedNeighbors(snmKeyed(docs, st => substring(st, 1, 24)), window)
-    val p2 = snmVerifiedNeighbors(snmKeyed(docs, st => substring(reverse(st), 1, 24)), window)
+    // ONE shared base: the stripped text and the gram sets are
+    // pass-independent, so the CPU-heavy derivation runs once and both
+    // passes' blocking keys are cheap substrings over the materialization
+    val base = snmBase(docs)
+    val p1 = snmVerifiedNeighbors(snmKeyed(base, st => substring(st, 1, 24)), window)
+    val p2 = snmVerifiedNeighbors(snmKeyed(base, st => substring(reverse(st), 1, 24)), window)
     p1.unionByName(p2)
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"), col("inter"), col("uni"))
@@ -790,17 +794,32 @@ object Dedup {
     * whitespace-stripped text to that pass's blocking key; `g` is the
     * distinct word-3-gram set the verify step intersects.
     */
-  private def snmKeyed(docs: DataFrame, bkOf: Column => Column): DataFrame =
+  private def snmKeyed(base: DataFrame, bkOf: Column => Column): DataFrame =
+    base.select(col("doc_id"), bkOf(col("st")).as("bk"), col("g"))
+
+  /** The pass-INDEPENDENT half of [[snmKeyed]]: (doc_id, stripped text,
+    * distinct word-3-gram set), spread across every core and materialized
+    * ONCE. Without this, the regex+split+gram chain re-evaluated SERIALLY
+    * (off the single-file local scan) for every consumer of the keyed
+    * relation — `repartitionByRange`'s boundary-sampling job plus the
+    * range exchange itself, per pass: four ~0.5 s single-task stages in
+    * x104's r22 stage profile (guide §2.5 — the x85 single-task class).
+    * The ckpt also lets x104's two passes share one derivation: blocking
+    * keys are cheap substrings over `st` computed per pass.
+    */
+  private def snmBase(docs: DataFrame): DataFrame =
     docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), lower(col("text")).as("t"))
-      .withColumn("bk", bkOf(regexp_replace(col("t"), "\\s+", "")))
+      .withColumn("st", regexp_replace(col("t"), "\\s+", ""))
       .withColumn("w", expr("filter(split(t, '\\\\s+'), x -> x != '')"))
       .withColumn("g", expr(
         """CASE WHEN size(w) >= 3
           |  THEN array_distinct(transform(sequence(1, size(w) - 2),
           |    p -> concat_ws(' ', slice(w, p, 3))))
           |  ELSE cast(array() as array<string>) END""".stripMargin))
-      .select(col("doc_id"), col("bk"), col("g"))
+      .select(col("doc_id"), col("st"), col("g"))
+      .ckpt()
 
   /** The sort → global-rank → binned-window → exact-Jaccard-verify core
     * of one SNM pass (scale shape documented on [[snmPairs]]): emits
@@ -822,13 +841,6 @@ object Dedup {
         expr(s"rb div $window").as("bkt"))
     a.join(b, Seq("bkt"))
       .filter(col("rb") > col("ra") && col("rb") <= col("ra") + lit(window - 1))
-      // IMPLIED size prefilter (verifiedJaccard's trick, r21): the kept
-      // predicate 2·inter >= uni forces 2·min(|ga|,|gb|) >= 2·inter >=
-      // uni >= max(|ga|,|gb|), so pairs failing it can be dropped BEFORE
-      // the O(|ga|+|gb|) string-array intersection — result-identical,
-      // and most w·n window neighbors die on two size reads.
-      .filter(least(size(col("ga")), size(col("gb"))) * 2 >=
-        greatest(size(col("ga")), size(col("gb"))))
       .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
       .withColumn("uni", size(col("ga")) + size(col("gb")) - col("inter"))
       .filter(col("uni") > 0 && col("inter") * 2 >= col("uni"))

@@ -80,10 +80,25 @@ object ProductQuantization {
   /** The split as a Column predicate over `vec_id`. */
   def isQueryCol: Column = IncrementalAnn.isNewVec(col("vec_id"))
 
-  /** Subvector relation (vec_id, sub, sv): each dominant-dim fixed-point
-    * vector split into NumSub contiguous SubDim-slices.
+  /** ONE materialization of the quantized points per query entry point —
+    * the relation every stage (coarse quantizer, PQ training input,
+    * exact re-rank vectors, sizing count) derives from. Without it the
+    * quantize chain (and, for x113/x114, the 20-member clusteredFixture
+    * explode feeding it) re-evaluated once per consumer: the r22 stage
+    * profile of x114 showed four full evaluations, ~35 s of task time
+    * doing the same transform (guide §2.4 — recompute is a shuffle-free
+    * shuffle).
     */
-  private def subPts(emb: DataFrame): DataFrame = subPtsOf(KMeans.quantizedPts(emb))
+  private def ptsCkpt(emb: DataFrame): DataFrame = KMeans.quantizedPts(emb).ckpt()
+
+  /** Subvector relation (vec_id, sub, sv): each dominant-dim fixed-point
+    * vector split into NumSub contiguous SubDim-slices. The pts ckpt
+    * matters here too: [[train]] re-reads its input every Lloyd round
+    * (seeding + one argmin join per round), so an unmaterialized
+    * quantize chain would re-run per round (x107's r22 stage profile:
+    * two ~6 s-task-time re-evaluations).
+    */
+  private def subPts(emb: DataFrame): DataFrame = subPtsOf(ptsCkpt(emb))
 
   /** Subspace split of any (vec_id, fv) relation — raw fixed-point
     * vectors for the x107 codebook, coarse-cell RESIDUALS for x108.
@@ -206,14 +221,18 @@ object ProductQuantization {
     * driver count (the documented sizing probe, same as
     * [[Similarity.sizedNearDup]]'s), then the identical IVFADC plan.
     */
-  def adcTopKSized(emb: DataFrame, topK: Int = 3, nProbe: Int = NProbe): DataFrame =
-    adcTopK(emb, topK, sizedCoarseK(corpusCount(emb)), nProbe)
+  def adcTopKSized(emb: DataFrame, topK: Int = 3, nProbe: Int = NProbe): DataFrame = {
+    val pts = ptsCkpt(emb)
+    val adc = adcScores(pts, sizedCoarseK(corpusCount(pts)), nProbe)
+    rankAdc(adc, topK)
+  }
 
   /** The 1-row driver sizing probe both sized entry points share
-    * (documented pattern: [[Similarity.sizedNearDup]]).
+    * (documented pattern: [[Similarity.sizedNearDup]]) — a cheap count
+    * off the shared pts materialization, not a fresh quantize pass.
     */
-  private def corpusCount(emb: DataFrame): Long =
-    KMeans.quantizedPts(emb).filter(!isQueryCol).count()
+  private def corpusCount(pts: DataFrame): Long =
+    pts.filter(!isQueryCol).count()
 
   /** Probes for the SIZED coarse geometry. With √n lists each list holds
     * ~√n vectors and a planted neighborhood spans a couple of them, so
@@ -237,8 +256,11 @@ object ProductQuantization {
     * fixed-geometry ledger surfaces and as the shortlist stage.
     */
   def adcRerankTopKSized(emb: DataFrame, topK: Int = 3,
-                         nProbe: Int = SizedNProbe): DataFrame =
-    adcRerankTopK(emb, topK, sizedCoarseK(corpusCount(emb)), nProbe)
+                         nProbe: Int = SizedNProbe): DataFrame = {
+    val pts = ptsCkpt(emb)
+    rerankOf(pts, adcScores(pts, sizedCoarseK(corpusCount(pts)), nProbe),
+      topK, RerankFactor * topK)
+  }
 
   private[operators] val CoarseDist2 = "fixed_point_dist2(fv, cc)"
 
@@ -250,11 +272,9 @@ object ProductQuantization {
     * .ScaleStudy]]'s pqrecall section sweeps them to measure the
     * probe-count/list-count recall trade on the clustered fixture.
     */
-  private def coarseParts(emb: DataFrame, coarseK: Int = CoarseK,
-                          nProbe: Int = NProbe): (DataFrame, DataFrame) = {
+  private def coarseParts(pts: DataFrame, coarseK: Int,
+                          nProbe: Int): (DataFrame, DataFrame) = {
     val isQuery = isQueryCol
-    // consumed by the coarse update, both assignments, and the residuals
-    val pts = KMeans.quantizedPts(emb).ckpt()
     // ONE exact centroid update from the corpus-slice seeding: coarseK
     // rows — a broadcast at any corpus size
     val coarse = pts.filter(!isQuery)
@@ -280,7 +300,7 @@ object ProductQuantization {
       // (r21 stage profile of x108/x113/x114). The explicit-width
       // repartition inside ckptBy is never coalesced, so the CPU-heavy
       // train loop stays spread across every core.
-      .ckptBy(emb.sparkSession.sparkContext.defaultParallelism, "vec_id")
+      .ckptBy(pts.sparkSession.sparkContext.defaultParallelism, "vec_id")
     // queries: nProbe nearest cells, one residual PER PROBED CELL; the
     // rank window partitions are coarseK rows each (WindowGroupLimit
     // cuts at nProbe), never corpus-sized
@@ -291,7 +311,15 @@ object ProductQuantization {
       .filter(col("rn") <= nProbe)
       .select(col("vec_id").as("q_id"), col("ccell"),
         expr("zip_with(fv, cc, (x, y) -> x - y)").as("fv"))
-      .ckpt() // read by the LUT and the candidate build
+      // read by the LUT and the candidate build. ckptBy like rCorpus:
+      // AQE coalesces the small query side to ONE partition and a plain
+      // ckpt froze that width — the LUT chain (explode ×NumSub, ×K
+      // broadcast expansion, fixed-point d2) then ran as ~0.4 s
+      // single-task stages (r22 stage profile of x114, the same disease
+      // as the corpus side). A/B'd against a plain ckpt + explicit qSub
+      // repartition: ckptBy won on x114 (5.5 vs 6.2 profile min) and was
+      // noise-flat on x108/x113.
+      .ckptBy(pts.sparkSession.sparkContext.defaultParallelism, "q_id")
     (rCorpus, qProbe)
   }
 
@@ -311,9 +339,9 @@ object ProductQuantization {
     * coarse/residual split and the multi-probe are not optimizations
     * but what makes PQ search work.
     */
-  private def searchParts(emb: DataFrame, coarseK: Int = CoarseK,
-                          nProbe: Int = NProbe): (DataFrame, DataFrame, DataFrame) = {
-    val (rCorpus, qProbe) = coarseParts(emb, coarseK, nProbe)
+  private def searchParts(pts: DataFrame, coarseK: Int,
+                          nProbe: Int): (DataFrame, DataFrame, DataFrame) = {
+    val (rCorpus, qProbe) = coarseParts(pts, coarseK, nProbe)
     val (cb, codes0) = train(subPtsOf(rCorpus))
     // the lazy final assignment, read twice (ADC join sides). ckptBy
     // keyed on the ADC join key: pins the width AQE would coalesce away
@@ -321,7 +349,7 @@ object ProductQuantization {
     // single-task stages) AND makes the layout visible to the
     // cand⋈codes join.
     val codes = codes0.select(col("vec_id").as("c_id"), col("sub"), col("cell"))
-      .ckptBy(emb.sparkSession.sparkContext.defaultParallelism, "c_id")
+      .ckptBy(pts.sparkSession.sparkContext.defaultParallelism, "c_id")
     // exact RESIDUAL distance table per (query, probed cell, sub, cell):
     // |queries|*NProbe*NumSub*K rows
     val qSub = qProbe.select(col("q_id"), col("ccell"),
@@ -346,7 +374,7 @@ object ProductQuantization {
     */
   private[graft] def candidates(emb: DataFrame, coarseK: Int = CoarseK,
                                 nProbe: Int = NProbe): DataFrame = {
-    val (rCorpus, qProbe) = coarseParts(emb, coarseK, nProbe)
+    val (rCorpus, qProbe) = coarseParts(ptsCkpt(emb), coarseK, nProbe)
     qProbe.select(col("q_id"), col("ccell"))
       .join(rCorpus.select(col("vec_id").as("c_id"), col("ccell")), Seq("ccell"))
       .select(col("q_id"), col("c_id"))
@@ -431,8 +459,11 @@ object ProductQuantization {
   }
 
   def adcTopK(emb: DataFrame, topK: Int = 3, coarseK: Int = CoarseK,
-              nProbe: Int = NProbe): DataFrame = {
-    val adc = adcScores(emb, coarseK, nProbe)
+              nProbe: Int = NProbe): DataFrame =
+    rankAdc(adcScores(ptsCkpt(emb), coarseK, nProbe), topK)
+
+  /** The ADC ranking tail shared by [[adcTopK]] and [[adcTopKSized]]. */
+  private def rankAdc(adc: DataFrame, topK: Int): DataFrame = {
     // per-query partitions are inverted-list-bounded, never corpus-sized
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("c_id"))
     adc.withColumn("rnk", row_number().over(w).cast("int"))
@@ -444,8 +475,8 @@ object ProductQuantization {
   /** Summed ADC distances over the probed inverted lists: (q_id, c_id,
     * adc_d2) — the scoring stage [[adcTopK]] and [[adcRerankTopK]] share.
     */
-  private def adcScores(emb: DataFrame, coarseK: Int, nProbe: Int): DataFrame = {
-    val (lut, cand, codes) = searchParts(emb, coarseK, nProbe)
+  private def adcScores(pts: DataFrame, coarseK: Int, nProbe: Int): DataFrame = {
+    val (lut, cand, codes) = searchParts(pts, coarseK, nProbe)
     cand.join(codes, Seq("c_id"))
       .join(lut, Seq("q_id", "ccell", "sub", "cell"))
       .groupBy(col("q_id"), col("c_id"))
@@ -480,14 +511,25 @@ object ProductQuantization {
   def adcRerankTopK(emb: DataFrame, topK: Int = 3, coarseK: Int = CoarseK,
                     nProbe: Int = NProbe, shortlist: Int = 0): DataFrame = {
     val l = if (shortlist > 0) shortlist else RerankFactor * topK
-    val adc = adcScores(emb, coarseK, nProbe)
+    // ONE pts materialization: the ADC stage AND both exact re-rank join
+    // sides read it — before the ptsCkpt threading the quantize chain
+    // (plus x114's clusteredFixture explode) re-evaluated once per
+    // consumer (~35 s of duplicated task time in the r22 stage profile)
+    val pts = ptsCkpt(emb)
+    rerankOf(pts, adcScores(pts, coarseK, nProbe), topK, l)
+  }
+
+  /** The shortlist + exact-re-rank tail shared by [[adcRerankTopK]] and
+    * [[adcRerankTopKSized]], reading the SAME pts materialization the
+    * ADC stage derived from.
+    */
+  private def rerankOf(pts: DataFrame, adc: DataFrame, topK: Int, l: Int): DataFrame = {
     val ws = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("c_id"))
     val short = adc.withColumn("srnk", row_number().over(ws))
       .filter(col("srnk") <= l)
       .select(col("q_id"), col("c_id"))
     // exact re-rank against the STORED full fixed-point vectors — the
     // same quantizedPts relation every stage upstream derives from
-    val pts = KMeans.quantizedPts(emb)
     val ex = short
       .join(pts.select(col("vec_id").as("q_id"), col("fv").as("qv")), Seq("q_id"))
       .join(pts.select(col("vec_id").as("c_id"), col("fv").as("cv")), Seq("c_id"))

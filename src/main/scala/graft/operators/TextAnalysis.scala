@@ -780,45 +780,54 @@ object TextAnalysis {
     * small alphabet: a multilingual web corpus observes tens of
     * thousands of codepoints, and its distinct-trigram table reaches
     * 10⁸⁺ rows — a driver/executor OOM, the q29-class scale killer.
-    * Instead, ONE scan+explode feeds both branches: the occurrence
-    * relation is explicitly repartitioned on `tri`, the freq aggregate
-    * deliberately consumes `doc_id` (a dropped `max`) so ColumnPruning
-    * cannot diverge the two subtrees and ReuseExchange runs the explode
-    * ONCE, and the freq side joins back under a `merge` hint (tri→n is
-    * data-dependent corpus-scale — no AQE-fits-the-fixture broadcast).
-    * Cost: one tri exchange (reused), one sort-merge join that is
-    * already co-partitioned, one doc_id aggregate.
+    * Instead, ONE scan+explode+per-doc-count feeds both branches: the
+    * positions collapse to (doc_id, tri, cnt) exchange-free off the
+    * doc_id spread, THAT pair relation is explicitly repartitioned on
+    * `tri`, the freq aggregate deliberately consumes `doc_id` (a dropped
+    * `max`) so ColumnPruning cannot diverge the two subtrees and
+    * ReuseExchange runs the explode ONCE, and the freq side joins back
+    * under a `merge` hint (tri→n is data-dependent corpus-scale — no
+    * AQE-fits-the-fixture broadcast). Cost: one tri exchange of distinct
+    * per-doc pairs (reused), one sort-merge join that is already
+    * co-partitioned, one doc_id aggregate.
     */
   def charTrigramNovelty(docs: DataFrame, rareMax: Int = 50): DataFrame = {
     val spark = docs.sparkSession
-    // One exploded row per trigram POSITION. Spread the raw docs (cheap
-    // rows) across cores first — the explode and both partial aggregates
-    // below then run 32-wide off the single-file scan. NO repartition on
-    // the exploded rows themselves: the r18 exchange-reuse formulation
-    // shipped every position (~chars(corpus) short strings) through a
-    // full shuffle + two sort-merge sorts; shuffling BEFORE aggregation
-    // also disabled map-side partial aggregation (guide §2.2).
-    def tris = docs
+    // Positions collapse to (doc_id, tri, cnt) BEFORE any exchange: the
+    // doc_id spread satisfies the (doc_id, tri) aggregate's distribution
+    // (HashPartitioning(doc_id) clusters (doc_id, tri)), so the count runs
+    // exchange-free right after the explode and the ONE explicit tri
+    // exchange below ships distinct per-doc trigram pairs, never
+    // positions — the r21 broadcast rewrite's map-side-combine win
+    // (guide §2.3 "aggregate before you shuffle") without its broadcast.
+    // That broadcast was the q29-class scale killer: tri→n is a
+    // DATA-DEPENDENT corpus-scale relation (a multilingual alphabet
+    // observes 10⁸⁺ distinct trigrams), and a forced broadcast() ignores
+    // autoBroadcastJoinThreshold — plan shape pinned by two QueriesSpec
+    // tests. The shared tri exchange feeds BOTH the freq aggregate and
+    // the SMJ probe (ReuseExchange; x37's join-back pattern), already
+    // co-partitioned, so the join adds no exchange.
+    val pairs = docs
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), lower(col("text")).as("tx"))
       .select(col("doc_id"), explode(expr(
         "case when length(tx) >= 3 then transform(sequence(1, length(tx) - 2), " +
           "i -> substring(tx, i, 3)) else array() end")).as("tri"))
-    // Occurrence count per trigram. The relation is BOUNDED by the
-    // corpus's |alphabet|^3 (the very property the row demonstrates), so
-    // after map-side partial aggregation the exchange carries at most
-    // |alphabet|^3 rows per partition, and the finished table broadcasts
-    // safely at ANY corpus size — this is a config-bounded broadcast,
-    // not a data-scaled one.
-    val freq = tris.groupBy(col("tri")).agg(count(lit(1)).as("n"))
-    // Probe map-side against the broadcast table; the only corpus-scaled
-    // exchange left is the per-doc aggregate (3 longs per doc). The
-    // corpus is scanned twice (freq build + probe) — at scale two scans
-    // are far cheaper than one position-scale shuffle.
-    tris.join(broadcast(freq), "tri")
+      .groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("cnt"))
+      .repartition(spark.sparkContext.defaultParallelism, col("tri"))
+    // corpus frequency per trigram = sum of the per-doc counts; max(cnt)
+    // is consumed-then-dropped via the tautological filter purely so this
+    // branch's subtree stays canonically identical to the probe side
+    // below the tri exchange (the boilerplateRemove/x37 ReuseExchange
+    // trick — an unreferenced column gets pruned, the subtrees diverge,
+    // and the scan+explode+aggregate runs twice).
+    val freq = pairs.groupBy(col("tri"))
+      .agg(sum(col("cnt")).as("n"), max(col("doc_id")).as("_mx"))
+      .filter(col("_mx").isNotNull).select(col("tri"), col("n"))
+    pairs.join(freq.hint("merge"), "tri")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tri"),
-        sum(when(col("n") < rareMax, 1L).otherwise(0L)).as("n_rare"))
+      .agg(sum(col("cnt")).as("n_tri"),
+        sum(when(col("n") < rareMax, col("cnt")).otherwise(0L)).as("n_rare"))
       .select(col("doc_id"), col("n_tri"), col("n_rare"),
         (col("n_rare").cast("double") / col("n_tri")).as("rare_frac"))
       .orderBy("doc_id")

@@ -26,9 +26,12 @@ package object graft {
     * `AdaptiveSparkPlanExec` root, whose `outputPartitioning` is the
     * `SparkPlan` default `UnknownPartitioning` — so a caller that
     * repartitioned BEFORE checkpointing has silently lost its layout.
-    * Iterative callers that rely on a stable keyed layout (PageRank,
-    * the x18 label loop, the triangle closer) use [[ckptBy]], which
-    * restores the known `HashPartitioning` on the returned `LogicalRDD`.
+    * Callers that rely on a stable keyed layout use [[ckptBy]], which
+    * restores the known `HashPartitioning` on the returned `LogicalRDD` —
+    * locally only the triangle closer (x82) and the PQ train/encode
+    * relations; PageRank and the x18 label loop measured FASTER with
+    * plain ckpt + per-round exchange on local[32] (see their comments)
+    * and document the cluster-port swap to ckptBy instead.
     *
     * Reliable mode persists the plan around the `checkpoint()` call:
     * eager `Dataset.checkpoint()` on an UNPERSISTED plan computes it
@@ -49,6 +52,15 @@ package object graft {
     * steady-state memory holds only the round in flight.
     */
   def ckpt[T](ds: Dataset[T]): Dataset[T] = {
+    // PLAN-AUDIT switch (guide §1/§7.2): `spark.graft.ckpt.disable=true`
+    // makes every ckpt an identity so `Profile --explain` can dump the
+    // FULL end-to-end plan of a ckpt-heavy operator instead of the
+    // post-checkpoint `Scan ExistingRDD` stub (the r21 before-plans
+    // gap). Audit-only: with ckpts disabled nothing materializes, so
+    // GlobalRank's frozen-block pid contract and every lineage bound is
+    // void — never set it for a timed or gated run.
+    if (ds.sparkSession.conf.getOption("spark.graft.ckpt.disable").contains("true"))
+      return ds
     val sc = ds.sparkSession.sparkContext
     if (sc.getCheckpointDir.isEmpty)
       ds.sparkSession.conf.getOption("spark.graft.checkpoint.dir")

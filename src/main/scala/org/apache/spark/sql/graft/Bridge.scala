@@ -34,6 +34,17 @@ object Bridge {
   def withKnownHashPartitioning(df: DataFrame, cols: Seq[String], n: Int): DataFrame =
     planOf(df) match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        // Cheap invariant check (r21 ADVICE): the claim is caller-promised,
+        // and a stamped layout that is WRONG silently returns wrong rows
+        // from every downstream exchange-free join. Partition count is the
+        // one component of the promise observable here for free (the RDD
+        // is already materialized by ckpt) — a diverged ckpt mode or a
+        // Spark version that re-partitions under checkpoint fails loudly.
+        require(lr.rdd.getNumPartitions == n,
+          s"withKnownHashPartitioning: claimed $n partitions but the " +
+            s"checkpointed RDD has ${lr.rdd.getNumPartitions} — the " +
+            "HashPartitioning promise would be false; only call this on " +
+            s"a relation checkpointed immediately above repartition($n, $cols)")
         val attrs = cols.map(c => lr.output.find(_.name == c).getOrElse(
           throw new IllegalArgumentException(
             s"withKnownHashPartitioning: no column '$c' in ${lr.output.map(_.name)}")))
