@@ -42,6 +42,13 @@ object PageRank {
     // pair set exactly, so w per (pa, pb) is bit-identical.
     val pairs = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("ps"))
+      // spread the per-order sets before the C(width,2) pair explode:
+      // AQE coalesces the order aggregate's ~5 MB exchange to a handful
+      // of partitions, and the explode's CPU (4.6 s task time in the r22
+      // stage profile) then ran on 4 tasks — small bytes ≠ small CPU
+      // (guide §2.5). One extra bounded exchange buys a 32-wide explode
+      // and map-side pair combine.
+      .repartition(li.sparkSession.sparkContext.defaultParallelism, col("ok"))
       .select(explode(expr(
         "flatten(transform(ps, (x, i) -> " +
           "transform(slice(ps, i + 2, size(ps) - i - 1), y -> struct(x AS pa, y AS pb))))"))
@@ -73,19 +80,35 @@ object PageRank {
     // contribution this source sends)
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     val withOut = edges.join(outW, "src").repartition(par, col("src")).ckpt()
-    var ranks = outW.select(col("src").as("node"), lit(Scale).as("r"))
-      .ckpt()
-    for (_ <- 1 to iterations) {
+    // the node universe is ITERATION-INVARIANT (always outW's key set) —
+    // materialized once, so each round's rank rebuild consumes only the
+    // previous round's ranks through the contribution join (ONE consumer
+    // per round), which is what makes the k=2 ckpt cadence below safe:
+    // an un-ckpt'd odd round is evaluated exactly once inside the even
+    // round's materialization, never twice. (The old form re-derived the
+    // node list from `ranks` itself — a second consumer per round that
+    // forced a ckpt every round.)
+    val nodes = outW.select(col("src").as("node")).ckpt()
+    var ranks = nodes.select(col("node"), lit(Scale).as("r")).ckpt()
+    // AQE stays ON for the loop: an AQE-off variant (skip the ×10
+    // replanning) was A/B'd at 8.6-10.0 s vs 6.3 s — the fixed 32-wide
+    // exchanges it forces cost far more than the per-round replanning
+    // AQE spends coalescing them to ~13 balanced partitions.
+    for (i <- 1 to iterations) {
       val contrib = withOut
         .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
         .select(col("dst"), expr("CAST(r * w DIV wout AS BIGINT)").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
-      ranks = ranks.select(col("node"))
+      val next = nodes
         .join(contrib.hint("shuffle_hash"), col("node") === col("dst"), "left")
         .select(col("node"),
           expr("CAST(150000 + 85 * coalesce(s, 0) DIV 100 AS BIGINT)").as("r"))
-        .ckpt() // truncate the per-round lineage (rank side only)
+      // lineage truncates every SECOND round (plan depth stays bounded at
+      // two join+agg layers): ten eager materializations were five, and
+      // the skipped rounds' plans fold into the next ckpt's single pass —
+      // A/B'd at 5-rep profile: 6.4 → 5.7 s with the spread explode above
+      ranks = if (i % 2 == 0 || i == iterations) next.ckpt() else next
     }
     ranks.orderBy(col("r").desc, col("node")).limit(k)
       .select(col("node").as("l_partkey"), col("r").as("rank_scaled"))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -312,20 +314,38 @@ object TextAnalysis {
     * scale-killer in the curation funnel).
     */
   def dsirSelect(docs: DataFrame, buckets: Int = 1024, frac: Double = 0.2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wseq = Window.partitionBy("doc_id").orderBy("p0")
-    val toks = docs
+    // Consecutive non-empty-token bigrams as ONE array transform over the
+    // filtered token array — order inside the array IS position order, so
+    // this is pair-for-pair the old posexplode + per-doc lead() window,
+    // minus that window's full position-scale sort (r22 x100 stage
+    // profile: the two heaviest 32-wide stages, ~12 s task time each,
+    // were this build; a per-doc sort of every token position is also
+    // pure overhead at 100 TB — repetitionStats' bigram idiom, §4).
+    // Spread before the CPU-heavy tokenize+explode (the x85 idiom): the
+    // old window's exchange had forced parallelism as a side effect; the
+    // pure-transform form otherwise inherits its input's width — ONE
+    // partition off x90's single-file scan and off x100's AQE-coalesced
+    // pool ckpt (r22 stage profile: three ~1.2 s single-task stages).
+    val feat = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("source"),
-        posexplode(tokens(lower(col("text")))).as(Seq("p0", "t")))
-      .filter(col("t") =!= "")
-    val feat = toks.withColumn("w2", lead(col("t"), 1).over(wseq))
-      .filter(col("w2").isNotNull)
+        filter(tokens(lower(col("text"))), t => t =!= "").as("t"))
       .select(col("doc_id"),
         (expr("CAST(substring(source, 4) AS INT)") < 10).as("in_t"),
-        (conv(substring(md5(concat_ws(" ", col("t"), col("w2"))), 1, 8), 16, 10)
+        explode(expr(
+          "case when size(t) >= 2 then transform(sequence(1, size(t) - 1), " +
+            "i -> array_join(slice(t, i, 2), ' ')) else array() end")).as("bg"))
+      .select(col("doc_id"), col("in_t"),
+        (conv(substring(md5(col("bg")), 1, 8), 16, 10)
           .cast("long") % buckets).as("f"))
+    // materialized ONCE: the fc (model counts) and wdoc (scoring) branches
+    // both consume dtf, and their post-aggregate shapes diverge enough
+    // that ReuseExchange never fires — without the ckpt the whole
+    // tokenize+explode+count chain ran twice (r22 x100 stage profile:
+    // 15.5 s + 6.0 s task time on the same 533 KiB input)
     val dtf = feat.groupBy(col("doc_id"), col("in_t"), col("f"))
       .agg(count(lit(1)).as("cnt"))
+      .ckpt()
     val fc = dtf.groupBy(col("f")).agg(
       sum(when(col("in_t"), col("cnt")).otherwise(0L)).as("c_t"),
       sum(when(!col("in_t"), col("cnt")).otherwise(0L)).as("c_s"))
