@@ -361,11 +361,10 @@ object Bpe {
   def encodeDocs(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
     val encWords = transform(words(col("text")),
       w => trim(applyMerges(encodeWord(w), merges)))
-    docs
-      // spread the raw docs before the CPU-heavy per-word merge-replace
-      // chain: off the single-file scan the whole encode ran as ONE
-      // 1.1 s task (r21 stage profile — the x85 class)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    // spread the raw docs before the CPU-heavy per-word merge-replace
+    // chain: off the single-file scan the whole encode ran as ONE
+    // 1.1 s task (r21 stage profile — the x85 class); scale-guarded
+    graft.spreadNarrow(docs, col("doc_id"))
       .select(col("doc_id"),
         aggregate(encWords, lit(0L),
           (acc, e) => acc + size(split(e, "  "))).as("n_tokens"),

@@ -62,13 +62,9 @@ object Dedup {
     // packed-code-point hash is injective, so counts EQUAL the string-set
     // values, and the custom merge-walk expression
     // (graft.functions.ArrayExpressions) costs no hashing or boxing per pair.
-    val d = docs
-      .filter(col("doc_id") % mod === 0)
+    val d = graft.spreadNarrow(docs.filter(col("doc_id") % mod === 0), col("doc_id"))
       // single-file inputs scan as one partition; spread the (CPU-heavy)
-      // shingling across every core. Explicit count: a count-less
-      // repartition of small-bytes/heavy-CPU data gets coalesced back to
-      // one partition by AQE.
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      // shingling across every core (scale-guarded: graft.spreadNarrow).
       .select(col("doc_id"),
         graft.functions.ArrayExpressions.shingleHashesSorted(col("text"), 3).as("sh"))
     val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
@@ -95,9 +91,7 @@ object Dedup {
   def ngramContainmentPairs(docs: DataFrame, mod: Int, threshold: Double,
                             minShingles: Int = 10): DataFrame = {
     graft.functions.ArrayExpressions.register(docs.sparkSession)
-    val d = docs
-      .filter(col("doc_id") % mod === 0)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    val d = graft.spreadNarrow(docs.filter(col("doc_id") % mod === 0), col("doc_id"))
       .select(col("doc_id"),
         graft.functions.ArrayExpressions.shingleHashesSorted(col("text"), 3).as("sh"))
       // materialize ONCE: both self-join sides read the shingled relation
@@ -177,11 +171,12 @@ object Dedup {
     * hashes, sz), materialized once — read by the gram explode AND twice
     * at verify.
     */
-  private[graft] def shingledDocs(docs: DataFrame, minShingles: Int): DataFrame = docs
+  private[graft] def shingledDocs(docs: DataFrame, minShingles: Int): DataFrame =
     // spread the CPU-heavy word-5-gram shingling across every core before
     // computing it (r21 stage profile: this ckpt ran 4.4 s as ONE task off
-    // the single-file scan) — same idiom + rationale as shingleFingerprints
-    .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    // the single-file scan) — same idiom + rationale as shingleFingerprints;
+    // scale-guarded (graft.spreadNarrow): a no-op once the scan is wide
+    graft.spreadNarrow(docs, col("doc_id"))
     .select(col("doc_id"),
       filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("t"))
     .select(col("doc_id"), expr(
@@ -228,7 +223,7 @@ object Dedup {
                                            positional: Boolean): DataFrame = {
     val spark = d.sparkSession
     val ex = d.select(col("doc_id"), col("sz"), explode(col("sh")).as("h"))
-      .repartition(spark.sparkContext.defaultParallelism, col("h"))
+      .repartition(graft.spreadWidth(spark), col("h"))
     // document frequency per gram; max(doc_id) consumed-then-dropped via
     // the tautological filter so ColumnPruning keeps both branches
     // identical below the exchange (the x66/boilerplateRemove trick)
@@ -305,8 +300,8 @@ object Dedup {
     * and several consumers read it. graft.ckpt (not persist) so the
     * blocks auto-clean when the query's RDD is GC'd.
     */
-  private[graft] def shingleFingerprints(docs: DataFrame): DataFrame = docs
-    .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+  private[graft] def shingleFingerprints(docs: DataFrame): DataFrame =
+    graft.spreadNarrow(docs, col("doc_id"))
     .select(col("doc_id"),
       graft.functions.ArrayExpressions.shingleHashesSorted(col("text"), 3).as("hashes"))
     .ckpt()
@@ -387,7 +382,7 @@ object Dedup {
     // merge-walk verification (r21 stage profile: a 0.55 s single-task
     // intersect stage in x4). Small bytes here ≠ small CPU (guide §2.5).
     smallPairs.unionByName(starPairs)
-      .repartition(fingerprints.sparkSession.sparkContext.defaultParallelism,
+      .repartition(graft.spreadWidth(fingerprints.sparkSession),
         col("doc_a"), col("doc_b"))
       .distinct()
   }
@@ -459,7 +454,7 @@ object Dedup {
     // the layout visible and keep the edge list from re-shuffling every
     // round (the ckpt'd LogicalRDD reports UnknownPartitioning under
     // AQE, so the repartition below is otherwise planner-invisible).
-    val par = pairs.sparkSession.sparkContext.defaultParallelism
+    val par = graft.spreadWidth(pairs.sparkSession)
     val edges = pairs
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
@@ -535,8 +530,7 @@ object Dedup {
     // explicit repartition count keeps AQE from coalescing this
     // small-bytes/CPU-heavy stage to one partition (same gotcha as the
     // shingling operators).
-    val sh = simhashRaw(docs)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    val sh = graft.spreadNarrow(simhashRaw(docs), col("doc_id"))
       .select(col("doc_id"), col("simhash64"),
         // single primitive bucket key (band index tag + 16-bit value):
         // a long-keyed hashed relation probes far faster than struct keys
@@ -607,7 +601,7 @@ object Dedup {
       // pattern: without it each join side re-tokenizes and re-hashes the
       // whole corpus); pre-spread so AQE can't coalesce the CPU-heavy
       // small-bytes stage to one partition
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .repartition(graft.spreadWidth(docs.sparkSession), col("doc_id"))
       .ckpt()
     val a = sig.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a"), col("band0"))
     val b = sig.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b"), col("band0"))
@@ -680,11 +674,11 @@ object Dedup {
     */
   def substringSpanStats(docs: DataFrame, L: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g2 = docs.filter(length(col("text")) >= L)
-      // spread the raw docs before the per-position window explode: off
-      // the single-file scan this stage ran as ONE 2 s task writing the
-      // full 34 MB gram exchange (r21 stage profile — the x85 class)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    // spread the raw docs before the per-position window explode: off
+    // the single-file scan this stage ran as ONE 2 s task writing the
+    // full 34 MB gram exchange (r21 stage profile — the x85 class);
+    // scale-guarded (graft.spreadNarrow)
+    val g2 = graft.spreadNarrow(docs.filter(length(col("text")) >= L), col("doc_id"))
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - (L - 1))).as("pos"),
         col("text"))
@@ -808,8 +802,7 @@ object Dedup {
     * keys are cheap substrings over `st` computed per pass.
     */
   private def snmBase(docs: DataFrame): DataFrame =
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    graft.spreadNarrow(docs, col("doc_id"))
       .select(col("doc_id"), lower(col("text")).as("t"))
       .withColumn("st", regexp_replace(col("t"), "\\s+", ""))
       .withColumn("w", expr("filter(split(t, '\\\\s+'), x -> x != '')"))

@@ -699,10 +699,10 @@ object Multimodal {
     require(maxHamming <= 3, "4 bands guarantee recall 1 only up to Hamming distance 3")
     val spark = docs.sparkSession
     graft.functions.ArrayExpressions.register(spark)
-    val hashed = plantedAhashCorpus(docs)
+    val hashed = graft.spreadNarrow(plantedAhashCorpus(docs)
       .select(col("doc_id"),
-        graft.functions.ArrayExpressions.ahash64(encode(col("text"), "UTF-8")).as("ahash64"))
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        graft.functions.ArrayExpressions.ahash64(encode(col("text"), "UTF-8")).as("ahash64")),
+      col("doc_id"))
       .select(col("doc_id"), col("ahash64"),
         explode(array((0 until 4).map(b =>
           lit(b.toLong * 65536L) +

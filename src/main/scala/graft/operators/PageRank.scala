@@ -48,7 +48,7 @@ object PageRank {
       // stage profile) then ran on 4 tasks — small bytes ≠ small CPU
       // (guide §2.5). One extra bounded exchange buys a 32-wide explode
       // and map-side pair combine.
-      .repartition(li.sparkSession.sparkContext.defaultParallelism, col("ok"))
+      .repartition(graft.spreadWidth(li.sparkSession), col("ok"))
       .select(explode(expr(
         "flatten(transform(ps, (x, i) -> " +
           "transform(slice(ps, i + 2, size(ps) - i - 1), y -> struct(x AS pa, y AS pb))))"))
@@ -74,12 +74,12 @@ object PageRank {
     // it wins there even locally). The shuffle_hash hint replaces the
     // default sort-merge: ranks is the node-rank table, hashing it beats
     // re-sorting the edge side every iteration.
-    val par = li.sparkSession.sparkContext.defaultParallelism
     val edges = coPurchaseEdges(li).ckpt()
     // per-source total outgoing weight (the division base of every
     // contribution this source sends)
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    val withOut = edges.join(outW, "src").repartition(par, col("src")).ckpt()
+    val withOut = edges.join(outW, "src")
+      .repartition(graft.spreadWidth(li.sparkSession), col("src")).ckpt()
     // the node universe is ITERATION-INVARIANT (always outW's key set) —
     // materialized once, so each round's rank rebuild consumes only the
     // previous round's ranks through the contribution join (ONE consumer

@@ -300,7 +300,7 @@ object ProductQuantization {
       // (r21 stage profile of x108/x113/x114). The explicit-width
       // repartition inside ckptBy is never coalesced, so the CPU-heavy
       // train loop stays spread across every core.
-      .ckptBy(pts.sparkSession.sparkContext.defaultParallelism, "vec_id")
+      .ckptBy(graft.spreadWidth(pts.sparkSession), "vec_id")
     // queries: nProbe nearest cells, one residual PER PROBED CELL; the
     // rank window partitions are coarseK rows each (WindowGroupLimit
     // cuts at nProbe), never corpus-sized
@@ -319,7 +319,7 @@ object ProductQuantization {
       // as the corpus side). A/B'd against a plain ckpt + explicit qSub
       // repartition: ckptBy won on x114 (5.5 vs 6.2 profile min) and was
       // noise-flat on x108/x113.
-      .ckptBy(pts.sparkSession.sparkContext.defaultParallelism, "q_id")
+      .ckptBy(graft.spreadWidth(pts.sparkSession), "q_id")
     (rCorpus, qProbe)
   }
 
@@ -349,7 +349,7 @@ object ProductQuantization {
     // single-task stages) AND makes the layout visible to the
     // cand⋈codes join.
     val codes = codes0.select(col("vec_id").as("c_id"), col("sub"), col("cell"))
-      .ckptBy(pts.sparkSession.sparkContext.defaultParallelism, "c_id")
+      .ckptBy(graft.spreadWidth(pts.sparkSession), "c_id")
     // exact RESIDUAL distance table per (query, probed cell, sub, cell):
     // |queries|*NProbe*NumSub*K rows
     val qSub = qProbe.select(col("q_id"), col("ccell"),

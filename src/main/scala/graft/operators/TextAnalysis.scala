@@ -326,8 +326,7 @@ object TextAnalysis {
     // pure-transform form otherwise inherits its input's width — ONE
     // partition off x90's single-file scan and off x100's AQE-coalesced
     // pool ckpt (r22 stage profile: three ~1.2 s single-task stages).
-    val feat = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    val feat = graft.spreadNarrow(docs, col("doc_id"))
       .select(col("doc_id"), col("source"),
         filter(tokens(lower(col("text"))), t => t =!= "").as("t"))
       .select(col("doc_id"),
@@ -699,7 +698,7 @@ object TextAnalysis {
   def boilerplateCoverage(docs: DataFrame, n: Int = 8, minDocs: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     val grams = distinctDocGrams(docs, n)
-      .repartition(spark.sparkContext.defaultParallelism, col("gram"))
+      .repartition(graft.spreadWidth(spark), col("gram"))
     // count(DISTINCT doc_id) — the literal document-frequency definition
     // (identical value here: grams are pre-distinct'd per doc), chosen
     // over count(*) deliberately: it references doc_id in a way the
@@ -756,7 +755,7 @@ object TextAnalysis {
           s"i -> struct(i as start, array_join(slice(t, i, $n), ' ') as gram)) " +
           "else array() end")).as("g"))
       .select(col("doc_id"), col("g.start").as("start"), col("g.gram").as("gram"))
-      .repartition(spark.sparkContext.defaultParallelism, col("gram"))
+      .repartition(graft.spreadWidth(spark), col("gram"))
     // document frequency over the SAME subtree (max(start) is consumed
     // then dropped purely so both branches keep identical column sets —
     // that is what lets ReuseExchange dedupe the scan+explode)
@@ -827,14 +826,13 @@ object TextAnalysis {
     // tests. The shared tri exchange feeds BOTH the freq aggregate and
     // the SMJ probe (ReuseExchange; x37's join-back pattern), already
     // co-partitioned, so the join adds no exchange.
-    val pairs = docs
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val pairs = graft.spreadNarrow(docs, col("doc_id"))
       .select(col("doc_id"), lower(col("text")).as("tx"))
       .select(col("doc_id"), explode(expr(
         "case when length(tx) >= 3 then transform(sequence(1, length(tx) - 2), " +
           "i -> substring(tx, i, 3)) else array() end")).as("tri"))
       .groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("cnt"))
-      .repartition(spark.sparkContext.defaultParallelism, col("tri"))
+      .repartition(graft.spreadWidth(spark), col("tri"))
     // corpus frequency per trigram = sum of the per-doc counts; max(cnt)
     // is consumed-then-dropped via the tautological filter purely so this
     // branch's subtree stays canonically identical to the probe side

@@ -56,7 +56,7 @@ object Triangles {
       // the adjacency groupBy(u) AND the first closer join on u then run
       // exchange-free over it (plain ckpt reports UnknownPartitioning
       // under AQE and both would re-shuffle the edge relation)
-      .ckptBy(li.sparkSession.sparkContext.defaultParallelism, "u")
+      .ckptBy(graft.spreadWidth(li.sparkSession), "u")
     // EDGE-ITERATOR closer (r21, guide §2.3 "shuffle fewer bytes"): instead
     // of materializing every wedge (u→y, u→z) and semi-joining the closing
     // edge — which shuffled ~380 MB of wedge rows at sf0.1 — attach each

